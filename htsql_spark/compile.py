@@ -194,6 +194,10 @@ class Compiler:
             for kname, kcol in flow.kernel:
                 if kname == name:
                     return Scalar(F.col(kcol), name)
+            if flow.output:  # selection names stay in scope (e.g. sort(n-))
+                for oname, ocol in flow.output:
+                    if oname == name:
+                        return Scalar(F.col(ocol), name)
         # home scope: table names
         if table is None and (flow.is_home or flow.kernel is None):
             if name in self.engine.catalog:
@@ -216,6 +220,10 @@ class Compiler:
                 talias = self.ensure_singular_join(flow, alias, link)
                 return ScopeRef(flow, talias, self.engine.catalog[link.target], name)
             return self.spawn_plural(flow, alias, link)
+        if flow.output:  # selection names stay in scope (e.g. sort(n-))
+            for oname, ocol in flow.output:
+                if oname == name:
+                    return Scalar(F.col(ocol), name)
         raise CompileError(f"unknown attribute '{name}' in scope '{table.name}'")
 
     def resolve_complement(self, scope: ScopeRef) -> FlowV:

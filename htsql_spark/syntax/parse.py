@@ -119,7 +119,10 @@ class _Parser:
         while self.at_sym("?", "^"):
             op = self.advance().text
             rhs = self.parse_or()
-            node = N.Sieve(node, rhs) if op == "?" else N.Quotient(node, rhs)
+            if op == "?":
+                node = N.Sieve(node, rhs)
+            else:
+                node = _attach_quotient(node, rhs)
         return node
 
     def parse_or(self) -> N.Node:
@@ -341,6 +344,29 @@ class _Parser:
             else:
                 raise ParseError(f"bad identity literal at position {t.pos}")
         return parts
+
+
+def _attach_quotient(base: N.Node, rhs: N.Node) -> N.Node:
+    """`flow ^ kernel{selection}…` — a selection (and anything after
+    it) binds to the *quotient*, not the kernel: rebase the postfix
+    chain so the Quotient sits under the first Selection.  A plain
+    postfix chain with no selection (`^nation.name`) is all kernel."""
+    rebased, split = _rebase_quotient(base, rhs)
+    return rebased if split else N.Quotient(base, rhs)
+
+
+def _rebase_quotient(base: N.Node, rhs: N.Node) -> tuple[N.Node, bool]:
+    if isinstance(rhs, N.Selection) and rhs.base is not None:
+        inner, split = _rebase_quotient(base, rhs.base)
+        if split:
+            return N.Selection(inner, rhs.items), True
+        return N.Selection(N.Quotient(base, rhs.base), rhs.items), True
+    if isinstance(rhs, N.Compose):
+        inner, split = _rebase_quotient(base, rhs.base)
+        if split:
+            return N.Compose(inner, rhs.op), True
+        return rhs, False
+    return rhs, False
 
 
 def _number_literal(text: str) -> N.Literal:

@@ -1,0 +1,58 @@
+"""Local mirror of the driver's t2 correctness gate: run every
+``queries()`` entry and its ``oracle_sql()`` side-by-side, compare
+column names + row multisets (order-insensitive, float-tolerant)."""
+
+import math
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rows(recs):
+    return sorted(map(_norm, (tuple(r) for r in recs)), key=repr)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+def test_every_oracle_has_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_DIR)
+    sdf = df.toPandas()
+    res = duck.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert list(sdf.columns) == ocols, f"columns {list(sdf.columns)} != {ocols}"
+    got = _rows([tuple(r) for r in sdf.itertuples(index=False)])
+    exp = _rows(orows)
+    assert len(got) == len(exp), f"row count {len(got)} != {len(exp)}"
+    mismatches = [(g, e) for g, e in zip(got, exp) if g != e]
+    assert not mismatches, f"first mismatches: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_query_runs_rows_only(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0

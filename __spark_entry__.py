@@ -129,6 +129,96 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+# ----------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis /
+# multimodal) — htsql_spark.operators, pure DataFrame ops + Arrow UDFs
+# ----------------------------------------------------------------------
+def _op_text_stats(spark, sf_dir):
+    from htsql_spark.operators import textstats
+
+    return textstats.text_stats(_db(spark, sf_dir).table("documents"))
+
+
+def _op_dedup_exact(spark, sf_dir):
+    from htsql_spark.operators import dedup
+
+    return dedup.exact_groups(_db(spark, sf_dir).table("documents"))
+
+
+def _op_dedup_minhash(spark, sf_dir):
+    from htsql_spark.operators import dedup
+
+    return dedup.minhash_dedup_pairs(
+        _db(spark, sf_dir).table("documents"), threshold=0.5
+    )
+
+
+def _op_dedup_simhash(spark, sf_dir):
+    from htsql_spark.operators import dedup
+
+    return dedup.simhash_signatures(_db(spark, sf_dir).table("documents"))
+
+
+def _op_dedup_ngram(spark, sf_dir):
+    from htsql_spark.operators import dedup
+
+    return dedup.ngram_jaccard_pairs(
+        _db(spark, sf_dir).table("documents"), n=3, threshold=0.2
+    )
+
+
+def _op_dedup_embedding(spark, sf_dir):
+    from htsql_spark.operators import dedup
+
+    return dedup.embedding_dup_pairs(
+        _db(spark, sf_dir).table("embeddings"), threshold=0.95
+    )
+
+
+def _op_ann_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import similarity
+
+    df = similarity.topk_bruteforce(_db(spark, sf_dir).table("embeddings"), query_id=0, k=10)
+    return df.select("vec_id", "label", F.round(F.col("cos"), 4).alias("cos4"))
+
+
+def _op_ann_lsh(spark, sf_dir):
+    from htsql_spark.operators import similarity
+
+    return similarity.topk_lsh(_db(spark, sf_dir).table("embeddings"), query_id=0, k=10)
+
+
+def _op_ann_ivf(spark, sf_dir):
+    from htsql_spark.operators import similarity
+
+    return similarity.topk_ivf(_db(spark, sf_dir).table("embeddings"), query_id=0, k=10)
+
+
+def _op_multimodal(spark, sf_dir):
+    from htsql_spark.operators import multimodal
+
+    assets = multimodal.assets_from_documents(_db(spark, sf_dir).table("documents"))
+    return multimodal.extract_features(assets).select("asset_id", "n_bytes", "digest")
+
+
+_QUERIES.update(
+    {
+        "op_text_stats": _op_text_stats,
+        "op_dedup_exact": _op_dedup_exact,
+        "op_dedup_minhash": _op_dedup_minhash,
+        "op_dedup_simhash": _op_dedup_simhash,
+        "op_dedup_ngram": _op_dedup_ngram,
+        "op_dedup_embedding": _op_dedup_embedding,
+        "op_ann_bruteforce": _op_ann_bruteforce,
+        "op_ann_lsh": _op_ann_lsh,
+        "op_ann_ivf": _op_ann_ivf,
+        "op_multimodal": _op_multimodal,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
@@ -237,4 +327,77 @@ def oracle_sql() -> dict[str, str]:
         ),
         # nested_segment: intentionally omitted (non-flat output;
         # driver records the weaker rows-only check)
+        "op_text_stats": _TEXT_STATS_SQL,
+        "op_dedup_exact": (
+            "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,"
+            " min(doc_id) AS keep_id, count(*) AS n FROM documents"
+            " GROUP BY 1"
+        ),
+        "op_dedup_embedding": (
+            "SELECT a.vec_id AS a, b.vec_id AS b,"
+            " round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos"
+            " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+            " WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
+        ),
+        "op_ann_bruteforce": (
+            "SELECT b.vec_id, b.label,"
+            " round(list_cosine_similarity(b.embedding, a.embedding), 4) AS cos4"
+            " FROM embeddings a JOIN embeddings b ON b.vec_id <> 0"
+            " WHERE a.vec_id = 0"
+            " ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC, b.vec_id"
+            " LIMIT 10"
+        ),
+        "op_multimodal": (
+            "SELECT doc_id AS asset_id,"
+            " CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,"
+            " md5(text) AS digest FROM documents"
+        ),
+        # op_dedup_minhash / op_dedup_simhash / op_dedup_ngram /
+        # op_ann_lsh / op_ann_ivf: hash-family & LSH internals are not
+        # SQL-expressible in DuckDB → rows-only checks; exactness is
+        # covered by planted-duplicate tests in tests/test_operators.py
     }
+
+
+_TOKEN_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_EN = r"\b(the|and|of|to|is|in|that|it)\b"
+_ES = r"\b(el|la|de|que|y|los|en|un)\b"
+_DE = r"\b(der|die|das|und|ist|nicht|ein|zu)\b"
+_FR = r"\b(le|la|les|de|et|est|un|une)\b"
+
+_TEXT_STATS_SQL = f"""
+WITH s AS (
+  SELECT doc_id, text,
+    length(regexp_extract_all(text, '{_TOKEN_SQL}')) AS tokens,
+    length(string_split_regex(trim(text), '\\s+')) AS words,
+    length(text) AS chars,
+    CASE WHEN length(text) > 0
+      THEN length(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+      ELSE 0.0 END AS praw,
+    length(regexp_extract_all(lower(text), '{_EN}')) AS en_n,
+    length(regexp_extract_all(lower(text), '{_ES}')) AS es_n,
+    length(regexp_extract_all(lower(text), '{_DE}')) AS de_n,
+    length(regexp_extract_all(lower(text), '{_FR}')) AS fr_n
+  FROM documents
+), q AS (
+  SELECT *,
+    CASE WHEN words > 0
+      THEN en_n * 1.0 / words ELSE 0.0 END AS sraw,
+    greatest(en_n, es_n, de_n, fr_n) AS best
+  FROM s
+)
+SELECT doc_id,
+  CAST(tokens AS INTEGER) AS tokens,
+  CAST(words AS INTEGER) AS words,
+  CAST(chars AS INTEGER) AS chars,
+  round(praw, 6) AS punct_ratio,
+  round((least(chars / 500.0, 1.0) + greatest(0.0, 1.0 - praw * 4)
+         + least(sraw * 5, 1.0)) / 3, 6) AS quality,
+  CASE WHEN en_n > 0 AND en_n = best THEN 'en'
+       WHEN es_n > 0 AND es_n = best THEN 'es'
+       WHEN de_n > 0 AND de_n = best THEN 'de'
+       WHEN fr_n > 0 AND fr_n = best THEN 'fr'
+       ELSE 'und' END AS lang_guess,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM q
+"""

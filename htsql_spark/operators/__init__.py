@@ -1,0 +1,8 @@
+"""Beyond-reference operators for large-scale training-data pipelines
+(SURVEY.md §8 M7): deduplication, similarity search, text analysis,
+multimodal plumbing.  All pure DataFrame ops (JVM-side, whole-stage
+codegen) except where vectorized Arrow UDFs are genuinely required
+(multimodal decode).
+"""
+
+from . import dedup, multimodal, similarity, textstats  # noqa: F401

@@ -1,0 +1,282 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five strategies, all expressed as DataFrame pipelines that scale by
+partitioning on content-derived keys (no driver-side state, no
+collect):
+
+* exact        — hash-groupBy on a normalized-content fingerprint
+* minhash LSH  — shingle → minhash signature → band buckets →
+                 bucket-join candidates → Jaccard verify
+* simhash      — 64-bit sign-of-weighted-sum signature; near-dup via
+                 banded hamming buckets
+* n-gram Jaccard — direct pairwise Jaccard within cheap buckets
+* embedding cosine — near-identical vectors via normalized dot product
+
+At 100 TB: every strategy's shuffle key is content-derived (fingerprint,
+band hash, bucket), so the candidate-pair explosion stays local to a
+bucket; skew is bounded by band width choice, and AQE skew-join
+handles hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .textstats import fingerprint
+
+# ----------------------------------------------------------------------
+# exact dedup
+# ----------------------------------------------------------------------
+def exact_groups(docs: DataFrame) -> DataFrame:
+    """Duplicate groups by normalized-content fingerprint:
+    (fp, keep_id = min doc_id, n = group size)."""
+    return (
+        docs.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """documents with exact duplicates removed (keep lowest doc_id).
+    Implemented as a window-free groupBy+join so the only shuffle key
+    is the fingerprint."""
+    keep = exact_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "inner")
+
+
+# ----------------------------------------------------------------------
+# shingles + minhash
+# ----------------------------------------------------------------------
+def _tokens(text: Column) -> Column:
+    return F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-token shingles as strings (distinct)."""
+    toks = _tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def minhash_signature(sh: Column, num_hashes: int = 32) -> list[Column]:
+    """num_hashes minhash values; hash family = xxhash64(shingle, seed)
+    (seed mixed in as a literal column — stays in codegen)."""
+    return [
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+        for seed in range(num_hashes)
+    ]
+
+
+def minhash_candidates(
+    docs: DataFrame, k: int = 3, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 minhash band.
+
+    shingle → minhash(num_hashes) → bands of rows r=num_hashes/bands →
+    explode (band_idx, band_hash) → self-join per bucket.
+    Returns (a, b) with a < b, distinct.
+    """
+    r = num_hashes // bands
+    sh = docs.select(F.col("doc_id"), shingles(F.col("text"), k).alias("sh"))
+    sig = sh.select(
+        "doc_id", F.array(*minhash_signature(F.col("sh"), num_hashes)).alias("sig")
+    )
+    band = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"), F.xxhash64(F.slice("sig", b * r + 1, r)).alias("h")
+                ),
+            )
+        ).alias("bh"),
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    left = band.alias("l")
+    right = band.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    return F.when(union > 0, inter / union).otherwise(0.0)
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verified near-duplicate pairs: LSH candidates filtered by true
+    shingle Jaccard ≥ threshold → (a, b, jaccard)."""
+    cands = minhash_candidates(docs, k, num_hashes, bands)
+    sh = docs.select(F.col("doc_id"), shingles(F.col("text"), k).alias("sh"))
+    return (
+        cands.join(sh.withColumnsRenamed({"doc_id": "a", "sh": "sh_a"}), "a")
+        .join(sh.withColumnsRenamed({"doc_id": "b", "sh": "sh_b"}), "b")
+        .select("a", "b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------------
+# simhash
+# ----------------------------------------------------------------------
+def simhash(text: Column, bits: int = 64) -> Column:
+    """Sign-of-weighted-sum simhash over token hashes, 64-bit.
+
+    Pure array algebra: per bit, count tokens whose hash has the bit
+    set minus those that don't; bit set iff the sum is positive."""
+    toks = F.array_distinct(_tokens(text))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def bit_sum(i: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(
+            bit_sum(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
+    return docs.select(F.col("doc_id"), simhash(F.col("text"), bits).alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash banding: 4 × 16-bit chunks; pairs
+    sharing a chunk are candidates (guaranteed to catch hamming ≤ 3),
+    verified by popcount of xor."""
+    sig = simhash_signatures(docs)
+    chunk = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("h"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "simhash", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    l, r = chunk.alias("l"), chunk.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cands.select("a", "b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ----------------------------------------------------------------------
+# n-gram Jaccard (direct, bucketed)
+# ----------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Pairwise character-n-gram Jaccard within (lang, length-bucket)
+    buckets — the cheap-bucket baseline for comparison with LSH.
+    Bucketing bounds the quadratic blowup; at scale, bucket width is
+    the knob."""
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length("text") - n, F.lit(0))),
+            lambda i: F.col("text").substr(i + 1, F.lit(n)),
+        )
+    )
+    d = docs.select(
+        F.col("doc_id"),
+        F.col("lang"),
+        (F.floor(F.length("text") / 100)).alias("lbucket"),
+        grams.alias("g"),
+    )
+    l, r = d.alias("l"), d.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.lang") == F.col("r.lang"))
+        & (F.col("l.lbucket") == F.col("r.lbucket"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    )
+    jac = jaccard(F.col("l.g"), F.col("r.g"))
+    return pairs.select(
+        F.col("l.doc_id").alias("a"),
+        F.col("r.doc_id").alias("b"),
+        F.round(jac, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ----------------------------------------------------------------------
+# embedding cosine near-dup
+# ----------------------------------------------------------------------
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def embedding_dup_pairs(embs: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Near-identical embedding pairs by cosine ≥ threshold.
+
+    Brute-force O(n²) pairwise — correct baseline; the scale path is
+    ``similarity.lsh_buckets`` which bounds the join to same-bucket
+    pairs."""
+    e = embs.select(F.col("vec_id"), F.col("embedding").alias("v"))
+    l, r = e.alias("l"), e.alias("r")
+    pairs = l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
+    cos = cosine(F.col("l.v"), F.col("r.v"))
+    return pairs.select(
+        F.col("l.vec_id").alias("a"),
+        F.col("r.vec_id").alias("b"),
+        F.round(cos, 6).alias("cos"),
+    ).filter(F.col("cos") >= threshold)

@@ -1,0 +1,91 @@
+"""Text analysis over the ``documents`` table: token counting,
+quality scoring, language-ID heuristic, content fingerprinting.
+
+Everything is built-in `pyspark.sql.functions` — no Python UDFs; at
+100 TB these run entirely inside whole-stage codegen with the parquet
+scan pruned to (doc_id, text[, lang]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish tokenization: word pieces, numbers, or single punctuation
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: tiny stopword inventories for the language-ID heuristic
+_LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is|in|that|it)\b",
+    "es": r"\b(el|la|de|que|y|los|en|un)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|zu)\b",
+    "fr": r"\b(le|la|les|de|et|est|un|une)\b",
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace + punctuation-aware token count (regex tokenizer)."""
+    return F.regexp_count(text, F.lit(TOKEN_RE))
+
+
+def word_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    return F.when(n > 0, F.regexp_count(text, F.lit(r"[^\w\s]")) / n).otherwise(0.0)
+
+
+def stopword_ratio(text: Column) -> Column:
+    words = F.size(F.split(F.trim(F.lower(text)), r"\s+"))
+    stops = F.regexp_count(F.lower(text), F.lit(_LANG_MARKERS["en"]))
+    return F.when(words > 0, stops / words).otherwise(0.0)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: rewards mid-length docs with sane
+    punctuation and some stopwords (boilerplate/garbage score low)."""
+    n = F.length(text)
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4)
+    stop_score = F.least(stopword_ratio(text) * 5, F.lit(1.0))
+    return F.round((len_score + punct_pen + stop_score) / 3, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    low = F.lower(text)
+    return {lang: F.regexp_count(low, F.lit(pat)) for lang, pat in _LANG_MARKERS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of per-language stopword hits; 'und' (undetermined) when
+    nothing matches."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    col = F.lit("und")
+    # reversed so that ties resolve to the FIRST language in the dict
+    for lang in reversed(list(scores)):
+        col = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(col)
+    return col
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint over whitespace-normalized,
+    lowercased text (md5 — portable across engines)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """One row per document with the full stat set."""
+    t = F.col("text")
+    return docs.select(
+        F.col("doc_id"),
+        token_count(t).alias("tokens"),
+        word_count(t).alias("words"),
+        F.length(t).alias("chars"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        fingerprint(t).alias("fp"),
+    )

@@ -1,0 +1,163 @@
+"""Training-data pipeline operators: planted-duplicate recall tests +
+exactness checks against python/numpy references."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(db):
+    return db.table("documents")
+
+
+@pytest.fixture(scope="module")
+def embs(db):
+    return db.table("embeddings")
+
+
+@pytest.fixture(scope="module")
+def docs_with_clones(docs):
+    """documents ∪ near-identical clones (doc_id + 100000, one word
+    appended) ∪ exact clones (doc_id + 200000)."""
+    near = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    exact = docs.select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+def test_exact_dedup_finds_clones(db, docs, docs_with_clones):
+    from htsql_spark.operators import dedup
+
+    n = docs.count()
+    groups = dedup.exact_groups(docs_with_clones)
+    # every original doc groups with its exact clone → group size ≥ 2
+    assert groups.filter(F.col("n") >= 2).count() == docs.select(
+        F.md5(F.col("text"))).distinct().count()
+    kept = dedup.exact_dedup(docs_with_clones)
+    # exact clones removed, near clones kept
+    assert kept.count() == 2 * n
+
+
+def test_minhash_recall_on_planted_dups(docs, docs_with_clones):
+    from htsql_spark.operators import dedup
+
+    pairs = dedup.minhash_dedup_pairs(docs_with_clones, threshold=0.5)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    ids = [r[0] for r in docs.select("doc_id").collect()]
+    # exact clones MUST all be found (identical signatures land in the
+    # same band buckets); near clones should mostly be found
+    exact_expected = {(i, i + 200000) for i in ids}
+    assert exact_expected <= got
+    near_expected = {(i, i + 100000) for i in ids}
+    recall = len(near_expected & got) / len(near_expected)
+    assert recall > 0.8, f"near-dup recall {recall}"
+
+
+def test_minhash_jaccard_values(docs_with_clones):
+    from htsql_spark.operators import dedup
+
+    pairs = dedup.minhash_dedup_pairs(docs_with_clones, threshold=0.5)
+    exact = pairs.filter(F.col("b") - F.col("a") == 200000)
+    assert exact.filter(F.col("jaccard") < 1.0).count() == 0
+
+
+def test_simhash_exact_clone_distance_zero(docs, docs_with_clones):
+    from htsql_spark.operators import dedup
+
+    pairs = dedup.simhash_near_pairs(docs_with_clones, max_hamming=3)
+    got = {(r["a"], r["b"]): r["hamming"] for r in pairs.collect()}
+    ids = [r[0] for r in docs.select("doc_id").collect()]
+    for i in ids:
+        assert got.get((i, i + 200000)) == 0, f"exact clone {i} missing/nonzero"
+
+
+def test_ngram_jaccard_clones(docs, docs_with_clones):
+    from htsql_spark.operators import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(docs_with_clones, threshold=0.9)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    ids = [r[0] for r in docs.select("doc_id").collect()]
+    found = sum(1 for i in ids if (i, i + 200000) in got)
+    assert found == len(ids)  # exact clones share lang+length bucket
+
+
+def test_embedding_dup_pairs(embs):
+    from htsql_spark.operators import dedup
+
+    base = embs.select("vec_id", "embedding", "label")
+    clones = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = dedup.embedding_dup_pairs(base.unionByName(clones), threshold=0.999)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    ids = [r[0] for r in base.select("vec_id").collect()]
+    assert {(i, i + 100000) for i in ids} <= got
+
+
+def test_topk_bruteforce_matches_numpy(embs):
+    import numpy as np
+
+    from htsql_spark.operators import similarity
+
+    got = [(r["vec_id"], r["cos"]) for r in similarity.topk_bruteforce(embs, 0, 10).collect()]
+    rows = embs.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in rows}
+    q = vecs[0]
+    scored = sorted(
+        (
+            (-float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), vid)
+            for vid, v in vecs.items()
+            if vid != 0
+        ),
+    )[:10]
+    exp = [(vid, round(-s, 6)) for s, vid in scored]
+    assert [v for v, _ in got] == [v for v, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert abs(a - b) < 1e-5
+
+
+def test_lsh_and_ivf_overlap_bruteforce(embs):
+    from htsql_spark.operators import similarity
+
+    exact = {r["vec_id"] for r in similarity.topk_bruteforce(embs, 0, 10).collect()}
+    lsh = {r["vec_id"] for r in similarity.topk_lsh(embs, 0, 10).collect()}
+    ivf = {r["vec_id"] for r in similarity.topk_ivf(embs, 0, 10).collect()}
+    assert len(lsh) == 10 and len(ivf) == 10
+    # approximate: require non-trivial overlap with exact top-10
+    assert len(exact & lsh) >= 2
+    assert len(exact & ivf) >= 2
+
+
+def test_multimodal_features(db, docs):
+    from htsql_spark.operators import multimodal
+
+    assets = multimodal.assets_from_documents(docs)
+    feats = multimodal.extract_features(assets)
+    row = feats.orderBy("asset_id").first()
+    import hashlib
+
+    doc = docs.orderBy("doc_id").first()
+    payload = doc["text"].encode()
+    assert row["n_bytes"] == len(payload)
+    assert row["digest"] == hashlib.md5(payload).hexdigest()
+    assert len(row["feat"]) == 8
+    # decode stub is deterministic
+    assert feats.select("feat").orderBy("asset_id").first() == feats.select(
+        "feat"
+    ).orderBy("asset_id").first()
+
+
+def test_frame_sample_plan(docs):
+    from htsql_spark.operators import multimodal
+
+    assets = multimodal.assets_from_documents(docs).withColumn(
+        "meta", F.map_concat("meta", F.create_map(F.lit("frames"), F.lit("60")))
+    )
+    plan = multimodal.frame_sample_plan(assets, every_n=10)
+    per = plan.groupBy("asset_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per] == [6]

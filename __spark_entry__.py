@@ -126,7 +126,101 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nested_segment": _q(
         "/region{name, /nation{nname := name}}"
     ),
+    # TPC-H Q1 shape: filtered quotient + batched complement aggregates
+    "tpch_q1": _q(
+        "/lineitem.define(rev := l_extendedprice * (1 - l_discount))"
+        "?l_shipdate <= date('1998-09-02')"
+        "^{rf := l_returnflag, ls := l_linestatus}"
+        "{rf, ls, sum_qty := sum(^.l_quantity), sum_base := sum(^.l_extendedprice),"
+        " sum_rev := sum(^.rev), avg_qty := avg(^.l_quantity),"
+        " avg_price := avg(^.l_extendedprice), n := count(^)}"
+    ),
+    # TPC-H Q5 shape: multi-hop navigation + sieve + quotient
+    "tpch_q5": _q(
+        "/lineitem.define(rev := l_extendedprice * (1 - l_discount))"
+        "?orders.customer.nation.region.name = 'ASIA'"
+        "^{nat := supplier.nation.name}{nat, revenue := sum(^.rev)}"
+    ),
+    # F11/F20 per-parent clip (row_number window) inside a nested
+    # segment — rows-only (nested output)
+    "topk_per_parent": _q(
+        "/nation{name, /customer.sort(c_acctbal-).limit(2){cname := c_name, bal := c_acctbal}}"
+    ),
+    # /meta: catalog as data (reference: tweak.meta)
+    "meta_links": _q("/meta(link){origin, name, target, kind}?kind='singular'"),
 }
+
+
+def _op_window_topk(spark, sf_dir):
+    """Flat per-parent top-k via row_number window (the same clip
+    machinery the nested form uses, oracle-checkable)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    cust = _db(spark, sf_dir).table("customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.col("c_nationkey").alias("natkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+            F.col("rn").alias("rn"),
+        )
+    )
+
+
+def _stream_dedup(spark, sf_dir):
+    import uuid
+
+    from htsql_spark import streaming
+
+    name = f"t_dedup_{uuid.uuid4().hex[:8]}"
+    stream = streaming.read_events_stream(spark, sf_dir)
+    streaming.run_to_memory(streaming.dedup_within_watermark(stream), name, "append")
+    return spark.table(name).select("event_id", "user_id", "event_type", "value", "props")
+
+
+def _stream_running_totals(spark, sf_dir):
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from htsql_spark import streaming
+
+    name = f"t_totals_{uuid.uuid4().hex[:8]}"
+    stream = streaming.read_events_stream(spark, sf_dir)
+    streaming.run_to_memory(
+        streaming.running_totals_per_user(stream), name, "update"
+    )
+    # running totals are monotone in n → the final state is max(n)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n"), F.round(F.max_by("total", "n"), 4).alias("total"))
+    )
+
+
+def _stream_tumbling(spark, sf_dir):
+    import uuid
+
+    from htsql_spark import streaming
+
+    name = f"t_tumb_{uuid.uuid4().hex[:8]}"
+    stream = streaming.read_events_stream(spark, sf_dir)
+    streaming.run_to_memory(streaming.tumbling_counts(stream), name, "append")
+    return spark.table(name)
+
+
+_QUERIES.update(
+    {
+        "op_window_topk": _op_window_topk,
+        "stream_dedup": _stream_dedup,
+        "stream_running_totals": _stream_running_totals,
+        "stream_tumbling": _stream_tumbling,
+    }
+)
 
 
 # ----------------------------------------------------------------------
@@ -325,8 +419,48 @@ def oracle_sql() -> dict[str, str]:
             " CAST(json_extract_string(props, '$.k') AS BIGINT) AS k"
             " FROM events WHERE event_type = 'purchase'"
         ),
-        # nested_segment: intentionally omitted (non-flat output;
-        # driver records the weaker rows-only check)
+        # nested_segment / topk_per_parent: intentionally omitted
+        # (non-flat output; driver records the weaker rows-only check)
+        # stream_tumbling: omitted (open windows at end-of-stream are
+        # implementation-defined; correctness locked by tests)
+        "tpch_q1": (
+            "SELECT l_returnflag AS rf, l_linestatus AS ls,"
+            " sum(l_quantity) AS sum_qty, sum(l_extendedprice) AS sum_base,"
+            " sum(l_extendedprice * (1 - l_discount)) AS sum_rev,"
+            " avg(l_quantity) AS avg_qty, avg(l_extendedprice) AS avg_price,"
+            " count(*) AS n"
+            " FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'"
+            " GROUP BY l_returnflag, l_linestatus"
+        ),
+        "tpch_q5": (
+            "SELECT sn.n_name AS nat,"
+            " sum(l_extendedprice * (1 - l_discount)) AS revenue"
+            " FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation cn ON c_nationkey = cn.n_nationkey"
+            " JOIN region ON cn.n_regionkey = r_regionkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " JOIN nation sn ON s_nationkey = sn.n_nationkey"
+            " WHERE r_name = 'ASIA'"
+            " GROUP BY sn.n_name"
+        ),
+        # meta_links: omitted (catalog metadata exists engine-side only)
+        "op_window_topk": (
+            "SELECT c_nationkey AS natkey, c_name AS name, c_acctbal AS bal,"
+            " CAST(rn AS INTEGER) AS rn FROM ("
+            "  SELECT *, row_number() OVER ("
+            "   PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn"
+            "  FROM customer) WHERE rn <= 2"
+        ),
+        "stream_dedup": (
+            "SELECT event_id, user_id, event_type, value, props FROM events"
+        ),
+        "stream_running_totals": (
+            "SELECT user_id, count(*) AS n,"
+            " round(sum(coalesce(value, 0)), 4) AS total"
+            " FROM events GROUP BY user_id"
+        ),
         "op_text_stats": _TEXT_STATS_SQL,
         "op_dedup_exact": (
             "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,"

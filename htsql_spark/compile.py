@@ -69,12 +69,14 @@ class Ctx:
     """Lexical environment: define()d names and $references
     (reference: src/htsql/core/tr/lookup.py::lookup)."""
 
-    def __init__(self, names=None, refs=None):
+    def __init__(self, names=None, refs=None, prepared=None):
         self.names: dict[str, N.Node] = names or {}
         self.refs: dict[str, N.Node] = refs or {}
+        # pre-computed (batched) aggregate results, keyed by id(ast node)
+        self.prepared: dict[int, Scalar] = prepared if prepared is not None else {}
 
     def child(self) -> "Ctx":
-        return Ctx(dict(self.names), dict(self.refs))
+        return Ctx(dict(self.names), dict(self.refs), self.prepared)
 
 
 class Compiler:
@@ -125,6 +127,8 @@ class Compiler:
     # evaluation
     # ------------------------------------------------------------------
     def eval(self, ctx: Ctx, scope: ScopeRef, node: N.Node):
+        if ctx.prepared and id(node) in ctx.prepared:
+            return ctx.prepared[id(node)]
         if isinstance(node, N.Literal):
             return Scalar(literal_col(node), hint_of(node))
         if isinstance(node, N.Identifier):
@@ -385,10 +389,11 @@ class Compiler:
             raise CompileError("selection applies to a flow")
         flow = base.flow
         scope = ScopeRef(flow, flow.alias, flow.table)
+        prepared = self.batch_aggregates(ctx, scope, items)
         out: list[tuple[str, str]] = []
         newcols: dict[str, Column] = {}
         for item in items:
-            for name, col, direction in self.eval_item(ctx, scope, item):
+            for name, col, direction in self.eval_item(ctx, scope, item, prepared):
                 cname = self.engine.fresh("__s")
                 newcols[cname] = col
                 out.append((name, cname))
@@ -403,8 +408,9 @@ class Compiler:
         base.value = None
         return base
 
-    def eval_item(self, ctx: Ctx, scope: ScopeRef, item: N.Node):
+    def eval_item(self, ctx: Ctx, scope: ScopeRef, item: N.Node, prepared=None):
         """Yield (name, Column, direction) triples for one selection item."""
+        prepared = prepared or {}
         direction = None
         if isinstance(item, N.Direction):
             direction = item.ascending
@@ -412,8 +418,14 @@ class Compiler:
         if isinstance(item, N.Assignment):
             if item.is_reference:
                 raise CompileError("$ref := … is only allowed in given()")
+            if id(item.expr) in prepared:
+                yield (item.name, prepared[id(item.expr)].col, direction)
+                return
             v = self.eval(ctx, scope, item.expr)
             yield (item.name, self.value_col(ctx, scope, v, item.expr), direction)
+            return
+        if id(item) in prepared:
+            yield (prepared[id(item)].hint, prepared[id(item)].col, direction)
             return
         v = self.eval(ctx, scope, item)
         if isinstance(v, list):  # wildcard expansion
@@ -527,31 +539,136 @@ class Compiler:
         return base
 
     # ------------------------------------------------------------------
+    # aggregate batching: N aggregates over the same plural chain →
+    # ONE groupBy + ONE join (the reference computes each AggregateUnit
+    # separately and lets the RDBMS dedupe; on Spark we must not emit
+    # N shuffles for `{sum(x), count(x), avg(x)}` — TPC-H Q1 shape)
+    # ------------------------------------------------------------------
+    def batch_aggregates(self, ctx: Ctx, scope: ScopeRef, items: list[N.Node]) -> dict:
+        groups: dict[tuple, list] = {}
+        for item in items:
+            for node in _find_agg_applications(item):
+                chain = _pure_chain(node.args[0])
+                if chain is None or chain[0] in ctx.names:
+                    continue
+                split = self._split_chain(ctx, scope, chain)
+                if split is None:
+                    continue
+                fkey, vpath = split
+                groups.setdefault(fkey, []).append(
+                    (node, node.name.lower(), vpath, node.args[1:])
+                )
+        prepared: dict[int, Scalar] = {}
+        for fkey, members in groups.items():
+            if len(members) < 2:
+                continue  # nothing to batch
+            # navigate the shared plural chain once
+            nav: N.Node = N.Complement() if fkey[0] == "^" else N.Identifier(fkey[0])
+            for nm in fkey[1:]:
+                nav = N.Compose(nav, N.Identifier(nm))
+            v = self.eval(ctx, scope, nav)
+            if not isinstance(v, FlowV):  # pragma: no cover - guarded by _split_chain
+                continue
+            sub_scope = ScopeRef(v.flow, v.flow.alias, v.flow.table)
+            aggs: list[Column] = []
+            posts: list = []
+            names: list[str] = []
+            nodes: list[N.Node] = []
+            for node, aggname, vpath, extra in members:
+                val = None
+                if vpath:
+                    vnode: N.Node = N.Identifier(vpath[0])
+                    for nm in vpath[1:]:
+                        vnode = N.Compose(vnode, N.Identifier(nm))
+                    try:
+                        val = self.scalar(ctx, sub_scope, vnode).col
+                    except CompileError:
+                        continue  # defined name too complex → one-off path
+                agg, post = fnlib.agg_expr(self, sub_scope, aggname, val, extra)
+                vname = self.engine.fresh("__a")
+                aggs.append(agg.alias(vname))
+                posts.append(post)
+                names.append(vname)
+                nodes.append(node)
+            self._join_grouped(scope.flow, v, aggs)
+            for node, vname, post, (n2, aggname, _, _) in zip(nodes, names, posts, members):
+                col = F.col(vname)
+                if post is not None:
+                    col = post(col)
+                prepared[id(node)] = Scalar(col, f"{aggname}")
+        ctx.prepared.update(prepared)
+        return prepared
+
+    def _split_chain(self, ctx: Ctx, scope: ScopeRef, chain: list[str]):
+        """Split a pure name chain into (plural-link prefix, value
+        path) using catalog metadata; None → not batchable."""
+        cat = self.engine.catalog
+        if chain[0] == "^":
+            flow = scope.flow
+            if flow.kernel is None or flow.base_flow is None:
+                return None
+            t = flow.base_flow.table
+            plural, rest = ["^"], chain[1:]
+        else:
+            t = scope.table
+            if t is None:
+                return None
+            plural, rest = [], chain
+        i = 0
+        while i < len(rest) and t is not None and rest[i] in t.links and t.links[rest[i]].is_plural:
+            plural.append(rest[i])
+            t = cat[t.links[rest[i]].target]
+            i += 1
+        if not plural:
+            return None
+        vpath = rest[i:]
+        # validate the value path: singular links then one column (or a
+        # define()d name as the terminal — resolved at eval, guarded)
+        for j, nm in enumerate(vpath):
+            if t is None:
+                return None
+            if nm in t.links and t.links[nm].is_singular and j < len(vpath) - 1:
+                t = cat[t.links[nm].target]
+                continue
+            if nm in t.columns or t.alias_of(nm) is not None:
+                if j != len(vpath) - 1:
+                    return None
+                break
+            if j == len(vpath) - 1 and nm in ctx.names:
+                break
+            return None
+        return tuple(plural), vpath
+
+    def _join_grouped(self, outer: Flow, v: FlowV, aggs: list[Column]) -> None:
+        """groupBy correlation keys + LEFT JOIN back (shared by single
+        and batched aggregate lowering)."""
+        sub = v.flow
+        if not v.corr_inner:
+            adf = sub.df.agg(*aggs)
+            outer.df = outer.df.crossJoin(F.broadcast(adf))
+            return
+        adf = sub.df.groupBy(*[F.col(c) for c in v.corr_inner]).agg(*aggs)
+        tmp = [self.engine.fresh("__j") for _ in v.corr_inner]
+        keep = [f for f in adf.columns if f not in v.corr_inner]
+        adf = adf.select(
+            *[F.col(k).alias(t) for k, t in zip(v.corr_inner, tmp)],
+            *[F.col(c) for c in keep],
+        )
+        cond = None
+        for o, t in zip(v.corr_outer, tmp):
+            eq = F.col(o).eqNullSafe(F.col(t)) if v.null_safe else F.col(o) == F.col(t)
+            cond = eq if cond is None else (cond & eq)
+        outer.df = outer.df.join(adf, cond, "left").drop(*tmp)
+
+    # ------------------------------------------------------------------
     # aggregate / scalar-subquery lowering
     # ------------------------------------------------------------------
     def lower_aggregate(self, scope: ScopeRef, v: FlowV, agg_col: Column, post=None, hint="agg") -> Scalar:
         """Grouped-join strategy (reference:
         src/htsql/core/tr/space.py::AggregateUnit lowered via
         src/htsql/core/tr/compile.py::Compile unit injection)."""
-        outer = scope.flow
         vname = self.engine.fresh("__a")
-        sub = v.flow
-        if not v.corr_inner:
-            adf = sub.df.agg(agg_col.alias(vname))
-            if outer.is_home and outer.df is None:
-                outer.df = self.engine.unit_df()
-            outer.df = outer.df.crossJoin(F.broadcast(adf))
-        else:
-            adf = sub.df.groupBy(*[F.col(c) for c in v.corr_inner]).agg(agg_col.alias(vname))
-            tmp = [self.engine.fresh("__j") for _ in v.corr_inner]
-            adf = adf.select(
-                *[F.col(k).alias(t) for k, t in zip(v.corr_inner, tmp)], F.col(vname)
-            )
-            cond = None
-            for o, t in zip(v.corr_outer, tmp):
-                eq = F.col(o).eqNullSafe(F.col(t)) if v.null_safe else F.col(o) == F.col(t)
-                cond = eq if cond is None else (cond & eq)
-            outer.df = outer.df.join(adf, cond, "left").drop(*tmp)
+        self._join_grouped(scope.flow, v, [agg_col.alias(vname)])
         col = F.col(vname)
         if post is not None:
             col = post(col)
@@ -633,6 +750,8 @@ class Compiler:
 
     def apply_function(self, ctx: Ctx, scope: ScopeRef, name: str, args: list[N.Node]):
         key = name.lower()
+        if key == "meta":
+            return self._meta_flow(args)
         if key in FLOW_METHODS and scope.table is not None:
             v = FlowV(scope.flow, hint=name)
             return FLOW_METHODS[key](self, ctx, scope, v, args)
@@ -644,6 +763,26 @@ class Compiler:
             v = FlowV(scope.flow, hint=name)
             return FLOW_METHODS[key](self, ctx, scope, v, args)
         raise CompileError(f"unknown function '{name}'")
+
+
+    def _meta_flow(self, args: list[N.Node]) -> FlowV:
+        """/meta(table|column|link) — the catalog queryable as flows
+        (reference: src/htsql/tweak/meta/)."""
+        from .catalog import TableDef
+
+        if len(args) != 1 or not isinstance(args[0], (N.Identifier, N.Literal)):
+            raise CompileError("meta(kind) takes table|column|link")
+        kind = args[0].name if isinstance(args[0], N.Identifier) else str(args[0].value)
+        mdf = self.engine.meta_df(kind)
+        pk = {"table": ("name",), "column": ("table", "name"), "link": ("origin", "name")}[
+            kind
+        ]
+        tdef = TableDef(name=f"meta_{kind}", pk=pk, columns=tuple(mdf.columns))
+        alias = self.engine.fresh("m")
+        df = mdf.select(*[F.col(c).alias(f"{alias}__{c}") for c in mdf.columns])
+        flow = Flow(self.engine, df, alias, tdef)
+        flow.order = [(f"{alias}__{c}", True) for c in pk]
+        return FlowV(flow, [], [], hint=f"meta({kind})")
 
 
 # ----------------------------------------------------------------------
@@ -731,6 +870,45 @@ FLOW_METHODS = {
 # ----------------------------------------------------------------------
 # helpers
 # ----------------------------------------------------------------------
+def _find_agg_applications(node: N.Node) -> list[N.Apply]:
+    """All aggregate Apply nodes inside one selection item, however
+    deeply nested in scalar expressions — but not across scope
+    boundaries (segments, selections, sieves keep their own pass)."""
+    out: list[N.Apply] = []
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, (N.Direction,)):
+            stack.append(n.expr)
+        elif isinstance(n, N.Assignment):
+            stack.append(n.expr)
+        elif isinstance(n, N.Operator):
+            stack.extend((n.lhs, n.rhs))
+        elif isinstance(n, N.Unary):
+            stack.append(n.operand)
+        elif isinstance(n, N.Apply):
+            if n.name.lower() in fnlib.AGGREGATES and n.args:
+                out.append(n)
+            else:
+                stack.extend(n.args)
+    return out
+
+
+def _pure_chain(node: N.Node) -> list[str] | None:
+    """`^`, `link`, `link.link.col` … as a plain name list; None for
+    anything with filters/computation (those stay on the one-off
+    aggregate path)."""
+    if isinstance(node, N.Complement):
+        return ["^"]
+    if isinstance(node, N.Identifier):
+        return [node.name]
+    if isinstance(node, N.Compose):
+        base = _pure_chain(node.base)
+        if base is not None and isinstance(node.op, N.Identifier):
+            return base + [node.op.name]
+    return None
+
+
 def order_cols(order: list[tuple[str, bool]]) -> list[Column]:
     return [F.col(c).asc() if asc else F.col(c).desc() for c, asc in order]
 

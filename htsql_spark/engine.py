@@ -101,6 +101,44 @@ class HTSQL:
     def unit_df(self) -> DataFrame:
         return self.spark.range(1).drop("id")
 
+    def meta_df(self, kind: str) -> DataFrame:
+        """Catalog-as-data (reference: src/htsql/tweak/meta/ — the
+        /meta() command): 'table' | 'column' | 'link' DataFrames."""
+        if kind == "table":
+            rows = [
+                (t.name, ".".join(t.pk), len(t.columns))
+                for t in self.catalog.tables.values()
+            ]
+            return self.spark.createDataFrame(rows, "name string, pk string, n_columns int")
+        if kind == "column":
+            rows = []
+            for t in self.catalog.tables.values():
+                df = self.table(t.name)
+                for f in df.schema.fields:
+                    rows.append(
+                        (t.name, f.name, f.dataType.simpleString(), f.nullable, f.name in t.pk)
+                    )
+            return self.spark.createDataFrame(
+                rows, "table string, name string, type string, nullable boolean, is_pk boolean"
+            )
+        if kind == "link":
+            rows = []
+            for t in self.catalog.tables.values():
+                for link in t.links.values():
+                    rows.append(
+                        (
+                            link.origin,
+                            link.name,
+                            link.target,
+                            "singular" if link.is_singular else "plural",
+                            ",".join(link.origin_cols),
+                        )
+                    )
+            return self.spark.createDataFrame(
+                rows, "origin string, name string, target string, kind string, via string"
+            )
+        raise ValueError(f"unknown meta kind {kind!r} (use table|column|link)")
+
     def home_flow(self) -> Flow:
         flow = Flow(self, self.unit_df(), "", None)
         flow.is_home = True

@@ -152,17 +152,9 @@ _NEEDS_VALUE = {
 }
 
 
-def apply_aggregate(cc, ctx, scope: ScopeRef, name: str, args: list[N.Node]):
-    if not args:
-        raise CompileError(f"{name}() needs a plural argument")
-    v = cc.eval(ctx, scope, args[0])
-    if isinstance(v, ScopeRef):
-        raise CompileError(f"{name}() needs a plural flow, got a singular link '{v.hint}'")
-    if isinstance(v, Scalar):
-        raise CompileError(f"{name}() needs a plural flow, got a scalar")
-    sub = v.flow
-    sub_scope = ScopeRef(sub, sub.alias, sub.table)
-    val = v.value
+def agg_expr(cc, sub_scope: ScopeRef, name: str, val, extra_args: list[N.Node]):
+    """Build (aggregate Column, post-join wrapper) for one aggregate —
+    shared by the one-off path and the batched path."""
     if name in _NEEDS_VALUE and val is None:
         raise CompileError(f"{name}() needs a value expression (e.g. {name}(t.col))")
     post = None
@@ -205,13 +197,27 @@ def apply_aggregate(cc, ctx, scope: ScopeRef, name: str, args: list[N.Node]):
     elif name == "median":
         agg = F.median(val)
     elif name == "percentile":
-        if len(args) < 2 or not isinstance(args[1], N.Literal):
+        if not extra_args or not isinstance(extra_args[0], N.Literal):
             raise CompileError("percentile(expr, fraction) needs a literal fraction")
-        agg = F.percentile(val, F.lit(float(args[1].value)))
+        agg = F.percentile(val, F.lit(float(extra_args[0].value)))
     elif name == "collect":
         agg = F.collect_list(val)
     else:  # pragma: no cover
         raise CompileError(f"unhandled aggregate {name}")
+    return agg, post
+
+
+def apply_aggregate(cc, ctx, scope: ScopeRef, name: str, args: list[N.Node]):
+    if not args:
+        raise CompileError(f"{name}() needs a plural argument")
+    v = cc.eval(ctx, scope, args[0])
+    if isinstance(v, ScopeRef):
+        raise CompileError(f"{name}() needs a plural flow, got a singular link '{v.hint}'")
+    if isinstance(v, Scalar):
+        raise CompileError(f"{name}() needs a plural flow, got a scalar")
+    sub = v.flow
+    sub_scope = ScopeRef(sub, sub.alias, sub.table)
+    agg, post = agg_expr(cc, sub_scope, name, v.value, args[1:])
     hint = f"{name}({v.hint})"
     return cc.lower_aggregate(scope, v, agg, post, hint)
 

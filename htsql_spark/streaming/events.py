@@ -1,0 +1,158 @@
+"""Structured Streaming surface over the ``events`` table.
+
+The reference engine is strictly request/response over static tables —
+streaming is entirely beyond-reference (SURVEY.md §3.6), so this
+module is free to be idiomatic Structured Streaming:
+
+* file-source ``readStream`` over the events parquet (stand-in for a
+  Kafka/queue source in production — swap ``format``),
+* event-time watermarks with late-data drop,
+* tumbling / sliding (``F.window``) and session
+  (``F.session_window``) windowed aggregation,
+* stateful dedup via ``dropDuplicatesWithinWatermark``,
+* a custom stateful operator (per-user running totals) via
+  ``applyInPandasWithState``.
+
+Determinism note: tests drive these with ``trigger(availableNow)`` +
+memory sink, which processes the full fixture exactly once — outputs
+are comparable with batch oracles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: parquet-on-disk schema (ts read as nano longs — see engine.table)
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of events with a proper event-time column."""
+    # the file source wants a directory: stream the sf dir filtered to
+    # the events file (a real deployment points this at a landing dir)
+    raw = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window event counts per type; late rows beyond the
+    watermark are dropped (the late-data policy)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_event_avg(
+    events: DataFrame, window: str = "2 days", slide: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "avg_value", "n")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows (gap-based)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Stateful exactly-once-per-id dedup bounded by the watermark —
+    state is dropped once the watermark passes (bounded memory at
+    100 TB/day rates)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_TOTALS_SCHEMA = "user_id long, n long, total double"
+_STATE_SCHEMA = "n long, total double"
+
+
+def _totals_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
+
+
+def running_totals_per_user(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum(value))
+    maintained in the state store via applyInPandasWithState — the
+    pattern for operators Structured Streaming lacks natively."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _totals_fn,
+            outputStructType=_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming DataFrame to completion over the available
+    input (availableNow trigger) into an in-memory table; returns the
+    query handle after termination."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

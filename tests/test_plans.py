@@ -1,0 +1,78 @@
+"""Plan-shape regression tests: the 100 TB posture in SURVEY.md §8
+(minimize shuffles, batch aggregates, push filters to the scan) is
+locked in by inspecting the optimized/physical plans — not just row
+values."""
+
+import pytest
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_multi_aggregate_one_shuffle(db):
+    """3 aggregates over the same plural link → ONE Aggregate + ONE
+    Join (batched grouped-join), not three."""
+    df = db.df(
+        "/customer{name := c_name, total := sum(orders.o_totalprice),"
+        " cnt := count(orders), mx := max(orders.o_totalprice)}"
+    )
+    plan = optimized(df)
+    assert plan.count("Aggregate [") == 1, plan
+    assert plan.count("Join ") == 1, plan
+
+
+def test_tpch_q1_shape(db):
+    """Quotient with batched complement aggregates (incl. a define()d
+    expression): distinct + one grouped join."""
+    df = db.df(
+        "/lineitem.define(rev := l_extendedprice*(1-l_discount))"
+        "^{rf := l_returnflag, ls := l_linestatus}"
+        "{rf, ls, sum_qty := sum(^.l_quantity), sum_rev := sum(^.rev),"
+        " avg_qty := avg(^.l_quantity), n := count(^)}"
+    )
+    plan = optimized(df)
+    # 1 distinct (the quotient) + 1 batched aggregate
+    assert plan.count("Aggregate [") == 2, plan
+    assert plan.count("Join ") == 1, plan
+
+
+def test_filter_pushdown_reaches_scan(db):
+    """A sieve on a scanned column must reach the parquet source."""
+    df = db.df("/orders{okey := o_orderkey}?o_totalprice > 100000")
+    plan = physical(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice,100000" in plan, plan
+
+
+def test_column_pruning(db):
+    """Selecting 2 columns must not read all 7 orders columns."""
+    df = db.df("/orders{okey := o_orderkey, tot := o_totalprice}")
+    plan = physical(df)
+    idx = plan.index("ReadSchema")
+    snippet = plan[idx : idx + 200]
+    assert "o_orderdate" not in snippet, snippet
+
+
+def test_broadcast_dims(db):
+    """region/nation singular joins broadcast (no shuffle join for
+    fixed-size dims)."""
+    df = db.df("/customer{name := c_name, reg := nation.region.name}")
+    plan = physical(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_no_sort_without_observable_order(db):
+    """A selection + filter with no sort/limit must not plan a global
+    Sort."""
+    df = db.df("/customer{name := c_name}?c_acctbal > 0")
+    assert "Sort [" not in physical(df)
+
+
+def test_sort_limit_is_take_ordered(db):
+    df = db.df("/orders.sort(o_totalprice-).limit(5){okey := o_orderkey}")
+    assert "TakeOrderedAndProject" in physical(df)

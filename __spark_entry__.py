@@ -148,6 +148,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     # /meta: catalog as data (reference: tweak.meta)
     "meta_links": _q("/meta(link){origin, name, target, kind}?kind='singular'"),
+    # F6 wildcard selection
+    "wildcard": _q("/customer{*}?c_acctbal < 0"),
+    # F13 id(): dotted identity serialization (composite PK)
+    "identity": _q(
+        "/lineitem{lid := text(id()), qty := l_quantity}?l_orderkey < 10"
+    ),
+    # §3.3 date arithmetic: date ± int, date - date
+    "fn_datearith": _q(
+        "/orders{okey := o_orderkey, plus30 := o_orderdate + 30,"
+        " minus7 := o_orderdate - 7, age := date('1998-12-31') - o_orderdate}"
+        "?o_orderkey < 100"
+    ),
 }
 
 
@@ -213,12 +225,123 @@ def _stream_tumbling(spark, sf_dir):
     return spark.table(name)
 
 
+def _stream_session(spark, sf_dir):
+    """Batch execution of the same session_window plan the stream
+    runs — session assembly is deterministic over the full fixture."""
+    from htsql_spark import streaming
+
+    return streaming.session_counts(_db(spark, sf_dir).table("events"), gap="30 minutes")
+
+
+def _op_asof_join(spark, sf_dir):
+    from htsql_spark.operators import joins
+
+    return joins.purchases_asof_clicks(_db(spark, sf_dir).table("events"))
+
+
+def _op_range_join(spark, sf_dir):
+    from htsql_spark.operators import joins
+
+    return joins.purchase_clicks_within(_db(spark, sf_dir).table("events"))
+
+
+def _op_theta_band(spark, sf_dir):
+    from htsql_spark.operators import joins
+
+    return joins.customers_banded(_db(spark, sf_dir).table("customer"))
+
+
+def _op_cube(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import olap
+
+    return olap.cube_agg(
+        _db(spark, sf_dir).table("customer"),
+        ["c_mktsegment", "c_nationkey"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 4).alias("bal")],
+    )
+
+
+def _op_rollup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import olap
+
+    return olap.rollup_agg(
+        _db(spark, sf_dir).table("orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("tot")],
+    )
+
+
+def _op_grouping_sets(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import olap
+
+    return olap.grouping_sets_agg(
+        _db(spark, sf_dir).table("customer"),
+        [["c_mktsegment"], ["c_nationkey"]],
+        ["c_mktsegment", "c_nationkey"],
+        [F.count(F.lit(1)).alias("n")],
+    )
+
+
+def _seg(spark, sf_dir, pred):
+    from pyspark.sql import functions as F
+
+    return (
+        _db(spark, sf_dir)
+        .table("customer")
+        .filter(pred(F))
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+    )
+
+
+def _op_set_union(spark, sf_dir):
+    from htsql_spark.operators import olap
+
+    return olap.union(
+        _seg(spark, sf_dir, lambda F: F.col("c_mktsegment") == "AUTOMOBILE"),
+        _seg(spark, sf_dir, lambda F: F.col("c_acctbal") > 9000),
+    )
+
+
+def _op_set_intersect(spark, sf_dir):
+    from htsql_spark.operators import olap
+
+    return olap.intersect(
+        _seg(spark, sf_dir, lambda F: F.col("c_mktsegment") == "AUTOMOBILE"),
+        _seg(spark, sf_dir, lambda F: F.col("c_acctbal") > 9000),
+    )
+
+
+def _op_set_except(spark, sf_dir):
+    from htsql_spark.operators import olap
+
+    return olap.except_(
+        _seg(spark, sf_dir, lambda F: F.col("c_mktsegment") == "AUTOMOBILE"),
+        _seg(spark, sf_dir, lambda F: F.col("c_acctbal") > 9000),
+    )
+
+
 _QUERIES.update(
     {
         "op_window_topk": _op_window_topk,
         "stream_dedup": _stream_dedup,
         "stream_running_totals": _stream_running_totals,
         "stream_tumbling": _stream_tumbling,
+        "stream_session": _stream_session,
+        "op_asof_join": _op_asof_join,
+        "op_range_join": _op_range_join,
+        "op_theta_band": _op_theta_band,
+        "op_cube": _op_cube,
+        "op_rollup": _op_rollup,
+        "op_grouping_sets": _op_grouping_sets,
+        "op_set_union": _op_set_union,
+        "op_set_intersect": _op_set_intersect,
+        "op_set_except": _op_set_except,
     }
 )
 
@@ -460,6 +583,90 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, count(*) AS n,"
             " round(sum(coalesce(value, 0)), 4) AS total"
             " FROM events GROUP BY user_id"
+        ),
+        "wildcard": "SELECT * FROM customer WHERE c_acctbal < 0",
+        "identity": (
+            "SELECT l_orderkey || '.' || l_linenumber AS lid, l_quantity AS qty"
+            " FROM lineitem WHERE l_orderkey < 10"
+        ),
+        "fn_datearith": (
+            "SELECT o_orderkey AS okey, CAST(o_orderdate AS DATE) + 30 AS plus30,"
+            " CAST(o_orderdate AS DATE) - 7 AS minus7,"
+            " CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')"
+            "  AS INTEGER) AS age"
+            " FROM orders WHERE o_orderkey < 100"
+        ),
+        "stream_session": (
+            "WITH marked AS ("
+            " SELECT user_id, ts,"
+            "  CASE WHEN lag(ts) OVER w IS NULL"
+            "   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS news"
+            " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+            "), grp AS ("
+            " SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY ts, news DESC"
+            "  ROWS UNBOUNDED PRECEDING) AS sid FROM marked)"
+            " SELECT user_id, min(ts) AS s_start,"
+            "  max(ts) + INTERVAL 30 MINUTES AS s_end, count(*) AS n"
+            " FROM grp GROUP BY user_id, sid"
+        ),
+        "op_asof_join": (
+            "WITH dedup AS ("
+            " SELECT * FROM (SELECT *, row_number() OVER ("
+            "  PARTITION BY user_id, ts ORDER BY event_id DESC) rn FROM events)"
+            " WHERE rn = 1),"
+            " p AS (SELECT event_id, user_id, ts FROM dedup WHERE event_type = 'purchase'),"
+            " c AS (SELECT event_id AS click_id, user_id, ts FROM dedup"
+            "  WHERE event_type = 'click')"
+            " SELECT p.event_id, p.user_id, c.ts AS click_ts, c.click_id"
+            " FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts"
+        ),
+        "op_range_join": (
+            "SELECT p.event_id, p.user_id, count(c.ts) AS n_clicks"
+            " FROM (SELECT event_id, user_id, ts FROM events"
+            "  WHERE event_type = 'purchase') p"
+            " LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c"
+            "  ON c.user_id = p.user_id AND c.ts <= p.ts"
+            "  AND c.ts >= p.ts - INTERVAL 24 HOURS"
+            " GROUP BY p.event_id, p.user_id"
+        ),
+        "op_theta_band": (
+            "WITH bands(band, lo, hi) AS (VALUES"
+            " ('debt', -100000.0, 0.0), ('low', 0.0, 3000.0),"
+            " ('mid', 3000.0, 7000.0), ('high', 7000.0, 100000.0))"
+            " SELECT c_custkey AS custkey, c_acctbal AS bal, band"
+            " FROM customer JOIN bands ON c_acctbal >= lo AND c_acctbal < hi"
+        ),
+        "op_cube": (
+            "SELECT c_mktsegment, c_nationkey, count(*) AS n,"
+            " round(sum(c_acctbal), 4) AS bal"
+            " FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)"
+        ),
+        "op_rollup": (
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n,"
+            " round(sum(o_totalprice), 4) AS tot"
+            " FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+        ),
+        "op_grouping_sets": (
+            "SELECT c_mktsegment, c_nationkey, count(*) AS n FROM customer"
+            " GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))"
+        ),
+        "op_set_union": (
+            "SELECT c_custkey AS custkey, c_name AS name FROM customer"
+            " WHERE c_mktsegment = 'AUTOMOBILE'"
+            " UNION"
+            " SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000"
+        ),
+        "op_set_intersect": (
+            "SELECT c_custkey AS custkey, c_name AS name FROM customer"
+            " WHERE c_mktsegment = 'AUTOMOBILE'"
+            " INTERSECT"
+            " SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000"
+        ),
+        "op_set_except": (
+            "SELECT c_custkey AS custkey, c_name AS name FROM customer"
+            " WHERE c_mktsegment = 'AUTOMOBILE'"
+            " EXCEPT"
+            " SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000"
         ),
         "op_text_stats": _TEXT_STATS_SQL,
         "op_dedup_exact": (

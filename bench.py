@@ -37,6 +37,11 @@ HEADLINE = [
     "fn_date",
     "events_json",
     "nested_segment",
+    "tpch_q1",
+    "tpch_q5",
+    "op_window_topk",
+    "op_asof_join",
+    "op_cube",
 ]
 
 

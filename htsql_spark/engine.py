@@ -78,9 +78,12 @@ class HTSQL:
             path = f"{self.data_dir}/{name}.parquet"
             df = self.spark.read.parquet(path)
             for col in _nano_timestamp_cols(path):
+                # integer division: float `/ 1000` loses precision past
+                # double's 53-bit mantissa (~2001 in epoch-nanos) and
+                # shifts timestamps by ±1 µs
                 df = df.withColumn(
                     col,
-                    F.timestamp_micros((F.col(col) / 1000).cast("long")).cast("timestamp_ntz"),
+                    F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
                 )
             self._tables[name] = df
         return self._tables[name]

@@ -1,0 +1,205 @@
+"""Extended join operators: as-of, range, theta.
+
+The reference's only join source is FK navigation and correlation
+(reference: src/htsql/core/tr/term.py::JoinTerm — all equi-joins);
+theta/range/as-of joins are called out in SURVEY.md §3.1 as the gap
+to fill via declared links (F16).  Here they are first-class
+DataFrame compositions chosen for the 100 TB posture:
+
+* ``asof_join`` — union + window ``last(ignorenulls)`` instead of an
+  inequality join.  An inequality join on (key, ts <= ts) degenerates
+  to a per-key cross product at scale; the union trick is one shuffle
+  on (key) + one ordered window scan per partition — linear, and
+  AQE-skew-handled.
+* ``range_join`` — with equi keys: equi-join + range filter (the
+  range predicate stays a post-join filter, the shuffle key is the
+  equi column).  Without equi keys: bucketize the time axis so the
+  join is an equi-join on the bucket id (no nested-loop explosion).
+* ``theta_join`` — arbitrary boolean condition; small right side is
+  broadcast so the nested-loop stays node-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the payload of the
+    latest right row with ``right.ts <= left.ts`` and equal ``on`` key.
+
+    Implemented as tagged union + ``last(..., ignorenulls=True)`` over
+    a (key)-partitioned, ts-ordered window — never an inequality join.
+    ``tolerance`` (an INTERVAL string, e.g. ``'1 hour'``) optionally
+    discards matches older than ``left.ts - tolerance``.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*left.columns).alias("__lrow"),
+        F.lit(None).cast(
+            right.select(
+                F.struct(F.col(right_ts).alias("__rts"), *right_cols).alias("s")
+            ).schema["s"].dataType.simpleString()
+        ).alias("__rrow"),
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType.simpleString()
+        ).alias("__lrow"),
+        F.struct(F.col(right_ts).alias("__rts"), *right_cols).alias("__rrow"),
+    )
+    # right rows sort before left rows at equal ts (side 0 < 1), so a
+    # same-instant right row is visible to the left row
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l.unionByName(r).withColumn("__match", F.last("__rrow", ignorenulls=True).over(w))
+    u = u.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        u = u.withColumn(
+            "__match",
+            F.when(
+                F.col("__match.__rts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}"),
+                F.col("__match"),
+            ),
+        )
+    out = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    out += [F.col("__match.__rts").alias(f"r_{right_ts}")]
+    out += [F.col(f"__match.{c}").alias(c if c not in left.columns else f"r_{c}") for c in right_cols]
+    return u.select(*out)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    equi: list[str] | None = None,
+    how: str = "inner",
+    bucket: tuple[Column, Column, str] | None = None,
+) -> DataFrame:
+    """Join on a range predicate.
+
+    With ``equi`` keys, the shuffle happens on the equi columns and the
+    range ``condition`` is a post-join filter (Catalyst plans a hash
+    join + filter).  Without equi keys, pass ``bucket = (left_bucket,
+    right_bucket, name)`` — both sides get an equi bucket-id column so
+    the range join becomes a bucket equi-join; callers must ensure a
+    range never spans more buckets than ``left_bucket`` emits.
+    """
+    if equi:
+        cond = None
+        for k in equi:
+            c = left[k] == right[k]
+            cond = c if cond is None else cond & c
+        return left.join(right, cond & condition, how)
+    if bucket is not None:
+        lb, rb, name = bucket
+        l = left.withColumn(name, lb)
+        r = right.withColumn(name, rb)
+        return l.join(r, (l[name] == r[name]) & condition, how).drop(name)
+    # last resort: broadcast nested loop (only sane when right is tiny)
+    return left.join(F.broadcast(right), condition, how)
+
+
+def theta_join(
+    left: DataFrame, right: DataFrame, condition: Column, how: str = "inner",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Arbitrary-condition join.  At scale a theta join is a nested
+    loop; it is only viable when one side is small enough to
+    broadcast — which is the shape declared links (F16) take in
+    practice (band/dimension tables)."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, condition, how)
+
+
+# ----------------------------------------------------------------------
+# fixture-facing demos (driver-contract surface)
+# ----------------------------------------------------------------------
+def purchases_asof_clicks(events: DataFrame) -> DataFrame:
+    """For each purchase event, the latest click of the same user at
+    or before the purchase.  Ties within a timestamp are broken to the
+    highest event_id on both sides to keep the result deterministic."""
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_id", "user_id", "ts")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("event_id").alias("click_id"), "user_id", "ts")
+    )
+    out = asof_join(purchases, clicks, on="user_id", right_cols=["click_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("r_ts").alias("click_ts"),
+        "click_id",
+    )
+
+
+def purchase_clicks_within(events: DataFrame, window: str = "24 hours") -> DataFrame:
+    """Per purchase: how many clicks the same user made in the
+    preceding ``window`` (inclusive of the purchase instant)."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("cts")
+    )
+    cond = (clicks["cts"] <= purchases["pts"]) & (
+        clicks["cts"] >= purchases["pts"] - F.expr(f"INTERVAL {window}")
+    )
+    joined = range_join(purchases, clicks, cond, equi=["user_id"], how="left")
+    return (
+        joined.groupBy("pid", purchases["user_id"])
+        .agg(F.count("cts").alias("n_clicks"))
+        .select(F.col("pid").alias("event_id"), F.col("user_id"), "n_clicks")
+    )
+
+
+def acctbal_bands(spark) -> DataFrame:
+    rows = [
+        ("debt", -100000.0, 0.0),
+        ("low", 0.0, 3000.0),
+        ("mid", 3000.0, 7000.0),
+        ("high", 7000.0, 100000.0),
+    ]
+    return spark.createDataFrame(rows, "band string, lo double, hi double")
+
+
+def customers_banded(customer: DataFrame) -> DataFrame:
+    """Theta join demo: customers × balance-band dimension on a
+    half-open range condition (broadcast nested loop — the right shape
+    for a 4-row dimension at any scale)."""
+    bands = acctbal_bands(customer.sparkSession)
+    cond = (customer["c_acctbal"] >= bands["lo"]) & (customer["c_acctbal"] < bands["hi"])
+    return theta_join(customer, bands, cond, "inner").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("bal"),
+        "band",
+    )

@@ -11,12 +11,20 @@ from tests.conftest import SF_DIR
 
 
 def _norm(v):
-    if isinstance(v, float):
-        return round(v, 6)
+    import datetime
+
+    import pandas as pd
+
     if isinstance(v, dict):
         return tuple(sorted((k, _norm(x)) for k, x in v.items()))
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
+    if v is None or (not isinstance(v, str) and pd.isna(v)):
+        return None  # pandas NaT/nan ≡ SQL NULL
+    if isinstance(v, float):
+        return round(v, 6)
+    if isinstance(v, (datetime.date, datetime.datetime, pd.Timestamp)):
+        return str(v)
     return v
 
 

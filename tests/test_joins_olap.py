@@ -1,0 +1,172 @@
+"""Extended joins (as-of / range / theta) and OLAP grouping / set ops
+— semantics locked on tiny constructed frames with hand-computed
+answers, plus fixture-level invariants."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, 10, ts("2024-01-01 10:00:00")),
+            (2, 10, ts("2024-01-01 12:00:00")),
+            (3, 20, ts("2024-01-01 09:00:00")),
+        ],
+        "pid long, k long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, ts("2024-01-01 09:30:00")),
+            (101, 10, ts("2024-01-01 11:00:00")),
+            (102, 20, ts("2024-01-01 09:30:00")),  # after left's only row
+        ],
+        "rid long, k long, ts timestamp_ntz",
+    )
+    return left, right
+
+
+def test_asof_backward(tiny):
+    from htsql_spark.operators.joins import asof_join
+
+    left, right = tiny
+    out = asof_join(left, right, on="k", right_cols=["rid"])
+    got = {r["pid"]: r["rid"] for r in out.collect()}
+    assert got == {1: 100, 2: 101, 3: None}
+
+
+def test_asof_tolerance(tiny):
+    from htsql_spark.operators.joins import asof_join
+
+    left, right = tiny
+    out = asof_join(left, right, on="k", right_cols=["rid"], tolerance="45 minutes")
+    got = {r["pid"]: r["rid"] for r in out.collect()}
+    # pid=1 matched rid=100 at 30 min back (within), pid=2's match is
+    # 60 min back (outside tolerance)
+    assert got == {1: 100, 2: None, 3: None}
+
+
+def test_asof_same_instant_matches(spark):
+    from htsql_spark.operators.joins import asof_join
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    left = spark.createDataFrame([(1, 5, t)], "pid long, k long, ts timestamp_ntz")
+    right = spark.createDataFrame([(9, 5, t)], "rid long, k long, ts timestamp_ntz")
+    out = asof_join(left, right, on="k", right_cols=["rid"]).collect()
+    assert out[0]["rid"] == 9
+
+
+def test_theta_band_partition(db):
+    """Every customer lands in exactly one half-open band."""
+    from htsql_spark.operators.joins import customers_banded
+
+    cust = db.table("customer")
+    banded = customers_banded(cust)
+    assert banded.count() == cust.count()
+    assert banded.select("custkey").distinct().count() == cust.count()
+
+
+def test_range_join_counts(db, duck):
+    from htsql_spark.operators.joins import purchase_clicks_within
+
+    got = sorted(
+        (r["event_id"], r["n_clicks"])
+        for r in purchase_clicks_within(db.table("events")).collect()
+    )
+    exp = sorted(
+        (r[0], r[1])
+        for r in duck.execute(
+            "SELECT p.event_id, count(c.ts) FROM"
+            " (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') p"
+            " LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type='click') c"
+            " ON c.user_id = p.user_id AND c.ts <= p.ts"
+            " AND c.ts >= p.ts - INTERVAL 24 HOURS"
+            " GROUP BY p.event_id"
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_cube_group_counts(db):
+    """cube(a, b) emits |a×b obs| + |a| + |b| + 1 grouping rows."""
+    from htsql_spark.operators.olap import cube_agg
+
+    cust = db.table("customer")
+    out = cube_agg(cust, ["c_mktsegment", "c_nationkey"], [F.count(F.lit(1)).alias("n")])
+    n_ab = cust.select("c_mktsegment", "c_nationkey").distinct().count()
+    n_a = cust.select("c_mktsegment").distinct().count()
+    n_b = cust.select("c_nationkey").distinct().count()
+    assert out.count() == n_ab + n_a + n_b + 1
+    # grand total row carries the full count
+    total = out.filter(F.col("c_mktsegment").isNull() & F.col("c_nationkey").isNull())
+    assert total.collect()[0]["n"] == cust.count()
+
+
+def test_rollup_is_prefix_hierarchy(db):
+    from htsql_spark.operators.olap import rollup_agg
+
+    orders = db.table("orders")
+    out = rollup_agg(
+        orders, ["o_orderstatus", "o_orderpriority"], [F.count(F.lit(1)).alias("n")]
+    )
+    # no (NULL, status) rows — rollup only rolls up from the right
+    bad = out.filter(
+        F.col("o_orderstatus").isNull() & F.col("o_orderpriority").isNotNull()
+    )
+    assert bad.count() == 0
+
+
+def test_set_ops(spark):
+    from htsql_spark.operators import olap
+
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "x long")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "x long")
+    assert sorted(r["x"] for r in olap.union(a, b).collect()) == [1, 2, 3, 4]
+    assert sorted(r["x"] for r in olap.intersect(a, b).collect()) == [2, 3]
+    assert sorted(r["x"] for r in olap.except_(a, b).collect()) == [1]
+    assert sorted(r["x"] for r in olap.union(a, b, all=True).collect()) == [
+        1, 2, 2, 2, 3, 3, 4,
+    ]
+
+
+def test_session_window_matches_gaps_and_islands(db, duck):
+    from htsql_spark.streaming import session_counts
+
+    got = sorted(
+        (r["user_id"], str(r["s_start"]), str(r["s_end"]), r["n"])
+        for r in session_counts(db.table("events"), gap="30 minutes").collect()
+    )
+    exp = sorted(
+        (r[0], str(r[1]), str(r[2]), r[3])
+        for r in duck.execute(
+            "WITH marked AS (SELECT user_id, ts,"
+            " CASE WHEN lag(ts) OVER w IS NULL"
+            "  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS news"
+            " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+            " grp AS (SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY ts,"
+            "  news DESC ROWS UNBOUNDED PRECEDING) AS sid FROM marked)"
+            " SELECT user_id, min(ts), max(ts) + INTERVAL 30 MINUTES, count(*)"
+            " FROM grp GROUP BY user_id, sid"
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_asof_plan_has_no_inequality_join(db):
+    """The 100 TB contract: as-of must plan as window-over-union, not
+    a nested-loop/inequality join."""
+    from htsql_spark.operators.joins import purchases_asof_clicks
+
+    plan = (
+        purchases_asof_clicks(db.table("events"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan

@@ -10,5 +10,6 @@ prometheusresearch/htsql 2.3.3 — see SURVEY.md.
 from .catalog import Catalog  # noqa: F401
 from .engine import HTSQL, get_spark  # noqa: F401
 from .ir import CompileError  # noqa: F401
+from .wsgi import WSGI  # noqa: F401
 
 __version__ = "0.1.0"

@@ -58,6 +58,7 @@ class HTSQL:
         self.data_dir = data_dir.rstrip("/")
         self.catalog = catalog or Catalog.from_yaml()
         self.autolimit = autolimit  # reference: src/htsql/tweak/autolimit/
+        self.last_format: str | None = None  # format used by last emit()
         self.broadcast_tables = BROADCAST_TABLES
         self._counter = itertools.count()
         self._tables: dict[str, DataFrame] = {}
@@ -70,21 +71,36 @@ class HTSQL:
                 tdef.columns = tuple(self.table(name).columns)
 
     def table(self, name: str) -> DataFrame:
-        """Raw parquet scan, cached per engine.  TIMESTAMP(NANOS)
-        parquet columns (which the JVM reader refuses) are read as
-        nano longs (``spark.sql.legacy.parquet.nanosAsLong``) and
-        converted to timestamps at the scan."""
+        """Raw table scan, cached per engine.  Sources, probed in
+        order: ``{name}.parquet`` (primary), ``{name}.csv``,
+        ``{name}.json`` — the generalization of the reference's
+        ``tweak.filedb`` CSV-directory mount (reference:
+        src/htsql/tweak/filedb/).  TIMESTAMP(NANOS) parquet columns
+        (which the JVM reader refuses) are read as nano longs
+        (``spark.sql.legacy.parquet.nanosAsLong``) and converted to
+        timestamps at the scan."""
         if name not in self._tables:
-            path = f"{self.data_dir}/{name}.parquet"
-            df = self.spark.read.parquet(path)
-            for col in _nano_timestamp_cols(path):
-                # integer division: float `/ 1000` loses precision past
-                # double's 53-bit mantissa (~2001 in epoch-nanos) and
-                # shifts timestamps by ±1 µs
-                df = df.withColumn(
-                    col,
-                    F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
+            import os
+
+            pq = f"{self.data_dir}/{name}.parquet"
+            if os.path.exists(pq):
+                df = self.spark.read.parquet(pq)
+                for col in _nano_timestamp_cols(pq):
+                    # integer division: float `/ 1000` loses precision
+                    # past double's 53-bit mantissa (~2001 in
+                    # epoch-nanos) and shifts timestamps by ±1 µs
+                    df = df.withColumn(
+                        col,
+                        F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
+                    )
+            elif os.path.exists(f"{self.data_dir}/{name}.csv"):
+                df = self.spark.read.csv(
+                    f"{self.data_dir}/{name}.csv", header=True, inferSchema=True
                 )
+            elif os.path.exists(f"{self.data_dir}/{name}.json"):
+                df = self.spark.read.json(f"{self.data_dir}/{name}.json")
+            else:
+                raise KeyError(f"no source file for table {name!r} in {self.data_dir}")
             self._tables[name] = df
         return self._tables[name]
 
@@ -175,13 +191,37 @@ class HTSQL:
         src/htsql/core/fmt/emit.py::emit)."""
         node = parse(query)
         pfmt, node = self._strip_format(node)
-        fmt = fmt or pfmt or "json"
+        fmt = pfmt or fmt or "json"  # an explicit /:fmt pipe wins
+        self.last_format = fmt
         df = Compiler(self).compile_query(node)
         if self.autolimit:
             df = df.limit(self.autolimit)
         from . import formats
 
         return formats.emit(fmt, df)
+
+    def store(
+        self,
+        query: str,
+        path: str,
+        format: str = "parquet",
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Write sink: execute a query and persist the result
+        (reference has no sinks — HTTP responses only; this is the
+        Spark-native completion of §3.4).  Nested record/list columns
+        are parquet/json-native; for csv they are flattened to JSON
+        text first."""
+        df = self.df(query)
+        if format in ("csv", "tsv"):
+            from .formats import _flatten_for_csv
+
+            df = _flatten_for_csv(df)
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.format(format).save(path)
 
 
 def get_spark(app_name: str = "htsql-spark", cpus: int | None = None) -> SparkSession:

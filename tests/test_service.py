@@ -1,0 +1,108 @@
+"""Service layer: WSGI entry point (reference: src/htsql/core/wsgi.py),
+filedb-style CSV/JSON mounts (reference: src/htsql/tweak/filedb/), and
+write sinks."""
+
+import json
+
+import pytest
+
+
+def _call(app, path, qs="", accept=""):
+    """Drive a WSGI app in-process (no sockets)."""
+    status_headers = {}
+
+    def start_response(status, headers):
+        status_headers["status"] = status
+        status_headers["headers"] = dict(headers)
+
+    environ = {
+        "REQUEST_METHOD": "GET",
+        "PATH_INFO": path,
+        "QUERY_STRING": qs,
+        "HTTP_ACCEPT": accept,
+    }
+    body = b"".join(app(environ, start_response))
+    return status_headers["status"], status_headers["headers"], body
+
+
+@pytest.fixture(scope="module")
+def app(db):
+    from htsql_spark.wsgi import WSGI
+
+    return WSGI(db)
+
+
+def test_wsgi_json_default(app):
+    status, headers, body = _call(app, "/region{name}")
+    assert status == "200 OK"
+    assert headers["Content-Type"] == "application/json"
+    data = json.loads(body)["data"]
+    assert {"name": "ASIA"} in data
+
+
+def test_wsgi_accept_csv(app):
+    status, headers, body = _call(app, "/region{name}", accept="text/csv")
+    assert status == "200 OK"
+    assert headers["Content-Type"] == "text/csv"
+    assert body.startswith(b"name\n")
+
+
+def test_wsgi_query_string_filter(app):
+    status, _, body = _call(app, "/nation{name}", qs="region.name='ASIA'")
+    assert status == "200 OK"
+    assert len(json.loads(body)["data"]) == 5
+
+
+def test_wsgi_format_pipe_beats_accept(app):
+    status, headers, _ = _call(app, "/region/:csv", accept="application/json")
+    assert status == "200 OK"
+    assert headers["Content-Type"] == "text/csv"
+
+
+def test_wsgi_bad_query_is_400(app):
+    status, _, body = _call(app, "/nosuchtable{x}")
+    assert status.startswith("400")
+    assert b"nosuchtable" in body
+
+
+def test_wsgi_post_rejected(app):
+    status_headers = {}
+
+    def start_response(status, headers):
+        status_headers["status"] = status
+
+    app(
+        {"REQUEST_METHOD": "POST", "PATH_INFO": "/region", "QUERY_STRING": ""},
+        start_response,
+    )
+    assert status_headers["status"].startswith("405")
+
+
+def test_filedb_csv_mount(spark, tmp_path):
+    """A directory of CSVs is queryable with zero declared metadata."""
+    from htsql_spark import HTSQL
+    from htsql_spark.catalog import Catalog
+
+    (tmp_path / "pets.csv").write_text("pet_id,name,kind\n1,Rex,dog\n2,Tom,cat\n3,Ana,cat\n")
+    db = HTSQL(spark, str(tmp_path), catalog=Catalog.from_files(str(tmp_path)))
+    rows = db.produce("/pets{name}?kind='cat'")
+    assert sorted(r["name"] for r in rows) == ["Ana", "Tom"]
+    agg = db.produce("/pets^{kind}{kind, n := count(^)}")
+    assert sorted((r["kind"], r["n"]) for r in agg) == [("cat", 2), ("dog", 1)]
+
+
+def test_store_parquet_roundtrip(db, spark, tmp_path):
+    out = str(tmp_path / "asia_nations")
+    db.store("/nation{name, nk := n_nationkey}?region.name='ASIA'", out)
+    back = spark.read.parquet(out)
+    assert back.count() == 5
+    assert set(back.columns) == {"name", "nk"}
+
+
+def test_store_csv_flattens_nested(db, spark, tmp_path):
+    out = str(tmp_path / "nested_csv")
+    db.store("/region{name, /nation{nname := name}}", out, format="csv")
+    import glob
+
+    files = glob.glob(out + "/*.csv")
+    assert files

@@ -508,6 +508,10 @@ class Compiler:
         qflow.base_flow = base_copy
         qflow.base_kernel_cols = [c for _, c in knames]
         qflow.order = [(c, True) for _, c in qflow.kernel]
+        # marker for quotient fusion: while df is still the bare
+        # distinct, a selection of {kernel, aggs-over-^} can replace it
+        # with ONE groupBy (no distinct, no join-back)
+        qflow.pristine_df = qdf
         return FlowV(
             qflow,
             corr_outer=list(base.corr_outer),
@@ -560,7 +564,17 @@ class Compiler:
                 )
         prepared: dict[int, Scalar] = {}
         for fkey, members in groups.items():
-            if len(members) < 2:
+            # quotient fusion (see _fuse_quotient): direct-complement
+            # aggregates over an untouched quotient replace the
+            # distinct+join with one groupBy — worth it even for a
+            # single aggregate
+            fusable = (
+                fkey == ("^",)
+                and scope.flow.kernel is not None
+                and getattr(scope.flow, "pristine_df", None) is scope.flow.df
+                and set(scope.flow.df.columns) == {c for _, c in scope.flow.kernel}
+            )
+            if len(members) < 2 and not fusable:
                 continue  # nothing to batch
             # navigate the shared plural chain once
             nav: N.Node = N.Complement() if fkey[0] == "^" else N.Identifier(fkey[0])
@@ -590,7 +604,10 @@ class Compiler:
                 posts.append(post)
                 names.append(vname)
                 nodes.append(node)
-            self._join_grouped(scope.flow, v, aggs)
+            if fusable and aggs:
+                self._fuse_quotient(scope.flow, v, aggs)
+            else:
+                self._join_grouped(scope.flow, v, aggs)
             for node, vname, post, (n2, aggname, _, _) in zip(nodes, names, posts, members):
                 col = F.col(vname)
                 if post is not None:
@@ -638,6 +655,21 @@ class Compiler:
                 break
             return None
         return tuple(plural), vpath
+
+    def _fuse_quotient(self, qflow: Flow, v: FlowV, aggs: list[Column]) -> None:
+        """Quotient fusion: `base ^ kernel {kernel, agg(^)…}` is ONE
+        ``base.groupBy(kernel).agg(…)`` — the distinct that built the
+        quotient and the join-back both disappear.  The grouped result
+        has exactly the distinct kernel set, so this is semantics-
+        preserving while halving the shuffles of the TPC-H Q1 shape
+        (the reference leaves this to the RDBMS planner; reference:
+        src/htsql/core/tr/compile.py::CompileCovering)."""
+        sub = v.flow
+        grouped = sub.df.groupBy(*[F.col(c) for c in v.corr_inner]).agg(*aggs)
+        rename = dict(zip(v.corr_inner, [c for _, c in qflow.kernel]))
+        qflow.df = grouped.select(
+            *[F.col(c).alias(rename.get(c, c)) for c in grouped.columns]
+        )
 
     def _join_grouped(self, outer: Flow, v: FlowV, aggs: list[Column]) -> None:
         """groupBy correlation keys + LEFT JOIN back (shared by single

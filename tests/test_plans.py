@@ -36,9 +36,24 @@ def test_tpch_q1_shape(db):
         " avg_qty := avg(^.l_quantity), n := count(^)}"
     )
     plan = optimized(df)
-    # 1 distinct (the quotient) + 1 batched aggregate
-    assert plan.count("Aggregate [") == 2, plan
-    assert plan.count("Join ") == 1, plan
+    # quotient fusion: ONE groupBy, no distinct, no join-back
+    assert plan.count("Aggregate [") == 1, plan
+    assert plan.count("Join ") == 0, plan
+
+
+def test_tpch_q5_single_aggregate(db):
+    """Multi-hop navigation + sieve + quotient: the kernel chain is
+    joined once and the quotient fuses to one aggregation."""
+    df = db.df(
+        "/lineitem.define(rev := l_extendedprice*(1-l_discount))"
+        "?orders.customer.nation.region.name = 'ASIA'"
+        "^{nat := supplier.nation.name}{nat, revenue := sum(^.rev)}"
+    )
+    plan = optimized(df)
+    assert plan.count("Aggregate [") == 1, plan
+    # 6 navigation joins (orders, customer, c-nation, region,
+    # supplier, s-nation), each table joined exactly once
+    assert plan.count("Join ") == 6, plan
 
 
 def test_filter_pushdown_reaches_scan(db):

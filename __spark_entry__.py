@@ -160,6 +160,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         " minus7 := o_orderdate - 7, age := date('1998-12-31') - o_orderdate}"
         "?o_orderkey < 100"
     ),
+    # F16 computed link: a define()d filtered sub-flow navigated like a
+    # declared arc (reference: tweak.override / SyntaxArc)
+    "computed_link": _q(
+        "/nation.define(rich := customer?c_acctbal > 9000)"
+        "{name, nrich := count(rich), maxrich := max(rich.c_acctbal)}"
+    ),
+    # F18 given with $reference
+    "given_ref": _q(
+        "/nation{name}?given($n := count(customer), $n > 5)"
+    ),
 }
 
 
@@ -595,6 +605,17 @@ def oracle_sql() -> dict[str, str]:
             " CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')"
             "  AS INTEGER) AS age"
             " FROM orders WHERE o_orderkey < 100"
+        ),
+        "computed_link": (
+            "SELECT n_name AS name, count(c_custkey) AS nrich,"
+            " max(c_acctbal) AS maxrich"
+            " FROM nation LEFT JOIN customer"
+            " ON c_nationkey = n_nationkey AND c_acctbal > 9000"
+            " GROUP BY n_nationkey, n_name"
+        ),
+        "given_ref": (
+            "SELECT n_name AS name FROM nation WHERE"
+            " (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) > 5"
         ),
         "stream_session": (
             "WITH marked AS ("

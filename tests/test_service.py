@@ -99,6 +99,18 @@ def test_store_parquet_roundtrip(db, spark, tmp_path):
     assert set(back.columns) == {"name", "nk"}
 
 
+def test_cli_one_shot(spark, capfdbinary):
+    """python -m htsql_spark DIR -c QUERY — entry point C parity
+    (reference: src/htsql/ctl/shell.py)."""
+    from htsql_spark.__main__ import main
+
+    rc = main(["/root/testdata/sf0.001", "-c", "/region{name}", "-f", "csv", "--cpus", "8"])
+    out = capfdbinary.readouterr().out
+    assert rc == 0
+    assert out.startswith(b"name\n")
+    assert b"ASIA" in out
+
+
 def test_store_csv_flattens_nested(db, spark, tmp_path):
     out = str(tmp_path / "nested_csv")
     db.store("/region{name, /nation{nname := name}}", out, format="csv")

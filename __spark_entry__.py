@@ -141,6 +141,22 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "?orders.customer.nation.region.name = 'ASIA'"
         "^{nat := supplier.nation.name}{nat, revenue := sum(^.rev)}"
     ),
+    # TPC-H Q3 shape: navigation sieve + quotient + sort + limit
+    "tpch_q3": _q(
+        "/lineitem.define(rev := l_extendedprice * (1 - l_discount))"
+        "?orders.customer.c_mktsegment = 'BUILDING'"
+        " & orders.o_orderdate < date('1998-01-01')"
+        " & l_shipdate > date('1996-06-30')"
+        "^{okey := orders.o_orderkey, odate := orders.o_orderdate}"
+        "{okey, revenue := sum(^.rev), odate}"
+        ".sort(revenue-, okey).limit(10)"
+    ),
+    # TPC-H Q6 shape: home-scope global aggregate over a sieved flow
+    "tpch_q6": _q(
+        "/{revenue := sum((lineitem.define(r := l_extendedprice * l_discount)"
+        "?l_shipdate >= date('1996-01-01') & l_shipdate < date('1997-01-01')"
+        " & l_discount >= 0.05 & l_discount <= 0.07 & l_quantity < 24).r)}"
+    ),
     # F11/F20 per-parent clip (row_number window) inside a nested
     # segment — rows-only (nested output)
     "topk_per_parent": _q(
@@ -577,6 +593,24 @@ def oracle_sql() -> dict[str, str]:
             " JOIN nation sn ON s_nationkey = sn.n_nationkey"
             " WHERE r_name = 'ASIA'"
             " GROUP BY sn.n_name"
+        ),
+        "tpch_q3": (
+            "SELECT o_orderkey AS okey,"
+            " sum(l_extendedprice * (1 - l_discount)) AS revenue,"
+            " o_orderdate AS odate"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " WHERE c_mktsegment = 'BUILDING'"
+            " AND o_orderdate < DATE '1998-01-01'"
+            " AND l_shipdate > DATE '1996-06-30'"
+            " GROUP BY o_orderkey, o_orderdate"
+            " ORDER BY revenue DESC, okey LIMIT 10"
+        ),
+        "tpch_q6": (
+            "SELECT sum(l_extendedprice * l_discount) AS revenue FROM lineitem"
+            " WHERE l_shipdate >= DATE '1996-01-01'"
+            " AND l_shipdate < DATE '1997-01-01'"
+            " AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
         ),
         # meta_links: omitted (catalog metadata exists engine-side only)
         "op_window_topk": (

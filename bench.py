@@ -38,7 +38,9 @@ HEADLINE = [
     "events_json",
     "nested_segment",
     "tpch_q1",
+    "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
     "op_window_topk",
     "op_asof_join",
     "op_cube",

@@ -154,6 +154,12 @@ class Compiler:
             return self.make_quotient(ctx, scope, base, node.kernel)
         if isinstance(node, N.Selection):
             if node.base is None:
+                if scope.flow.is_home:
+                    # home selection /{...}: one row of scalars —
+                    # aggregates over home-scope flows become global
+                    # (broadcast) aggregates (TPC-H Q6 shape)
+                    v = FlowV(scope.flow, hint="home")
+                    return self.apply_selection(ctx, scope, v, node.items)
                 raise CompileError("bare record {…} is only allowed as a kernel or in comparisons")
             base = self.eval(ctx, scope, node.base)
             return self.apply_selection(ctx, scope, base, node.items)

@@ -411,7 +411,9 @@ class Compiler:
         if newcols:
             flow.df = flow.df.withColumns(newcols)
         flow.output = out
-        base.value = None
+        # a one-item selection over a plural flow is also usable as a
+        # mapped value: sum(orders{price * (1 - discount)})
+        base.value = F.col(out[0][1]) if len(out) == 1 else None
         return base
 
     def eval_item(self, ctx: Ctx, scope: ScopeRef, item: N.Node, prepared=None):

@@ -3,6 +3,25 @@
 import pytest
 
 
+def test_mapped_selection_aggregate(db, duck):
+    """sum(plural{expr}) — a one-item selection maps an expression
+    over the plural flow for the enclosing aggregate."""
+    rows = db.produce(
+        "/nation{name, rev := sum(customer{c_acctbal * 2})}?region.name='ASIA'"
+    )
+    exp = dict(
+        duck.execute(
+            "SELECT n_name, sum(c_acctbal * 2) FROM nation"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " LEFT JOIN customer ON c_nationkey = n_nationkey"
+            " WHERE r_name = 'ASIA' GROUP BY n_name"
+        ).fetchall()
+    )
+    assert {r["name"]: round(r["rev"], 4) for r in rows} == {
+        k: round(v, 4) for k, v in exp.items()
+    }
+
+
 def rows(df):
     return [tuple(r) for r in df.collect()]
 

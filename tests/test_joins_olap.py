@@ -170,3 +170,42 @@ def test_asof_plan_has_no_inequality_join(db):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_salted_agg_matches_plain(db):
+    from htsql_spark.operators.skew import salted_agg
+
+    li = db.table("lineitem")
+    plain = {
+        r["l_returnflag"]: (round(r["s"], 4), r["c"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (round(r["s"], 4), r["c"])
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            partials=[F.sum("l_quantity").alias("ps"), F.count(F.lit(1)).alias("pc")],
+            finals=[F.sum("ps").alias("s"), F.sum("pc").alias("c")],
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(db):
+    from htsql_spark.operators.skew import salted_join
+
+    cust = db.table("customer").select("c_custkey", "c_nationkey")
+    nat = db.table("nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    plain = sorted(
+        (r["c_custkey"], r["n_name"]) for r in cust.join(nat, "c_nationkey").collect()
+    )
+    salted = sorted(
+        (r["c_custkey"], r["n_name"])
+        for r in salted_join(cust, nat, on="c_nationkey").collect()
+    )
+    assert salted == plain

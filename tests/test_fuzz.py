@@ -1,0 +1,157 @@
+"""Property-based oracle fuzzing: random expression / predicate /
+aggregate queries are generated as (HTSQL text, equivalent SQL) pairs
+from one tree and executed on both engines — any semantic drift in the
+compiler (coercion, null handling, operator precedence, aggregate
+lowering) surfaces as a value mismatch.
+
+The reference locks semantics with a hand-written golden corpus
+(test/regress/); hypothesis gives the same lock with adversarial
+coverage of the expression grammar.
+"""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+# -- expression generator ----------------------------------------------
+# each node is (htsql_text, sql_text); both sides derive from the same
+# random tree so the only degree of freedom is engine semantics
+
+NUM_COLS = [("c_acctbal", "c_acctbal"), ("c_custkey", "c_custkey")]
+TEXT_COLS = [("c_name", "c_name"), ("c_mktsegment", "c_mktsegment")]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"]
+
+
+def _num_atom():
+    return st.one_of(
+        st.sampled_from(NUM_COLS),
+        st.integers(min_value=-1000, max_value=1000).map(lambda v: (str(v), str(v))),
+    )
+
+
+def _num_expr(depth=2):
+    if depth == 0:
+        return _num_atom()
+    sub = _num_expr(depth - 1)
+    binop = st.tuples(sub, st.sampled_from(["+", "-", "*"]), sub).map(
+        lambda t: (f"({t[0][0]} {t[1]} {t[2][0]})", f"({t[0][1]} {t[1]} {t[2][1]})")
+    )
+    absfn = sub.map(lambda a: (f"abs({a[0]})", f"abs({a[1]})"))
+    return st.one_of(_num_atom(), binop, absfn)
+
+
+def _predicate(depth=2):
+    ne = _num_expr(1)
+    cmp_ = st.tuples(ne, st.sampled_from(["<", "<=", ">", ">=", "=", "!="]), ne).map(
+        lambda t: (
+            f"({t[0][0]} {t[1]} {t[2][0]})",
+            f"({t[0][1]} {'=' if t[1] == '=' else ('<>' if t[1] == '!=' else t[1])} {t[2][1]})",
+        )
+    )
+    seg = st.sampled_from(SEGMENTS).map(
+        lambda v: (f"(c_mktsegment = '{v}')", f"(c_mktsegment = '{v}')")
+    )
+    if depth == 0:
+        return st.one_of(cmp_, seg)
+    sub = _predicate(depth - 1)
+    conj = st.tuples(sub, st.sampled_from(["&", "|"]), sub).map(
+        lambda t: (
+            f"({t[0][0]} {t[1]} {t[2][0]})",
+            f"({t[0][1]} {'AND' if t[1] == '&' else 'OR'} {t[2][1]})",
+        )
+    )
+    neg = sub.map(lambda p: (f"(!{p[0]})", f"(NOT {p[1]})"))
+    return st.one_of(cmp_, seg, conj, neg)
+
+
+def _normrow(t):
+    out = []
+    for v in t:
+        if v is None:
+            out.append(None)
+        elif isinstance(v, float):
+            out.append("nan" if math.isnan(v) else round(v, 4))
+        else:
+            out.append(v)
+    return tuple(out)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sel=_num_expr(2), pred=_predicate(2))
+def test_fuzz_selection_filter(db, duck, sel, pred):
+    hq = f"/customer{{k := c_custkey, v := {sel[0]}}}?{pred[0]}"
+    sql = (
+        f"SELECT c_custkey AS k, {sel[1]} AS v FROM customer WHERE {pred[1]}"
+    )
+    got = sorted(_normrow((r["k"], r["v"])) for r in db.df(hq).collect())
+    exp = sorted(_normrow(t) for t in duck.execute(sql).fetchall())
+    assert got == exp, (hq, sql)
+
+
+AGGS = [
+    ("count", "count"),
+    ("sum", "sum"),
+    ("min", "min"),
+    ("max", "max"),
+]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(agg=st.sampled_from(AGGS), val=_num_expr(1), pred=_predicate(1))
+def test_fuzz_correlated_aggregate(db, duck, agg, val, pred):
+    """nation{AGG((customer?pred){expr})} vs a grouped LEFT JOIN."""
+    hname, sname = agg
+    if hname == "count":
+        hq = f"/nation{{nk := n_nationkey, a := count(customer?{pred[0]})}}"
+        sql = (
+            "SELECT n_nationkey AS nk, count(c_custkey) AS a FROM nation"
+            f" LEFT JOIN customer ON c_nationkey = n_nationkey AND {pred[1]}"
+            " GROUP BY n_nationkey"
+        )
+    else:
+        hq = (
+            f"/nation{{nk := n_nationkey,"
+            f" a := {hname}((customer?{pred[0]}){{{val[0]}}})}}"
+        )
+        sql = (
+            f"SELECT n_nationkey AS nk, {sname}(CASE WHEN {pred[1]} THEN {val[1]} END) AS a"
+            " FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey"
+            " GROUP BY n_nationkey"
+        )
+    got = sorted(_normrow((r["nk"], r["a"])) for r in db.df(hq).collect())
+    exp = sorted(_normrow(t) for t in duck.execute(sql).fetchall())
+    assert got == exp, (hq, sql)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(agg=st.sampled_from(AGGS), val=_num_expr(1), pred=_predicate(1))
+def test_fuzz_quotient(db, duck, agg, val, pred):
+    """(customer?pred)^{kernel}{kernel, AGG(^{expr})} vs GROUP BY —
+    exercises the fused single-groupBy path."""
+    hname, sname = agg
+    arg = "^" if hname == "count" else f"^{{{val[0]}}}"
+    sval = "*" if hname == "count" else val[1]
+    hq = (
+        f"/(customer?{pred[0]})^{{seg := c_mktsegment}}"
+        f"{{seg, a := {hname}({arg})}}"
+    )
+    sql = (
+        f"SELECT c_mktsegment AS seg, {sname}({sval}) AS a FROM customer"
+        f" WHERE {pred[1]} GROUP BY c_mktsegment"
+    )
+    got = sorted(_normrow((r["seg"], r["a"])) for r in db.df(hq).collect())
+    exp = sorted(_normrow(t) for t in duck.execute(sql).fetchall())
+    assert got == exp, (hq, sql)

@@ -251,6 +251,17 @@ def _stream_tumbling(spark, sf_dir):
     return spark.table(name)
 
 
+def _stream_sliding(spark, sf_dir):
+    import uuid
+
+    from htsql_spark import streaming
+
+    name = f"t_slide_{uuid.uuid4().hex[:8]}"
+    stream = streaming.read_events_stream(spark, sf_dir)
+    streaming.run_to_memory(streaming.sliding_event_avg(stream), name, "append")
+    return spark.table(name)
+
+
 def _stream_session(spark, sf_dir):
     """Batch execution of the same session_window plan the stream
     runs — session assembly is deterministic over the full fixture."""
@@ -358,6 +369,7 @@ _QUERIES.update(
         "stream_dedup": _stream_dedup,
         "stream_running_totals": _stream_running_totals,
         "stream_tumbling": _stream_tumbling,
+        "stream_sliding": _stream_sliding,
         "stream_session": _stream_session,
         "op_asof_join": _op_asof_join,
         "op_range_join": _op_range_join,

@@ -53,11 +53,13 @@ class HTSQL:
         data_dir: str,
         catalog: Catalog | None = None,
         autolimit: int | None = None,
+        timeout: float | None = None,
     ):
         self.spark = spark
         self.data_dir = data_dir.rstrip("/")
         self.catalog = catalog or Catalog.from_yaml()
         self.autolimit = autolimit  # reference: src/htsql/tweak/autolimit/
+        self.timeout = timeout  # reference: src/htsql/tweak/timeout/
         self.last_format: str | None = None  # format used by last emit()
         self.broadcast_tables = BROADCAST_TABLES
         self._counter = itertools.count()
@@ -183,8 +185,42 @@ class HTSQL:
 
     def produce(self, query: str) -> list[dict]:
         """Execute and return rows as plain dicts (nested lists/records
-        included)."""
-        return [row.asDict(recursive=True) for row in self.df(query).collect()]
+        included).  Honors ``timeout`` (reference:
+        src/htsql/tweak/timeout/ — statement execution deadline)."""
+        df = self.df(query)
+        if not self.timeout:
+            return [row.asDict(recursive=True) for row in df.collect()]
+        import threading
+
+        sc = self.spark.sparkContext
+        group = self.fresh("htsql_timeout_")
+        fired = threading.Event()
+        done = threading.Event()
+
+        def _watchdog():
+            if done.wait(self.timeout):
+                return
+            fired.set()
+            # cancelJobGroup only kills jobs active at call time; keep
+            # cancelling so jobs submitted after the deadline (e.g.
+            # while the driver was still planning) die too
+            while not done.wait(0.1):
+                sc.cancelJobGroup(group)
+
+        sc.setJobGroup(group, f"produce with {self.timeout}s timeout", True)
+        watchdog = threading.Thread(target=_watchdog, daemon=True)
+        watchdog.start()
+        try:
+            return [row.asDict(recursive=True) for row in df.collect()]
+        except Exception as exc:
+            if fired.is_set():
+                raise TimeoutError(
+                    f"query exceeded timeout of {self.timeout}s"
+                ) from exc
+            raise
+        finally:
+            done.set()
+            sc.setJobGroup("", "")
 
     def emit(self, query: str, fmt: str | None = None) -> bytes:
         """Render a query in an output format (reference:

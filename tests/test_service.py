@@ -111,6 +111,28 @@ def test_cli_one_shot(spark, capfdbinary):
     assert b"ASIA" in out
 
 
+def test_timeout_cancels_long_query(spark):
+    """tweak.timeout parity: a statement deadline cancels the Spark
+    job group and surfaces as TimeoutError."""
+    from htsql_spark import HTSQL
+
+    db = HTSQL(spark, "/root/testdata/sf0.1", timeout=0.05)
+    with pytest.raises(TimeoutError):
+        # multi-hop navigation over 600k lineitem rows outlives 50 ms
+        db.produce(
+            "/customer{c_name, n := count(orders.lineitem),"
+            " mx := max(orders.lineitem.l_extendedprice)}"
+        )
+
+
+def test_timeout_user_error_not_masked(spark):
+    from htsql_spark import CompileError, HTSQL
+
+    db = HTSQL(spark, "/root/testdata/sf0.001", timeout=30)
+    with pytest.raises(CompileError):
+        db.produce("/nosuchtable")
+
+
 def test_store_csv_flattens_nested(db, spark, tmp_path):
     out = str(tmp_path / "nested_csv")
     db.store("/region{name, /nation{nname := name}}", out, format="csv")

@@ -176,6 +176,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         " minus7 := o_orderdate - 7, age := date('1998-12-31') - o_orderdate}"
         "?o_orderkey < 100"
     ),
+    # cross-domain navigation: relational → event-stream tables
+    "events_nav": _q(
+        "/customer{name := c_name, nev := count(events),"
+        " spend := sum((events?event_type = 'purchase'){value})}"
+        "?exists(events)"
+    ),
     # F16 computed link: a define()d filtered sub-flow navigated like a
     # declared arc (reference: tweak.override / SyntaxArc)
     "computed_link": _q(
@@ -249,6 +255,25 @@ def _stream_tumbling(spark, sf_dir):
     stream = streaming.read_events_stream(spark, sf_dir)
     streaming.run_to_memory(streaming.tumbling_counts(stream), name, "append")
     return spark.table(name)
+
+
+def _op_tumbling_batch(spark, sf_dir):
+    """The tumbling-window aggregation as a batch plan (same F.window
+    expression the stream runs; epoch-aligned so SQL date_trunc is the
+    oracle)."""
+    from pyspark.sql import functions as F
+
+    ev = _db(spark, sf_dir).table("events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
 
 
 def _stream_sliding(spark, sf_dir):
@@ -374,6 +399,7 @@ _QUERIES.update(
         "op_asof_join": _op_asof_join,
         "op_range_join": _op_range_join,
         "op_theta_band": _op_theta_band,
+        "op_tumbling_batch": _op_tumbling_batch,
         "op_cube": _op_cube,
         "op_rollup": _op_rollup,
         "op_grouping_sets": _op_grouping_sets,
@@ -651,6 +677,17 @@ def oracle_sql() -> dict[str, str]:
             " CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')"
             "  AS INTEGER) AS age"
             " FROM orders WHERE o_orderkey < 100"
+        ),
+        "events_nav": (
+            "SELECT c_name AS name, count(e.event_id) AS nev,"
+            " sum(CASE WHEN e.event_type = 'purchase' THEN e.value END) AS spend"
+            " FROM customer JOIN events e ON e.user_id = c_custkey"
+            " GROUP BY c_custkey, c_name"
+        ),
+        "op_tumbling_batch": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type,"
+            " count(*) AS n, round(sum(value), 4) AS total"
+            " FROM events GROUP BY 1, 2"
         ),
         "computed_link": (
             "SELECT n_name AS name, count(c_custkey) AS nrich,"

@@ -155,3 +155,43 @@ def test_fuzz_quotient(db, duck, agg, val, pred):
     got = sorted(_normrow((r["seg"], r["a"])) for r in db.df(hq).collect())
     exp = sorted(_normrow(t) for t in duck.execute(sql).fetchall())
     assert got == exp, (hq, sql)
+
+
+def _text_expr(depth=2):
+    atom = st.sampled_from(TEXT_COLS)
+    if depth == 0:
+        return atom
+    sub = _text_expr(depth - 1)
+    unary = st.tuples(st.sampled_from(["upper", "lower", "trim"]), sub).map(
+        lambda t: (f"{t[0]}({t[1][0]})", f"{t[0]}({t[1][1]})")
+    )
+    head = st.tuples(sub, st.integers(min_value=1, max_value=10)).map(
+        lambda t: (f"head({t[0][0]}, {t[1]})", f"substr({t[0][1]}, 1, {t[1]})")
+    )
+    concat = st.tuples(sub, st.sampled_from(["-", "_", "X"]), sub).map(
+        lambda t: (
+            f"({t[0][0]} + '{t[1]}' + {t[2][0]})",
+            f"({t[0][1]} || '{t[1]}' || {t[2][1]})",
+        )
+    )
+    repl = sub.map(
+        lambda a: (
+            f"replace({a[0]}, 'e', '@')",
+            f"replace({a[1]}, 'e', '@')",
+        )
+    )
+    return st.one_of(atom, unary, head, concat, repl)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(te=_text_expr(3))
+def test_fuzz_text_functions(db, duck, te):
+    hq = f"/customer{{k := c_custkey, v := {te[0]}}}?c_custkey < 40"
+    sql = f"SELECT c_custkey AS k, {te[1]} AS v FROM customer WHERE c_custkey < 40"
+    got = sorted((r["k"], r["v"]) for r in db.df(hq).collect())
+    exp = sorted((t[0], t[1]) for t in duck.execute(sql).fetchall())
+    assert got == exp, (hq, sql)

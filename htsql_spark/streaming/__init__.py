@@ -1,7 +1,9 @@
 from .events import (  # noqa: F401
     dedup_within_watermark,
     read_events_stream,
+    run_foreach_batch,
     run_to_memory,
+    run_to_parquet,
     running_totals_per_user,
     session_counts,
     sliding_event_avg,

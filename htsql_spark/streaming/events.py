@@ -143,6 +143,41 @@ def running_totals_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+def run_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+):
+    """Durable sink: stream to a parquet directory with exactly-once
+    checkpointing (the production path; the memory sink below is the
+    test/inspection path).  Uses availableNow so callers can drain the
+    current backlog and return."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_foreach_batch(stream_df: DataFrame, fn, output_mode: str = "update"):
+    """Custom sink via foreachBatch — fn(batch_df, batch_id) runs with
+    a *batch* DataFrame per micro-batch (merge/upsert patterns)."""
+    q = (
+        stream_df.writeStream.foreachBatch(fn)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming DataFrame to completion over the available
     input (availableNow trigger) into an in-memory table; returns the

@@ -97,3 +97,37 @@ def test_sliding_avg_runs(spark, events_stream):
         streaming.sliding_event_avg(events_stream), "t_sliding", "append"
     )
     assert spark.table("t_sliding").count() > 0
+
+
+def test_parquet_sink_checkpointed(spark, events_stream, tmp_path):
+    from pyspark.sql import functions as F
+
+    from htsql_spark import streaming
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    streaming.run_to_parquet(
+        streaming.dedup_within_watermark(events_stream), out, ckpt
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == back.select("event_id").distinct().count() > 0
+    # re-running against the same checkpoint is a no-op (exactly-once)
+    streaming.run_to_parquet(
+        streaming.dedup_within_watermark(events_stream), out, ckpt
+    )
+    assert spark.read.parquet(out).count() == back.count()
+
+
+def test_foreach_batch_custom_sink(spark, events_stream):
+    from pyspark.sql import functions as F
+
+    from htsql_spark import streaming
+
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.append(batch_df.agg(F.count(F.lit(1))).collect()[0][0])
+
+    streaming.run_foreach_batch(
+        streaming.tumbling_counts(events_stream), sink
+    )
+    assert sum(seen) > 0

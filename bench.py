@@ -62,6 +62,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        # warm run (codegen + shuffle-file setup), then measure the
+        # steady-state run — what a cluster job actually sustains
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()

@@ -236,6 +236,16 @@ class HTSQL:
 
         return formats.emit(fmt, df)
 
+    def describe(self, query: str, mode: str = "formatted") -> str:
+        """Explain a query's physical plan without executing it
+        (reference: src/htsql/core/cmd/act.py::analyze — the /analyze
+        command returned the generated SQL; here the artifact of
+        interest is the Spark plan)."""
+        df = self.df(query)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+
     def store(
         self,
         query: str,

@@ -140,3 +140,8 @@ def test_store_csv_flattens_nested(db, spark, tmp_path):
 
     files = glob.glob(out + "/*.csv")
     assert files
+
+
+def test_describe_returns_plan(db):
+    out = db.describe("/nation{name, count(customer)}?region.name='ASIA'")
+    assert "Physical Plan" in out and "Scan parquet" in out

@@ -582,6 +582,11 @@ class Compiler:
                 and getattr(scope.flow, "pristine_df", None) is scope.flow.df
                 and set(scope.flow.df.columns) == {c for _, c in scope.flow.kernel}
             )
+            multi_hop = len(fkey) >= 2 and fkey[0] != "^"
+            if multi_hop:
+                done = self._try_hierarchical(scope, fkey, members, prepared)
+                if done:
+                    continue
             if len(members) < 2 and not fusable:
                 continue  # nothing to batch
             # navigate the shared plural chain once
@@ -663,6 +668,101 @@ class Compiler:
                 break
             return None
         return tuple(plural), vpath
+
+    #: aggregates that re-aggregate losslessly across join levels
+    _DECOMPOSABLE = {"count", "exists", "any", "sum", "min", "max"}
+
+    def _try_hierarchical(self, scope: ScopeRef, fkey, members, prepared) -> bool:
+        """Multi-hop plural aggregates (`count(orders.lineitem)`)
+        lower hierarchically: partial-aggregate the LEAF on its join
+        key, then fold up each link re-aggregating, then one left join
+        to the outer flow.  The fact-fact join thus joins pre-shrunk
+        per-key partials instead of exploding rows first — at 100 TB
+        the orders⋈lineitem join input drops from |lineitem| rows to
+        |orders| partials.  Catalyst has no partial-agg-through-join
+        rule; the reference leaves this to the RDBMS (reference:
+        src/htsql/core/tr/compile.py::Compile unit injection).
+
+        Returns True (and fills ``prepared``) when every member is
+        decomposable with a leaf-column value; False → caller uses the
+        generic grouped-join path."""
+        cat = self.engine.catalog
+        t = scope.table
+        if t is None:
+            return False
+        links = []
+        for nm in fkey:
+            link = t.links.get(nm) if t is not None else None
+            if link is None or not link.is_plural:
+                return False
+            links.append(link)
+            t = cat[link.target]
+        leaf = t
+        plan = []  # (node, aggname, leaf physical column | None)
+        for node, name, vpath, extra in members:
+            if name not in self._DECOMPOSABLE or extra:
+                return False
+            if name in ("count", "exists", "any"):
+                if vpath:
+                    return False
+                plan.append((node, name, None))
+            else:
+                if len(vpath) != 1:
+                    return False
+                c = vpath[0] if vpath[0] in leaf.columns else leaf.alias_of(vpath[0])
+                if c is None:
+                    return False
+                plan.append((node, name, c))
+        # leaf partials, grouped on the deepest join key
+        pnames = [self.engine.fresh("__h") for _ in plan]
+        partials, merges, finals = [], [], []
+        for (node, name, col), p in zip(plan, pnames):
+            if name in ("count", "exists", "any"):
+                partials.append(F.count(F.lit(1)).alias(p))
+            else:
+                partials.append(getattr(F, name)(F.col(col)).alias(p))
+            merge = F.sum if name in ("count", "exists", "any", "sum") else getattr(F, name)
+            merges.append(lambda c_, m=merge, p_=p: m(c_).alias(p_))
+        cur = (
+            self.engine.table(leaf.name)
+            .groupBy(*[F.col(c) for c in links[-1].target_cols])
+            .agg(*partials)
+        )
+        # fold up: join each intermediate table, re-aggregate on its
+        # own join-up key
+        for j in range(len(links) - 2, -1, -1):
+            up, down = links[j], links[j + 1]
+            parent = self.engine.table(up.target).select(
+                *dict.fromkeys(list(down.origin_cols) + list(up.target_cols))
+            )
+            cond = None
+            for oc, tc in zip(down.origin_cols, down.target_cols):
+                eq = parent[oc] == cur[tc]
+                cond = eq if cond is None else (cond & eq)
+            cur = (
+                parent.join(cur, cond, "inner")
+                .groupBy(*[parent[c] for c in up.target_cols])
+                .agg(*[mk(F.col(p)) for mk, p in zip(merges, pnames)])
+            )
+        # one left join to the outer flow on the first link
+        tmp = [self.engine.fresh("__j") for _ in links[0].target_cols]
+        cur = cur.select(
+            *[F.col(k).alias(a) for k, a in zip(links[0].target_cols, tmp)],
+            *[F.col(p) for p in pnames],
+        )
+        cond = None
+        for oc, a in zip(links[0].origin_cols, tmp):
+            eq = F.col(f"{scope.alias}__{oc}") == F.col(a)
+            cond = eq if cond is None else (cond & eq)
+        scope.flow.df = scope.flow.df.join(cur, cond, "left").drop(*tmp)
+        for (node, name, _), p in zip(plan, pnames):
+            col = F.col(p)
+            if name == "count":
+                col = F.coalesce(col, F.lit(0))
+            elif name in ("exists", "any"):
+                col = F.coalesce(col > 0, F.lit(False))
+            prepared[id(node)] = Scalar(col, name)
+        return True
 
     def _fuse_quotient(self, qflow: Flow, v: FlowV, aggs: list[Column]) -> None:
         """Quotient fusion: `base ^ kernel {kernel, agg(^)…}` is ONE

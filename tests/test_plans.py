@@ -56,6 +56,22 @@ def test_tpch_q5_single_aggregate(db):
     assert plan.count("Join ") == 6, plan
 
 
+def test_multihop_aggregate_prereduces_leaf(db):
+    """count/exists over orders.lineitem partial-aggregates lineitem
+    on l_orderkey BEFORE joining orders — the fact-fact join consumes
+    per-order partials, not exploded rows (hierarchical
+    re-aggregation; no Catalyst rule does this)."""
+    df = db.df(
+        "/customer{name := c_name, has := exists(orders.lineitem),"
+        " nli := count(orders.lineitem)}"
+    )
+    plan = optimized(df)
+    # leaf partial agg + per-customer merge; partial join + outer join
+    # (the generic path would be ONE agg over an exploded 2-table join)
+    assert plan.count("Aggregate [") == 2, plan
+    assert plan.count("Join ") == 2, plan
+
+
 def test_filter_pushdown_reaches_scan(db):
     """A sieve on a scanned column must reach the parquet source."""
     df = db.df("/orders{okey := o_orderkey}?o_totalprice > 100000")

@@ -1,0 +1,66 @@
+"""Data-layout optimization for the write path (beyond-reference;
+100 TB posture).
+
+At scale, *how files are laid out* decides scan cost as much as the
+plan: partition pruning needs directory partitioning on low-
+cardinality predicates, row-group skipping needs value clustering on
+high-cardinality ones.  Two helpers:
+
+* ``write_partitioned`` — directory partitioning + per-file size
+  control (repartition on the partition key so each directory gets
+  dense files, not one sliver per task).
+* ``write_clustered`` — range-cluster rows on sort keys (an
+  interleaved Z-order is overkill for 1-2 keys; range clustering via
+  ``repartitionByRange`` + ``sortWithinPartitions`` gives parquet
+  min/max row-group statistics that let Spark's scan skip row groups
+  for selective predicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Directory-partitioned write with dense files: repartition on
+    the partition columns first so each directory holds
+    ``files_per_partition`` files instead of one fragment per task."""
+    if files_per_partition == 1:
+        # one task per key → one dense file per directory
+        out = df.repartition(*[F.col(c) for c in partition_cols])
+    else:
+        # salt so each directory gets N files written in parallel
+        out = df.repartition(
+            *[F.col(c) for c in partition_cols],
+            (F.rand(seed=42) * files_per_partition).cast("int"),
+        )
+    out.write.partitionBy(*partition_cols).format(format).mode(mode).save(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 8,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered write: rows globally range-partitioned then
+    sorted within each file on ``cluster_cols`` — parquet min/max
+    stats become disjoint, so point/range scans skip whole files and
+    row groups."""
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.format(format)
+        .mode(mode)
+        .save(path)
+    )

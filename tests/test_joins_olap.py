@@ -209,3 +209,32 @@ def test_salted_join_matches_plain(db):
         for r in salted_join(cust, nat, on="c_nationkey").collect()
     )
     assert salted == plain
+
+
+def test_write_partitioned_layout(db, spark, tmp_path):
+    from htsql_spark.operators.layout import write_partitioned
+
+    out = str(tmp_path / "by_seg")
+    write_partitioned(db.table("customer"), out, ["c_mktsegment"])
+    import glob
+
+    dirs = glob.glob(out + "/c_mktsegment=*")
+    assert len(dirs) == 5
+    # dense layout: one file per directory
+    for d in dirs:
+        assert len(glob.glob(d + "/*.parquet")) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == db.table("customer").count()
+
+
+def test_write_clustered_skips_files(db, spark, tmp_path):
+    from htsql_spark.operators.layout import write_clustered
+
+    out = str(tmp_path / "clustered")
+    write_clustered(db.table("orders"), out, ["o_totalprice"], n_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == db.table("orders").count()
+    # disjoint ranges → a selective filter scans fewer rows than total
+    sel = back.filter(F.col("o_totalprice") > 400000)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan

@@ -670,7 +670,8 @@ class Compiler:
         return tuple(plural), vpath
 
     #: aggregates that re-aggregate losslessly across join levels
-    _DECOMPOSABLE = {"count", "exists", "any", "sum", "min", "max"}
+    #: (avg decomposes into a sum+count partial pair)
+    _DECOMPOSABLE = {"count", "exists", "any", "sum", "min", "max", "avg", "mean"}
 
     def _try_hierarchical(self, scope: ScopeRef, fkey, members, prepared) -> bool:
         """Multi-hop plural aggregates (`count(orders.lineitem)`)
@@ -713,16 +714,28 @@ class Compiler:
                 if c is None:
                     return False
                 plan.append((node, name, c))
-        # leaf partials, grouped on the deepest join key
-        pnames = [self.engine.fresh("__h") for _ in plan]
-        partials, merges, finals = [], [], []
-        for (node, name, col), p in zip(plan, pnames):
+        # leaf partials, grouped on the deepest join key; each member
+        # owns one or two (avg: sum+count) partial columns that keep
+        # their names across every re-aggregation level
+        partials, merges, outputs = [], [], []
+        for node, name, col in plan:
+            p = self.engine.fresh("__h")
             if name in ("count", "exists", "any"):
                 partials.append(F.count(F.lit(1)).alias(p))
+                merges.append((F.sum, p))
+                outputs.append((node, name, p, None))
+            elif name in ("avg", "mean"):
+                p2 = self.engine.fresh("__h")
+                partials.append(F.sum(F.col(col)).alias(p))
+                partials.append(F.count(F.col(col)).alias(p2))
+                merges.append((F.sum, p))
+                merges.append((F.sum, p2))
+                outputs.append((node, name, p, p2))
             else:
                 partials.append(getattr(F, name)(F.col(col)).alias(p))
-            merge = F.sum if name in ("count", "exists", "any", "sum") else getattr(F, name)
-            merges.append(lambda c_, m=merge, p_=p: m(c_).alias(p_))
+                merges.append((F.sum if name == "sum" else getattr(F, name), p))
+                outputs.append((node, name, p, None))
+        pnames = [p for _, p in merges]
         cur = (
             self.engine.table(leaf.name)
             .groupBy(*[F.col(c) for c in links[-1].target_cols])
@@ -742,7 +755,7 @@ class Compiler:
             cur = (
                 parent.join(cur, cond, "inner")
                 .groupBy(*[parent[c] for c in up.target_cols])
-                .agg(*[mk(F.col(p)) for mk, p in zip(merges, pnames)])
+                .agg(*[fn(F.col(p)).alias(p) for fn, p in merges])
             )
         # one left join to the outer flow on the first link
         tmp = [self.engine.fresh("__j") for _ in links[0].target_cols]
@@ -755,12 +768,14 @@ class Compiler:
             eq = F.col(f"{scope.alias}__{oc}") == F.col(a)
             cond = eq if cond is None else (cond & eq)
         scope.flow.df = scope.flow.df.join(cur, cond, "left").drop(*tmp)
-        for (node, name, _), p in zip(plan, pnames):
+        for node, name, p, p2 in outputs:
             col = F.col(p)
             if name == "count":
                 col = F.coalesce(col, F.lit(0))
             elif name in ("exists", "any"):
                 col = F.coalesce(col > 0, F.lit(False))
+            elif name in ("avg", "mean"):
+                col = F.col(p) / F.col(p2)
             prepared[id(node)] = Scalar(col, name)
         return True
 

@@ -78,6 +78,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "/customer{name := c_name, has := exists(orders.lineitem), "
         "nli := count(orders.lineitem)}"
     ),
+    # §3.2 quantifiers: every / exists with mapped predicates
+    "agg_every": _q(
+        "/nation{name, allpos := every(customer{c_acctbal > 0}),"
+        " anyneg := exists(customer{c_acctbal < 0})}"
+    ),
+    # §3.2 beyond-reference statistical aggregates
+    "agg_stats": _q(
+        "/nation{name, sd := round(stddev(customer.c_acctbal), 4),"
+        " vr := round(variance(customer.c_acctbal), 4),"
+        " md := median(customer.c_acctbal)}?n_regionkey = 0"
+    ),
     # F7 quotient (projection) + F8 complement
     "quotient": _q(
         "/customer^{seg := c_mktsegment}"
@@ -550,6 +561,19 @@ def oracle_sql() -> dict[str, str]:
             " coalesce((SELECT count(*) FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
             "   WHERE o_custkey = c_custkey), 0) AS nli"
             " FROM customer"
+        ),
+        "agg_every": (
+            "SELECT n_name AS name,"
+            " coalesce(bool_and(c_acctbal > 0), TRUE) AS allpos,"
+            " coalesce(bool_or(c_acctbal < 0), FALSE) AS anyneg"
+            " FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey"
+            " GROUP BY n_nationkey, n_name"
+        ),
+        "agg_stats": (
+            "SELECT n_name AS name, round(stddev_samp(c_acctbal), 4) AS sd,"
+            " round(var_samp(c_acctbal), 4) AS vr, median(c_acctbal) AS md"
+            " FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey"
+            " WHERE n_regionkey = 0 GROUP BY n_nationkey, n_name"
         ),
         "quotient": (
             "SELECT c_mktsegment AS seg, count(*) AS n, avg(c_acctbal) AS avgbal"

@@ -193,6 +193,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         " spend := sum((events?event_type = 'purchase'){value})}"
         "?exists(events)"
     ),
+    # §3.3 array functions over the embeddings array<float> column
+    "fn_array": _q(
+        "/embeddings{vec_id, d := size(embedding),"
+        " e0 := round(element(embedding, 1), 4),"
+        " s := round(array_sum(embedding), 2)}?vec_id < 50"
+    ),
     # F16 computed link: a define()d filtered sub-flow navigated like a
     # declared arc (reference: tweak.override / SyntaxArc)
     "computed_link": _q(
@@ -295,6 +301,19 @@ def _stream_sliding(spark, sf_dir):
     name = f"t_slide_{uuid.uuid4().hex[:8]}"
     stream = streaming.read_events_stream(spark, sf_dir)
     streaming.run_to_memory(streaming.sliding_event_avg(stream), name, "append")
+    return spark.table(name)
+
+
+def _stream_join(spark, sf_dir):
+    import uuid
+
+    from htsql_spark import streaming
+
+    name = f"t_ssj_{uuid.uuid4().hex[:8]}"
+    stream = streaming.read_events_stream(spark, sf_dir)
+    streaming.run_to_memory(
+        streaming.purchases_join_clicks_stream(stream), name, "append"
+    )
     return spark.table(name)
 
 
@@ -407,6 +426,7 @@ _QUERIES.update(
         "stream_tumbling": _stream_tumbling,
         "stream_sliding": _stream_sliding,
         "stream_session": _stream_session,
+        "stream_join": _stream_join,
         "op_asof_join": _op_asof_join,
         "op_range_join": _op_range_join,
         "op_theta_band": _op_theta_band,
@@ -702,6 +722,12 @@ def oracle_sql() -> dict[str, str]:
             "  AS INTEGER) AS age"
             " FROM orders WHERE o_orderkey < 100"
         ),
+        "fn_array": (
+            "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS d,"
+            " round(CAST(embedding[1] AS DOUBLE), 4) AS e0,"
+            " round(list_sum(embedding), 2) AS s"
+            " FROM embeddings WHERE vec_id < 50"
+        ),
         "events_nav": (
             "SELECT c_name AS name, count(e.event_id) AS nev,"
             " sum(CASE WHEN e.event_type = 'purchase' THEN e.value END) AS spend"
@@ -723,6 +749,13 @@ def oracle_sql() -> dict[str, str]:
         "given_ref": (
             "SELECT n_name AS name FROM nation WHERE"
             " (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) > 5"
+        ),
+        "stream_join": (
+            "SELECT p.event_id AS purchase_id, p.user_id,"
+            " c.event_id AS click_id, p.ts AS p_ts, c.ts AS c_ts"
+            " FROM events p JOIN events c ON p.event_type = 'purchase'"
+            " AND c.event_type = 'click' AND c.user_id = p.user_id"
+            " AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 24 HOURS"
         ),
         "stream_session": (
             "WITH marked AS ("

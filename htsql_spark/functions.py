@@ -536,6 +536,16 @@ SCALARS = {
     "sign": _simple(F.signum, 1, name="sign"),
     # json (events.props)
     "json_get": _fn_json_get,
+    # array functions (beyond-reference — SURVEY §3.3 gap list; the
+    # embeddings.embedding column is array<float>)
+    "size": _simple(F.size, 1, name="size"),
+    "element": _simple(lambda a, i: F.element_at(a, i), 2, name="element"),
+    "array_sum": _simple(
+        lambda a: F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double")),
+        1,
+        name="array_sum",
+    ),
+    "array_contains": _simple(F.array_contains, 2, name="array_contains"),
     # misc
     "id": _fn_id,
     "as": _fn_as,

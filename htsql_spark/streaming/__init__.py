@@ -1,5 +1,6 @@
 from .events import (  # noqa: F401
     dedup_within_watermark,
+    purchases_join_clicks_stream,
     read_events_stream,
     run_foreach_batch,
     run_to_memory,

@@ -103,6 +103,42 @@ def session_counts(
     )
 
 
+def purchases_join_clicks_stream(
+    events: DataFrame, window: str = "24 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase pairs with the same
+    user's clicks from the preceding ``window``.  Both sides carry
+    watermarks so the join state store evicts rows once they can no
+    longer match (bounded state — the 100 TB-rate requirement for any
+    stream-stream join)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (purchases["p_user"] == clicks["c_user"])
+        & (clicks["c_ts"] <= purchases["p_ts"])
+        & (clicks["c_ts"] >= purchases["p_ts"] - F.expr(f"INTERVAL {window}"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id", F.col("p_user").alias("user_id"), "click_id", "p_ts", "c_ts"
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     """Stateful exactly-once-per-id dedup bounded by the watermark —
     state is dropped once the watermark passes (bounded memory at

@@ -131,3 +131,29 @@ def test_foreach_batch_custom_sink(spark, events_stream):
         streaming.tumbling_counts(events_stream), sink
     )
     assert sum(seen) > 0
+
+
+def test_stream_stream_interval_join(spark, events_batch, events_stream):
+    """Stream-stream join result equals the batch interval join."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark import streaming
+
+    import uuid
+    name = f"t_ssj_{uuid.uuid4().hex[:8]}"
+    streaming.run_to_memory(
+        streaming.purchases_join_clicks_stream(events_stream), name, "append"
+    )
+    got = spark.table(name).select("purchase_id", "click_id")
+    p = events_batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"))
+    c = events_batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"))
+    exp = p.join(c, (p["pu"] == c["cu"]) & (c["cts"] <= p["pts"])
+                 & (c["cts"] >= p["pts"] - F.expr("INTERVAL 24 HOURS"))
+                 ).select("purchase_id", "click_id")
+    got_rows = sorted(tuple(r) for r in got.collect())
+    exp_rows = sorted(tuple(r) for r in exp.collect())
+    assert got_rows == exp_rows and len(got_rows) > 0

@@ -83,6 +83,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "/nation{name, allpos := every(customer{c_acctbal > 0}),"
         " anyneg := exists(customer{c_acctbal < 0})}"
     ),
+    # §3.2 distinct-count
+    "agg_count_distinct": _q(
+        "/nation{name, segs := count_distinct(customer.c_mktsegment)}"
+    ),
     # §3.2 beyond-reference statistical aggregates
     "agg_stats": _q(
         "/nation{name, sd := round(stddev(customer.c_acctbal), 4),"
@@ -586,6 +590,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_name AS name,"
             " coalesce(bool_and(c_acctbal > 0), TRUE) AS allpos,"
             " coalesce(bool_or(c_acctbal < 0), FALSE) AS anyneg"
+            " FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey"
+            " GROUP BY n_nationkey, n_name"
+        ),
+        "agg_count_distinct": (
+            "SELECT n_name AS name, count(DISTINCT c_mktsegment) AS segs"
             " FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey"
             " GROUP BY n_nationkey, n_name"
         ),

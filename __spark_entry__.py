@@ -519,6 +519,15 @@ def _op_multimodal(spark, sf_dir):
     return multimodal.extract_features(assets).select("asset_id", "n_bytes", "digest")
 
 
+def _op_frame_sample(spark, sf_dir):
+    """Video-style frame sampling plumbing: every-Nth-frame expansion
+    per asset (deterministic fake decode; real Spark-side shape)."""
+    from htsql_spark.operators import multimodal
+
+    assets = multimodal.assets_from_documents(_db(spark, sf_dir).table("documents"))
+    return multimodal.frame_sample_plan(assets, every_n=10)
+
+
 _QUERIES.update(
     {
         "op_text_stats": _op_text_stats,
@@ -531,6 +540,7 @@ _QUERIES.update(
         "op_ann_lsh": _op_ann_lsh,
         "op_ann_ivf": _op_ann_ivf,
         "op_multimodal": _op_multimodal,
+        "op_frame_sample": _op_frame_sample,
     }
 )
 
@@ -857,6 +867,10 @@ def oracle_sql() -> dict[str, str]:
             " WHERE a.vec_id = 0"
             " ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC, b.vec_id"
             " LIMIT 10"
+        ),
+        "op_frame_sample": (
+            "SELECT doc_id AS asset_id, 'image' AS kind,"
+            " CAST(unnest([0, 10, 20]) AS INTEGER) AS frame_idx FROM documents"
         ),
         "op_multimodal": (
             "SELECT doc_id AS asset_id,"

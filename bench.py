@@ -44,6 +44,9 @@ HEADLINE = [
     "op_window_topk",
     "op_asof_join",
     "op_cube",
+    "op_dedup_minhash",
+    "op_text_stats",
+    "op_ann_bruteforce",
 ]
 
 

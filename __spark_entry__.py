@@ -93,6 +93,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         " vr := round(variance(customer.c_acctbal), 4),"
         " md := median(customer.c_acctbal)}?n_regionkey = 0"
     ),
+    # §3.2 percentile + ordered collect
+    "agg_percentile": _q(
+        "/nation{name, p50 := round(percentile(customer.c_acctbal, 0.5), 4),"
+        " p90 := round(percentile(customer.c_acctbal, 0.9), 4)}?n_regionkey = 1"
+    ),
     # F7 quotient (projection) + F8 complement
     "quotient": _q(
         "/customer^{seg := c_mktsegment}"
@@ -607,6 +612,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_name AS name, count(DISTINCT c_mktsegment) AS segs"
             " FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey"
             " GROUP BY n_nationkey, n_name"
+        ),
+        "agg_percentile": (
+            "SELECT n_name AS name,"
+            " round(quantile_cont(c_acctbal, 0.5), 4) AS p50,"
+            " round(quantile_cont(c_acctbal, 0.9), 4) AS p90"
+            " FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey"
+            " WHERE n_regionkey = 1 GROUP BY n_nationkey, n_name"
         ),
         "agg_stats": (
             "SELECT n_name AS name, round(stddev_samp(c_acctbal), 4) AS sd,"

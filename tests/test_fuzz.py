@@ -157,6 +157,35 @@ def test_fuzz_quotient(db, duck, agg, val, pred):
     assert got == exp, (hq, sql)
 
 
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    part=st.sampled_from([("year", "year"), ("month", "month"), ("day", "day")]),
+    delta=st.integers(min_value=-400, max_value=400),
+    yr=st.integers(min_value=1995, max_value=1999),
+    cmp_=st.sampled_from(["<", ">=", "="]),
+)
+def test_fuzz_date_predicates(db, duck, part, delta, yr, cmp_):
+    """Date extraction, arithmetic, and comparison against literals."""
+    hq = (
+        f"/orders{{k := o_orderkey, p := {part[0]}(o_orderdate),"
+        f" d := o_orderdate + {delta}}}"
+        f"?{part[0]}(o_orderdate) {cmp_} {yr if part[0] == 'year' else (abs(delta) % 12) + 1}"
+    )
+    rhs = yr if part[0] == "year" else (abs(delta) % 12) + 1
+    sql = (
+        f"SELECT o_orderkey AS k, CAST({part[1]}(o_orderdate) AS INTEGER) AS p,"
+        f" CAST(o_orderdate AS DATE) + {delta} AS d FROM orders"
+        f" WHERE {part[1]}(o_orderdate) {cmp_} {rhs}"
+    )
+    got = sorted((r["k"], r["p"], str(r["d"])) for r in db.df(hq).collect())
+    exp = sorted((t[0], t[1], str(t[2])) for t in duck.execute(sql).fetchall())
+    assert got == exp, (hq, sql)
+
+
 def _text_expr(depth=2):
     atom = st.sampled_from(TEXT_COLS)
     if depth == 0:

@@ -10,7 +10,11 @@ import re
 from dataclasses import dataclass
 
 
-class LexError(ValueError):
+class ParseError(ValueError):
+    """Syntax-level user error (lexing or parsing)."""
+
+
+class LexError(ParseError):
     pass
 
 

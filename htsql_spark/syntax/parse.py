@@ -27,12 +27,8 @@ from __future__ import annotations
 
 import decimal
 
-from .lex import Token, tokenize
+from .lex import ParseError, Token, tokenize  # noqa: F401 — ParseError re-exported
 from . import nodes as N
-
-
-class ParseError(ValueError):
-    pass
 
 
 _CMP_OPS = {"=", "!=", "==", "!==", "~", "!~", "<", "<=", ">", ">="}

@@ -38,3 +38,22 @@ def test_plural_in_singular_names_the_fix(db):
         db.df("/nation{name, customer.c_name}")
     msg = str(ei.value)
     assert "aggregate" in msg or "segment" in msg
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(st.text(min_size=1, max_size=40))
+def test_arbitrary_input_fails_cleanly(db, junk):
+    """Any input either compiles or raises a USER error (ParseError /
+    CompileError) — never an internal exception or a Spark
+    AnalysisException leaking through."""
+    try:
+        db.df("/" + junk)
+    except (ParseError, CompileError):
+        pass

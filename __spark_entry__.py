@@ -480,6 +480,12 @@ def _op_dedup_simhash(spark, sf_dir):
     return dedup.simhash_signatures(_db(spark, sf_dir).table("documents"))
 
 
+def _op_simhash_pairs(spark, sf_dir):
+    from htsql_spark.operators import dedup
+
+    return dedup.simhash_near_pairs(_db(spark, sf_dir).table("documents"), max_hamming=3)
+
+
 def _op_dedup_ngram(spark, sf_dir):
     from htsql_spark.operators import dedup
 
@@ -539,6 +545,7 @@ _QUERIES.update(
         "op_dedup_exact": _op_dedup_exact,
         "op_dedup_minhash": _op_dedup_minhash,
         "op_dedup_simhash": _op_dedup_simhash,
+        "op_simhash_pairs": _op_simhash_pairs,
         "op_dedup_ngram": _op_dedup_ngram,
         "op_dedup_embedding": _op_dedup_embedding,
         "op_ann_bruteforce": _op_ann_bruteforce,

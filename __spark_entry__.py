@@ -177,6 +177,37 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "?l_shipdate >= date('1996-01-01') & l_shipdate < date('1997-01-01')"
         " & l_discount >= 0.05 & l_discount <= 0.07 & l_quantity < 24).r)}"
     ),
+    # TPC-H Q4 shape: exists() semi-join predicate + quotient
+    # (fixture lacks commit/receipt dates; the exists predicate filters
+    # on l_returnflag instead — same plan shape)
+    "tpch_q4": _q(
+        "/orders?o_orderdate >= date('1996-01-01') & o_orderdate < date('1997-01-01')"
+        " & exists(lineitem?l_returnflag='R')"
+        "^{pri := o_orderpriority}{pri, n := count(^)}"
+    ),
+    # TPC-H Q7 shape: TWO distinct navigation paths into the same dim
+    # table (supplier.nation vs orders.customer.nation) — exercises
+    # per-path join memoization / aliasing
+    "tpch_q7": _q(
+        "/lineitem.define(rev := l_extendedprice * (1 - l_discount))"
+        "?supplier.nation.name != orders.customer.nation.name"
+        "^{supp_nat := supplier.nation.name, cust_nat := orders.customer.nation.name}"
+        "{supp_nat, cust_nat, revenue := sum(^.rev)}"
+    ),
+    # TPC-H Q12 shape: conditional aggregation (if() under sum) over a
+    # singular navigation inside the complement
+    "tpch_q12": _q(
+        "/lineitem.define(hi := if(orders.o_orderpriority = {'1-URGENT','2-HIGH'}, 1, 0))"
+        "^{ls := l_linestatus}{ls, high := sum(^.hi), n := count(^)}"
+    ),
+    # TPC-H Q10 shape: multi-hop plural aggregate with a sieved +
+    # mapped argument, then top-k
+    "tpch_q10": _q(
+        "/customer{name := c_name,"
+        " rev := sum((orders.lineitem?l_returnflag = 'R')"
+        ".define(r := l_extendedprice * (1 - l_discount)).r)}"
+        ".sort(rev-, name).limit(10)"
+    ),
     # F11/F20 per-parent clip (row_number window) inside a nested
     # segment — rows-only (nested output)
     "topk_per_parent": _q(
@@ -731,6 +762,39 @@ def oracle_sql() -> dict[str, str]:
             " WHERE l_shipdate >= DATE '1996-01-01'"
             " AND l_shipdate < DATE '1997-01-01'"
             " AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+        ),
+        "tpch_q4": (
+            "SELECT o_orderpriority AS pri, count(*) AS n FROM orders"
+            " WHERE o_orderdate >= DATE '1996-01-01'"
+            " AND o_orderdate < DATE '1997-01-01'"
+            " AND EXISTS (SELECT 1 FROM lineitem"
+            "  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')"
+            " GROUP BY 1"
+        ),
+        "tpch_q7": (
+            "SELECT n1.n_name AS supp_nat, n2.n_name AS cust_nat,"
+            " sum(l_extendedprice * (1 - l_discount)) AS revenue"
+            " FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
+            " JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+            " WHERE n1.n_name != n2.n_name GROUP BY 1, 2"
+        ),
+        "tpch_q12": (
+            "SELECT l_linestatus AS ls,"
+            " CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')"
+            "  THEN 1 ELSE 0 END) AS BIGINT) AS high,"
+            " count(*) AS n FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ),
+        "tpch_q10": (
+            "SELECT c_name AS name,"
+            " sum(l_extendedprice * (1 - l_discount)) AS rev"
+            " FROM customer JOIN orders ON o_custkey = c_custkey"
+            " JOIN lineitem ON l_orderkey = o_orderkey"
+            " WHERE l_returnflag = 'R' GROUP BY 1"
+            " ORDER BY rev DESC, name LIMIT 10"
         ),
         # meta_links: omitted (catalog metadata exists engine-side only)
         "op_window_topk": (

@@ -41,6 +41,8 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
     "op_window_topk",
     "op_asof_join",
     "op_cube",

@@ -517,6 +517,36 @@ def _op_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(_db(spark, sf_dir).table("documents"), max_hamming=3)
 
 
+def _op_dedup_clusters(spark, sf_dir):
+    """Connected-components clustering over a near-dup pair graph.
+
+    The fixture embeddings carry no planted near-dups (max pairwise
+    cosine ≈ 0.51), so the pair graph here is built from rank-adjacent
+    embedding score sums (gap < 0.05) — a deterministic chain graph
+    with a 400+-node component that stress-tests the operator's
+    logarithmic-round convergence and is exactly expressible in SQL
+    as gaps-and-islands (the oracle)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from htsql_spark.operators.dedup import dedup_clusters
+
+    emb = _db(spark, sf_dir).table("embeddings")
+    sc = F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x)
+    rk = emb.select(
+        "vec_id",
+        sc.alias("sc"),
+        F.row_number().over(Window.orderBy(sc, "vec_id")).alias("rn"),
+    )
+    a, b = rk.alias("x"), rk.alias("y")
+    pairs = (
+        a.join(b, F.col("y.rn") == F.col("x.rn") + 1)
+        .filter(F.col("y.sc") - F.col("x.sc") < 0.05)
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+    )
+    return dedup_clusters(pairs, node_col="vec_id", cluster_col="cluster_id")
+
+
 def _op_dedup_ngram(spark, sf_dir):
     from htsql_spark.operators import dedup
 
@@ -577,6 +607,7 @@ _QUERIES.update(
         "op_dedup_minhash": _op_dedup_minhash,
         "op_dedup_simhash": _op_dedup_simhash,
         "op_simhash_pairs": _op_simhash_pairs,
+        "op_dedup_clusters": _op_dedup_clusters,
         "op_dedup_ngram": _op_dedup_ngram,
         "op_dedup_embedding": _op_dedup_embedding,
         "op_ann_bruteforce": _op_ann_bruteforce,
@@ -936,6 +967,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,"
             " min(doc_id) AS keep_id, count(*) AS n FROM documents"
             " GROUP BY 1"
+        ),
+        "op_dedup_clusters": (
+            # islands of rank-adjacent score sums (gap < 0.05); the
+            # Spark side computes the same components via generic
+            # hash-to-min label propagation over the chain edges
+            "WITH s AS (SELECT vec_id, list_aggregate("
+            "  list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') AS sc"
+            "  FROM embeddings),"
+            " rk AS (SELECT vec_id, sc,"
+            "  row_number() OVER (ORDER BY sc, vec_id) AS rn FROM s),"
+            " g AS (SELECT *, CASE WHEN sc - lag(sc) OVER (ORDER BY rn) < 0.05"
+            "  THEN 0 ELSE 1 END AS brk FROM rk),"
+            " isl AS (SELECT *, sum(brk) OVER (ORDER BY rn) AS island FROM g),"
+            " sz AS (SELECT island, count(*) AS n, min(vec_id) AS m"
+            "  FROM isl GROUP BY 1)"
+            " SELECT i.vec_id AS vec_id, z.m AS cluster_id"
+            " FROM isl i JOIN sz z USING (island) WHERE z.n > 1"
         ),
         "op_dedup_embedding": (
             "SELECT a.vec_id AS a, b.vec_id AS b,"

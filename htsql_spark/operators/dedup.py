@@ -383,3 +383,122 @@ def embedding_dup_pairs(
         .cogroup(right.groupby("bi", "bj"))
         .applyInPandas(gemm, "a long, b long, cos double")
     )
+
+
+# ----------------------------------------------------------------------
+# near-dup clustering (connected components over the pair graph)
+# ----------------------------------------------------------------------
+def dedup_clusters(
+    pairs: DataFrame,
+    left: str = "a",
+    right: str = "b",
+    max_iters: int = 50,
+    node_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every node that
+    appears in ``pairs`` gets ``cluster_col`` = the smallest node id
+    reachable from it (the canonical survivor of its dup cluster).
+
+    Algorithm: alternating large-star / small-star edge rewriting
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*,
+    SoCC'14). Large-star rewires every neighbor larger than a node to
+    that node's neighborhood minimum; small-star rewires the smaller
+    neighbors. Each operation is one aggregation + one join keyed on
+    node id, the edge set only shrinks or stays, and the alternation
+    provably converges in O(log² n) rounds — in practice <15 — to a
+    set of stars whose centers are the component minima. Simpler
+    min-label propagation was measured O(diameter) on chains with
+    randomly arranged ids, and naive star contraction O(n) on
+    monotonically arranged chains; the alternation kills both
+    pathologies.
+
+    Scale posture: no driver-side graph state (the driver sees one
+    row-count per round); shuffles are keyed on node ids over a
+    monotonically shrinking edge set; skewed star centers are regular
+    groupBy keys handled by AQE. Iteration state is severed per round
+    through a parquet round-trip (alternating scratch paths). NOT
+    checkpoint(): Spark 4 preserves the origin logical plan for
+    stats/constraint rewriting (``LogicalRDD.rewriteStatsAndConstraints``),
+    and a self-referential iteration doubles that retained chain every
+    round — planning cost grows exponentially until the driver OOMs in
+    ``SizeInBytesOnlyStatsPlanVisitor`` (measured). A parquet round-trip
+    of the O(|E|) edge table per round is a true sever and the standard
+    shape for iterative graph algorithms on Spark.
+
+    ``scratch_dir``: scratch location for per-round state (default: a
+    local tempdir — pass a DFS path on a real cluster).
+    """
+    import tempfile
+
+    spark = pairs.sparkSession
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="htsql-cc-")
+
+    def _sever(df: DataFrame, rnd: int) -> DataFrame:
+        path = f"{scratch}/edges{rnd % 2}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def _large_star(E: DataFrame) -> DataFrame:
+        """(v, m) for every neighbor v > u, where m = min(Γ(u) ∪ u)."""
+        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(E: DataFrame) -> DataFrame:
+        """Direct edges large→small; (v, m) for each small neighbor v
+        plus (u, m), where m = min of u's small neighborhood."""
+        d = E.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = (
+            d.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        dm = d.join(m, "u")
+        return (
+            dm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    E = _sever(
+        pairs.select(
+            F.col(left).cast("long").alias("u"), F.col(right).cast("long").alias("v")
+        ).filter(
+            F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v"))
+        ),
+        0,
+    )
+
+    for rnd in range(1, max_iters + 1):
+        new = _sever(_small_star(_large_star(E)), rnd)
+        moved = (
+            new.exceptAll(E).union(E.exceptAll(new)).limit(1).count()
+        )
+        E = new
+        if moved == 0:
+            break
+
+    # terminal state: stars (leaf → root); roots label themselves
+    labels = E.select("u", F.col("v").alias("lbl")).union(
+        E.select(F.col("v").alias("u"), F.col("v").alias("lbl")).distinct()
+    )
+    return (
+        labels.groupBy("u")
+        .agg(F.min("lbl").alias("lbl"))
+        .select(F.col("u").alias(node_col), F.col("lbl").alias(cluster_col))
+    )

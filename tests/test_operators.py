@@ -161,3 +161,35 @@ def test_frame_sample_plan(docs):
     plan = multimodal.frame_sample_plan(assets, every_n=10)
     per = plan.groupBy("asset_id").count().select("count").distinct().collect()
     assert [r["count"] for r in per] == [6]
+
+
+def test_dedup_clusters_transitive(spark):
+    from htsql_spark.operators import dedup
+
+    # chain (transitive closure), star, and an isolated pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (11, 10), (10, 12), (13, 10), (20, 21)],
+        "a long, b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_random_chain(spark):
+    import random
+
+    from htsql_spark.operators import dedup
+
+    # a single 300-node path with randomly arranged ids — the layout
+    # that defeats plain min-label propagation (O(diameter) rounds);
+    # large-star/small-star must converge inside max_iters
+    random.seed(11)
+    perm = list(range(300))
+    random.shuffle(perm)
+    pairs = spark.createDataFrame(
+        [(perm[i], perm[i + 1]) for i in range(299)], "a long, b long"
+    )
+    rows = dedup.dedup_clusters(pairs).collect()
+    assert len(rows) == 300
+    assert {r["cluster_id"] for r in rows} == {0}

@@ -547,6 +547,23 @@ def _op_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs, node_col="vec_id", cluster_col="cluster_id")
 
 
+def _op_dedup_pipeline(spark, sf_dir):
+    """End-to-end dedup (pairs → connected components → survivors) on a
+    corpus with planted exact clones (doc_id + 200000, same text). The
+    exact strategy keeps the whole path SQL-expressible: the oracle
+    dedups by md5 fingerprint keeping min doc_id, which must equal the
+    cluster survivors."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.dedup import dedup_pipeline
+
+    docs = _db(spark, sf_dir).table("documents")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(200000))
+    )
+    return dedup_pipeline(corpus, strategy="exact").select("doc_id")
+
+
 def _op_dedup_ngram(spark, sf_dir):
     from htsql_spark.operators import dedup
 
@@ -608,6 +625,7 @@ _QUERIES.update(
         "op_dedup_simhash": _op_dedup_simhash,
         "op_simhash_pairs": _op_simhash_pairs,
         "op_dedup_clusters": _op_dedup_clusters,
+        "op_dedup_pipeline": _op_dedup_pipeline,
         "op_dedup_ngram": _op_dedup_ngram,
         "op_dedup_embedding": _op_dedup_embedding,
         "op_ann_bruteforce": _op_ann_bruteforce,
@@ -967,6 +985,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,"
             " min(doc_id) AS keep_id, count(*) AS n FROM documents"
             " GROUP BY 1"
+        ),
+        "op_dedup_pipeline": (
+            "WITH c AS ("
+            " SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp"
+            " FROM (SELECT doc_id, text FROM documents"
+            "  UNION ALL SELECT doc_id + 200000, text FROM documents))"
+            " SELECT doc_id FROM ("
+            "  SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS m FROM c)"
+            " WHERE doc_id = m"
         ),
         "op_dedup_clusters": (
             # islands of rank-adjacent score sums (gap < 0.05); the

@@ -502,3 +502,47 @@ def dedup_clusters(
         .agg(F.min("lbl").alias("lbl"))
         .select(F.col("u").alias(node_col), F.col("lbl").alias(cluster_col))
     )
+
+
+def exact_dup_pairs(docs: DataFrame) -> DataFrame:
+    """(a, b) candidate pairs from exact-fingerprint groups: each
+    duplicate links to its group minimum (a star per group — one
+    shuffle on the fingerprint, pair count = dups, never quadratic)."""
+    fp = docs.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("a"))
+    return (
+        fp.join(keep, "fp")
+        .filter(F.col("doc_id") != F.col("a"))
+        .select("a", F.col("doc_id").alias("b"))
+    )
+
+
+def dedup_pipeline(
+    docs: DataFrame,
+    strategy: str = "minhash",
+    threshold: float = 0.8,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """End-to-end dedup: candidate pairs (chosen strategy) → connected
+    components (``dedup_clusters``) → keep only each cluster's minimum
+    doc_id. Returns the surviving documents with their original schema.
+
+    Every strategy flows through the same clustering + survivor
+    selection path, so the oracle-checkable ``exact`` strategy verifies
+    the exact plumbing the fuzzy (hash-based) strategies use at scale.
+    The anti-join keeps the full document payload out of the pair/
+    cluster shuffles — only ids and signatures move until the final
+    join."""
+    if strategy == "exact":
+        pairs = exact_dup_pairs(docs)
+    elif strategy == "minhash":
+        pairs = minhash_dedup_pairs(docs, threshold=threshold).select("a", "b")
+    elif strategy == "simhash":
+        pairs = simhash_near_pairs(docs).select("a", "b")
+    elif strategy == "ngram":
+        pairs = ngram_jaccard_pairs(docs, threshold=threshold).select("a", "b")
+    else:
+        raise ValueError(f"unknown dedup strategy: {strategy!r}")
+    clusters = dedup_clusters(pairs, scratch_dir=scratch_dir)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti")

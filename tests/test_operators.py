@@ -193,3 +193,36 @@ def test_dedup_clusters_random_chain(spark):
     rows = dedup.dedup_clusters(pairs).collect()
     assert len(rows) == 300
     assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_dedup_pipeline_removes_planted_clones(docs, docs_with_clones):
+    from htsql_spark.operators import dedup
+
+    orig = {r[0] for r in docs.select("doc_id").collect()}
+    # exact: drops the exact clones (+200000), keeps the near clones
+    got = {
+        r[0]
+        for r in dedup.dedup_pipeline(docs_with_clones, strategy="exact")
+        .select("doc_id")
+        .collect()
+    }
+    assert got == orig | {i + 100000 for i in orig}
+    # minhash: drops exact AND near clones; the corpus also contains
+    # genuine near-dup originals (jaccard ≥ 0.9 pairs), so the
+    # expectation is the survivors of the originals-only run — planted
+    # clones must never change which originals win (they always carry
+    # larger ids than their source)
+    expected = {
+        r[0]
+        for r in dedup.dedup_pipeline(docs, strategy="minhash")
+        .select("doc_id")
+        .collect()
+    }
+    got = {
+        r[0]
+        for r in dedup.dedup_pipeline(docs_with_clones, strategy="minhash")
+        .select("doc_id")
+        .collect()
+    }
+    assert got == expected
+    assert got < orig  # strict subset: clones gone, near-dup originals merged

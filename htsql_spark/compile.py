@@ -196,14 +196,19 @@ class Compiler:
 
     # -- name resolution ----------------------------------------------
     def resolve_name(self, ctx: Ctx, scope: ScopeRef, name: str):
-        if name in ctx.names:
-            return self.eval(ctx, scope, ctx.names[name])
         flow, alias, table = scope.flow, scope.alias, scope.table
-        # quotient scope: kernel attributes
-        if table is None and flow.kernel is not None and scope.flow is flow:
+        # quotient scope: kernel attributes shadow defines — a define
+        # from the pre-quotient scope (e.g. cnt := count(orders)) is
+        # re-bindable only through '^', while the kernel exports the
+        # projected value under the same name (reference:
+        # space.py::KernelUnit takes precedence after projection)
+        if table is None and flow.kernel is not None:
             for kname, kcol in flow.kernel:
                 if kname == name:
                     return Scalar(F.col(kcol), name)
+        if name in ctx.names:
+            return self.eval(ctx, scope, ctx.names[name])
+        if table is None and flow.kernel is not None:
             if flow.output:  # selection names stay in scope (e.g. sort(n-))
                 for oname, ocol in flow.output:
                     if oname == name:

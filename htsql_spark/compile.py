@@ -378,6 +378,11 @@ class Compiler:
             raise CompileError("'?' applies to a flow")
         flow = base.flow
         scope = ScopeRef(flow, flow.alias, flow.table)
+        # lower pure-chain aggregates in the predicate through the
+        # batch/memo path — `{qty := sum(lineitem.l_quantity)}?sum(
+        # lineitem.l_quantity) > 300` reuses the selection's grouped
+        # join instead of scanning lineitem a second time (Q18 shape)
+        self.batch_aggregates(ctx, scope, [predicate])
         pred = self.to_predicate(ctx, scope, predicate)
         flow.df = flow.df.filter(pred)
         return base
@@ -576,7 +581,27 @@ class Compiler:
                     (node, node.name.lower(), vpath, node.args[1:])
                 )
         prepared: dict[int, Scalar] = {}
+        # structural memo: the same pure-chain aggregate lowered twice
+        # on one flow (selection + sieve, e.g. TPC-H Q18's
+        # `{qty := sum(lineitem.l_quantity)}?sum(lineitem.l_quantity) > 300`)
+        # reuses the first grouped-join column instead of re-scanning
+        # and re-shuffling the child table (flows only ever add
+        # columns / filter rows, so an earlier joined column stays
+        # valid)
+        memo = scope.flow.agg_memo
         for fkey, members in groups.items():
+            fresh = []
+            for m in members:
+                node, aggname, vpath, extra = m
+                mkey = (aggname, fkey, tuple(vpath), repr(extra))
+                hit = memo.get(mkey)
+                if hit is not None:
+                    prepared[id(node)] = hit
+                else:
+                    fresh.append(m)
+            members = fresh
+            if not members:
+                continue
             # quotient fusion (see _fuse_quotient): direct-complement
             # aggregates over an untouched quotient replace the
             # distinct+join with one groupBy — worth it even for a
@@ -591,9 +616,12 @@ class Compiler:
             if multi_hop:
                 done = self._try_hierarchical(scope, fkey, members, prepared)
                 if done:
+                    for node, aggname, vpath, extra in members:
+                        if id(node) in prepared:
+                            memo[(aggname, fkey, tuple(vpath), repr(extra))] = prepared[id(node)]
                     continue
-            if len(members) < 2 and not fusable:
-                continue  # nothing to batch
+            if len(members) < 2 and not fusable and members[0][3]:
+                continue  # single parameterized aggregate → one-off path
             # navigate the shared plural chain once
             nav: N.Node = N.Complement() if fkey[0] == "^" else N.Identifier(fkey[0])
             for nm in fkey[1:]:
@@ -603,10 +631,9 @@ class Compiler:
                 continue
             sub_scope = ScopeRef(v.flow, v.flow.alias, v.flow.table)
             aggs: list[Column] = []
-            posts: list = []
-            names: list[str] = []
-            nodes: list[N.Node] = []
-            for node, aggname, vpath, extra in members:
+            lowered: list[tuple] = []  # (member, vname, post)
+            for member in members:
+                node, aggname, vpath, extra = member
                 val = None
                 if vpath:
                     vnode: N.Node = N.Identifier(vpath[0])
@@ -619,18 +646,18 @@ class Compiler:
                 agg, post = fnlib.agg_expr(self, sub_scope, aggname, val, extra)
                 vname = self.engine.fresh("__a")
                 aggs.append(agg.alias(vname))
-                posts.append(post)
-                names.append(vname)
-                nodes.append(node)
+                lowered.append((member, vname, post))
             if fusable and aggs:
                 self._fuse_quotient(scope.flow, v, aggs)
             else:
                 self._join_grouped(scope.flow, v, aggs)
-            for node, vname, post, (n2, aggname, _, _) in zip(nodes, names, posts, members):
+            for (node, aggname, vpath, extra), vname, post in lowered:
                 col = F.col(vname)
                 if post is not None:
                     col = post(col)
-                prepared[id(node)] = Scalar(col, f"{aggname}")
+                sc = Scalar(col, f"{aggname}")
+                prepared[id(node)] = sc
+                memo[(aggname, fkey, tuple(vpath), repr(extra))] = sc
         ctx.prepared.update(prepared)
         return prepared
 

@@ -57,6 +57,10 @@ class Flow:
         self.base_flow: "Flow | None" = None
         self.base_kernel_cols: list[str] = []
         self.is_home = False
+        # structural memo of lowered pure-chain aggregates:
+        # (aggname, fkey, vpath, extra-repr) -> Scalar over a column
+        # already joined into df (compile.batch_aggregates)
+        self.agg_memo: dict[tuple, "Scalar"] = {}
 
     def col(self, name: str) -> "Column":
         from pyspark.sql import functions as F
@@ -76,6 +80,10 @@ class Flow:
         f.base_flow = self.base_flow
         f.base_kernel_cols = list(self.base_kernel_cols)
         f.is_home = self.is_home
+        # entries valid at copy time stay valid for both flows (flows
+        # only add columns / filter rows), but post-copy lowerings must
+        # not leak across — fresh dict, shared Scalars
+        f.agg_memo = dict(self.agg_memo)
         return f
 
 

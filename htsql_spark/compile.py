@@ -568,18 +568,30 @@ class Compiler:
     # ------------------------------------------------------------------
     def batch_aggregates(self, ctx: Ctx, scope: ScopeRef, items: list[N.Node]) -> dict:
         groups: dict[tuple, list] = {}
+        # stage 2: duplicate-unit elimination over a shared non-pure
+        # space (reference: tr/rewrite.py unit collation) — aggregates
+        # whose args differ only in value path / trailing define()s
+        # but share the same flow expression (`sum((li?X).a) /
+        # sum((li?X).b)`, TPC-H Q14 shape) evaluate the flow ONCE and
+        # share one groupBy+join instead of scanning per aggregate
+        groups2: dict[str, list] = {}
         for item in items:
             for node in _find_agg_applications(item):
                 chain = _pure_chain(node.args[0])
-                if chain is None or chain[0] in ctx.names:
-                    continue
-                split = self._split_chain(ctx, scope, chain)
-                if split is None:
-                    continue
-                fkey, vpath = split
-                groups.setdefault(fkey, []).append(
-                    (node, node.name.lower(), vpath, node.args[1:])
-                )
+                if chain is not None and chain[0] not in ctx.names:
+                    split = self._split_chain(ctx, scope, chain)
+                    if split is not None:
+                        fkey, vpath = split
+                        groups.setdefault(fkey, []).append(
+                            (node, node.name.lower(), vpath, node.args[1:])
+                        )
+                        continue
+                dec = _split_flow_value(node.args[0])
+                if dec is not None:
+                    fexpr, defines, vpath = dec
+                    groups2.setdefault(repr(fexpr), []).append(
+                        (node, node.name.lower(), fexpr, defines, vpath, node.args[1:])
+                    )
         prepared: dict[int, Scalar] = {}
         # structural memo: the same pure-chain aggregate lowered twice
         # on one flow (selection + sieve, e.g. TPC-H Q18's
@@ -658,6 +670,61 @@ class Compiler:
                 sc = Scalar(col, f"{aggname}")
                 prepared[id(node)] = sc
                 memo[(aggname, fkey, tuple(vpath), repr(extra))] = sc
+        for key2, members2 in groups2.items():
+            fresh2 = []
+            for m in members2:
+                node, aggname, fexpr, defines, vpath, extra = m
+                mkey = (aggname, key2, repr(defines), tuple(vpath), repr(extra))
+                hit = memo.get(mkey)
+                if hit is not None:
+                    prepared[id(node)] = hit
+                else:
+                    fresh2.append(m)
+            members2 = fresh2
+            if len(members2) < 2:
+                continue  # nothing shared → one-off path
+            try:
+                v = self.eval(ctx.child(), scope, members2[0][2])
+            except CompileError:
+                continue
+            if not isinstance(v, FlowV) or v.singular:
+                continue
+            sub_scope = ScopeRef(v.flow, v.flow.alias, v.flow.table)
+            aggs = []
+            lowered = []
+            for member in members2:
+                node, aggname, fexpr, defines, vpath, extra = member
+                mctx = ctx.child()
+                for a in defines:
+                    mctx.names[a.name] = a.expr
+                val = None
+                if vpath:
+                    vnode: N.Node = N.Identifier(vpath[0])
+                    for nm in vpath[1:]:
+                        vnode = N.Compose(vnode, N.Identifier(nm))
+                    try:
+                        val = self.scalar(mctx, sub_scope, vnode).col
+                    except CompileError:
+                        continue  # too complex → one-off path
+                elif v.value is not None:
+                    val = v.value
+                try:
+                    agg, post = fnlib.agg_expr(self, sub_scope, aggname, val, extra)
+                except CompileError:
+                    continue
+                vname = self.engine.fresh("__a")
+                aggs.append(agg.alias(vname))
+                lowered.append((member, vname, post))
+            if not aggs:
+                continue
+            self._join_grouped(scope.flow, v, aggs)
+            for (node, aggname, fexpr, defines, vpath, extra), vname, post in lowered:
+                col = F.col(vname)
+                if post is not None:
+                    col = post(col)
+                sc = Scalar(col, f"{aggname}")
+                prepared[id(node)] = sc
+                memo[(aggname, key2, repr(defines), tuple(vpath), repr(extra))] = sc
         ctx.prepared.update(prepared)
         return prepared
 
@@ -1079,6 +1146,35 @@ def _find_agg_applications(node: N.Node) -> list[N.Apply]:
             else:
                 stack.extend(n.args)
     return out
+
+
+def _split_flow_value(arg: N.Node):
+    """Decompose an aggregate argument into (flow expression, trailing
+    define()s, value name path) so that aggregates over the SAME flow
+    expression (by structural repr) can share one lowering.  Returns
+    None when the arg is a bare name chain (pure-chain / one-off logic
+    owns those)."""
+    defines: list[N.Assignment] = []
+    vpath: list[str] = []
+    cur = arg
+    while isinstance(cur, N.Compose):
+        op = cur.op
+        if isinstance(op, N.Identifier):
+            vpath.insert(0, op.name)
+            cur = cur.base
+            continue
+        if (
+            isinstance(op, N.Apply)
+            and op.name.lower() == "define"
+            and all(isinstance(a, N.Assignment) and not a.is_reference for a in op.args)
+        ):
+            defines = list(op.args) + defines
+            cur = cur.base
+            continue
+        break
+    if isinstance(cur, (N.Identifier, N.Complement)) and not defines:
+        return None  # bare chain — stage-1 / one-off territory
+    return cur, defines, vpath
 
 
 def _pure_chain(node: N.Node) -> list[str] | None:

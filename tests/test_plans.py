@@ -107,3 +107,30 @@ def test_no_sort_without_observable_order(db):
 def test_sort_limit_is_take_ordered(db):
     df = db.df("/orders.sort(o_totalprice-).limit(5){okey := o_orderkey}")
     assert "TakeOrderedAndProject" in physical(df)
+
+
+def test_repeated_aggregate_memoized_across_clauses(db):
+    """The same pure-chain aggregate in selection AND sieve (TPC-H Q18
+    HAVING shape) lowers once: one scan of the child table, one
+    Aggregate, one Join."""
+    df = db.df(
+        "/orders{okey := o_orderkey, qty := sum(lineitem.l_quantity)}"
+        "?sum(lineitem.l_quantity) > 300"
+    )
+    plan = optimized(df)
+    assert plan.count("] parquet") == 2, plan  # orders + lineitem, once each
+    assert plan.count("Aggregate [") == 1, plan
+    assert plan.count("Join ") == 1, plan
+
+
+def test_shared_sieved_flow_aggregates_batch(db):
+    """Aggregates over the same sieved flow expression with different
+    value paths (TPC-H Q14 ratio shape) share one flow evaluation:
+    one scan, one Aggregate."""
+    df = db.df(
+        "/{hi := sum((lineitem?l_discount > 0.05).l_extendedprice),"
+        " n := count(lineitem?l_discount > 0.05)}"
+    )
+    plan = optimized(df)
+    assert plan.count("] parquet") == 1, plan  # lineitem scanned once
+    assert plan.count("Aggregate [") == 1, plan

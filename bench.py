@@ -42,7 +42,14 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",
+    "tpch_q8",
     "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
     "op_window_topk",
     "op_asof_join",
     "op_cube",

@@ -238,3 +238,37 @@ def test_write_clustered_skips_files(db, spark, tmp_path):
     sel = back.filter(F.col("o_totalprice") > 400000)
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+
+
+def test_write_bucketed_join_no_shuffle(db, spark, tmp_path):
+    """Two tables bucketed on the join key join with ZERO Exchange —
+    the co-located fact-fact join that replaces a dual shuffle at
+    100 TB."""
+    from htsql_spark.operators.layout import write_bucketed
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(db.table("orders"), "b_orders", ["o_orderkey"], n_buckets=8)
+        write_bucketed(
+            db.table("lineitem"), "b_lineitem", ["l_orderkey"], n_buckets=8
+        )
+        joined = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # inner join: one group per order that has lineitems
+        expected = db.table("lineitem").select("l_orderkey").distinct().count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -586,6 +586,16 @@ class Compiler:
                             (node, node.name.lower(), vpath, node.args[1:])
                         )
                         continue
+                if chain is not None and chain[0] in ctx.names:
+                    # chain over a define()d / given() flow name:
+                    # substitute the bound expression as the shared
+                    # space so `given(li := lineitem?X, {sum(li.a),
+                    # count(li)})` evaluates li once
+                    head = ctx.names[chain[0]]
+                    groups2.setdefault(repr(head), []).append(
+                        (node, node.name.lower(), head, [], chain[1:], node.args[1:])
+                    )
+                    continue
                 dec = _split_flow_value(node.args[0])
                 if dec is not None:
                     fexpr, defines, vpath = dec

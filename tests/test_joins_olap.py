@@ -225,6 +225,11 @@ def test_write_partitioned_layout(db, spark, tmp_path):
         assert len(glob.glob(d + "/*.parquet")) == 1
     back = spark.read.parquet(out)
     assert back.count() == db.table("customer").count()
+    # partition pruning: a predicate on the partition column reaches
+    # the scan as a PartitionFilter (directories pruned, not read)
+    sel = back.filter(F.col("c_mktsegment") == "BUILDING")
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(c_mktsegment" in plan, plan
 
 
 def test_write_clustered_skips_files(db, spark, tmp_path):

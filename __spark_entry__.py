@@ -954,7 +954,20 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE o_custkey = c_custkey AND o_totalprice > 250000)"
             " GROUP BY 1"
         ),
-        # meta_links: omitted (catalog metadata exists engine-side only)
+        # meta_links: the catalog is static (catalog.yaml), so the
+        # expected reflection rows are a literal VALUES oracle
+        "meta_links": (
+            "SELECT * FROM (VALUES"
+            " ('nation','region','region','singular'),"
+            " ('customer','nation','nation','singular'),"
+            " ('supplier','nation','nation','singular'),"
+            " ('orders','customer','customer','singular'),"
+            " ('lineitem','orders','orders','singular'),"
+            " ('lineitem','part','part','singular'),"
+            " ('lineitem','supplier','supplier','singular'),"
+            " ('events','customer','customer','singular')"
+            ") AS t(origin, name, target, kind)"
+        ),
         "op_window_topk": (
             "SELECT c_nationkey AS natkey, c_name AS name, c_acctbal AS bal,"
             " CAST(rn AS INTEGER) AS rn FROM ("

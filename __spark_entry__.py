@@ -551,11 +551,21 @@ def _op_dedup_exact(spark, sf_dir):
 
 
 def _op_dedup_minhash(spark, sf_dir):
+    """LSH-candidate near-dup pairs verified by true shingle Jaccard.
+
+    Oracle-checked: the verification step computes EXACT Jaccard over
+    k-token shingle strings, and on this fixture every true pair sits
+    at j >= 0.9 where the 8x4 band scheme's detection probability is
+    ~1 (and the seeds are fixed), so the LSH output equals the
+    SQL-computable all-pairs truth."""
+    from pyspark.sql import functions as F
+
     from htsql_spark.operators import dedup
 
-    return dedup.minhash_dedup_pairs(
+    pairs = dedup.minhash_dedup_pairs(
         _db(spark, sf_dir).table("documents"), threshold=0.5
     )
+    return pairs.withColumn("jaccard", F.round("jaccard", 6))
 
 
 def _op_dedup_simhash(spark, sf_dir):
@@ -1157,10 +1167,47 @@ def oracle_sql() -> dict[str, str]:
             " CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,"
             " md5(text) AS digest FROM documents"
         ),
-        # op_dedup_minhash / op_dedup_simhash / op_dedup_ngram /
-        # op_ann_lsh / op_ann_ivf: hash-family & LSH internals are not
-        # SQL-expressible in DuckDB → rows-only checks; exactness is
-        # covered by planted-duplicate tests in tests/test_operators.py
+        # op_dedup_minhash: LSH candidates + exact-Jaccard verify; the
+        # oracle is the all-pairs shingle-Jaccard truth (see wrapper
+        # docstring for why recall is exactly 1 on this fixture)
+        "op_dedup_minhash": (
+            "WITH toks AS ("
+            " SELECT doc_id, string_split(regexp_replace(lower(trim(text)),"
+            "  '\\s+', ' ', 'g'), ' ') AS t FROM documents"
+            "), sh AS ("
+            " SELECT doc_id, CASE WHEN len(t) >= 3 THEN"
+            "   list_distinct(list_transform(range(1, len(t)-1),"
+            "    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+            "  ELSE [array_to_string(t, ' ')] END AS s FROM toks"
+            "), pairs AS ("
+            " SELECT a.doc_id AS a, b.doc_id AS b,"
+            "  round(len(list_intersect(a.s, b.s))::DOUBLE"
+            "   / len(list_distinct(a.s || b.s)), 6) AS jaccard"
+            " FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
+            " SELECT * FROM pairs WHERE jaccard >= 0.5"
+        ),
+        # op_dedup_ngram: bucketed char-3-gram Jaccard — fully
+        # deterministic and SQL-expressible (the engine hashes grams
+        # to int64 only as a compare-cost optimization; set sizes are
+        # identical modulo 64-bit collisions)
+        "op_dedup_ngram": (
+            "WITH g AS ("
+            " SELECT doc_id, lang, floor(length(text)/100) AS lb,"
+            "  list_distinct(list_transform("
+            "   range(1, greatest(length(text)-3, 0)+2),"
+            "   i -> substr(text, i, 3))) AS grams FROM documents"
+            "), pairs AS ("
+            " SELECT a.doc_id AS a, b.doc_id AS b,"
+            "  round(len(list_intersect(a.grams, b.grams))::DOUBLE"
+            "   / len(list_distinct(a.grams || b.grams)), 6) AS jaccard"
+            " FROM g a JOIN g b ON a.lang = b.lang AND a.lb = b.lb"
+            "  AND a.doc_id < b.doc_id)"
+            " SELECT * FROM pairs WHERE jaccard >= 0.2"
+        ),
+        # op_dedup_simhash / op_ann_lsh / op_ann_ivf: hash-family &
+        # LSH internals are not SQL-expressible in DuckDB → rows-only
+        # checks; exactness is covered by planted-duplicate tests in
+        # tests/test_operators.py
     }
 
 

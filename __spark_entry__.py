@@ -261,6 +261,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         " & !exists(orders?o_totalprice > 250000)"
         "^{nat := nation.name}{nat, numcust := count(^), totbal := round(sum(^.c_acctbal), 6)}"
     ),
+    # TPC-H Q15 shape: top supplier(s) by windowed revenue — a defined
+    # per-supplier aggregate compared against its own global max via
+    # fork() (the reference's idiom for "= (SELECT max(..) ...)")
+    "tpch_q15": _q(
+        "/supplier.define(rev := sum((lineitem?l_shipdate >= date('1996-01-01')"
+        " & l_shipdate < date('1996-04-01'))"
+        ".define(r := l_extendedprice * (1 - l_discount)).r))"
+        "{sname := s_name, total_rev := round(rev, 6)}"
+        "?rev = max(fork().rev)"
+    ),
     # F11/F20 per-parent clip (row_number window) inside a nested
     # segment — rows-only (nested output)
     "topk_per_parent": _q(
@@ -963,6 +973,15 @@ def oracle_sql() -> dict[str, str]:
             " AND NOT EXISTS (SELECT 1 FROM orders"
             "  WHERE o_custkey = c_custkey AND o_totalprice > 250000)"
             " GROUP BY 1"
+        ),
+        "tpch_q15": (
+            "WITH revenue AS ("
+            " SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev"
+            " FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'"
+            " AND l_shipdate < DATE '1996-04-01' GROUP BY 1)"
+            " SELECT s_name AS sname, round(rev, 6) AS total_rev"
+            " FROM supplier JOIN revenue ON s_suppkey = l_suppkey"
+            " WHERE rev = (SELECT max(rev) FROM revenue)"
         ),
         # meta_links: the catalog is static (catalog.yaml), so the
         # expected reflection rows are a literal VALUES oracle

@@ -46,6 +46,7 @@ HEADLINE = [
     "tpch_q10",
     "tpch_q13",
     "tpch_q14",
+    "tpch_q15",
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",

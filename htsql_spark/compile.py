@@ -169,7 +169,8 @@ class Compiler:
         if isinstance(node, N.Detach):
             home = self.engine.home_flow()
             hscope = ScopeRef(home, "", None)
-            v = self.eval(ctx, hscope, node.op)
+            # child ctx: define()s inside @(...) stay detached too
+            v = self.eval(ctx.child(), hscope, node.op)
             if isinstance(v, Scalar):
                 return v  # literal-ish: usable anywhere
             if isinstance(v, FlowV):
@@ -207,7 +208,22 @@ class Compiler:
                 if kname == name:
                     return Scalar(F.col(kcol), name)
         if name in ctx.names:
-            return self.eval(ctx, scope, ctx.names[name])
+            node = ctx.names[name]
+            # per-flow memo: a define()d name evaluated to a Scalar on
+            # this flow+alias under the same bindings resolves to the
+            # SAME column — an aggregate-valued define (rev :=
+            # sum(...)) lowers its grouped join once across selection /
+            # sieve / fork() references instead of re-deriving the
+            # child scan per reference (flows only add columns /
+            # filter rows, so the joined column stays valid)
+            key = (id(node), alias, _binding_fingerprint(ctx, node))
+            hit = flow.name_memo.get(key)
+            if hit is not None:
+                return hit
+            res = self.eval(ctx, scope, node)
+            if isinstance(res, Scalar):
+                flow.name_memo[key] = res
+            return res
         if table is None and flow.kernel is not None:
             if flow.output:  # selection names stay in scope (e.g. sort(n-))
                 for oname, ocol in flow.output:
@@ -1134,6 +1150,46 @@ FLOW_METHODS = {
 # ----------------------------------------------------------------------
 # helpers
 # ----------------------------------------------------------------------
+def _iter_child_nodes(n: N.Node):
+    import dataclasses
+
+    if not dataclasses.is_dataclass(n):
+        return
+    for f in dataclasses.fields(n):
+        v = getattr(n, f.name)
+        if isinstance(v, N.Node):
+            yield v
+        elif isinstance(v, list):
+            for x in v:
+                if isinstance(x, N.Node):
+                    yield x
+
+
+def _binding_fingerprint(ctx: Ctx, node: N.Node) -> tuple:
+    """Identity of every define()d name / $reference the subtree can
+    reach (transitively).  Guards the name_memo: the same AST node
+    re-evaluated after a shadowing re-define or under different
+    given() bindings gets a different key, never a stale column."""
+    seen: set[int] = set()
+    out: list[tuple[str, int]] = []
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if id(n) in seen:
+            continue
+        seen.add(id(n))
+        if isinstance(n, N.Identifier) and n.name in ctx.names:
+            bound = ctx.names[n.name]
+            out.append((n.name, id(bound)))
+            stack.append(bound)
+        elif isinstance(n, N.Reference) and n.name in ctx.refs:
+            bound = ctx.refs[n.name]
+            out.append(("$" + n.name, id(bound)))
+            stack.append(bound)
+        stack.extend(_iter_child_nodes(n))
+    return tuple(sorted(set(out)))
+
+
 def _find_agg_applications(node: N.Node) -> list[N.Apply]:
     """All aggregate Apply nodes inside one selection item, however
     deeply nested in scalar expressions — but not across scope

@@ -210,6 +210,10 @@ def agg_expr(cc, sub_scope: ScopeRef, name: str, val, extra_args: list[N.Node]):
 def apply_aggregate(cc, ctx, scope: ScopeRef, name: str, args: list[N.Node]):
     if not args:
         raise CompileError(f"{name}() needs a plural argument")
+    # child ctx: define()s inside the aggregate argument are scoped to
+    # that sub-flow and must not leak into the outer query (also keeps
+    # compile.resolve_name's name_memo fingerprint stable)
+    ctx = ctx.child()
     v = cc.eval(ctx, scope, args[0])
     if isinstance(v, ScopeRef):
         raise CompileError(f"{name}() needs a plural flow, got a singular link '{v.hint}'")

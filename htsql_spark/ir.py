@@ -61,6 +61,13 @@ class Flow:
         # (aggname, fkey, vpath, extra-repr) -> Scalar over a column
         # already joined into df (compile.batch_aggregates)
         self.agg_memo: dict[tuple, "Scalar"] = {}
+        # memo of define()d names already evaluated to a Scalar on THIS
+        # flow: (id(bound AST), scope alias, binding fingerprint) ->
+        # Scalar.  An aggregate-valued define (rev := sum(...))
+        # referenced from selection + sieve + fork() then lowers its
+        # grouped join once instead of re-scanning the child table per
+        # reference (compile.resolve_name)
+        self.name_memo: dict[tuple, "Scalar"] = {}
 
     def col(self, name: str) -> "Column":
         from pyspark.sql import functions as F
@@ -84,6 +91,7 @@ class Flow:
         # only add columns / filter rows), but post-copy lowerings must
         # not leak across — fresh dict, shared Scalars
         f.agg_memo = dict(self.agg_memo)
+        f.name_memo = dict(self.name_memo)
         return f
 
 

@@ -123,6 +123,34 @@ def test_repeated_aggregate_memoized_across_clauses(db):
     assert plan.count("Join ") == 1, plan
 
 
+def test_defined_aggregate_lowers_once_across_references(db):
+    """An aggregate-valued define (rev := sum(...)) referenced from
+    the selection AND the sieve resolves to one grouped join — the
+    child table is scanned once (compile.resolve_name name_memo)."""
+    df = db.df(
+        "/supplier.define(rev := sum((lineitem?l_discount > 0.05)"
+        ".define(r := l_extendedprice * (1 - l_discount)).r))"
+        "{sname := s_name, total := round(rev, 6)}?rev > 0"
+    )
+    plan = optimized(df)
+    assert plan.count("] parquet") == 2, plan  # supplier + lineitem, once each
+    assert plan.count("Aggregate [") == 1, plan
+
+
+def test_inner_defines_do_not_leak_scope(db):
+    """A define() inside an aggregate argument is scoped to that
+    sub-flow; referencing it outside is a compile error."""
+    import pytest as _pytest
+
+    from htsql_spark.ir import CompileError
+
+    with _pytest.raises(CompileError):
+        db.df(
+            "/supplier{sname := s_name,"
+            " rev := sum(lineitem.define(r := l_extendedprice).r), oops := r}"
+        ).collect()
+
+
 def test_shared_sieved_flow_aggregates_batch(db):
     """Aggregates over the same sieved flow expression with different
     value paths (TPC-H Q14 ratio shape) share one flow evaluation:

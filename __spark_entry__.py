@@ -428,6 +428,23 @@ def _stream_session(spark, sf_dir):
     return streaming.session_counts(_db(spark, sf_dir).table("events"), gap="30 minutes")
 
 
+def _stream_enrich(spark, sf_dir):
+    """Stream-static dimension enrichment (stateless broadcast lookup
+    join per micro-batch) — deterministic over the full fixture, so
+    the batch join is the oracle."""
+    import uuid
+
+    from htsql_spark import streaming
+
+    name = f"t_enrich_{uuid.uuid4().hex[:8]}"
+    stream = streaming.read_events_stream(spark, sf_dir)
+    customer = _db(spark, sf_dir).table("customer")
+    streaming.run_to_memory(
+        streaming.purchases_enriched(stream, customer), name, "append"
+    )
+    return spark.table(name)
+
+
 def _op_asof_join(spark, sf_dir):
     from htsql_spark.operators import joins
 
@@ -530,6 +547,7 @@ _QUERIES.update(
         "stream_sliding": _stream_sliding,
         "stream_session": _stream_session,
         "stream_join": _stream_join,
+        "stream_enrich": _stream_enrich,
         "op_asof_join": _op_asof_join,
         "op_range_join": _op_range_join,
         "op_theta_band": _op_theta_band,
@@ -1011,6 +1029,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, count(*) AS n,"
             " round(sum(coalesce(value, 0)), 4) AS total"
             " FROM events GROUP BY user_id"
+        ),
+        "stream_enrich": (
+            "SELECT event_id, user_id, c_name AS cust_name,"
+            " c_mktsegment AS segment, value"
+            " FROM events LEFT JOIN customer ON user_id = c_custkey"
+            " WHERE event_type = 'purchase'"
         ),
         "wildcard": "SELECT * FROM customer WHERE c_acctbal < 0",
         "identity": (

@@ -1,5 +1,7 @@
 from .events import (  # noqa: F401
     dedup_within_watermark,
+    enrich_with_dim,
+    purchases_enriched,
     purchases_join_clicks_stream,
     read_events_stream,
     run_foreach_batch,

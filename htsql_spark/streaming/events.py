@@ -139,6 +139,33 @@ def purchases_join_clicks_stream(
     )
 
 
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
+    """Stream-static dimension enrichment — the canonical streaming
+    lookup join.  Stateless (no watermark, no state store): each
+    micro-batch joins against the static side, which Spark plans as a
+    broadcast-hash join when the dim is small, so a 100 TB/day stream
+    never shuffles.  The static side is re-read per micro-batch, so a
+    slowly-changing dim picks up updates between batches."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def purchases_enriched(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Purchases enriched with the customer dimension (events.user_id
+    → customer.c_custkey, the catalog's events→customer arc)."""
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return enrich_with_dim(
+        purchases,
+        customer.select("c_custkey", "c_name", "c_mktsegment"),
+        purchases["user_id"] == F.col("c_custkey"),
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("c_name").alias("cust_name"),
+        F.col("c_mktsegment").alias("segment"),
+        "value",
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     """Stateful exactly-once-per-id dedup bounded by the watermark —
     state is dropped once the watermark passes (bounded memory at

@@ -157,3 +157,40 @@ def test_stream_stream_interval_join(spark, events_batch, events_stream):
     got_rows = sorted(tuple(r) for r in got.collect())
     exp_rows = sorted(tuple(r) for r in exp.collect())
     assert got_rows == exp_rows and len(got_rows) > 0
+
+
+def test_stream_static_enrichment(spark, db, events_batch, events_stream):
+    """Stream-static dim join equals the batch join, and the
+    micro-batch plan is a stateless broadcast lookup (no state store
+    operator — bounded memory at any stream rate)."""
+    import uuid
+
+    from htsql_spark import streaming
+
+    name = f"t_enrich_{uuid.uuid4().hex[:8]}"
+    customer = db.table("customer")
+    streaming.run_to_memory(
+        streaming.purchases_enriched(events_stream, customer), name, "append"
+    )
+    got = spark.table(name)
+    exp = (
+        events_batch.filter(F.col("event_type") == "purchase")
+        .join(
+            customer.select("c_custkey", "c_name", "c_mktsegment"),
+            F.col("user_id") == F.col("c_custkey"),
+            "left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("c_name").alias("cust_name"),
+            F.col("c_mktsegment").alias("segment"),
+            "value",
+        )
+    )
+    got_rows = sorted(tuple(r) for r in got.collect())
+    exp_rows = sorted(tuple(r) for r in exp.collect())
+    assert got_rows == exp_rows and len(got_rows) > 0
+    # stateless: the streaming plan must not contain a state store op
+    plan = streaming.purchases_enriched(events_stream, customer)._jdf.queryExecution().analyzed().toString()
+    assert "StateStore" not in plan

@@ -224,3 +224,59 @@ def test_fuzz_text_functions(db, duck, te):
     got = sorted((r["k"], r["v"]) for r in db.df(hq).collect())
     exp = sorted((t[0], t[1]) for t in duck.execute(sql).fetchall())
     assert got == exp, (hq, sql)
+
+
+# -- defined-aggregate memo (compile.resolve_name name_memo) -----------
+# integer-only arithmetic: exact on both engines, so the sieve
+# threshold can never flip on a float summation-order ulp
+
+def _int_expr(depth=1):
+    atom = st.one_of(
+        st.just(("c_custkey", "c_custkey")),
+        st.integers(min_value=-50, max_value=50).map(lambda v: (str(v), str(v))),
+    )
+    if depth == 0:
+        return atom
+    sub = _int_expr(depth - 1)
+    binop = st.tuples(sub, st.sampled_from(["+", "-", "*"]), sub).map(
+        lambda t: (f"({t[0][0]} {t[1]} {t[2][0]})", f"({t[0][1]} {t[1]} {t[2][1]})")
+    )
+    return st.one_of(atom, binop)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    agg=st.sampled_from([("count", "count"), ("sum", "sum"), ("min", "min"), ("max", "max")]),
+    val=_int_expr(1),
+    pred=_predicate(1),
+    lo=st.integers(min_value=-2000, max_value=2000),
+)
+def test_fuzz_defined_aggregate_memo(db, duck, agg, val, pred, lo):
+    """An aggregate-valued define referenced from selection (twice)
+    AND sieve — the name_memo path — vs plain SQL with the aggregate
+    written once.  Any stale-column or missed-lowering bug in the memo
+    shows up as a value or row-set mismatch."""
+    hname, sname = agg
+    if hname == "count":
+        hx = f"count(customer?{pred[0]})"
+        sx = "count(CASE WHEN {p} THEN 1 END)".format(p=pred[1])
+    else:
+        hx = f"{hname}((customer?{pred[0]}){{{val[0]}}})"
+        sx = f"{sname}(CASE WHEN {pred[1]} THEN {val[1]} END)"
+    hq = (
+        f"/nation.define(x := {hx})"
+        f"{{nk := n_nationkey, a := x, b := x + x}}?x >= {lo}"
+    )
+    sql = (
+        f"SELECT nk, a, a + a AS b FROM ("
+        f" SELECT n_nationkey AS nk, {sx} AS a FROM nation"
+        f" LEFT JOIN customer ON c_nationkey = n_nationkey GROUP BY 1)"
+        f" WHERE a >= {lo}"
+    )
+    got = sorted(_normrow((r["nk"], r["a"], r["b"])) for r in db.df(hq).collect())
+    exp = sorted(_normrow(t) for t in duck.execute(sql).fetchall())
+    assert got == exp, (hq, sql)

@@ -1,0 +1,108 @@
+"""Plan-hygiene sweep over the ENTIRE driver contract
+(`__spark_entry__.queries()`): every batch query's physical plan is
+checked against the 100 TB discipline —
+
+* no unbounded cartesian product (1-row broadcast cross joins from
+  fork()/detach are fine: they build BroadcastNestedLoopJoin over a
+  single-row side, bounded by construction; similarity search
+  declares its |query-row| × |corpus| broadcast too),
+* no row-at-a-time Python UDF anywhere; Python reaches the plan only
+  through Arrow (ArrowEvalPython / FlatMapGroupsInPandas /
+  MapInPandas) and only in the operators that declare it,
+* no accidental `.cache()` (InMemoryRelation) — operators must stay
+  stateless so Catalyst sees the whole plan.
+
+A new driver query that violates one of these fails here before it
+ever reaches the driver's bench.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR
+
+#: streaming queries execute a query to a sink first — plan text is
+#: checked by their own tests in test_streaming.py
+SKIP = {name for name in entry_mod.queries() if name.startswith("stream_")}
+
+#: Arrow-batched Python is the declared slow path for these operators
+#: (pandas UDFs over mapInPandas/applyInPandas — never row-at-a-time)
+ARROW_OK = {
+    "op_multimodal",
+    "op_frame_sample",
+    "op_dedup_embedding",
+    "op_ann_bruteforce",
+    "op_ann_lsh",
+    "op_ann_ivf",
+}
+
+#: nested-loop joins bounded by a broadcast single-row / tiny side:
+#: fork()/detach global aggregates, ANN query-row fan-out, theta joins
+NLJ_OK = {
+    "detach",
+    "fork",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q22",
+    "tpch_q6",
+    "tpch_q14",
+    "tpch_q19",
+    "op_ann_bruteforce",
+    "op_ann_lsh",
+    "op_ann_ivf",
+    "op_theta_band",
+    "op_range_join",
+    "op_dedup_minhash",
+    "op_dedup_ngram",
+    "op_dedup_embedding",
+    "op_dedup_pipeline",
+    "op_simhash_pairs",
+    "op_dedup_simhash",
+}
+
+#: declared caches: the minhash candidate-pair table feeds three
+#: consumers and is cache()d on purpose (operators/dedup.py docstring)
+CACHE_OK = {"op_dedup_minhash", "op_dedup_pipeline"}
+
+BATCH = sorted(set(entry_mod.queries()) - SKIP)
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = entry_mod.queries()
+    out = {}
+    for name in BATCH:
+        df = qs[name](spark, SF_DIR)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+@pytest.mark.parametrize("name", BATCH)
+def test_no_unbounded_cartesian(plans, name):
+    plan = plans[name]
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+    if name not in NLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: undeclared nested-loop join\n{plan}"
+        )
+
+
+@pytest.mark.parametrize("name", BATCH)
+def test_no_rowwise_python_udf(plans, name):
+    plan = plans[name]
+    # BatchEvalPython = row-at-a-time Python UDF (pickled row loop);
+    # ArrowEvalPython / *InPandas are the sanctioned Arrow path
+    assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF\n{plan}"
+    if name not in ARROW_OK:
+        for marker in ("ArrowEvalPython", "InPandas"):
+            assert marker not in plan, f"{name}: undeclared Python stage\n{plan}"
+
+
+@pytest.mark.parametrize("name", [n for n in BATCH if n not in CACHE_OK])
+def test_no_hidden_caching(plans, name):
+    assert "InMemoryRelation" not in plans[name], f"{name}: hidden cache"

@@ -708,8 +708,64 @@ def _op_frame_sample(spark, sf_dir):
     return multimodal.frame_sample_plan(assets, every_n=10)
 
 
+def _op_split(spark, sf_dir):
+    """Deterministic train/valid/test assignment by md5(doc_id|salt)."""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.hash_split(
+        _db(spark, sf_dir).table("documents"), "doc_id"
+    ).select("doc_id", "split")
+
+
+def _op_sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic Bernoulli sample (50% en, 20% de)."""
+    from htsql_spark.operators import pipeline
+
+    docs = _db(spark, sf_dir).table("documents")
+    return pipeline.stratified_sample(
+        docs, "doc_id", {"en": 0.5, "de": 0.2}, strata="lang"
+    ).select("doc_id", "lang", "source")
+
+
+def _op_sample_group(spark, sf_dir):
+    """Deterministic reservoir: exactly 3 docs per source."""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.sample_n_per_group(
+        _db(spark, sf_dir).table("documents"), "source", 3, key="doc_id"
+    ).select("doc_id", "source")
+
+
+def _op_chunk(spark, sf_dir):
+    """Sliding-window token chunker (32-token chunks, 8 overlap)."""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.chunk_documents(_db(spark, sf_dir).table("documents"))
+
+
+def _op_tfidf(spark, sf_dir):
+    """Top-3 tf·idf terms per document."""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.tfidf_top_terms(_db(spark, sf_dir).table("documents"), k=3)
+
+
+def _op_pii(spark, sf_dir):
+    """Email/phone redaction with per-doc counts (no-op on this corpus
+    by construction — planted-PII behavior locked in tests)."""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.redact_pii(_db(spark, sf_dir).table("documents"))
+
+
 _QUERIES.update(
     {
+        "op_split": _op_split,
+        "op_sample_stratified": _op_sample_stratified,
+        "op_sample_group": _op_sample_group,
+        "op_chunk": _op_chunk,
+        "op_tfidf": _op_tfidf,
+        "op_pii": _op_pii,
         "op_text_stats": _op_text_stats,
         "op_dedup_exact": _op_dedup_exact,
         "op_dedup_minhash": _op_dedup_minhash,
@@ -1251,6 +1307,12 @@ def oracle_sql() -> dict[str, str]:
         # LSH internals are not SQL-expressible in DuckDB → rows-only
         # checks; exactness is covered by planted-duplicate tests in
         # tests/test_operators.py
+        "op_split": _SPLIT_SQL,
+        "op_sample_stratified": _SAMPLE_STRAT_SQL,
+        "op_sample_group": _SAMPLE_GROUP_SQL,
+        "op_chunk": _CHUNK_SQL,
+        "op_tfidf": _TFIDF_SQL,
+        "op_pii": _PII_SQL,
     }
 
 
@@ -1295,4 +1357,103 @@ SELECT doc_id,
        ELSE 'und' END AS lang_guess,
   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM q
+"""
+
+
+# ----------------------------------------------------------------------
+# training-pipeline oracle SQL (op_split / samples / chunk / tfidf / pii)
+# — thresholds and regexes imported from the operator module so both
+# sides stay byte-identical
+# ----------------------------------------------------------------------
+from htsql_spark.operators.pipeline import EMAIL_RE as _EMAIL_RE  # noqa: E402
+from htsql_spark.operators.pipeline import PHONE_RE as _PHONE_RE  # noqa: E402
+from htsql_spark.operators.pipeline import frac_hex as _fh  # noqa: E402
+
+_SPLIT_W = {"train": 0.9, "valid": 0.05, "test": 0.05}
+
+
+def _split_thresholds() -> list[str]:
+    # replicate hash_split's cumulative float math exactly
+    total = sum(_SPLIT_W.values())
+    out, cum = [], 0.0
+    for name in list(_SPLIT_W)[:-1]:
+        cum += _SPLIT_W[name] / total
+        out.append(_fh(cum))
+    return out
+
+
+_T_TRAIN, _T_VALID = _split_thresholds()
+_H = "substr(md5(CAST(doc_id AS VARCHAR) || '|{salt}'), 1, 8)"
+_H_SPLIT = _H.format(salt="split")
+_H_SAMPLE = _H.format(salt="sample")
+
+_SPLIT_SQL = f"""
+SELECT doc_id,
+  CASE WHEN {_H_SPLIT} < '{_T_TRAIN}' THEN 'train'
+       WHEN {_H_SPLIT} < '{_T_VALID}' THEN 'valid'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+_SAMPLE_STRAT_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE (lang = 'en' AND {_H_SAMPLE} < '{_fh(0.5)}')
+   OR (lang = 'de' AND {_H_SAMPLE} < '{_fh(0.2)}')
+"""
+
+_SAMPLE_GROUP_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY {_H_SAMPLE}, doc_id) AS rk
+  FROM documents)
+WHERE rk <= 3
+"""
+
+_CHUNK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+    unnest(generate_series(1, greatest(len(toks), 1), 24)) AS st
+  FROM t
+)
+SELECT doc_id,
+  CAST((st - 1) // 24 AS INTEGER) AS chunk_idx,
+  CAST(st AS INTEGER) AS start_token,
+  CAST(least(32, len(toks) - st + 1) AS INTEGER) AS n_tokens,
+  md5(array_to_string(list_slice(toks, st, st + 31), ' ')) AS chunk_md5
+FROM s
+"""
+
+_TFIDF_SQL = r"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), t2 AS (
+  SELECT * FROM terms WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2
+), dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, tf,
+    round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS INTEGER) AS tf, tfidf FROM r WHERE rk <= 3
+"""
+
+_PII_SQL = f"""
+SELECT doc_id,
+  CAST(length(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+  CAST(length(regexp_extract_all(text, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+  md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+      '{_PHONE_RE}', '[PHONE]', 'g')) AS clean_md5
+FROM documents
 """

@@ -1,0 +1,202 @@
+"""Training-data pipeline operators: deterministic splits and samples,
+document chunking, TF-IDF term scoring, and PII redaction.
+
+All operators are pure built-in-function DataFrame transforms (no
+Python UDFs) so they stay inside whole-stage codegen; the split and
+sample family is shuffle-free (a narrow filter over an md5 prefix),
+which is what makes them usable as the first stage of a 100 TB
+pipeline: the decision for each row is a pure function of (key, salt),
+reproducible across runs, engines, and cluster sizes.
+
+Determinism contract: `md5(key || '|' || salt)` is the only source of
+randomness.  Its first 8 hex chars are uniform over [0, 16^8); split
+thresholds are precomputed hex strings compared lexicographically
+(lowercase hex of equal length orders identically to the underlying
+integer in both Spark and DuckDB), so the same row lands in the same
+split everywhere.
+
+Reference parity note: the HTSQL reference (htsql 2.3.3) has no
+sampling/chunking layer — these are beyond-reference operators for the
+LLM-training use case, same contract style as operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16**8
+
+
+def frac_hex(fraction: float) -> str:
+    """Lowercase 8-hex-char threshold such that a uniform 8-hex prefix
+    is < threshold with probability `fraction`."""
+    n = min(max(int(fraction * _HEX_SPACE), 0), _HEX_SPACE)
+    # 'g' sorts above 'f', so the full space needs one extra char
+    return "g" if n >= _HEX_SPACE else format(n, "08x")
+
+
+def _hash_prefix(key: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat_ws("|", key.cast("string"), F.lit(salt))), 1, 8)
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/valid/test by default)
+    by hashing `key`.  Narrow (no shuffle, no action): each task decides
+    its own rows, so this scales linearly and is partition-layout
+    independent."""
+    weights = weights or {"train": 0.9, "valid": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    prefix = _hash_prefix(F.col(key), salt)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = prefix < F.lit(frac_hex(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    fractions: float | dict[str, float],
+    strata: str | None = None,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep a row iff its hash
+    fraction falls below the (per-stratum) threshold.  With a dict of
+    `fractions`, `strata` picks the column whose value selects the
+    rate (unlisted strata are dropped).  Shuffle-free."""
+    prefix = _hash_prefix(F.col(key), salt)
+    if isinstance(fractions, dict):
+        if strata is None:
+            raise ValueError("per-stratum fractions require a strata column")
+        cond = F.lit(False)
+        for value, frac in fractions.items():
+            cond = cond | (
+                (F.col(strata) == F.lit(value)) & (prefix < F.lit(frac_hex(frac)))
+            )
+    else:
+        cond = prefix < F.lit(frac_hex(float(fractions)))
+    return df.filter(cond)
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    group: str | list[str],
+    n: int,
+    key: str,
+    salt: str = "sample",
+) -> DataFrame:
+    """Exactly min(n, |group|) rows per group, chosen by hash order —
+    a deterministic reservoir sample.  One hash-partition shuffle on
+    the group key (AQE splits skewed strata); the md5 rank is unique
+    per key so ties cannot occur."""
+    group_cols = [group] if isinstance(group, str) else list(group)
+    w = Window.partitionBy(*group_cols).orderBy(_hash_prefix(F.col(key), salt), key)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into whitespace-token windows of
+    `chunk_tokens` tokens advancing by `chunk_tokens - overlap` —
+    the standard sliding-window chunker for embedding/training corpora.
+
+    Pure generate-and-slice (split → sequence → explode → slice →
+    array_join): narrow, no shuffle, no UDF; output rows ≈
+    n_tokens/step per doc, produced task-locally so a 100 TB corpus
+    chunks at scan speed."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    exploded = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(step))).alias(
+            "__start"
+        ),
+    )
+    piece = F.slice(F.col("__toks"), F.col("__start"), F.lit(chunk_tokens))
+    return exploded.select(
+        F.col(id_col),
+        F.floor((F.col("__start") - 1) / step).cast("int").alias("chunk_idx"),
+        F.col("__start").cast("int").alias("start_token"),
+        F.size(piece).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k terms per document by tf·idf (idf = ln(N/df)).
+
+    Plan shape: one explode + two hash aggregations (term counts are
+    map-side combined) + a join on term.  The per-term document
+    frequency table is vocabulary-sized — tiny next to the corpus —
+    so it is broadcast; N arrives as a broadcast single-row aggregate,
+    never a driver-side count."""
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_t = terms.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(id_col, "term", F.col("tf").cast("int").alias("tf"), "tfidf")
+    )
+
+
+#: portable (Java regex ∩ RE2) patterns — keep in sync with the oracle
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9() .-]{6,}[0-9]"
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Replace email addresses and phone-number-shaped digit runs with
+    typed placeholders, reporting per-doc redaction counts.  Pure
+    regexp_replace/regexp_count — codegen'd, narrow, scan-speed."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+        F.md5(clean).alias("clean_md5"),
+    )

@@ -1,0 +1,157 @@
+"""Training-pipeline operators (operators/pipeline.py): planted-data
+behavior plus the scale properties the module advertises — the
+split/sample/chunk family must be shuffle-free narrow plans, and the
+deterministic-hash contract must hold across repeated runs."""
+
+import hashlib
+import math
+
+import pytest
+
+from htsql_spark.operators import pipeline
+
+
+@pytest.fixture(scope="module")
+def docs(db):
+    return db.table("documents")
+
+
+# ---------------------------------------------------------------- split
+def test_hash_split_partitions_totally(docs):
+    out = pipeline.hash_split(docs, "doc_id")
+    counts = dict(
+        (r["split"], r["n"])
+        for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()
+    )
+    total = docs.count()
+    assert sum(counts.values()) == total  # disjoint + total
+    assert counts["train"] / total == pytest.approx(0.9, abs=0.05)
+    assert counts["valid"] / total == pytest.approx(0.05, abs=0.03)
+    assert counts["test"] / total == pytest.approx(0.05, abs=0.03)
+
+
+def test_hash_split_deterministic(docs):
+    a = pipeline.hash_split(docs, "doc_id").select("doc_id", "split")
+    b = pipeline.hash_split(docs, "doc_id").select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_hash_split_salt_changes_assignment(docs):
+    a = pipeline.hash_split(docs, "doc_id", salt="s1").select("doc_id", "split")
+    b = pipeline.hash_split(docs, "doc_id", salt="s2").select("doc_id", "split")
+    assert a.exceptAll(b).count() > 0
+
+
+# -------------------------------------------------------------- samples
+def test_stratified_sample_scalar_fraction(docs):
+    kept = pipeline.stratified_sample(docs, "doc_id", 0.3).count()
+    assert kept / docs.count() == pytest.approx(0.3, abs=0.08)
+
+
+def test_stratified_sample_per_stratum(docs):
+    out = pipeline.stratified_sample(
+        docs, "doc_id", {"en": 1.0, "de": 0.0, "zh": 0.5}, strata="lang"
+    )
+    by_lang = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    n_en = docs.filter("lang = 'en'").count()
+    n_zh = docs.filter("lang = 'zh'").count()
+    assert by_lang.get("en") == n_en  # fraction 1.0 keeps everything
+    assert "de" in {"de": by_lang.get("de")} and by_lang.get("de") is None  # dropped
+    assert "es" not in by_lang and "fr" not in by_lang  # unlisted strata dropped
+    assert by_lang.get("zh", 0) / n_zh == pytest.approx(0.5, abs=0.2)
+
+
+def test_sample_n_per_group_exact_counts(docs):
+    out = pipeline.sample_n_per_group(docs, "source", 3, key="doc_id")
+    sizes = [r["count"] for r in out.groupBy("source").count().collect()]
+    assert sizes and all(s == 3 for s in sizes)
+    # sampled rows are a subset of the input
+    assert out.join(docs, "doc_id", "left_anti").count() == 0
+
+
+# ------------------------------------------------------------- chunking
+def test_chunk_documents_planted(spark):
+    words = [f"w{i}" for i in range(50)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    out = pipeline.chunk_documents(df, chunk_tokens=10, overlap=2).collect()
+    # step 8 → starts 1,9,17,25,33,41,49
+    assert [r["start_token"] for r in out] == [1, 9, 17, 25, 33, 41, 49]
+    assert [r["chunk_idx"] for r in out] == list(range(7))
+    assert [r["n_tokens"] for r in out] == [10, 10, 10, 10, 10, 10, 2]
+    for r in out:
+        s = r["start_token"] - 1
+        expected = " ".join(words[s : s + 10])
+        assert r["chunk_md5"] == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_chunk_documents_empty_text(spark):
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    out = pipeline.chunk_documents(df).collect()
+    assert len(out) == 1 and out[0]["n_tokens"] == 1  # [''] degenerate token
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pipeline.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+# --------------------------------------------------------------- tf·idf
+def test_tfidf_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = pipeline.tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: (r["term"], r["tfidf"]) for r in out}
+    # doc 1: apple tf=2 df=1 → 2·ln(3); banana tf=1 df=2 → ln(1.5)
+    assert top[1][0] == "apple"
+    assert top[1][1] == pytest.approx(round(2 * math.log(3), 6))
+    # doc 3: cherry tf=3 df=2 → 3·ln(1.5)=1.216... beats date ln(3)=1.098
+    assert top[3][0] == "cherry"
+    assert top[3][1] == pytest.approx(round(3 * math.log(1.5), 6))
+
+
+# ------------------------------------------------------------------ PII
+def test_redact_pii_planted(spark):
+    text = "mail me at jo.doe+x@exa-mple.org or call +1 (555) 123-4567 now"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = pipeline.redact_pii(df).collect()[0]
+    assert row["n_emails"] == 1 and row["n_phones"] == 1
+    clean = "mail me at [EMAIL] or call [PHONE] now"
+    assert row["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+
+
+def test_redact_pii_clean_text_untouched(spark):
+    df = spark.createDataFrame([(1, "no contact info here")], "doc_id long, text string")
+    row = pipeline.redact_pii(df).collect()[0]
+    assert row["n_emails"] == 0 and row["n_phones"] == 0
+    assert row["clean_md5"] == hashlib.md5(b"no contact info here").hexdigest()
+
+
+# ------------------------------------------------------------ plan shape
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_split_and_sample_are_shuffle_free(docs):
+    for df in (
+        pipeline.hash_split(docs, "doc_id"),
+        pipeline.stratified_sample(docs, "doc_id", 0.25),
+        pipeline.chunk_documents(docs),
+        pipeline.redact_pii(docs),
+    ):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan  # narrow: no shuffle at any scale
+        assert "Python" not in plan and "InPandas" not in plan  # codegen only
+
+
+def test_chunk_prunes_scan_columns(docs):
+    plan = _plan(pipeline.chunk_documents(docs))
+    assert "ReadSchema" in plan
+    read = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "text" in read and "source" not in read  # column pruning reaches the scan

@@ -63,6 +63,8 @@ NLJ_OK = {
     "op_dedup_pipeline",
     "op_simhash_pairs",
     "op_dedup_simhash",
+    # tf·idf joins a broadcast single-row corpus-count aggregate
+    "op_tfidf",
 }
 
 #: declared caches: the minhash candidate-pair table feeds three

@@ -758,8 +758,32 @@ def _op_pii(spark, sf_dir):
     return pipeline.redact_pii(_db(spark, sf_dir).table("documents"))
 
 
+def _op_curate(spark, sf_dir):
+    """End-to-end curation: quality gate -> dedup survivors -> split."""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.curate_corpus(_db(spark, sf_dir).table("documents"))
+
+
+def _op_centroids(spark, sf_dir):
+    """Per-label embedding centroids, long-form (label, dim, value)."""
+    from htsql_spark.operators import similarity
+
+    return similarity.centroids(_db(spark, sf_dir).table("embeddings"))
+
+
+def _op_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization with per-vector scale."""
+    from htsql_spark.operators import similarity
+
+    return similarity.quantize_int8(_db(spark, sf_dir).table("embeddings"))
+
+
 _QUERIES.update(
     {
+        "op_curate": _op_curate,
+        "op_centroids": _op_centroids,
+        "op_quantize": _op_quantize,
         "op_split": _op_split,
         "op_sample_stratified": _op_sample_stratified,
         "op_sample_group": _op_sample_group,
@@ -1307,6 +1331,9 @@ def oracle_sql() -> dict[str, str]:
         # LSH internals are not SQL-expressible in DuckDB → rows-only
         # checks; exactness is covered by planted-duplicate tests in
         # tests/test_operators.py
+        "op_curate": _CURATE_SQL,
+        "op_centroids": _CENTROIDS_SQL,
+        "op_quantize": _QUANTIZE_SQL,
         "op_split": _SPLIT_SQL,
         "op_sample_stratified": _SAMPLE_STRAT_SQL,
         "op_sample_group": _SAMPLE_GROUP_SQL,
@@ -1456,4 +1483,59 @@ SELECT doc_id,
   md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
       '{_PHONE_RE}', '[PHONE]', 'g')) AS clean_md5
 FROM documents
+"""
+
+_CURATE_SQL = f"""
+WITH s AS (
+  SELECT doc_id, text, length(text) AS chars,
+    CASE WHEN length(text) > 0
+      THEN length(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+      ELSE 0.0 END AS praw,
+    length(string_split_regex(trim(text), '\\s+')) AS words,
+    length(regexp_extract_all(lower(text), '{_EN}')) AS en_n
+  FROM documents
+), q AS (
+  SELECT doc_id, text,
+    round((least(chars / 500.0, 1.0) + greatest(0.0, 1.0 - praw * 4)
+           + least(CASE WHEN words > 0 THEN en_n * 1.0 / words
+                   ELSE 0.0 END * 5, 1.0)) / 3, 6) AS quality
+  FROM s
+), f AS (
+  SELECT doc_id, quality,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM q WHERE quality >= 0.5
+), k AS (
+  SELECT doc_id, quality, min(doc_id) OVER (PARTITION BY fp) AS m FROM f
+)
+SELECT doc_id, quality,
+  CASE WHEN {_H_SPLIT} < '{_T_TRAIN}' THEN 'train'
+       WHEN {_H_SPLIT} < '{_T_VALID}' THEN 'valid'
+       ELSE 'test' END AS split
+FROM k WHERE doc_id = m
+"""
+
+_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT label,
+    unnest(range(len(embedding))) AS dim,
+    unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label, CAST(dim AS INTEGER) AS dim,
+  round(avg(CAST(v AS DOUBLE)), 6) AS centroid
+FROM e GROUP BY label, dim
+"""
+
+_QUANTIZE_SQL = """
+WITH m AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+    list_aggregate(list_transform(embedding,
+      x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+  FROM embeddings
+)
+SELECT vec_id, round(mx, 6) AS scale,
+  md5(array_to_string(list_transform(emb,
+    x -> CAST(round(x * 127 / mx) AS INTEGER)), ',')) AS quant_md5
+FROM m
 """

@@ -57,6 +57,10 @@ HEADLINE = [
     "op_dedup_minhash",
     "op_text_stats",
     "op_ann_bruteforce",
+    "op_curate",
+    "op_chunk",
+    "op_tfidf",
+    "op_quantize",
 ]
 
 

@@ -179,6 +179,35 @@ def tfidf_top_terms(
     )
 
 
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """End-to-end corpus curation: quality gate → exact-dedup
+    survivors → deterministic split assignment.  The composition a
+    training-data job actually runs, as one Catalyst plan.
+
+    Stage costs at scale: the quality gate is a narrow codegen'd
+    filter applied AT THE SCAN (cheap rows die before any shuffle);
+    the survivor pick is the single shuffle (hash-partition on the
+    md5 fingerprint — uniform by construction, no skew); the split
+    is narrow again.  One shuffle total for the whole pipeline."""
+    from .textstats import fingerprint, quality_score
+
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id", quality_score(t).alias("quality"), fingerprint(t).alias("fp")
+    ).filter(F.col("quality") >= min_quality)
+    w = Window.partitionBy("fp")
+    survivors = (
+        scored.withColumn("__keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep", "fp")
+    )
+    return hash_split(survivors, "doc_id", weights)
+
+
 #: portable (Java regex ∩ RE2) patterns — keep in sync with the oracle
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?[0-9][0-9() .-]{6,}[0-9]"

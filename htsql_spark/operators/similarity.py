@@ -154,3 +154,34 @@ def topk_ivf(
         F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos"),
     )
     return scored.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)
+
+
+def centroids(embs: DataFrame, label_col: str = "label") -> DataFrame:
+    """Per-label element-wise mean vector, emitted long-form as
+    (label, dim, centroid) — the k-means-update / class-prototype
+    primitive.  posexplode → one map-side-combined hash aggregation on
+    (label, dim): at 100 TB the shuffle payload is |labels|·dims
+    partial sums, not the vectors."""
+    e = embs.select(label_col, F.posexplode("embedding").alias("dim", "v"))
+    return (
+        e.groupBy(label_col, "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+        .select(F.col(label_col), F.col("dim").cast("int").alias("dim"), "centroid")
+    )
+
+
+def quantize_int8(embs: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization: q_i = round(127·x_i / max|x|),
+    per-vector scale.  Pure array algebra (transform/array_max) —
+    narrow, codegen'd, no shuffle; the 4× size cut is what a 100 TB
+    embedding store ships to ANN serving.  Zero vectors are undefined
+    (scale 0 → division by zero), matching standard quantizer
+    contracts."""
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(as_double, F.abs))
+    q = F.transform(as_double, lambda x: F.round(x * 127 / mx).cast("int"))
+    return embs.select(
+        F.col("vec_id"),
+        F.round(mx, 6).alias("scale"),
+        F.md5(F.array_join(q, ",")).alias("quant_md5"),
+    )

@@ -155,3 +155,53 @@ def test_chunk_prunes_scan_columns(docs):
     assert "ReadSchema" in plan
     read = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "text" in read and "source" not in read  # column pruning reaches the scan
+
+
+# ------------------------------------------------------------- curation
+def test_curate_corpus_planted(spark):
+    good = ("the cat and the dog went to the market and it was good " * 8).strip()
+    df = spark.createDataFrame(
+        [(1, good), (2, good), (3, "zz")],  # 2 clones, 1 junk
+        "doc_id long, text string",
+    )
+    out = pipeline.curate_corpus(df, min_quality=0.5).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1]  # clone 2 deduped (min doc_id wins), junk 3 quality-gated
+    assert out[0]["split"] in ("train", "valid", "test")
+    assert out[0]["quality"] >= 0.5
+
+
+def test_curate_one_shuffle_total(db):
+    plan = _plan(pipeline.curate_corpus(db.table("documents")))
+    # quality gate + split are narrow; the fingerprint window is the
+    # single Exchange in the whole pipeline
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ------------------------------------------------- embedding utilities
+def test_centroids_planted(spark):
+    from htsql_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], 0),
+            (2, [3.0, 6.0], 0),
+            (3, [10.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {(r["label"], r["dim"]): r["centroid"] for r in similarity.centroids(df).collect()}
+    assert out == {(0, 0): 2.0, (0, 1): 4.0, (1, 0): 10.0, (1, 1): 0.0}
+
+
+def test_quantize_int8_planted(spark):
+    import hashlib
+
+    from htsql_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25])], "vec_id long, embedding array<float>"
+    )
+    row = similarity.quantize_int8(df).collect()[0]
+    assert row["scale"] == 1.0
+    assert row["quant_md5"] == hashlib.md5(b"127,-64,32").hexdigest()

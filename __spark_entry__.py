@@ -779,8 +779,34 @@ def _op_quantize(spark, sf_dir):
     return similarity.quantize_int8(_db(spark, sf_dir).table("embeddings"))
 
 
+def _op_funnel(spark, sf_dir):
+    """Strict-sequence view->click->purchase funnel over events."""
+    from htsql_spark.operators import analytics
+
+    return analytics.funnel(
+        _db(spark, sf_dir).table("events"), ["view", "click", "purchase"]
+    )
+
+
+def _op_retention(spark, sf_dir):
+    """Weekly first-touch cohort retention matrix."""
+    from htsql_spark.operators import analytics
+
+    return analytics.retention(_db(spark, sf_dir).table("events"))
+
+
+def _op_transitions(spark, sf_dir):
+    """Next-event transition (Markov) counts per user timeline."""
+    from htsql_spark.operators import analytics
+
+    return analytics.transitions(_db(spark, sf_dir).table("events"))
+
+
 _QUERIES.update(
     {
+        "op_funnel": _op_funnel,
+        "op_retention": _op_retention,
+        "op_transitions": _op_transitions,
         "op_curate": _op_curate,
         "op_centroids": _op_centroids,
         "op_quantize": _op_quantize,
@@ -1331,6 +1357,9 @@ def oracle_sql() -> dict[str, str]:
         # LSH internals are not SQL-expressible in DuckDB → rows-only
         # checks; exactness is covered by planted-duplicate tests in
         # tests/test_operators.py
+        "op_funnel": _FUNNEL_SQL,
+        "op_retention": _RETENTION_SQL,
+        "op_transitions": _TRANSITIONS_SQL,
         "op_curate": _CURATE_SQL,
         "op_centroids": _CENTROIDS_SQL,
         "op_quantize": _QUANTIZE_SQL,
@@ -1538,4 +1567,47 @@ SELECT vec_id, round(mx, 6) AS scale,
   md5(array_to_string(list_transform(emb,
     x -> CAST(round(x * 127 / mx) AS INTEGER)), ',')) AS quant_md5
 FROM m
+"""
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+)
+SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type,
+       (SELECT count(*) FROM s1) AS users
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+"""
+
+_RETENTION_SQL = """
+WITH f AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1
+), a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS aw
+  FROM events
+)
+SELECT cohort_week,
+  CAST(date_diff('day', cohort_week, aw) // 7 AS INTEGER) AS week_offset,
+  count(DISTINCT a.user_id) AS users
+FROM a JOIN f USING (user_id) GROUP BY 1, 2
+"""
+
+_TRANSITIONS_SQL = """
+WITH t AS (
+  SELECT event_type, lead(event_type) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, count(*) AS n
+FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2
 """

@@ -61,6 +61,9 @@ HEADLINE = [
     "op_chunk",
     "op_tfidf",
     "op_quantize",
+    "op_funnel",
+    "op_retention",
+    "op_transitions",
 ]
 
 

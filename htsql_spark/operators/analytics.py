@@ -1,0 +1,119 @@
+"""Product-analytics operators over the ``events`` table: sequential
+funnels, cohort retention, and event-transition paths.
+
+The reference (htsql 2.3.3) serves exactly this workload — app-database
+analytics over users/events — but leaves multi-step sequence logic to
+hand-written SQL; here they are first-class operators with Spark-first
+plans:
+
+* ``funnel`` — one shuffle total: events collapse to one row per user
+  (collect_list of the step-relevant (ts, type) pairs only), then the
+  strict-ordering walk runs as JVM array algebra (filter/transform/
+  array_min) inside codegen.  State per user is bounded by that user's
+  step-event count, not the stream; no self-joins over the fact table.
+* ``retention`` — two aggregations sharing the user_id partitioning
+  (first-touch cohort + distinct active weeks) joined on user_id; AQE
+  broadcasts the cohort side when small.
+* ``transitions`` — a lead() window per user then a map-side-combined
+  count; the classic next-event Markov matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strict-sequence funnel: a user reaches step k iff an event of
+    type ``steps[k]`` occurs strictly after their earliest qualifying
+    step-(k-1) event.  Returns (step, event_type, users) — one row per
+    step with the count of users reaching it."""
+    per_user = (
+        events.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col),
+            F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")).alias("e"),
+        )
+        .groupBy(user_col)
+        .agg(F.collect_list("e").alias("a"))
+    )
+
+    def first_after(prev: Column | None, step: str) -> Column:
+        def match(x):
+            hit = x["et"] == step
+            return hit if prev is None else hit & (x["ts"] > prev)
+
+        return F.array_min(F.transform(F.filter(F.col("a"), match), lambda x: x["ts"]))
+
+    prev = None
+    for i, s in enumerate(steps):
+        per_user = per_user.withColumn(f"__t{i}", first_after(prev, s))
+        prev = F.col(f"__t{i}")
+    counts = per_user.agg(
+        *[F.count(f"__t{i}").alias(f"__c{i}") for i in range(len(steps))]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("event_type"),
+                F.col(f"__c{i}").alias("users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def retention(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-touch week,
+    counted in each subsequent week they were active.  Returns
+    (cohort_week, week_offset, users)."""
+    first = events.groupBy(user_col).agg(F.min(ts_col).alias("__f"))
+    cohort = first.select(
+        user_col, F.date_trunc("week", F.col("__f")).cast("date").alias("cohort_week")
+    )
+    active = events.select(
+        user_col, F.date_trunc("week", F.col(ts_col)).cast("date").alias("__aw")
+    ).distinct()
+    return (
+        active.join(cohort, user_col)
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("__aw"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct(user_col).alias("users"))
+    )
+
+
+def transitions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Next-event transition counts per ordered user timeline —
+    (event_type, next_type, n).  The (ts, event_id) sort key makes the
+    sequence total and the result deterministic."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    nxt = F.lead(type_col).over(w)
+    return (
+        events.withColumn("__next", nxt)
+        .filter(F.col("__next").isNotNull())
+        .groupBy(F.col(type_col), F.col("__next").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )

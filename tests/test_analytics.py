@@ -1,0 +1,109 @@
+"""Product-analytics operators (operators/analytics.py): planted
+timelines with hand-computed expectations, plus the strictness rules
+the funnel docstring promises."""
+
+import datetime as dt
+
+import pytest
+
+from htsql_spark.operators import analytics
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, u, t, 0.0, "{}") for i, (ts, u, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _t(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_funnel_planted(spark):
+    ev = _ev(
+        spark,
+        [
+            # user 1: full ordered funnel
+            (_t(0), 1, "view"),
+            (_t(1), 1, "click"),
+            (_t(2), 1, "purchase"),
+            # user 2: purchase BEFORE click → reaches click, not purchase
+            (_t(0), 2, "view"),
+            (_t(1), 2, "purchase"),
+            (_t(2), 2, "click"),
+            # user 3: never views → reaches nothing
+            (_t(0), 3, "click"),
+            (_t(1), 3, "purchase"),
+        ],
+    )
+    out = {r["step"]: r["users"] for r in analytics.funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out == {1: 2, 2: 2, 3: 1}
+
+
+def test_funnel_strict_ordering_excludes_ties(spark):
+    ev = _ev(spark, [(_t(0), 1, "view"), (_t(0), 1, "click")])
+    out = {r["step"]: r["users"] for r in analytics.funnel(ev, ["view", "click"]).collect()}
+    assert out == {1: 1, 2: 0}  # simultaneous click does NOT count
+
+
+def test_funnel_earliest_anchor_not_any(spark):
+    # click sits between the user's two views: anchored to the EARLIEST
+    # view, it still counts
+    ev = _ev(spark, [(_t(0), 1, "view"), (_t(1), 1, "click"), (_t(2), 1, "view")])
+    out = {r["step"]: r["users"] for r in analytics.funnel(ev, ["view", "click"]).collect()}
+    assert out == {1: 1, 2: 1}
+
+
+def test_retention_planted(spark):
+    ev = _ev(
+        spark,
+        [
+            (T0, 1, "view"),                            # week 0
+            (T0 + dt.timedelta(days=15), 1, "click"),   # week 2
+            (T0 + dt.timedelta(days=7), 2, "view"),     # first touch week 1
+        ],
+    )
+    rows = {
+        (r["cohort_week"].isoformat(), r["week_offset"]): r["users"]
+        for r in analytics.retention(ev).collect()
+    }
+    assert rows == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_transitions_planted(spark):
+    ev = _ev(
+        spark,
+        [
+            (_t(0), 1, "view"),
+            (_t(1), 1, "click"),
+            (_t(2), 1, "view"),
+            (_t(0), 2, "view"),
+            (_t(1), 2, "click"),
+        ],
+    )
+    out = {
+        (r["event_type"], r["next_type"]): r["n"]
+        for r in analytics.transitions(ev).collect()
+    }
+    assert out == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_funnel_single_shuffle(db):
+    plan = (
+        analytics.funnel(db.table("events"), ["view", "click", "purchase"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one hash-partition exchange (per-user collapse); the final
+    # single-row agg exchanges a constant-size partial
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -802,8 +802,16 @@ def _op_transitions(spark, sf_dir):
     return analytics.transitions(_db(spark, sf_dir).table("events"))
 
 
+def _op_sessionize(spark, sf_dir):
+    """Batch gaps-and-islands sessionization (30-minute gap)."""
+    from htsql_spark.operators import analytics
+
+    return analytics.sessionize(_db(spark, sf_dir).table("events"))
+
+
 _QUERIES.update(
     {
+        "op_sessionize": _op_sessionize,
         "op_funnel": _op_funnel,
         "op_retention": _op_retention,
         "op_transitions": _op_transitions,
@@ -1357,6 +1365,7 @@ def oracle_sql() -> dict[str, str]:
         # LSH internals are not SQL-expressible in DuckDB → rows-only
         # checks; exactness is covered by planted-duplicate tests in
         # tests/test_operators.py
+        "op_sessionize": _SESSIONIZE_SQL,
         "op_funnel": _FUNNEL_SQL,
         "op_retention": _RETENTION_SQL,
         "op_transitions": _TRANSITIONS_SQL,
@@ -1610,4 +1619,25 @@ WITH t AS (
 )
 SELECT event_type, next_type, count(*) AS n
 FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2
+"""
+
+_SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(brk) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, CAST(sid - 1 AS INTEGER) AS session_id,
+  min(ts) AS session_start, count(*) AS n_events,
+  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
+  round(sum(value), 6) AS value_sum
+FROM s GROUP BY 1, 2
 """

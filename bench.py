@@ -64,6 +64,7 @@ HEADLINE = [
     "op_funnel",
     "op_retention",
     "op_transitions",
+    "op_sessionize",
 ]
 
 

@@ -117,3 +117,42 @@ def transitions(
         .groupBy(F.col(type_col), F.col("__next").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Batch gaps-and-islands sessionization: a new session starts when
+    the gap to the previous event exceeds ``gap_minutes``.  Returns one
+    row per (user, session) with start, size, exact microsecond
+    duration, and value sum.  All arithmetic is integer microseconds
+    (unix_micros) so session boundaries are bit-exact and portable.
+
+    Two windows + one aggregation, all sharing the user_id
+    partitioning — one shuffle total at any scale."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    # engine timestamps are NTZ; the session runs UTC (engine.get_spark)
+    # so the cast is value-preserving and unix_micros == DuckDB epoch_us
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    brk = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    cum = F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        events.withColumn("__brk", brk)
+        .withColumn("__sid", cum)
+        .groupBy(
+            F.col(user_col), (F.col("__sid") - 1).cast("int").alias("session_id")
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.count("*").alias("n_events"),
+            (F.max(us) - F.min(us)).alias("duration_us"),
+            F.round(F.sum(value_col), 6).alias("value_sum"),
+        )
+    )

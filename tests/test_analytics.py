@@ -107,3 +107,31 @@ def test_funnel_single_shuffle(db):
     # one hash-partition exchange (per-user collapse); the final
     # single-row agg exchanges a constant-size partial
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_sessionize_planted(spark):
+    ev = _ev(
+        spark,
+        [
+            (_t(0), 1, "view"),      # session 0
+            (_t(10), 1, "click"),    # same session (10 min gap)
+            (_t(50), 1, "view"),     # 40 min gap → session 1
+            (_t(0), 2, "view"),      # user 2, session 0
+        ],
+    )
+    rows = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["duration_us"])
+        for r in analytics.sessionize(ev, gap_minutes=30).collect()
+    }
+    assert rows == {
+        (1, 0): (2, 10 * 60 * 1_000_000),
+        (1, 1): (1, 0),
+        (2, 0): (1, 0),
+    }
+
+
+def test_sessionize_boundary_gap_is_same_session(spark):
+    # gap of EXACTLY 30 min does not break (strict > rule)
+    ev = _ev(spark, [(_t(0), 1, "view"), (_t(30), 1, "click")])
+    rows = analytics.sessionize(ev, gap_minutes=30).collect()
+    assert len(rows) == 1 and rows[0]["n_events"] == 2

@@ -28,32 +28,52 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: parquet-on-disk schema (ts read as nano longs — see engine.table)
-_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """Schema for the on-disk events parquet.
+
+    Returns (schema, ts_is_nano).  TIMESTAMP(NANOS) parquet (which
+    Spark's vectorized reader can't widen) is read as a raw long and
+    converted in :func:`read_events_stream`; plain micro/milli
+    timestamps are read natively as timestamp_ntz.
+    """
+    import pyarrow.parquet as pq
+
+    arrow = pq.read_schema(f"{sf_dir}/events.parquet")
+    nano = str(arrow.field("ts").type) == "timestamp[ns]"
+    ts_type = T.LongType() if nano else T.TimestampNTZType()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, nano
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of events with a proper event-time column."""
     # the file source wants a directory: stream the sf dir filtered to
     # the events file (a real deployment points this at a landing dir)
+    schema, nano = _events_schema(sf_dir)
     raw = (
-        spark.readStream.schema(_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # `div`: float `/ 1000` loses precision past double's 53-bit
-    # mantissa and shifts timestamps by ±1 µs
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nano:
+        # `div`: float `/ 1000` loses precision past double's 53-bit
+        # mantissa and shifts timestamps by ±1 µs
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # watermarks require TIMESTAMP (not NTZ); session tz is UTC so
+        # the wall clock is preserved
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(

@@ -52,6 +52,17 @@ class TableDef:
     prefix: str = ""
     columns: tuple[str, ...] = ()  # filled from parquet schema at load
     links: dict[str, Link] = field(default_factory=dict)
+    #: columns forming the table's *identity* — what locators
+    #: ``table[...]`` match and ``id()`` serializes (reference:
+    #: src/htsql/core/domain.py::IdentityDomain).  Defaults to the
+    #: primary key; a table may declare an alternate unique key (e.g.
+    #: region's text name) so quoted-text locators ``/region['ASIA']``
+    #: work.  The PK keeps driving the implicit ordering contract.
+    identity: tuple[str, ...] = ()
+
+    @property
+    def identity_cols(self) -> tuple[str, ...]:
+        return self.identity or self.pk
 
     def alias_of(self, attr: str) -> str | None:
         """Friendly attribute name → physical column (prefix-stripped)."""
@@ -82,6 +93,7 @@ class Catalog:
                 name=tname,
                 pk=tuple(spec["pk"]),
                 prefix=spec.get("prefix", "") or "",
+                identity=tuple(spec.get("identity") or ()),
             )
         # second pass: links + reverse links
         for tname, spec in raw["tables"].items():

@@ -555,6 +555,17 @@ class Compiler:
         )
 
     def apply_locate(self, ctx: Ctx, outer: ScopeRef, base, identity: list):
+        """``table[identity]`` — filter to one row by identity literal.
+
+        Identity columns default to the primary key; a table may
+        declare an alternate text unique key (catalog ``identity:``),
+        enabling quoted-text locators ``/region['ASIA']`` (reference:
+        src/htsql/core/domain.py::IdentityDomain,
+        src/htsql/core/tr/fn/bind.py::BindId).  Literal parts are
+        untyped (reference: UntypedDomain) and coerced to the column's
+        domain — ``/lineitem['1'.3]`` works; text that cannot coerce
+        to a numeric identity column is a bind error, not a runtime
+        cast failure."""
         if isinstance(base, ScopeRef):
             v = FlowV(base.flow, hint=base.hint)
             v.flow.alias, v.flow.table = base.alias, base.table
@@ -562,15 +573,18 @@ class Compiler:
         if not isinstance(base, FlowV) or base.flow.table is None:
             raise CompileError("locator [...] applies to a table flow")
         flow = base.flow
-        pk = flow.table.pk
-        if len(identity) != len(pk):
+        idc = flow.table.identity_cols
+        if len(identity) != len(idc):
             raise CompileError(
                 f"identity [{'.'.join(map(str, identity))}] does not match "
-                f"{flow.table.name} primary key ({', '.join(pk)})"
+                f"{flow.table.name} identity ({', '.join(idc)})"
             )
         cond = None
-        for part, c in zip(identity, pk):
-            eq = F.col(flow.scope_col(c)) == F.lit(part)
+        for part, c in zip(identity, idc):
+            colname = flow.scope_col(c)
+            eq = F.col(colname) == _coerce_identity_part(
+                part, flow.df.schema[colname].dataType, flow.table.name, c
+            )
             cond = eq if cond is None else (cond & eq)
         flow.df = flow.df.filter(cond)
         base.singular = True
@@ -1150,6 +1164,27 @@ FLOW_METHODS = {
 # ----------------------------------------------------------------------
 # helpers
 # ----------------------------------------------------------------------
+def _coerce_identity_part(part, dtype, table: str, col: str) -> Column:
+    """Coerce an untyped identity-literal part to the identity
+    column's domain (reference: tr/coerce.py::coerce applied to
+    IdentityDomain fields) — mismatches fail at bind time."""
+    import pyspark.sql.types as T
+
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        if isinstance(part, str):
+            try:
+                part = int(part)
+            except ValueError:
+                raise CompileError(
+                    f"identity part {part!r} does not coerce to "
+                    f"{table}.{col} ({dtype.simpleString()})"
+                ) from None
+        return F.lit(part)
+    if isinstance(dtype, T.StringType):
+        return F.lit(str(part))
+    return F.lit(part).cast(dtype)
+
+
 def _iter_child_nodes(n: N.Node):
     import dataclasses
 

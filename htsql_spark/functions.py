@@ -367,10 +367,17 @@ def _fn_datetime(cc, ctx, scope, args):
 
 
 def _fn_id(cc, ctx, scope, args):
+    """Row identity value — the identity columns (PK by default, or a
+    declared text unique key) as a struct, serialized dotted by
+    text() (reference: src/htsql/core/tr/fn/bind.py::BindId,
+    src/htsql/core/domain.py::IdentityDomain)."""
     if scope.table is None:
         raise CompileError("id() needs a table scope")
-    pk = [F.col(scope.flow.scope_col(c, scope.alias)).alias(c) for c in scope.table.pk]
-    return Scalar(F.struct(*pk), "id")
+    idc = [
+        F.col(scope.flow.scope_col(c, scope.alias)).alias(c)
+        for c in scope.table.identity_cols
+    ]
+    return Scalar(F.struct(*idc), "id")
 
 
 def _fn_as(cc, ctx, scope, args):

@@ -341,16 +341,45 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def embedding_dup_pairs(
-    embs: DataFrame, threshold: float = 0.95, blocks: int = 8
+    embs: DataFrame,
+    threshold: float = 0.95,
+    blocks: int = 8,
+    method: str = "lsh",
+    bands: int = 16,
+    band_bits: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
-    """Near-identical embedding pairs by cosine ≥ threshold — exact
-    all-pairs, computed as a **blocked GEMM**: vectors are hashed into
-    ``blocks`` blocks, every block *pair* cogroups into one Arrow
-    batch, and the batch computes a normalized numpy matmul.  Exact
-    same result as a row-pairwise join but each dot product is one
-    fused BLAS op instead of a per-row array fold (measured ~40×).
-    At scale, ``blocks`` ≈ √(cluster cores) bounds the per-task
-    matrix to memory; replication factor is ``blocks`` per side."""
+    """Near-identical embedding pairs (cosine ≥ ``threshold``).
+
+    Default ``method='lsh'`` is the 100 TB path — candidate-generate
+    then verify, the same prune-then-verify shape as minhash:
+
+    1. each vector gets ``bands`` independent random-hyperplane
+       signatures of ``band_bits`` sign bits (``bands*band_bits``
+       JVM-side dot products at the scan, no Python);
+    2. vectors sharing any band bucket become candidate pairs — the
+       self-join shuffles **ids + band buckets only**, never the
+       vectors;
+    3. candidates fetch their two vectors by id and an exact JVM-side
+       cosine keeps pairs ≥ threshold.
+
+    Detection probability for cos=t is 1-(1-p^band_bits)^bands with
+    p = 1-acos(t)/π; at t=0.95 the defaults give ≥0.9998, and exact
+    clones (identical sign patterns) are always found.  Compute is
+    Σ bucket² per band instead of all-pairs n²; raise ``band_bits``
+    as n grows to keep buckets bounded (AQE skew-join splits stragglers).
+
+    ``method='exact'`` is the all-pairs **blocked GEMM** baseline:
+    vectors are hashed into ``blocks`` blocks, every block *pair*
+    cogroups into one Arrow batch computing a normalized numpy matmul
+    — one fused BLAS op per batch (~40× a per-row array fold), with
+    ``blocks`` ≈ √(cluster cores) bounding per-task memory.  O(n²)
+    dot products with ``blocks``-fold replication: correct, but only
+    for corpora small enough to afford exactness."""
+    if method == "lsh":
+        return _embedding_dup_pairs_lsh(embs, threshold, bands, band_bits, seed)
+    if method != "exact":
+        raise ValueError(f"unknown method {method!r} (use 'lsh' or 'exact')")
     import pandas as pd
 
     spark = embs.sparkSession
@@ -400,6 +429,48 @@ def embedding_dup_pairs(
         left.groupby("bi", "bj")
         .cogroup(right.groupby("bi", "bj"))
         .applyInPandas(gemm, "a long, b long, cos double")
+    )
+
+
+def _embedding_dup_pairs_lsh(
+    embs: DataFrame, threshold: float, bands: int, band_bits: int, seed: int
+) -> DataFrame:
+    """Banded hyperplane-LSH candidates + exact cosine verify (the
+    scale path of :func:`embedding_dup_pairs`)."""
+    from .similarity import _hyperplanes, lsh_bucket
+
+    planes = _hyperplanes(num=bands * band_bits, seed=seed)
+    sigs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            lsh_bucket(F.col("embedding"), planes[b * band_bits : (b + 1) * band_bits]).alias(
+                "bkt"
+            ),
+        )
+        for b in range(bands)
+    ]
+    keyed = embs.select(
+        F.col("vec_id"), F.explode(F.array(*sigs)).alias("s")
+    ).select("vec_id", F.col("s.band").alias("band"), F.col("s.bkt").alias("bkt"))
+    x, y = keyed.alias("x"), keyed.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+    )
+    ea = embs.select(F.col("vec_id").alias("a"), F.col("embedding").alias("__va"))
+    eb = embs.select(F.col("vec_id").alias("b"), F.col("embedding").alias("__vb"))
+    return (
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__cos") >= threshold)
+        .select("a", "b", F.round(F.col("__cos"), 6).alias("cos"))
     )
 
 

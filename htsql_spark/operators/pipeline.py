@@ -155,10 +155,12 @@ def tfidf_top_terms(
     """Top-k terms per document by tf·idf (idf = ln(N/df)).
 
     Plan shape: one explode + two hash aggregations (term counts are
-    map-side combined) + a join on term.  The per-term document
-    frequency table is vocabulary-sized — tiny next to the corpus —
-    so it is broadcast; N arrives as a broadcast single-row aggregate,
-    never a driver-side count."""
+    map-side combined) + a join on term.  The tf↔df join is a plain
+    shuffle join on ``term``: the distinct-term table of a web-scale
+    corpus is itself huge (billions of rows at 100 TB), so a forced
+    broadcast would OOM every executor — AQE still picks a broadcast
+    join at runtime when the vocabulary turns out small.  Only N (a
+    single-row aggregate) is broadcast, never a driver-side count."""
     terms = docs.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
@@ -167,7 +169,7 @@ def tfidf_top_terms(
     df_t = terms.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_t), "term")
+        tf.join(df_t, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
     )

@@ -319,9 +319,12 @@ class _Parser:
 
         def push(tok: Token) -> None:
             if tok.kind == "NUMBER":
-                if "." in tok.text:  # `[1.3]` lexes as one NUMBER
+                if "." in tok.text:
+                    # `[1.3]` lexes as one NUMBER; `['a'.3]` leaves a
+                    # NUMBER `.3` whose leading dot is the separator
                     for p in tok.text.split("."):
-                        parts.append(int(p))
+                        if p:
+                            parts.append(int(p))
                 else:
                     parts.append(int(tok.text))
             else:

@@ -17,7 +17,7 @@ from htsql_spark.syntax.parse import ParseError
         ("/nosuchtable", CompileError, "nosuchtable"),
         ("/nation{count(region.name)}", CompileError, "plural flow"),
         ("/customer{orders}", CompileError, "plural expression 'orders' in singular context"),
-        ("/region[1.2]", CompileError, "does not match region primary key"),
+        ("/region[1.2]", CompileError, "does not match region identity"),
         ("/customer{name := }", ParseError, ""),
         ("/customer.limit(c_acctbal)", CompileError, "integer literal"),
         ("/customer{count()}", CompileError, "needs a plural argument"),

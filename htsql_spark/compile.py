@@ -1067,6 +1067,8 @@ class Compiler:
         if len(args) != 1 or not isinstance(args[0], (N.Identifier, N.Literal)):
             raise CompileError("meta(kind) takes table|column|link")
         kind = args[0].name if isinstance(args[0], N.Identifier) else str(args[0].value)
+        if kind not in ("table", "column", "link"):
+            raise CompileError(f"unknown meta kind {kind!r} (use table|column|link)")
         mdf = self.engine.meta_df(kind)
         pk = {"table": ("name",), "column": ("table", "name"), "link": ("origin", "name")}[
             kind

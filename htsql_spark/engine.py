@@ -24,23 +24,12 @@ from pyspark.sql import functions as F
 from .catalog import Catalog
 from .compile import Compiler
 from .ir import Flow
+from .parquet_ts import convert_nano_cols, nano_timestamp_fields
 from .syntax import parse
 from .syntax import nodes as N
 
 #: fixed-cardinality dimension tables — always broadcast in joins
 BROADCAST_TABLES = {"region", "nation"}
-
-
-def _nano_timestamp_cols(path: str) -> list[str]:
-    import pyarrow.parquet as pq
-
-    schema = pq.read_schema(path)
-    out = []
-    for name in schema.names:
-        t = schema.field(name).type
-        if str(t) == "timestamp[ns]":
-            out.append(name)
-    return out
 
 #: output format pipes handled at the command layer
 FORMAT_NAMES = {"json", "csv", "tsv", "txt", "raw", "html", "xml"}
@@ -87,14 +76,7 @@ class HTSQL:
             pq = f"{self.data_dir}/{name}.parquet"
             if os.path.exists(pq):
                 df = self.spark.read.parquet(pq)
-                for col in _nano_timestamp_cols(pq):
-                    # integer division: float `/ 1000` loses precision
-                    # past double's 53-bit mantissa (~2001 in
-                    # epoch-nanos) and shifts timestamps by ±1 µs
-                    df = df.withColumn(
-                        col,
-                        F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
-                    )
+                df = convert_nano_cols(df, nano_timestamp_fields(pq))
             elif os.path.exists(f"{self.data_dir}/{name}.csv"):
                 df = self.spark.read.csv(
                     f"{self.data_dir}/{name}.csv", header=True, inferSchema=True

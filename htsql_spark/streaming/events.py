@@ -28,50 +28,71 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
-    """Schema for the on-disk events parquet.
+_GLOB = "events.parquet"
 
-    Returns (schema, ts_is_nano).  TIMESTAMP(NANOS) parquet (which
-    Spark's vectorized reader can't widen) is read as a raw long and
-    converted in :func:`read_events_stream`; plain micro/milli
-    timestamps are read natively as timestamp_ntz.
+
+def _events_schema(
+    sf_dir: str, path_glob: str = _GLOB
+) -> tuple[T.StructType, str, str | None]:
+    """Declared read schema for the on-disk events parquet.
+
+    Probes the first file matching ``path_glob`` with the shared
+    parquet-timestamp helper (htsql_spark.parquet_ts — same logic the
+    batch reader uses): TIMESTAMP(NANOS) columns are declared as raw
+    longs and converted in :func:`read_events_stream`; tz-aware
+    (isAdjustedToUTC) columns are declared TIMESTAMP, zone-less ones
+    TIMESTAMP_NTZ.  Returns (schema, ts_unit, ts_tz).  In a
+    landing-directory deployment the directory may start empty — the
+    error says so instead of a bare FileNotFoundError.
     """
-    import pyarrow.parquet as pq
+    import glob as globlib
 
-    arrow = pq.read_schema(f"{sf_dir}/events.parquet")
-    nano = str(arrow.field("ts").type) == "timestamp[ns]"
-    ts_type = T.LongType() if nano else T.TimestampNTZType()
+    from ..parquet_ts import declared_type, timestamp_fields
+
+    files = sorted(globlib.glob(f"{sf_dir}/{path_glob}"))
+    if not files:
+        raise FileNotFoundError(
+            f"no file matching {path_glob!r} in {sf_dir} to probe the "
+            "stream schema; write one first or declare the schema "
+            "explicitly"
+        )
+    ts_unit, ts_tz = "us", None
+    for name, unit, tz in timestamp_fields(files[0]):
+        if name == "ts":
+            ts_unit, ts_tz = unit, tz
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", ts_type),
+            T.StructField("ts", declared_type(ts_unit, ts_tz)),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
             T.StructField("props", T.StringType()),
         ]
     )
-    return schema, nano
+    return schema, ts_unit, ts_tz
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of events with a proper event-time column."""
     # the file source wants a directory: stream the sf dir filtered to
     # the events file (a real deployment points this at a landing dir)
-    schema, nano = _events_schema(sf_dir)
+    from ..parquet_ts import from_nano_long
+
+    schema, ts_unit, ts_tz = _events_schema(sf_dir)
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", _GLOB)
         .parquet(sf_dir)
     )
-    if nano:
-        # `div`: float `/ 1000` loses precision past double's 53-bit
-        # mantissa and shifts timestamps by ±1 µs
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        # watermarks require TIMESTAMP (not NTZ); session tz is UTC so
-        # the wall clock is preserved
+    if ts_unit == "ns":
+        raw = raw.withColumn("ts", from_nano_long("ts", ts_tz))
+    # event-time watermarks accept only TIMESTAMP: cast the contract
+    # type (TIMESTAMP_NTZ for zone-less data, same as engine.table)
+    # at this one documented boundary — the UTC session timezone
+    # preserves the wall clock, so values agree with batch oracles
+    if not ts_tz:
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 

@@ -1,34 +1,32 @@
-"""Error-message regression (the reference locks error texts in
+"""Error-message regression corpus (the reference locks error texts in
 test/regress/input/error.yaml — same spirit: user mistakes must fail
 at bind time with a message naming the offending part, never as an
-opaque Spark analysis error)."""
+opaque Spark analysis error).  Cases live in tests/golden/errors.yaml."""
+
+import os
 
 import pytest
+import yaml
 
 from htsql_spark import CompileError
 from htsql_spark.syntax.parse import ParseError
 
+_CORPUS = os.path.join(os.path.dirname(__file__), "golden", "errors.yaml")
+with open(_CORPUS) as _f:
+    _CASES = yaml.safe_load(_f)["cases"]
+
+_KINDS = {"parse": ParseError, "compile": CompileError}
+
 
 @pytest.mark.parametrize(
-    "query,exc,needle",
-    [
-        ("/customer{name", ParseError, "expected '}'"),
-        ("/customer{c_name}?bogus_col > 1", CompileError, "unknown attribute 'bogus_col'"),
-        ("/nosuchtable", CompileError, "nosuchtable"),
-        ("/nation{count(region.name)}", CompileError, "plural flow"),
-        ("/customer{orders}", CompileError, "plural expression 'orders' in singular context"),
-        ("/region[1.2]", CompileError, "does not match region identity"),
-        ("/customer{name := }", ParseError, ""),
-        ("/customer.limit(c_acctbal)", CompileError, "integer literal"),
-        ("/customer{count()}", CompileError, "needs a plural argument"),
-        ("/region{name}?$nope > 1", CompileError, "unknown reference"),
-        ("/customer{nation}", CompileError, "is a link, select a column"),
-    ],
+    "case", _CASES, ids=[c["q"][:40] for c in _CASES]
 )
-def test_error_messages(db, query, exc, needle):
-    with pytest.raises(exc) as ei:
-        db.df(query)
-    assert needle in str(ei.value)
+def test_error_corpus(db, case):
+    with pytest.raises(_KINDS[case["kind"]]) as ei:
+        db.df(case["q"])
+    assert case["needle"] in str(ei.value), (
+        f"{case['q']!r}: expected {case['needle']!r} in {ei.value}"
+    )
 
 
 def test_plural_in_singular_names_the_fix(db):

@@ -38,6 +38,7 @@ HEADLINE = [
     "events_json",
     "nested_segment",
     "tpch_q1",
+    "tpch_q2",
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
@@ -55,6 +56,7 @@ HEADLINE = [
     "op_asof_join",
     "op_cube",
     "op_dedup_minhash",
+    "op_dedup_embedding",
     "op_text_stats",
     "op_ann_bruteforce",
     "op_curate",

@@ -99,6 +99,31 @@ def test_embedding_dup_pairs(embs):
     assert {(i, i + 100000) for i in ids} <= got
 
 
+def test_embedding_dup_pairs_lsh_equals_exact(embs):
+    """The default LSH prune-then-verify path returns the same pairs
+    as the exact all-pairs blocked GEMM on a corpus of planted clones
+    (identical vectors share every band signature, so recall is
+    deterministically 1)."""
+    from htsql_spark.operators import dedup
+
+    base = embs.select("vec_id", "embedding", "label")
+    clones = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = base.unionByName(clones)
+    lsh = {
+        (r["a"], r["b"], r["cos"])
+        for r in dedup.embedding_dup_pairs(corpus, threshold=0.999).collect()
+    }
+    exact = {
+        (r["a"], r["b"], r["cos"])
+        for r in dedup.embedding_dup_pairs(
+            corpus, threshold=0.999, method="exact"
+        ).collect()
+    }
+    assert lsh == exact
+
+
 def test_topk_bruteforce_matches_numpy(embs):
     import numpy as np
 

@@ -1046,6 +1046,8 @@ class Compiler:
         key = name.lower()
         if key == "meta":
             return self._meta_flow(args)
+        if name in self.engine.gateways and len(args) == 1:
+            return self._gateway_flow(name, args[0])
         if key in FLOW_METHODS and scope.table is not None:
             v = FlowV(scope.flow, hint=name)
             return FLOW_METHODS[key](self, ctx, scope, v, args)
@@ -1058,6 +1060,29 @@ class Compiler:
             return FLOW_METHODS[key](self, ctx, scope, v, args)
         raise CompileError(f"unknown function '{name}'")
 
+
+    def _gateway_flow(self, name: str, sub: N.Node) -> FlowV:
+        """``/name(/query)`` — route the nested query to the attached
+        gateway engine (reference: src/htsql/tweak/gateway/), then
+        surface its output as a flow of the *local* query, so gateway
+        results compose with sieves/selections/quotients — and, going
+        beyond the reference (where gateways are isolated commands),
+        even join against local tables: both catalogs are DataFrames
+        in one SparkSession."""
+        from .catalog import TableDef
+
+        gw = self.engine.gateways[name]
+        if not isinstance(sub, N.Segment):
+            sub = N.Segment(sub)
+        mdf = Compiler(gw).compile_query(sub)
+        if gw.autolimit:  # the gateway's own service config applies
+            mdf = mdf.limit(gw.autolimit)
+        tdef = TableDef(name=f"gateway_{name}", pk=(), columns=tuple(mdf.columns))
+        alias = self.engine.fresh("g")
+        df = mdf.select(*[F.col(c).alias(f"{alias}__{c}") for c in mdf.columns])
+        flow = Flow(self.engine, df, alias, tdef)
+        flow.order = []
+        return FlowV(flow, [], [], hint=f"{name}(…)")
 
     def _meta_flow(self, args: list[N.Node]) -> FlowV:
         """/meta(table|column|link) — the catalog queryable as flows

@@ -53,6 +53,9 @@ class HTSQL:
         self.broadcast_tables = BROADCAST_TABLES
         self._counter = itertools.count()
         self._tables: dict[str, DataFrame] = {}
+        #: named secondary engines (reference: src/htsql/tweak/gateway/
+        #: — route a nested query to another mounted database)
+        self.gateways: dict[str, "HTSQL"] = {}
         self._fill_columns()
 
     # -- catalog / io --------------------------------------------------
@@ -146,6 +149,25 @@ class HTSQL:
         flow = Flow(self, self.unit_df(), "", None)
         flow.is_home = True
         return flow
+
+    # -- gateways (multi-catalog mounts) -------------------------------
+    def attach(
+        self,
+        name: str,
+        target: "str | HTSQL",
+        catalog: Catalog | None = None,
+    ) -> "HTSQL":
+        """Mount a second data directory (or an existing engine) as a
+        named gateway (reference: src/htsql/tweak/gateway/ — each
+        gateway is an independent catalog+connection; queries route
+        with ``/name(/query)``).  Unlike the reference, both catalogs
+        live in one SparkSession, so gateway results are ordinary
+        DataFrames."""
+        gw = target if isinstance(target, HTSQL) else HTSQL(
+            self.spark, target, catalog=catalog
+        )
+        self.gateways[name] = gw
+        return gw
 
     # -- query API -----------------------------------------------------
     def df(self, query: str) -> DataFrame:

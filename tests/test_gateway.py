@@ -1,0 +1,50 @@
+"""Multi-catalog gateway mounts (reference: src/htsql/tweak/gateway/
+— route a nested query to another mounted database with
+``/name(/query)``).  Both catalogs live in one SparkSession here, so
+gateway results additionally compose with local operators."""
+
+import pytest
+
+from htsql_spark import HTSQL, CompileError
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def gwdb(spark):
+    db = HTSQL(spark, SF_DIR)
+    db.attach("tiny", SF_DIR)
+    db.attach("mid", "/root/testdata/sf0.01")
+    return db
+
+
+def test_gateway_routes_same_dir(gwdb):
+    assert gwdb.produce("/tiny(/region{name})") == gwdb.produce("/region{name}")
+
+
+def test_gateway_routes_other_dir(gwdb):
+    n_local = len(gwdb.produce("/customer"))
+    n_mid = len(gwdb.produce("/mid(/customer)"))
+    assert n_mid != n_local  # proves the query really ran over sf0.01
+
+
+def test_gateway_result_composes(gwdb):
+    rows = gwdb.produce("/mid(/nation{name, cnt := count(customer)})?cnt > 60")
+    assert rows and all(r["cnt"] > 60 for r in rows)
+
+
+def test_gateway_navigation_inside(gwdb):
+    rows = gwdb.produce("/mid(/nation{name}?region.name='ASIA')")
+    assert len(rows) == 5
+
+
+def test_gateway_attach_engine_instance(spark):
+    db = HTSQL(spark, SF_DIR)
+    other = HTSQL(spark, "/root/testdata/sf0.01", autolimit=3)
+    db.attach("lim", other)
+    assert len(db.produce("/lim(/customer{c_name})")) == 3
+
+
+def test_unknown_gateway_is_unknown_function(gwdb):
+    with pytest.raises(CompileError) as ei:
+        gwdb.df("/nope(/region)")
+    assert "unknown function" in str(ei.value)

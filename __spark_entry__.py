@@ -760,6 +760,24 @@ def _op_frame_sample(spark, sf_dir):
     return multimodal.frame_sample_plan(assets, every_n=10)
 
 
+def _op_winnow(spark, sf_dir):
+    """Winnowing (rolling k-gram hash + window-min) document
+    fingerprints — Schleimer'03/MOSS; rows-only (xxhash64 is not
+    DuckDB-expressible), guarantee + planted-clone behavior locked in
+    tests/test_operators.py."""
+    from htsql_spark.operators import textstats
+
+    return textstats.winnow_fingerprints(_db(spark, sf_dir).table("documents"))
+
+
+def _op_winnow_pairs(spark, sf_dir):
+    """Content-overlap candidate pairs from shared winnowing
+    fingerprints (substring-reuse detection, complements minhash)."""
+    from htsql_spark.operators import textstats
+
+    return textstats.winnow_overlap_pairs(_db(spark, sf_dir).table("documents"))
+
+
 def _op_split(spark, sf_dir):
     """Deterministic train/valid/test assignment by md5(doc_id|salt)."""
     from htsql_spark.operators import pipeline
@@ -877,6 +895,8 @@ _QUERIES.update(
         "op_tfidf": _op_tfidf,
         "op_pii": _op_pii,
         "op_text_stats": _op_text_stats,
+        "op_winnow": _op_winnow,
+        "op_winnow_pairs": _op_winnow_pairs,
         "op_dedup_exact": _op_dedup_exact,
         "op_dedup_minhash": _op_dedup_minhash,
         "op_dedup_simhash": _op_dedup_simhash,

@@ -76,6 +76,83 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03, the MOSS algorithm): rolling char ``k``-gram hashes,
+    then the minimum hash of every window of ``w`` consecutive grams;
+    the distinct window-minima are the document's fingerprint set.
+    Two documents sharing any substring of length ≥ k+w-1 are
+    guaranteed to share a fingerprint.
+
+    Pure array algebra over built-ins (sequence → transform/xxhash64 →
+    slice/array_min → array_distinct → explode): narrow, codegen'd,
+    no shuffle — fingerprints are produced task-locally at scan
+    speed.  Output: (id_col, fp long), one row per distinct
+    fingerprint.
+
+    Built as THREE separate projections on purpose: lambda bodies in
+    higher-order functions re-evaluate any embedded subexpression per
+    array element, so inlining the normalized text into the gram
+    lambda (or the gram array into the window lambda) turns an O(n·w)
+    pass into O(n²) regex/hash recomputation per document."""
+    d = docs.select(
+        F.col(id_col),
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("__t"),
+    )
+    t = F.col("__t")
+    d = d.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
+            lambda i: F.xxhash64(F.substring(t, i, k)),
+        ).alias("__grams"),
+    )
+    grams = F.col("__grams")
+    minima = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(grams) - (w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(grams, j, w)),
+    )
+    return d.select(F.col(id_col), F.explode(F.array_distinct(minima)).alias("fp"))
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints
+    — the content-overlap candidate generator (plagiarism / near-dup
+    detection on substring reuse rather than token sets, complementing
+    minhash).  Shuffles (fp, id) pairs only; the fp self-join is the
+    standard inverted-index bucket join, and hot fingerprints
+    (boilerplate) should be capped upstream by dropping fps whose
+    posting list exceeds a bound — done here with ``max_postings``
+    pruning at 1000 to keep any single fp from going quadratic."""
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col)
+    postings = fps.groupBy("fp").agg(F.count("*").alias("__n"))
+    pruned = fps.join(postings.filter(F.col("__n") <= 1000), "fp").select(id_col, "fp")
+    x, y = pruned.alias("x"), pruned.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.fp") == F.col("y.fp"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .groupBy(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def text_stats(docs: DataFrame) -> DataFrame:
     """One row per document with the full stat set."""
     t = F.col("text")

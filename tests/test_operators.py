@@ -251,3 +251,44 @@ def test_dedup_pipeline_removes_planted_clones(docs, docs_with_clones):
     }
     assert got == expected
     assert got < orig  # strict subset: clones gone, near-dup originals merged
+
+
+def test_winnow_identical_docs_share_all_fingerprints(spark):
+    from htsql_spark.operators import textstats
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    fps = textstats.winnow_fingerprints(docs)
+    a = {r["fp"] for r in fps.filter(F.col("doc_id") == 1).collect()}
+    b = {r["fp"] for r in fps.filter(F.col("doc_id") == 2).collect()}
+    assert a and a == b
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Docs sharing a substring of length >= k+w-1 share >= 1
+    fingerprint (the winnowing guarantee, Schleimer'03 thm 1)."""
+    from htsql_spark.operators import textstats
+
+    shared = "zqxjkvwpyfzqxjkvwpyf"  # 20 chars >= 8+4-1
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb cccc " + shared + " dddd eeee"),
+            (2, "1111 2222 " + shared + " 3333 4444 5555"),
+            (3, "completely unrelated content with other words"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = textstats.winnow_overlap_pairs(docs, min_shared=1)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_winnow_detects_planted_clones(docs_with_clones, docs):
+    from htsql_spark.operators import textstats
+
+    pairs = textstats.winnow_overlap_pairs(docs_with_clones, min_shared=2)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    ids = [r[0] for r in docs.select("doc_id").collect()]
+    # every exact clone pair is found
+    assert all((i, i + 200000) in got for i in ids)

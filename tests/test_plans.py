@@ -162,3 +162,40 @@ def test_shared_sieved_flow_aggregates_batch(db):
     plan = optimized(df)
     assert plan.count("] parquet") == 1, plan  # lineitem scanned once
     assert plan.count("Aggregate [") == 1, plan
+
+
+def test_tfidf_no_forced_broadcast(db):
+    """The tf↔df join must not force a broadcast of the unbounded
+    vocabulary table (VERDICT r1 #3): no ResolvedHint in the optimized
+    plan; AQE may still choose broadcast at runtime for small ones."""
+    from htsql_spark.operators import pipeline
+
+    plan = optimized(pipeline.tfidf_top_terms(db.table("documents")))
+    assert "ResolvedHint" not in plan, plan
+
+
+def test_embedding_lsh_shuffles_ids_only(db):
+    """embedding_dup_pairs (default LSH): the candidate self-join must
+    join on ids + band buckets — the vectors never replicate into a
+    cartesian/blocked product (VERDICT r1 #4) — and signatures come
+    from ONE Arrow-vectorized projection, not per-plane folds."""
+    from htsql_spark.operators import dedup
+
+    df = dedup.embedding_dup_pairs(db.table("embeddings"), threshold=0.95)
+    plan = optimized(df)
+    assert "CartesianProduct" not in plan and "crossJoin" not in plan, plan
+    # the only Python stages are the band_buckets pandas_udf, once per
+    # self-join side (scan-local signature computation, recomputed
+    # rather than cached — ids+buckets are what shuffles)
+    assert plan.count("ArrowEvalPython") == 2, plan
+    # candidate join keyed on (band, bkt), not on vector payloads
+    assert "band" in plan and "bkt" in plan, plan
+
+
+def test_winnow_fingerprints_no_shuffle(db):
+    """Winnowing fingerprints are produced task-locally: no Exchange
+    in the physical plan (narrow explode/array algebra only)."""
+    from htsql_spark.operators import textstats
+
+    plan = physical(textstats.winnow_fingerprints(db.table("documents")))
+    assert "Exchange" not in plan, plan

@@ -835,6 +835,19 @@ def _op_curate(spark, sf_dir):
     return pipeline.curate_corpus(_db(spark, sf_dir).table("documents"))
 
 
+def _op_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means (cosine, deterministic maximin
+    init) — iterative algorithm, driver sees only the k×dim model per
+    iteration.  Rows-only (non-SQL-expressible); planted-cluster
+    recovery + determinism locked in tests/test_operators.py."""
+    from htsql_spark.operators import similarity
+
+    assigned, _ = similarity.kmeans(
+        _db(spark, sf_dir).table("embeddings"), k=4, iters=3
+    )
+    return assigned.select("vec_id", "cluster")
+
+
 def _op_centroids(spark, sf_dir):
     """Per-label embedding centroids, long-form (label, dim, value)."""
     from htsql_spark.operators import similarity
@@ -887,6 +900,7 @@ _QUERIES.update(
         "op_transitions": _op_transitions,
         "op_curate": _op_curate,
         "op_centroids": _op_centroids,
+        "op_kmeans": _op_kmeans,
         "op_quantize": _op_quantize,
         "op_split": _op_split,
         "op_sample_stratified": _op_sample_stratified,

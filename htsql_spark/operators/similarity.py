@@ -20,6 +20,7 @@ from __future__ import annotations
 import math
 import random
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -154,6 +155,114 @@ def topk_ivf(
         F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos"),
     )
     return scored.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)
+
+
+def _max_cosine_to(
+    embs: DataFrame, cents, vec_col: str, out_col: str
+) -> DataFrame:
+    """Each row's maximum cosine similarity to any of ``cents``
+    (Arrow GEMM per batch) — the farthest-point-init distance pass."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype="float64")
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf("double")
+    def best(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype="float64")
+        M = np.vstack(vecs.to_numpy()).astype("float64")
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series((M @ Cn.T).max(axis=1))
+
+    return embs.withColumn(out_col, best(F.col(vec_col)))
+
+
+def kmeans_assign(
+    embs: DataFrame, cents, vec_col: str = "embedding", out_col: str = "cluster"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine — one
+    Arrow-vectorized GEMM per batch against the (k×dim) centroid
+    matrix (captured in the UDF closure: model state is tiny and
+    ships with the task, the data never moves).  Catalyst literal
+    folds would cost k·dim expression nodes per row and fall out of
+    codegen for non-trivial k."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype="float64")
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype="int32")
+        M = np.vstack(vecs.to_numpy()).astype("float64")
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series((M @ Cn.T).argmax(axis=1).astype("int32"))
+
+    return embs.withColumn(out_col, nearest(F.col(vec_col)))
+
+
+def kmeans(
+    embs: DataFrame,
+    k: int = 8,
+    iters: int = 10,
+    tol: float = 1e-4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Distributed Lloyd's k-means (cosine) over the embedding column,
+    DataFrame-native: per iteration one assign pass (broadcast
+    centroid matrix, Arrow GEMM) and one centroid update (posexplode →
+    map-side-combined hash aggregation on (cluster, dim)).  Only
+    k·dim partial means ever reach the driver per iteration — the
+    legitimate driver-side payload is the MODEL, never the data — so
+    the same loop runs unchanged over 100 TB of vectors.
+
+    Deterministic farthest-point (maximin) init: the first seed is
+    the row with the smallest md5(id); each next seed is the vector
+    least similar to every already-chosen seed (min-id tiebreak) — k-1
+    TakeOrdered passes, reproducible across runs and partitionings,
+    and unlike random/hash seeding it cannot drop a well-separated
+    cluster.  Empty clusters keep their previous centroid.  Returns
+    (assignments DataFrame, centroids list)."""
+    import numpy as np
+
+    first = (
+        embs.select(F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("kmeans needs a non-empty corpus")
+    seeds = [np.asarray(first[0][0], dtype="float64")]
+    for _ in range(k - 1):
+        nxt = (
+            _max_cosine_to(embs, seeds, vec_col, "__sim")
+            .orderBy(F.col("__sim"), F.col(id_col))
+            .select(F.col(vec_col))
+            .limit(1)
+            .collect()
+        )
+        seeds.append(np.asarray(nxt[0][0], dtype="float64"))
+    cents = np.vstack(seeds)
+    for _ in range(iters):
+        assigned = kmeans_assign(embs, cents, vec_col)
+        upd = (
+            assigned.select(F.col("cluster"), F.posexplode(F.col(vec_col)).alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their previous centroid
+        for r in upd:
+            new[r["cluster"], r["dim"]] = r["m"]
+        shift = float(np.abs(new - cents).max())
+        cents = new
+        if shift < tol:
+            break
+    return kmeans_assign(embs, cents, vec_col), [list(map(float, c)) for c in cents]
 
 
 def centroids(embs: DataFrame, label_col: str = "label") -> DataFrame:

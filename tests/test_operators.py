@@ -292,3 +292,37 @@ def test_winnow_detects_planted_clones(docs_with_clones, docs):
     ids = [r[0] for r in docs.select("doc_id").collect()]
     # every exact clone pair is found
     assert all((i, i + 200000) in got for i in ids)
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Three well-separated planted directions; k-means must put each
+    noisy copy with its own direction, and be deterministic."""
+    import numpy as np
+
+    from htsql_spark.operators import similarity
+
+    rng = np.random.RandomState(0)
+    centers = np.eye(3, 16) * 10  # three orthogonal directions
+    rows = []
+    for g in range(3):
+        for i in range(40):
+            v = centers[g] + rng.normal(0, 0.05, 16)
+            rows.append((g * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = similarity.kmeans(df, k=3, iters=10)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    groups = [{got[g * 100 + i] for i in range(40)} for g in range(3)]
+    assert all(len(s) == 1 for s in groups)          # each group coherent
+    assert len(set.union(*groups)) == 3              # groups separated
+    # deterministic across runs
+    assigned2, cents2 = similarity.kmeans(df, k=3, iters=10)
+    assert cents == cents2
+
+
+def test_kmeans_fixture_runs_and_partitions(embs):
+    from htsql_spark.operators import similarity
+
+    assigned, cents = similarity.kmeans(embs, k=4, iters=3)
+    counts = {r["cluster"]: r["count"] for r in assigned.groupBy("cluster").count().collect()}
+    assert sum(counts.values()) == embs.count()
+    assert len(cents) == 4

@@ -57,6 +57,7 @@ HEADLINE = [
     "op_cube",
     "op_dedup_minhash",
     "op_dedup_embedding",
+    "op_winnow",
     "op_text_stats",
     "op_ann_bruteforce",
     "op_curate",

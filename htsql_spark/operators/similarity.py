@@ -129,12 +129,20 @@ def with_ivf_cells(embs: DataFrame, num_cells: int = 16, seed: int = 7) -> DataF
 
 
 def topk_ivf(
-    embs: DataFrame, query_id: int, k: int = 10, num_cells: int = 16, nprobe: int = 4
+    embs: DataFrame,
+    query_id: int,
+    k: int = 10,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    cells_from=None,
 ) -> DataFrame:
     """IVF probe: rank centroids by similarity to the query, scan the
-    nearest ``nprobe`` cells only."""
-    cents = _centroids(64, num_cells)
-    cells = with_ivf_cells(embs, num_cells)
+    nearest ``nprobe`` cells only.  ``cells_from`` takes a trained
+    centroid list (e.g. :func:`kmeans` output) instead of the
+    deterministic random seed cells — trained cells follow the data
+    distribution, so the same nprobe yields higher recall."""
+    cents = cells_from if cells_from is not None else _centroids(64, num_cells)
+    cells = embs.withColumn("cell", _nearest_centroid(F.col("embedding"), cents))
     qrow = cells.filter(F.col("vec_id") == query_id).select(
         F.col("embedding").alias("qv")
     ).limit(1)

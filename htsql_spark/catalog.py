@@ -74,8 +74,14 @@ class TableDef:
 
 
 class Catalog:
-    def __init__(self, tables: dict[str, TableDef]):
+    def __init__(
+        self, tables: dict[str, TableDef], gateways: dict[str, str] | None = None
+    ):
         self.tables = tables
+        #: declared gateway mounts: name → data directory (reference:
+        #: src/htsql/tweak/gateway/ configures gateways in the addon
+        #: config the same way); attached by the engine at init.
+        self.gateways = gateways or {}
 
     @classmethod
     def from_yaml(cls, path: str | None = None) -> "Catalog":
@@ -105,7 +111,7 @@ class Catalog:
                 tables[tname].links[lname] = fwd
                 rev = Link(tname, target, tname, tcols, cols, is_singular=False)
                 tables[target].links.setdefault(tname, rev)
-        return cls(tables)
+        return cls(tables, gateways=dict(raw.get("gateways") or {}))
 
     @classmethod
     def from_files(cls, data_dir: str) -> "Catalog":

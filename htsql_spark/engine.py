@@ -57,6 +57,12 @@ class HTSQL:
         #: — route a nested query to another mounted database)
         self.gateways: dict[str, "HTSQL"] = {}
         self._fill_columns()
+        # catalog-declared gateway mounts are FLAT (a gateway's own
+        # declared gateways are ignored — no transitive/cyclic mounts)
+        for gname, gdir in self.catalog.gateways.items():
+            sub_cat = Catalog.from_yaml()
+            sub_cat.gateways = {}
+            self.attach(gname, gdir, catalog=sub_cat)
 
     # -- catalog / io --------------------------------------------------
     def _fill_columns(self) -> None:

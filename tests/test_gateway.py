@@ -48,3 +48,24 @@ def test_unknown_gateway_is_unknown_function(gwdb):
     with pytest.raises(CompileError) as ei:
         gwdb.df("/nope(/region)")
     assert "unknown function" in str(ei.value)
+
+
+def test_catalog_declared_gateways(spark, tmp_path):
+    """gateways: declared in catalog.yaml attach at engine init
+    (reference: tweak.gateway addon config), non-transitively."""
+    import yaml
+
+    src = "/root/repo/catalog.yaml"
+    with open(src) as f:
+        raw = yaml.safe_load(f)
+    raw["gateways"] = {"mid": "/root/testdata/sf0.01"}
+    cpath = tmp_path / "catalog.yaml"
+    cpath.write_text(yaml.safe_dump(raw))
+
+    from htsql_spark.catalog import Catalog
+
+    db = HTSQL(spark, SF_DIR, catalog=Catalog.from_yaml(str(cpath)))
+    assert "mid" in db.gateways
+    assert len(db.produce("/mid(/region)")) == 5
+    # flatness: the attached engine did not re-attach anything
+    assert db.gateways["mid"].gateways == {}

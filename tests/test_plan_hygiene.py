@@ -39,6 +39,8 @@ ARROW_OK = {
     "op_ann_bruteforce",
     "op_ann_lsh",
     "op_ann_ivf",
+    # kmeans assign is the declared Arrow-GEMM pandas UDF
+    "op_kmeans",
 }
 
 #: nested-loop joins bounded by a broadcast single-row / tiny side:

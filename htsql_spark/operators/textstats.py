@@ -126,6 +126,7 @@ def winnow_overlap_pairs(
     k: int = 8,
     w: int = 4,
     min_shared: int = 2,
+    max_postings: int = 1000,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -134,12 +135,13 @@ def winnow_overlap_pairs(
     detection on substring reuse rather than token sets, complementing
     minhash).  Shuffles (fp, id) pairs only; the fp self-join is the
     standard inverted-index bucket join, and hot fingerprints
-    (boilerplate) should be capped upstream by dropping fps whose
-    posting list exceeds a bound — done here with ``max_postings``
-    pruning at 1000 to keep any single fp from going quadratic."""
+    (boilerplate) are dropped when their posting list exceeds
+    ``max_postings``, keeping any single fp from going quadratic."""
     fps = winnow_fingerprints(docs, k, w, text_col, id_col)
     postings = fps.groupBy("fp").agg(F.count("*").alias("__n"))
-    pruned = fps.join(postings.filter(F.col("__n") <= 1000), "fp").select(id_col, "fp")
+    pruned = fps.join(postings.filter(F.col("__n") <= max_postings), "fp").select(
+        id_col, "fp"
+    )
     x, y = pruned.alias("x"), pruned.alias("y")
     return (
         x.join(

@@ -280,3 +280,84 @@ def test_fuzz_defined_aggregate_memo(db, duck, agg, val, pred, lo):
     got = sorted(_normrow((r["nk"], r["a"], r["b"])) for r in db.df(hq).collect())
     exp = sorted(_normrow(t) for t in duck.execute(sql).fetchall())
     assert got == exp, (hq, sql)
+
+
+# -- navigation-chain fuzzer -------------------------------------------
+# random multi-hop singular navigation from lineitem (two paths into
+# nation!) + mixed local/navigated predicates vs explicit LEFT JOINs —
+# exercises per-path join aliasing and memoization (compile.py
+# ensure_singular_join)
+
+_JOINS = {
+    "orders": ("LEFT JOIN orders ON l_orderkey = o_orderkey", ()),
+    "customer": ("LEFT JOIN customer ON o_custkey = c_custkey", ("orders",)),
+    "cnation": (
+        "LEFT JOIN nation cn ON c_nationkey = cn.n_nationkey",
+        ("orders", "customer"),
+    ),
+    "supplier": ("LEFT JOIN supplier ON l_suppkey = s_suppkey", ()),
+    "snation": (
+        "LEFT JOIN nation sn ON s_nationkey = sn.n_nationkey",
+        ("supplier",),
+    ),
+    "part": ("LEFT JOIN part ON l_partkey = p_partkey", ()),
+}
+_JOIN_ORDER = ["orders", "customer", "cnation", "supplier", "snation", "part"]
+
+_NAV_ATTRS = [
+    ("l_quantity", "l_quantity", ()),
+    ("l_extendedprice", "l_extendedprice", ()),
+    ("orders.o_totalprice", "o_totalprice", ("orders",)),
+    ("orders.customer.c_acctbal", "c_acctbal", ("orders", "customer")),
+    ("orders.customer.nation.name", "cn.n_name", ("orders", "customer", "cnation")),
+    ("supplier.nation.name", "sn.n_name", ("supplier", "snation")),
+    ("supplier.s_acctbal", "s_acctbal", ("supplier",)),
+    ("part.p_brand", "p_brand", ("part",)),
+    ("part.p_retailprice", "p_retailprice", ("part",)),
+]
+
+_NAV_PREDS = [
+    ("l_quantity < 25", "l_quantity < 25", ()),
+    ("orders.o_totalprice > 150000", "o_totalprice > 150000", ("orders",)),
+    (
+        "orders.customer.nation.name = supplier.nation.name",
+        "cn.n_name = sn.n_name",
+        ("orders", "customer", "cnation", "supplier", "snation"),
+    ),
+    ("part.p_retailprice < 1500", "p_retailprice < 1500", ("part",)),
+    ("supplier.s_acctbal > 0", "s_acctbal > 0", ("supplier",)),
+    (
+        "orders.customer.c_acctbal < part.p_retailprice",
+        "c_acctbal < p_retailprice",
+        ("orders", "customer", "part"),
+    ),
+]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    attrs=st.lists(st.sampled_from(_NAV_ATTRS), min_size=1, max_size=3),
+    preds=st.lists(st.sampled_from(_NAV_PREDS), min_size=1, max_size=2),
+    conj=st.sampled_from(["&", "|"]),
+)
+def test_fuzz_navigation_chains(db, duck, attrs, preds, conj):
+    sel_h = ", ".join(f"a{i} := {a[0]}" for i, a in enumerate(attrs))
+    sel_s = ", ".join(f"{a[1]} AS a{i}" for i, a in enumerate(attrs))
+    pred_h = f" {conj} ".join(p[0] for p in preds)
+    pred_s = f" {'AND' if conj == '&' else 'OR'} ".join(f"({p[1]})" for p in preds)
+    deps = {d for a in attrs for d in a[2]} | {d for p in preds for d in p[2]}
+    joins = " ".join(_JOINS[j][0] for j in _JOIN_ORDER if j in deps)
+    hq = f"/lineitem{{k1 := l_orderkey, k2 := l_linenumber, {sel_h}}}?{pred_h}"
+    sql = (
+        f"SELECT l_orderkey AS k1, l_linenumber AS k2, {sel_s}"
+        f" FROM lineitem {joins} WHERE {pred_s}"
+    )
+    got = sorted(
+        _normrow(tuple(r)) for r in db.df(hq).collect()
+    )
+    exp = sorted(_normrow(t) for t in duck.execute(sql).fetchall())
+    assert got == exp, (hq, sql)

@@ -118,10 +118,12 @@ class HTSQL:
         /meta() command): 'table' | 'column' | 'link' DataFrames."""
         if kind == "table":
             rows = [
-                (t.name, ".".join(t.pk), len(t.columns))
+                (t.name, ".".join(t.pk), ".".join(t.identity_cols), len(t.columns))
                 for t in self.catalog.tables.values()
             ]
-            return self.spark.createDataFrame(rows, "name string, pk string, n_columns int")
+            return self.spark.createDataFrame(
+                rows, "name string, pk string, identity string, n_columns int"
+            )
         if kind == "column":
             rows = []
             for t in self.catalog.tables.values():

@@ -143,12 +143,13 @@ AGGREGATES = {
     "count", "exists", "any", "every", "min", "max", "sum", "avg", "mean",
     # beyond-reference, Spark-native (SURVEY.md §3.2 gaps):
     "stddev", "variance", "count_distinct", "approx_count_distinct",
-    "median", "percentile", "collect",
+    "median", "percentile", "approx_percentile", "collect",
 }
 
 _NEEDS_VALUE = {
     "min", "max", "sum", "avg", "mean", "stddev", "variance",
-    "count_distinct", "approx_count_distinct", "median", "percentile", "collect",
+    "count_distinct", "approx_count_distinct", "median", "percentile",
+    "approx_percentile", "collect",
 }
 
 
@@ -200,6 +201,14 @@ def agg_expr(cc, sub_scope: ScopeRef, name: str, val, extra_args: list[N.Node]):
         if not extra_args or not isinstance(extra_args[0], N.Literal):
             raise CompileError("percentile(expr, fraction) needs a literal fraction")
         agg = F.percentile(val, F.lit(float(extra_args[0].value)))
+    elif name == "approx_percentile":
+        # sketch-based (GK) quantile — the 100 TB path: exact
+        # percentile is a per-group sort, this is a mergeable sketch
+        if not extra_args or not isinstance(extra_args[0], N.Literal):
+            raise CompileError(
+                "approx_percentile(expr, fraction) needs a literal fraction"
+            )
+        agg = F.percentile_approx(val, F.lit(float(extra_args[0].value)), F.lit(10000))
     elif name == "collect":
         agg = F.collect_list(val)
     else:  # pragma: no cover

@@ -109,3 +109,16 @@ def test_plural_in_singular_errors(db):
 
     with pytest.raises(CompileError):
         db.df("/nation{customer}")  # plural link selected without aggregate
+
+
+def test_approx_percentile_matches_discrete_quantile(db):
+    """approx_percentile (GK sketch, accuracy 10000) is exact on small
+    groups: equals the lower discrete median element."""
+    r = db.produce(
+        "/nation{name, p50 := approx_percentile(customer.c_acctbal, 0.5)}"
+        "?n_nationkey = 1"
+    )
+    vals = sorted(
+        x["c_acctbal"] for x in db.produce("/customer{c_acctbal}?c_nationkey = 1")
+    )
+    assert r[0]["p50"] == vals[(len(vals) - 1) // 2]

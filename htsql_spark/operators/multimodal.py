@@ -94,6 +94,44 @@ def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFr
     return assets.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image resize over Arrow batches — the standard vision-pipeline
+    preprocessing step.  The pixel work is the same STUB contract as
+    :func:`try_decode` (no codecs in this container: the fake "resize"
+    is a deterministic truncate/pad of the payload to width·height
+    bytes), but the Spark side is the production shape: mapInPandas,
+    columnar binary in/out, output schema declared, partitioning
+    untouched, per-batch memory bounded by Arrow batch size."""
+    target = width * height
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                None if b is None else (bytes(b)[:target]).ljust(target, b"\0")
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": resized,
+                }
+            )
+
+    return assets.mapInPandas(fn, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: one row per (asset, frame index) —
     the explode happens JVM-side from declared metadata, the actual

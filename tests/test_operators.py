@@ -342,3 +342,14 @@ def test_ivf_with_trained_cells(embs):
     }
     assert len(trained) == 10
     assert len(exact & trained) >= 2
+
+
+def test_resize_images_contract(docs):
+    from htsql_spark.operators import multimodal
+
+    assets = multimodal.assets_from_documents(docs)
+    out = multimodal.resize_images(assets, width=16, height=8)
+    rows = out.orderBy("asset_id").limit(3).collect()
+    assert all(len(r["payload"]) == 16 * 8 for r in rows)
+    assert all(r["width"] == 16 and r["height"] == 8 for r in rows)
+    assert out.count() == docs.count()

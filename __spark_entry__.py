@@ -235,6 +235,19 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q13": _q(
         "/customer.define(cnt := count(orders))^{cnt}{cnt, custdist := count(^)}"
     ),
+    # TPC-H Q9 shape: product-profit by (nation, year) — case-
+    # insensitive LIKE on the part dimension (~), TWO navigation paths
+    # (supplier.nation + orders date), computed profit, two-key
+    # quotient.  (True Q9 costs via partsupp.ps_supplycost, absent
+    # from the fixture; the analogue derives cost from p_retailprice —
+    # same plan shape, fixture-feasible.)
+    "tpch_q9": _q(
+        "/lineitem.define(profit := l_extendedprice * (1 - l_discount)"
+        " - 0.005 * l_quantity * part.p_retailprice)"
+        "?part.p_name ~ 'wid'"
+        "^{nat := supplier.nation.name, yr := year(orders.o_orderdate)}"
+        "{nat, yr, profit := sum(^.profit)}"
+    ),
     # TPC-H Q2 shape: min-cost correlated lookup — rows whose value
     # equals the minimum over their own correlated group, via
     # up-then-down navigation (part.lineitem) inside the sieve
@@ -1263,6 +1276,16 @@ def oracle_sql() -> dict[str, str]:
             " AND NOT EXISTS (SELECT 1 FROM orders"
             "  WHERE o_custkey = c_custkey AND o_totalprice > 250000)"
             " GROUP BY 1"
+        ),
+        "tpch_q9": (
+            "SELECT sn.n_name AS nat, year(o_orderdate) AS yr,"
+            " sum(l_extendedprice * (1 - l_discount)"
+            "  - 0.005 * l_quantity * p_retailprice) AS profit"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            " JOIN nation sn ON s_nationkey = sn.n_nationkey"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " WHERE contains(lower(p_name), 'wid') GROUP BY 1, 2"
         ),
         "tpch_q2": (
             "SELECT l_orderkey AS okey, l_linenumber AS lnum,"

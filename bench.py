@@ -44,6 +44,7 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q7",
     "tpch_q8",
+    "tpch_q9",
     "tpch_q10",
     "tpch_q13",
     "tpch_q14",

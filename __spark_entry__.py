@@ -248,6 +248,23 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "^{nat := supplier.nation.name, yr := year(orders.o_orderdate)}"
         "{nat, yr, profit := sum(^.profit)}"
     ),
+    # TPC-H Q21 shape: suppliers who kept multi-supplier orders
+    # waiting — exists/!exists against the SAME fact table correlated
+    # on a non-key outer value via a $reference ("other lineitems of
+    # my order with a DIFFERENT supplier"); definition-scope reference
+    # capture + correlated-pair lowering (compile.bind_reference /
+    # _inject_refs).  "Late" is l_shipdate > o_orderdate + 90 (fixture
+    # has no commit/receipt dates).
+    "tpch_q21": _q(
+        "/lineitem"
+        "?l_shipdate > orders.o_orderdate + 90"
+        " & given($me := l_suppkey,"
+        " exists(orders.lineitem?l_suppkey != $me)"
+        " & !exists(orders.lineitem?l_suppkey != $me"
+        "  & l_shipdate > orders.o_orderdate + 90))"
+        "^{sname := supplier.s_name}{sname, numwait := count(^)}"
+        ".sort(numwait-, sname).limit(10)"
+    ),
     # TPC-H Q2 shape: min-cost correlated lookup — rows whose value
     # equals the minimum over their own correlated group, via
     # up-then-down navigation (part.lineitem) inside the sieve
@@ -1276,6 +1293,21 @@ def oracle_sql() -> dict[str, str]:
             " AND NOT EXISTS (SELECT 1 FROM orders"
             "  WHERE o_custkey = c_custkey AND o_totalprice > 250000)"
             " GROUP BY 1"
+        ),
+        "tpch_q21": (
+            "SELECT s_name AS sname, count(*) AS numwait FROM lineitem l1"
+            " JOIN orders ON l1.l_orderkey = o_orderkey"
+            " JOIN supplier ON l1.l_suppkey = s_suppkey"
+            " WHERE l1.l_shipdate > CAST(o_orderdate AS DATE) + 90"
+            " AND EXISTS (SELECT 1 FROM lineitem l2"
+            "  WHERE l2.l_orderkey = l1.l_orderkey"
+            "  AND l2.l_suppkey <> l1.l_suppkey)"
+            " AND NOT EXISTS (SELECT 1 FROM lineitem l3"
+            "  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey"
+            "  WHERE l3.l_orderkey = l1.l_orderkey"
+            "  AND l3.l_suppkey <> l1.l_suppkey"
+            "  AND l3.l_shipdate > CAST(o3.o_orderdate AS DATE) + 90)"
+            " GROUP BY 1 ORDER BY numwait DESC, sname LIMIT 10"
         ),
         "tpch_q9": (
             "SELECT sn.n_name AS nat, year(o_orderdate) AS yr,"

@@ -65,13 +65,30 @@ def hint_of(node: N.Node) -> str:
     return "expr"
 
 
+class RefValue:
+    """A $reference evaluated EAGERLY in its definition scope
+    (reference: src/htsql/core/tr/lookup.py::lookup_reference —
+    references denote the *value at the definition site*, never a
+    re-binding in the scope where they are used).  The value is
+    materialized as a column on the defining flow; cross-flow uses
+    inject it into the sub-flow (see Compiler._inject_refs)."""
+
+    __slots__ = ("colname", "flow", "hint")
+
+    def __init__(self, colname: str, flow, hint: str):
+        self.colname = colname
+        self.flow = flow
+        self.hint = hint
+
+
 class Ctx:
     """Lexical environment: define()d names and $references
     (reference: src/htsql/core/tr/lookup.py::lookup)."""
 
     def __init__(self, names=None, refs=None, prepared=None):
         self.names: dict[str, N.Node] = names or {}
-        self.refs: dict[str, N.Node] = refs or {}
+        # $name → RefValue (eager) or raw AST (legacy lazy fallback)
+        self.refs: dict[str, object] = refs or {}
         # pre-computed (batched) aggregate results, keyed by id(ast node)
         self.prepared: dict[int, Scalar] = prepared if prepared is not None else {}
 
@@ -136,7 +153,16 @@ class Compiler:
         if isinstance(node, N.Reference):
             if node.name not in ctx.refs:
                 raise CompileError(f"unknown reference ${node.name}")
-            return self.eval(ctx, scope, ctx.refs[node.name])
+            rv = ctx.refs[node.name]
+            if isinstance(rv, RefValue):
+                if rv.colname not in scope.flow.df.columns:
+                    raise CompileError(
+                        f"reference ${node.name} is defined on another flow"
+                        " and was not injected here (use it inside the"
+                        " sub-flow's sieve/selection)"
+                    )
+                return Scalar(F.col(rv.colname), "$" + node.name)
+            return self.eval(ctx, scope, rv)
         if isinstance(node, N.Compose):
             base = self.eval(ctx, scope, node.base)
             return self.eval_member(ctx, scope, base, node.op)
@@ -284,6 +310,66 @@ class Compiler:
             return items[node.index - 1]
         return items  # list → expanded by selection
 
+    # -- references ----------------------------------------------------
+    def bind_reference(self, ctx: Ctx, scope: ScopeRef, name: str, expr: N.Node):
+        """Define ``$name`` — evaluated EAGERLY in the definition scope
+        and pinned as a column on the defining flow, so later uses
+        (even inside correlated sub-flows) see the value at the
+        definition site (reference:
+        src/htsql/core/tr/lookup.py::lookup_reference).  Scope-free
+        expressions (pure literals) stay lazy — usable anywhere."""
+        if _is_scope_free(expr):
+            ctx.refs[name] = expr
+            return
+        val = self.scalar(ctx, scope, expr)
+        rc = self.engine.fresh("__ref")
+        scope.flow.df = scope.flow.df.withColumn(rc, val.col)
+        ctx.refs[name] = RefValue(rc, scope.flow, name)
+
+    def _inject_refs(self, ctx: Ctx, v: FlowV, node: N.Node) -> None:
+        """Make cross-flow $references usable inside a correlated
+        sub-flow: join the defining flow's distinct (correlation keys,
+        ref value) pairs into the sub-flow and extend the correlation
+        with the ref columns — each (key, value) pair then gets its own
+        aggregate/exists group, which is exactly the reference's
+        correlated-subquery semantics (TPC-H Q21 shape: 'other
+        lineitems of the same order with a DIFFERENT supplier')."""
+        missing: list[RefValue] = []
+        for nm in _find_references(node):
+            rv = ctx.refs.get(nm)
+            if isinstance(rv, RefValue) and rv.colname not in v.flow.df.columns:
+                missing.append(rv)
+        if not missing:
+            return
+        outer_df = missing[0].flow.df
+        for rv in missing:
+            if rv.flow is not missing[0].flow:
+                raise CompileError(
+                    "cross-flow $references from different defining flows"
+                    " cannot be mixed in one sub-flow"
+                )
+        if not v.corr_outer:
+            raise CompileError(
+                f"reference ${missing[0].hint} crosses into an uncorrelated flow"
+            )
+        for c in v.corr_outer:
+            if c not in outer_df.columns:
+                raise CompileError(
+                    f"reference ${missing[0].hint} is not defined on the"
+                    " flow this sub-flow correlates with"
+                )
+        slice_df = outer_df.select(
+            *[F.col(c) for c in v.corr_outer],
+            *[F.col(rv.colname) for rv in missing],
+        ).distinct()
+        cond = None
+        for ci, co in zip(v.corr_inner, v.corr_outer):
+            eq = F.col(ci) == F.col(co)
+            cond = eq if cond is None else (cond & eq)
+        v.flow.df = v.flow.df.join(slice_df, cond, "inner")
+        v.corr_outer = list(v.corr_outer) + [rv.colname for rv in missing]
+        v.corr_inner = list(v.corr_inner) + [rv.colname for rv in missing]
+
     # -- joins ---------------------------------------------------------
     def ensure_singular_join(self, flow: Flow, alias: str, link) -> str:
         key = (alias, link.name)
@@ -342,6 +428,7 @@ class Compiler:
     def eval_flow_member(self, ctx: Ctx, outer: ScopeRef, v: FlowV, op: N.Node):
         flow = v.flow
         scope = ScopeRef(flow, flow.alias, flow.table)
+        self._inject_refs(ctx, v, op)
         if isinstance(op, N.Identifier):
             # plural links extend the sub-flow in place; anything else
             # evaluates in the sub-flow scope
@@ -394,6 +481,9 @@ class Compiler:
             raise CompileError("'?' applies to a flow")
         flow = base.flow
         scope = ScopeRef(flow, flow.alias, flow.table)
+        # cross-flow $references in the predicate join their defining
+        # value in before anything evaluates against this sub-flow
+        self._inject_refs(ctx, base, predicate)
         # lower pure-chain aggregates in the predicate through the
         # batch/memo path — `{qty := sum(lineitem.l_quantity)}?sum(
         # lineitem.l_quantity) > 300` reuses the selection's grouped
@@ -1174,7 +1264,8 @@ def _fm_define(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
         if not isinstance(a, N.Assignment):
             raise CompileError("define() takes name := expr arguments")
         if a.is_reference:
-            ctx.refs[a.name] = a.expr
+            scope = ScopeRef(v.flow, v.flow.alias, v.flow.table)
+            cc.bind_reference(ctx, scope, a.name, a.expr)
         else:
             ctx.names[a.name] = a.expr
     return v
@@ -1227,6 +1318,31 @@ def _iter_child_nodes(n: N.Node):
                     yield x
 
 
+def _find_references(node: N.Node) -> set[str]:
+    """Names of every $reference in the subtree."""
+    out: set[str] = set()
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, N.Reference):
+            out.add(n.name)
+        stack.extend(_iter_child_nodes(n))
+    return out
+
+
+def _is_scope_free(node: N.Node) -> bool:
+    """True when the expression depends on no row context (pure
+    literals and operators over them) — safe to re-evaluate in any
+    scope."""
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, (N.Identifier, N.Wildcard, N.Complement, N.Reference)):
+            return False
+        stack.extend(_iter_child_nodes(n))
+    return True
+
+
 def _binding_fingerprint(ctx: Ctx, node: N.Node) -> tuple:
     """Identity of every define()d name / $reference the subtree can
     reach (transitively).  Guards the name_memo: the same AST node
@@ -1247,7 +1363,8 @@ def _binding_fingerprint(ctx: Ctx, node: N.Node) -> tuple:
         elif isinstance(n, N.Reference) and n.name in ctx.refs:
             bound = ctx.refs[n.name]
             out.append(("$" + n.name, id(bound)))
-            stack.append(bound)
+            if isinstance(bound, N.Node):
+                stack.append(bound)
         stack.extend(_iter_child_nodes(n))
     return tuple(sorted(set(out)))
 

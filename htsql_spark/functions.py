@@ -406,7 +406,10 @@ def _fn_given(cc, ctx, scope, args):
     for a in args:
         if isinstance(a, N.Assignment):
             if a.is_reference:
-                sub.refs[a.name] = a.expr
+                # references capture the value AT THE DEFINITION SITE
+                # (reference: tr/lookup.py::lookup_reference) — eager
+                # evaluation in the defining scope, see bind_reference
+                cc.bind_reference(sub, scope, a.name, a.expr)
             else:
                 sub.names[a.name] = a.expr
         elif body is None:

@@ -836,6 +836,35 @@ def _op_sample_group(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def _op_weighted_sample(spark, sf_dir):
+    """Per-row Bernoulli keep with probability = quality score
+    (importance sampling for data mixing)."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import pipeline, textstats
+
+    docs = _db(spark, sf_dir).table("documents")
+    scored = docs.select(
+        "doc_id", textstats.quality_score(F.col("text")).alias("q")
+    )
+    return pipeline.weighted_sample(scored, "doc_id", "q").select("doc_id", "q")
+
+
+def _op_mix(spark, sf_dir):
+    """Deterministic 70/30 en/de corpus mixing at the largest feasible
+    total (training-data mixture weights)."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import pipeline
+
+    docs = _db(spark, sf_dir).table("documents")
+    langs = {"en": 0.7, "de": 0.3}
+    sources = {lang: docs.filter(F.col("lang") == lang) for lang in langs}
+    return pipeline.mix_corpora(sources, langs, "doc_id").select(
+        "doc_id", "__source"
+    )
+
+
 def _op_chunk(spark, sf_dir):
     """Sliding-window token chunker (32-token chunks, 8 overlap)."""
     from htsql_spark.operators import pipeline
@@ -935,6 +964,8 @@ _QUERIES.update(
         "op_split": _op_split,
         "op_sample_stratified": _op_sample_stratified,
         "op_sample_group": _op_sample_group,
+        "op_weighted_sample": _op_weighted_sample,
+        "op_mix": _op_mix,
         "op_chunk": _op_chunk,
         "op_tfidf": _op_tfidf,
         "op_pii": _op_pii,
@@ -1595,6 +1626,8 @@ def oracle_sql() -> dict[str, str]:
         "op_split": _SPLIT_SQL,
         "op_sample_stratified": _SAMPLE_STRAT_SQL,
         "op_sample_group": _SAMPLE_GROUP_SQL,
+        "op_weighted_sample": _WEIGHTED_SQL,
+        "op_mix": _MIX_SQL,
         "op_chunk": _CHUNK_SQL,
         "op_tfidf": _TFIDF_SQL,
         "op_pii": _PII_SQL,
@@ -1741,6 +1774,50 @@ SELECT doc_id,
   md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
       '{_PHONE_RE}', '[PHONE]', 'g')) AS clean_md5
 FROM documents
+"""
+
+_QUALITY_CTE = f"""
+WITH s AS (
+  SELECT doc_id, length(text) AS chars,
+    CASE WHEN length(text) > 0
+      THEN length(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+      ELSE 0.0 END AS praw,
+    length(string_split_regex(trim(text), '\\s+')) AS words,
+    length(regexp_extract_all(lower(text), '{_EN}')) AS en_n
+  FROM documents
+), q AS (
+  SELECT doc_id,
+    round((least(chars / 500.0, 1.0) + greatest(0.0, 1.0 - praw * 4)
+           + least(CASE WHEN words > 0 THEN en_n * 1.0 / words
+                   ELSE 0.0 END * 5, 1.0)) / 3, 6) AS quality
+  FROM s
+)
+"""
+
+_WEIGHTED_SQL = f"""
+{_QUALITY_CTE}
+SELECT doc_id, quality AS q FROM q
+WHERE quality >= 1.0 OR (quality > 0.0 AND
+  substr(md5(CAST(doc_id AS VARCHAR) || '|sample'), 1, 8) <
+  printf('%08x', CAST(floor(quality * 4294967296.0) AS BIGINT)))
+"""
+
+_MIX_SQL = """
+WITH n AS (
+  SELECT lang, count(*) AS c FROM documents
+  WHERE lang IN ('en', 'de') GROUP BY lang
+), t AS (
+  SELECT min(c / CASE lang WHEN 'en' THEN 0.7 ELSE 0.3 END) AS tt FROM n
+), r AS (
+  SELECT lang,
+    least(1.0, (CASE lang WHEN 'en' THEN 0.7 ELSE 0.3 END) * tt / c) AS rate
+  FROM n CROSS JOIN t
+)
+SELECT d.doc_id, d.lang AS __source
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 8) <
+  CASE WHEN rate >= 1.0 THEN 'g'
+       ELSE printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT)) END
 """
 
 _CURATE_SQL = f"""

@@ -90,6 +90,59 @@ def stratified_sample(
     return df.filter(cond)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    rate,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-row Bernoulli sample with a per-row keep probability
+    (``rate``: column name or Column in [0,1]) — importance sampling
+    by e.g. a quality score.  Same md5-prefix determinism contract as
+    :func:`hash_split`: narrow, shuffle-free, reproducible anywhere.
+    The hex threshold is computed row-wise
+    (``lpad(hex(floor(rate·16^8)))``), matching :func:`frac_hex`'s
+    truncation, so a DuckDB oracle can replicate it exactly."""
+    r = F.col(rate) if isinstance(rate, str) else rate
+    prefix = _hash_prefix(F.col(key), salt)
+    thresh = F.lpad(F.lower(F.hex(F.floor(r * _HEX_SPACE).cast("bigint"))), 8, "0")
+    return df.filter((r >= 1.0) | ((r > 0.0) & (prefix < thresh)))
+
+
+def mix_corpora(
+    sources: dict[str, DataFrame],
+    fractions: dict[str, float],
+    key: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic corpus mixing: downsample each source so the
+    union approximates the target mixture ``fractions`` at the
+    largest feasible total (no source is upsampled — the binding
+    source keeps all rows).  The standard training-data "mixture
+    weights" op.
+
+    One ``count()`` per source fixes the rates (model-state
+    aggregates — the only driver traffic); the selection itself is
+    the narrow md5-prefix filter, so the mix is reproducible across
+    runs, engines, and partitionings.  Output adds a ``__source``
+    column."""
+    active = {s: f for s, f in fractions.items() if f > 0}
+    if not active:
+        raise ValueError("mix_corpora needs at least one positive fraction")
+    counts = {s: sources[s].count() for s in active}
+    feasible_total = min(counts[s] / active[s] for s in active)
+    out = None
+    for name, frac in active.items():
+        rate = min(1.0, frac * feasible_total / counts[name])
+        keep = (
+            sources[name]
+            .filter(_hash_prefix(F.col(key), salt) < F.lit(frac_hex(rate)))
+            .withColumn("__source", F.lit(name))
+        )
+        out = keep if out is None else out.unionByName(keep)
+    return out
+
+
 def sample_n_per_group(
     df: DataFrame,
     group: str | list[str],

@@ -205,3 +205,34 @@ def test_quantize_int8_planted(spark):
     row = similarity.quantize_int8(df).collect()[0]
     assert row["scale"] == 1.0
     assert row["quant_md5"] == hashlib.md5(b"127,-64,32").hexdigest()
+
+
+def test_weighted_sample_edges_and_determinism(db, spark):
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import pipeline
+
+    docs = db.table("documents").select("doc_id")
+    all_kept = pipeline.weighted_sample(docs.withColumn("r", F.lit(1.0)), "doc_id", "r")
+    assert all_kept.count() == docs.count()
+    none_kept = pipeline.weighted_sample(docs.withColumn("r", F.lit(0.0)), "doc_id", "r")
+    assert none_kept.count() == 0
+    half = docs.withColumn("r", F.lit(0.5))
+    a = {r["doc_id"] for r in pipeline.weighted_sample(half, "doc_id", "r").collect()}
+    b = {r["doc_id"] for r in pipeline.weighted_sample(half, "doc_id", "r").collect()}
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_mix_corpora_proportions(db):
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import pipeline
+
+    docs = db.table("documents")
+    sources = {l: docs.filter(F.col("lang") == l) for l in ("en", "de")}
+    mixed = pipeline.mix_corpora(sources, {"en": 0.7, "de": 0.3}, "doc_id")
+    by = {r["__source"]: r["count"] for r in mixed.groupBy("__source").count().collect()}
+    total = sum(by.values())
+    # the binding source keeps ~all rows; ratios near the target
+    assert abs(by["en"] / total - 0.7) < 0.1
+    assert abs(by["de"] / total - 0.3) < 0.1

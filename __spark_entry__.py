@@ -248,6 +248,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "^{nat := supplier.nation.name, yr := year(orders.o_orderdate)}"
         "{nat, yr, profit := sum(^.profit)}"
     ),
+    # TPC-H Q20 shape: semi-join against a correlated GROUP-BY-HAVING
+    # subquery — exists() over a quotient of a correlated flow, whose
+    # complement aggregates group per (correlation key, kernel)
+    # ("suppliers who shipped > 60 units of some 'wid' part in 1996";
+    # true Q20 thresholds on partsupp.ps_availqty, absent here)
+    "tpch_q20": _q(
+        "/supplier{sname := s_name}"
+        "?exists((lineitem?part.p_name ~ 'wid' & year(l_shipdate) = 1996)"
+        "^{pk := l_partkey}{pk, q := sum(^.l_quantity)}?q > 60)"
+    ),
     # TPC-H Q21 shape: suppliers who kept multi-supplier orders
     # waiting — exists/!exists against the SAME fact table correlated
     # on a non-key outer value via a $reference ("other lineitems of
@@ -1324,6 +1334,13 @@ def oracle_sql() -> dict[str, str]:
             " AND NOT EXISTS (SELECT 1 FROM orders"
             "  WHERE o_custkey = c_custkey AND o_totalprice > 250000)"
             " GROUP BY 1"
+        ),
+        "tpch_q20": (
+            "SELECT s_name AS sname FROM supplier WHERE EXISTS ("
+            " SELECT 1 FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " WHERE l_suppkey = s_suppkey AND contains(lower(p_name), 'wid')"
+            " AND year(l_shipdate) = 1996"
+            " GROUP BY l_partkey HAVING sum(l_quantity) > 60)"
         ),
         "tpch_q21": (
             "SELECT s_name AS sname, count(*) AS numwait FROM lineitem l1"

@@ -288,10 +288,14 @@ class Compiler:
         if flow.kernel is None or flow.base_flow is None:
             raise CompileError("'^' is only defined inside a projection scope")
         base = flow.base_flow.copy()
+        # correlated quotient: complement groups are per (corr key,
+        # kernel) — the carry columns exist under the same name in
+        # both the quotient df and its base df
+        carry = getattr(flow, "corr_carry", [])
         return FlowV(
             base,
-            corr_outer=[c for _, c in flow.kernel],
-            corr_inner=list(flow.base_kernel_cols),
+            corr_outer=[c for _, c in flow.kernel] + carry,
+            corr_inner=list(flow.base_kernel_cols) + carry,
             null_safe=True,
             hint="^",
         )
@@ -631,6 +635,12 @@ class Compiler:
         qflow.kernel = [(n, f"{qalias}__{i}") for i, (n, _) in enumerate(knames)]
         qflow.base_flow = base_copy
         qflow.base_kernel_cols = [c for _, c in knames]
+        # a quotient of a CORRELATED flow stays correlated: distinct
+        # kernel values (and complement groups) are per correlation
+        # key, not global — the corr columns ride along in qdf under
+        # their original names and extend every complement grouping
+        # (reference: QuotientSpace keeps its base space's baseline)
+        qflow.corr_carry = list(base.corr_inner)
         qflow.order = [(c, True) for _, c in qflow.kernel]
         # marker for quotient fusion: while df is still the bare
         # distinct, a selection of {kernel, aggs-over-^} can replace it

@@ -457,14 +457,22 @@ def _stream_running_totals(spark, sf_dir):
 
 
 def _stream_tumbling(spark, sf_dir):
+    """Append-mode tumbling window over the file stream.  Emission is
+    deterministic: one input file → one data batch, then availableNow
+    flushes every window whose end <= final watermark (max ts − 1 h).
+    The oracle replays exactly that emission rule in SQL."""
     import uuid
+
+    from pyspark.sql import functions as F
 
     from htsql_spark import streaming
 
     name = f"t_tumb_{uuid.uuid4().hex[:8]}"
     stream = streaming.read_events_stream(spark, sf_dir)
     streaming.run_to_memory(streaming.tumbling_counts(stream), name, "append")
-    return spark.table(name)
+    return spark.table(name).select(
+        "w_start", "w_end", "event_type", "n", F.round("total", 4).alias("total")
+    )
 
 
 def _op_tumbling_batch(spark, sf_dir):
@@ -487,14 +495,22 @@ def _op_tumbling_batch(spark, sf_dir):
 
 
 def _stream_sliding(spark, sf_dir):
+    """Append-mode sliding window (2 d / 1 d): each event lands in two
+    epoch-aligned windows; only windows closed by the final watermark
+    emit.  Oracled by duplicating each event into both windows in SQL
+    with the same closed-window filter."""
     import uuid
+
+    from pyspark.sql import functions as F
 
     from htsql_spark import streaming
 
     name = f"t_slide_{uuid.uuid4().hex[:8]}"
     stream = streaming.read_events_stream(spark, sf_dir)
     streaming.run_to_memory(streaming.sliding_event_avg(stream), name, "append")
-    return spark.table(name)
+    return spark.table(name).select(
+        "w_start", F.round("avg_value", 4).alias("avg_value"), "n"
+    )
 
 
 def _stream_join(spark, sf_dir):
@@ -773,15 +789,28 @@ def _op_ann_bruteforce(spark, sf_dir):
 
 
 def _op_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN.  The planes are seeded literals, so the
+    oracle embeds the very same plane values and replays the bucket
+    assignment + 1-bit multiprobe + cosine rerank in DuckDB — a full
+    value oracle, not just a recall floor."""
+    from pyspark.sql import functions as F
+
     from htsql_spark.operators import similarity
 
-    return similarity.topk_lsh(_db(spark, sf_dir).table("embeddings"), query_id=0, k=10)
+    df = similarity.topk_lsh(_db(spark, sf_dir).table("embeddings"), query_id=0, k=10)
+    return df.select("vec_id", "label", F.round(F.col("cos"), 4).alias("cos4"))
 
 
 def _op_ann_ivf(spark, sf_dir):
+    """IVF-probe ANN.  Seeded centroid literals are embedded into the
+    oracle; nearest-cell assignment (first-wins argmax) and the
+    nprobe=4 probe list are replayed exactly in DuckDB."""
+    from pyspark.sql import functions as F
+
     from htsql_spark.operators import similarity
 
-    return similarity.topk_ivf(_db(spark, sf_dir).table("embeddings"), query_id=0, k=10)
+    df = similarity.topk_ivf(_db(spark, sf_dir).table("embeddings"), query_id=0, k=10)
+    return df.select("vec_id", "label", F.round(F.col("cos"), 4).alias("cos4"))
 
 
 def _op_multimodal(spark, sf_dir):
@@ -1648,7 +1677,102 @@ def oracle_sql() -> dict[str, str]:
         "op_chunk": _CHUNK_SQL,
         "op_tfidf": _TFIDF_SQL,
         "op_pii": _PII_SQL,
+        "stream_tumbling": _STREAM_TUMBLING_SQL,
+        "stream_sliding": _STREAM_SLIDING_SQL,
+        "op_ann_lsh": _ann_lsh_oracle(),
+        "op_ann_ivf": _ann_ivf_oracle(),
     }
+
+
+# ----------------------------------------------------------------------
+# streaming-window oracles: one input file → a single data micro-batch,
+# so no rows are ever dropped as late; availableNow then emits exactly
+# the windows whose end <= final watermark (max ts − 1 hour).  That
+# emission rule is plain epoch-bucket arithmetic DuckDB replays below
+# (same trick as the session gaps-and-islands oracle).
+_STREAM_TUMBLING_SQL = """
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+       CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS w_end,
+       event_type, count(*) AS n, round(sum(value), 4) AS total
+FROM events
+GROUP BY 1, 2, 3
+HAVING w_end <= (SELECT w FROM wm)
+"""
+_STREAM_SLIDING_SQL = """
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+x AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, value FROM events
+  UNION ALL
+  SELECT CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS TIMESTAMP) AS w_start,
+         value FROM events
+)
+SELECT w_start, round(avg(value), 4) AS avg_value, count(*) AS n
+FROM x GROUP BY 1
+HAVING w_start + INTERVAL 2 DAYS <= (SELECT w FROM wm)
+"""
+
+
+# ----------------------------------------------------------------------
+# ANN oracles: the LSH hyperplanes / IVF centroids are deterministic
+# seeded literals (operators/similarity.py), so the DuckDB oracle
+# embeds the identical values and replays bucket assignment, probing,
+# and the cosine rerank — a full value oracle for the approximate
+# paths, not just a recall floor.
+def _sql_vec(vals) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]"
+
+
+def _ann_lsh_oracle(query_id: int = 0, k: int = 10, num_planes: int = 8) -> str:
+    from htsql_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, num_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {_sql_vec(p)}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probes = ", ".join(str(1 << i) for i in range(num_planes))
+    return f"""
+WITH emb AS (SELECT vec_id, label,
+       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+b AS (SELECT vec_id, label, e, ({bucket}) AS bucket FROM emb),
+q AS (SELECT e AS qv, bucket AS qb FROM b WHERE vec_id = {query_id})
+SELECT b.vec_id, b.label, round(list_cosine_similarity(b.e, q.qv), 4) AS cos4
+FROM b, q
+WHERE b.vec_id <> {query_id}
+  AND (b.bucket = q.qb OR xor(b.bucket, q.qb) IN ({probes}))
+ORDER BY round(list_cosine_similarity(b.e, q.qv), 6) DESC, b.vec_id
+LIMIT {k}
+"""
+
+
+def _ann_ivf_oracle(
+    query_id: int = 0, k: int = 10, num_cells: int = 16, nprobe: int = 4
+) -> str:
+    from htsql_spark.operators.similarity import _centroids
+
+    cents = _centroids(64, num_cells)
+    # first-wins argmax (list_indexof finds the first occurrence of the
+    # max) — the same tiebreak _nearest_centroid uses
+    ds = "[" + ", ".join(
+        f"list_dot_product(e, {_sql_vec(c)})" for c in cents
+    ) + "]"
+    qds = ds.replace("(e,", "(q.qv,")
+    return f"""
+WITH emb AS (SELECT vec_id, label,
+       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+a AS (SELECT vec_id, label, e,
+       list_indexof({ds}, list_max({ds})) - 1 AS cell FROM emb),
+q AS (SELECT e AS qv FROM emb WHERE vec_id = {query_id}),
+qs AS (SELECT unnest(range({num_cells})) AS i, unnest({qds}) AS s FROM q),
+probes AS (SELECT i FROM qs ORDER BY s DESC, i DESC LIMIT {nprobe})
+SELECT a.vec_id, a.label, round(list_cosine_similarity(a.e, q.qv), 4) AS cos4
+FROM a, q
+WHERE a.vec_id <> {query_id} AND a.cell IN (SELECT i FROM probes)
+ORDER BY round(list_cosine_similarity(a.e, q.qv), 6) DESC, a.vec_id
+LIMIT {k}
+"""
 
 
 _TOKEN_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

@@ -1036,34 +1036,41 @@ _QUERIES.update(
 # window; everything after position 50 keeps full oracle coverage via
 # tests/test_entry.py.
 # ----------------------------------------------------------------------
+# ROUND-3 ROTATION (judge directive r2 #2): the driver hard-verifies
+# only the first 50 entries, so the window is rotated each round to
+# grow the union of hard-verified queries.  Round 2's window covered
+# 50 rows (all green, CORRECTNESS_r02.json); this round keeps 15 of
+# those — the flagship shapes and every row that was ever red or
+# fixed a scale hazard (nested_segment_flat / topk_per_parent_flat
+# were r1-red; op_tfidf / op_dedup_embedding carry the r1 broadcast
+# and GEMM fixes) — and fills the other 35 slots with entries never
+# gated before.  Union of r2+r3 windows: 85 of 109 queries
+# hard-verified by the external gate; everything outside any window
+# stays oracle-replayed by tests/test_entry.py every run.
 _GATE_ORDER = [
-    # language core: scan/selection/sieve/navigation
-    "scan", "selection", "sieve", "nav_singular", "nav_plural",
-    # correlated aggregates & quantifiers & stats
-    "agg_flagship", "agg_exists", "agg_every", "agg_stats",
-    # quotient/fork/detach/order-clip
-    "quotient", "fork", "detach", "sort_limit",
-    # identity & locators / define / refs / links / wildcard
-    "locator", "locator_text", "identity", "define", "given_ref",
-    "computed_link", "wildcard",
-    # scalar-function families (S1+S2 merged, S4, S5, S6)
-    "fn_scalar", "fn_text", "fn_date", "events_json",
-    # nested output (F17) + per-parent clip (F20), flat-verified
+    # kept from r2: language flagships + once-red rows
+    "scan", "selection", "nav_singular", "nav_plural",
+    "agg_flagship", "quotient",
     "nested_segment_flat", "topk_per_parent_flat",
-    # TPC-H composition shapes
-    "tpch_q2", "tpch_q1", "tpch_q13",
-    # training-pipeline: curation / dedup family
-    "op_curate", "op_dedup_exact", "op_dedup_minhash", "op_dedup_clusters",
-    "op_dedup_pipeline", "op_dedup_embedding",
-    # splits / samples / chunk / tfidf / pii / text analysis
-    "op_split", "op_sample_stratified", "op_chunk", "op_tfidf", "op_pii",
-    "op_text_stats",
-    # product analytics
-    "op_funnel", "op_retention", "op_transitions", "op_sessionize",
-    # OLAP extensions
-    "op_cube", "op_set_union",
-    # streaming (stateful dedup, custom state op, stream-static join)
-    "stream_dedup", "stream_running_totals", "stream_enrich",
+    "tpch_q1", "tpch_q2",
+    "op_curate", "op_dedup_pipeline", "op_dedup_embedding", "op_tfidf",
+    "stream_dedup",
+    # never-gated: the remaining TPC-H composition shapes
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q15",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
+    "tpch_q22",
+    # never-gated: join operators
+    "op_asof_join", "op_range_join", "op_theta_band",
+    # never-gated: OLAP extensions
+    "op_rollup", "op_grouping_sets", "op_set_intersect", "op_set_except",
+    "op_window_topk",
+    # never-gated: sampling / mixing
+    "op_weighted_sample", "op_mix", "op_sample_group",
+    # never-gated: similarity search (lsh/ivf newly value-oracled)
+    "op_ann_bruteforce", "op_ann_lsh", "op_ann_ivf",
+    # never-gated: streaming windows (newly value-oracled) + session/join
+    "stream_tumbling", "stream_sliding", "stream_session", "stream_join",
 ]
 assert len(_GATE_ORDER) == 50 and len(set(_GATE_ORDER)) == 50
 _QUERIES = {k: _QUERIES[k] for k in _GATE_ORDER} | {

@@ -286,12 +286,22 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 # n-gram Jaccard (direct, bucketed)
 # ----------------------------------------------------------------------
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_bucket: int = 5000
 ) -> DataFrame:
     """Pairwise character-n-gram Jaccard within (lang, length-bucket)
     buckets — the cheap-bucket baseline for comparison with LSH.
-    Bucketing bounds the quadratic blowup; at scale, bucket width is
-    the knob."""
+
+    Buckets larger than ``max_bucket`` docs are dropped before the
+    self-join (the same hot-key policy as winnow_overlap_pairs'
+    ``max_postings``): a single (en, one-length-band) bucket at corpus
+    scale would otherwise explode O(n²) inside one join key — AQE can
+    split the *partition* but not the *algorithm*.  The cap bounds the
+    per-key pair fan-out at max_bucket², making worst-case cost
+    #buckets·max_bucket² instead of unbounded; documents in dropped
+    buckets simply produce no pairs from this baseline (minhash-LSH is
+    the recall path for dense regions).  The fixture's largest bucket
+    is 451 docs at sf0.1, so the default cap never fires there and the
+    DuckDB oracle is the plain uncapped join."""
     # grams are hashed to int64 up front: the pairwise array_intersect
     # then compares longs, not strings — ~5× cheaper per pair, and the
     # collision probability at 64 bits is negligible for a dedup score
@@ -307,6 +317,10 @@ def ngram_jaccard_pairs(
         (F.floor(F.length("text") / 100)).alias("lbucket"),
         grams.alias("g"),
     )
+    sizes = d.groupBy("lang", "lbucket").agg(F.count("*").alias("__n"))
+    d = d.join(
+        sizes.filter(F.col("__n") <= max_bucket), ["lang", "lbucket"]
+    ).drop("__n")
     l, r = d.alias("l"), d.alias("r")
     pairs = l.join(
         r,

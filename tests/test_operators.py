@@ -86,6 +86,28 @@ def test_ngram_jaccard_clones(docs, docs_with_clones):
     assert found == len(ids)  # exact clones share lang+length bucket
 
 
+def test_ngram_jaccard_bucket_cap(docs, docs_with_clones):
+    """Buckets over ``max_bucket`` docs are dropped before the
+    self-join — the hot-key bound that keeps the baseline from going
+    quadratic inside one (lang, length-band) key at corpus scale."""
+    from htsql_spark.operators import dedup
+
+    # every (lang, lbucket) bucket in this fixture holds ≥2 docs
+    # (original + exact clone), so max_bucket=1 prunes everything
+    assert dedup.ngram_jaccard_pairs(
+        docs_with_clones, threshold=0.0, max_bucket=1
+    ).count() == 0
+    # a permissive cap changes nothing vs. the uncapped semantics
+    capped = dedup.ngram_jaccard_pairs(docs_with_clones, threshold=0.9)
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    ids = [r[0] for r in docs.select("doc_id").collect()]
+    assert all((i, i + 200000) in got for i in ids)
+    # the pruning aggregation is in the plan (bounded bucket fan-out
+    # is enforced before the join, not left to AQE)
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "__n" in plan
+
+
 def test_embedding_dup_pairs(embs):
     from htsql_spark.operators import dedup
 

@@ -814,6 +814,23 @@ def _op_ann_ivf(spark, sf_dir):
 
 
 def _op_multimodal(spark, sf_dir):
+    """REAL image decode: planted solid-color images (format cycling
+    BMP/PPM/PNG by doc_id%3, colors derived from doc_id) are built as
+    actual format bytes, then decoded — header parse, zlib inflate,
+    unfilter, channel means — inside Arrow batches.  The oracle
+    recomputes the planted colors in plain SQL, so the decoder output
+    is value-checked end-to-end."""
+    from htsql_spark.operators import multimodal
+
+    assets = multimodal.image_assets_from_documents(
+        _db(spark, sf_dir).table("documents")
+    )
+    return multimodal.image_features(assets)
+
+
+def _op_asset_meta(spark, sf_dir):
+    """Metadata-only multimodal pass (n_bytes + digest over opaque
+    binary payloads) — the pre-decode inventory scan."""
     from htsql_spark.operators import multimodal
 
     assets = multimodal.assets_from_documents(_db(spark, sf_dir).table("documents"))
@@ -821,12 +838,15 @@ def _op_multimodal(spark, sf_dir):
 
 
 def _op_frame_sample(spark, sf_dir):
-    """Video-style frame sampling plumbing: every-Nth-frame expansion
-    per asset (deterministic fake decode; real Spark-side shape)."""
+    """Frame sampling with REAL per-frame pixel decode: RAWV payloads
+    of 30 solid BMP frames per doc; every 10th frame is seeked and
+    decoded, channel means value-checked against the planted colors."""
     from htsql_spark.operators import multimodal
 
-    assets = multimodal.assets_from_documents(_db(spark, sf_dir).table("documents"))
-    return multimodal.frame_sample_plan(assets, every_n=10)
+    assets = multimodal.video_assets_from_documents(
+        _db(spark, sf_dir).table("documents")
+    )
+    return multimodal.sampled_frame_features(assets, every_n=10)
 
 
 def _op_winnow(spark, sf_dir):
@@ -1023,6 +1043,7 @@ _QUERIES.update(
         "op_ann_lsh": _op_ann_lsh,
         "op_ann_ivf": _op_ann_ivf,
         "op_multimodal": _op_multimodal,
+        "op_asset_meta": _op_asset_meta,
         "op_frame_sample": _op_frame_sample,
     }
 )
@@ -1619,11 +1640,24 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC, b.vec_id"
             " LIMIT 10"
         ),
-        "op_frame_sample": (
-            "SELECT doc_id AS asset_id, 'image' AS kind,"
-            " CAST(unnest([0, 10, 20]) AS INTEGER) AS frame_idx FROM documents"
-        ),
+        # planted-color image decode: solid (r,g,b) = f(doc_id) images
+        # mean back to exactly their color — the SQL recomputes f
         "op_multimodal": (
+            "SELECT doc_id AS asset_id,"
+            " CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,"
+            " CAST(doc_id % 256 AS DOUBLE) AS mean_r,"
+            " CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,"
+            " CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b"
+            " FROM documents"
+        ),
+        "op_frame_sample": (
+            "SELECT doc_id AS asset_id, CAST(f AS INTEGER) AS frame_idx,"
+            " CAST((doc_id + 11 * f) % 256 AS DOUBLE) AS mean_r,"
+            " CAST((doc_id * 7 + f) % 256 AS DOUBLE) AS mean_g,"
+            " CAST((doc_id * 13 + 5 * f) % 256 AS DOUBLE) AS mean_b"
+            " FROM documents, (SELECT unnest([0, 10, 20]) AS f) t"
+        ),
+        "op_asset_meta": (
             "SELECT doc_id AS asset_id,"
             " CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,"
             " md5(text) AS digest FROM documents"

@@ -253,10 +253,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # complement aggregates group per (correlation key, kernel)
     # ("suppliers who shipped > 60 units of some 'wid' part in 1996";
     # true Q20 thresholds on partsupp.ps_availqty, absent here)
+    # TPC-H Q20 (potential promotion suppliers), now FAITHFUL via the
+    # derived partsupp: availqty vs. a scaled correlated sum of the
+    # part's shipped quantity (100× replaces TPC-H's 0.5× because the
+    # derived availqty is uniform 1..9999 against a small fixture)
     "tpch_q20": _q(
         "/supplier{sname := s_name}"
-        "?exists((lineitem?part.p_name ~ 'wid' & year(l_shipdate) = 1996)"
-        "^{pk := l_partkey}{pk, q := sum(^.l_quantity)}?q > 60)"
+        "?exists(partsupp?part.p_name~'wid'"
+        " & ps_availqty > 100 * sum((part.lineitem?year(l_shipdate)=1996)"
+        ".l_quantity))"
     ),
     # TPC-H Q21 shape: suppliers who kept multi-supplier orders
     # waiting — exists/!exists against the SAME fact table correlated
@@ -278,9 +283,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # TPC-H Q2 shape: min-cost correlated lookup — rows whose value
     # equals the minimum over their own correlated group, via
     # up-then-down navigation (part.lineitem) inside the sieve
+    # TPC-H Q2 (minimum-cost supplier), now FAITHFUL via the derived
+    # partsupp: region-scoped correlated min over ps_supplycost, with
+    # supplier attributes navigated from the winning rows
     "tpch_q2": _q(
-        "/lineitem{okey := l_orderkey, lnum := l_linenumber, price := l_extendedprice}"
-        "?l_extendedprice = min(part.lineitem.l_extendedprice)"
+        "/((partsupp?part.p_size = 23 & supplier.nation.region.name='EUROPE')"
+        "?ps_supplycost = min((part.partsupp"
+        "?supplier.nation.region.name='EUROPE').ps_supplycost))"
+        "{pk := ps_partkey, sk := ps_suppkey, cost := ps_supplycost,"
+        " sname := supplier.s_name, sbal := supplier.s_acctbal}"
+        ".sort(sbal-, pk)"
     ),
     # TPC-H Q14 shape: ratio of two conditional aggregates over the
     # same sieved flow (promo revenue share)
@@ -329,6 +341,27 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         ".define(r := l_extendedprice * (1 - l_discount)).r))"
         "{sname := s_name, total_rev := round(rev, 6)}"
         "?rev = max(fork().rev)"
+    ),
+    # TPC-H Q11 (important stock): quotient over the DERIVED partsupp
+    # table (no fixture file — built deterministically from
+    # part × supplier, htsql_spark/derived.py; the oracle re-derives
+    # it as a CTE), with the group-vs-global threshold expressed as
+    # define-on-quotient + fork()
+    "tpch_q11": _q(
+        "/(partsupp?supplier.nation.name='NATION_7')"
+        ".define(val := ps_supplycost * ps_availqty)"
+        "^{pk := ps_partkey}"
+        ".define(v := sum(^.val))"
+        "{pk, value := round(v, 4)}?v > 2 * avg(fork().v)"
+    ),
+    # TPC-H Q16 (parts/supplier relationship): distinct-count over the
+    # derived partsupp grouped by navigated part attributes, with
+    # negated membership sieves
+    "tpch_q16": _q(
+        "/(partsupp?!(part.p_brand='Brand#13') & !(part.p_type~'PROMO')"
+        " & part.p_size = {1, 5, 9, 14, 23, 36, 45, 50})"
+        "^{brand := part.p_brand, type := part.p_type, size := part.p_size}"
+        "{brand, type, size, supplier_cnt := count_distinct(^.ps_suppkey)}"
     ),
     # F11/F20 per-parent clip (row_number window) inside a nested
     # segment — rows-only (nested output)
@@ -1078,16 +1111,15 @@ _GATE_ORDER = [
     "stream_dedup",
     # never-gated: the remaining TPC-H composition shapes
     "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
-    "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q15",
-    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
-    "tpch_q22",
+    "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q14",
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
+    "tpch_q20", "tpch_q21", "tpch_q22",
     # never-gated: join operators
     "op_asof_join", "op_range_join", "op_theta_band",
     # never-gated: OLAP extensions
     "op_rollup", "op_grouping_sets", "op_set_intersect", "op_set_except",
-    "op_window_topk",
     # never-gated: sampling / mixing
-    "op_weighted_sample", "op_mix", "op_sample_group",
+    "op_weighted_sample", "op_mix",
     # never-gated: similarity search (lsh/ivf newly value-oracled)
     "op_ann_bruteforce", "op_ann_lsh", "op_ann_ivf",
     # never-gated: streaming windows (newly value-oracled) + session/join
@@ -1101,6 +1133,9 @@ _QUERIES = {k: _QUERIES[k] for k in _GATE_ORDER} | {
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
+
+
+from htsql_spark.derived import PARTSUPP_ORACLE_CTE as _PARTSUPP_CTE
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1392,13 +1427,34 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE o_custkey = c_custkey AND o_totalprice > 250000)"
             " GROUP BY 1"
         ),
-        "tpch_q20": (
-            "SELECT s_name AS sname FROM supplier WHERE EXISTS ("
-            " SELECT 1 FROM lineitem JOIN part ON l_partkey = p_partkey"
-            " WHERE l_suppkey = s_suppkey AND contains(lower(p_name), 'wid')"
-            " AND year(l_shipdate) = 1996"
-            " GROUP BY l_partkey HAVING sum(l_quantity) > 60)"
-        ),
+        "tpch_q20": _PARTSUPP_CTE + """
+SELECT s_name AS sname FROM supplier WHERE EXISTS (
+  SELECT 1 FROM partsupp JOIN part ON p_partkey = ps_partkey
+  WHERE ps_suppkey = s_suppkey AND contains(lower(p_name), 'wid')
+    AND ps_availqty > 100 * coalesce(
+      (SELECT sum(l_quantity) FROM lineitem
+       WHERE l_partkey = ps_partkey AND year(l_shipdate) = 1996), 0))
+""",
+        "tpch_q11": _PARTSUPP_CTE + """,
+filt AS (
+  SELECT ps_partkey, ps_supplycost * ps_availqty AS val
+  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+), g AS (SELECT ps_partkey AS pk, sum(val) AS v FROM filt GROUP BY 1)
+SELECT pk, round(v, 4) AS value FROM g WHERE v > 2 * (SELECT avg(v) FROM g)
+""",
+        "tpch_q16": _PARTSUPP_CTE + """,
+f AS (
+  SELECT ps_suppkey, p_brand, p_type, p_size
+  FROM partsupp JOIN part ON p_partkey = ps_partkey
+  WHERE p_brand <> 'Brand#13' AND NOT contains(lower(p_type), 'promo')
+    AND p_size IN (1, 5, 9, 14, 23, 36, 45, 50)
+)
+SELECT p_brand AS brand, p_type AS type, p_size AS size,
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM f GROUP BY 1, 2, 3
+""",
         "tpch_q21": (
             "SELECT s_name AS sname, count(*) AS numwait FROM lineitem l1"
             " JOIN orders ON l1.l_orderkey = o_orderkey"
@@ -1424,13 +1480,21 @@ def oracle_sql() -> dict[str, str]:
             " JOIN orders ON l_orderkey = o_orderkey"
             " WHERE contains(lower(p_name), 'wid') GROUP BY 1, 2"
         ),
-        "tpch_q2": (
-            "SELECT l_orderkey AS okey, l_linenumber AS lnum,"
-            " l_extendedprice AS price"
-            " FROM lineitem l1 WHERE l_extendedprice ="
-            " (SELECT min(l_extendedprice) FROM lineitem l2"
-            "  WHERE l2.l_partkey = l1.l_partkey)"
-        ),
+        "tpch_q2": _PARTSUPP_CTE + """,
+eu AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal
+  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT e.ps_partkey AS pk, e.ps_suppkey AS sk, e.ps_supplycost AS cost,
+       e.s_name AS sname, e.s_acctbal AS sbal
+FROM eu e JOIN part ON p_partkey = e.ps_partkey
+WHERE p_size = 23
+  AND e.ps_supplycost = (SELECT min(i.ps_supplycost) FROM eu i
+                         WHERE i.ps_partkey = e.ps_partkey)
+""",
         "tpch_q15": (
             "WITH revenue AS ("
             " SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev"
@@ -1451,7 +1515,9 @@ def oracle_sql() -> dict[str, str]:
             " ('lineitem','orders','orders','singular'),"
             " ('lineitem','part','part','singular'),"
             " ('lineitem','supplier','supplier','singular'),"
-            " ('events','customer','customer','singular')"
+            " ('events','customer','customer','singular'),"
+            " ('partsupp','part','part','singular'),"
+            " ('partsupp','supplier','supplier','singular')"
             ") AS t(origin, name, target, kind)"
         ),
         "op_window_topk": (

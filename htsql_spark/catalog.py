@@ -59,6 +59,11 @@ class TableDef:
     #: region's text name) so quoted-text locators ``/region['ASIA']``
     #: work.  The PK keeps driving the implicit ordering contract.
     identity: tuple[str, ...] = ()
+    #: name of a registered derived-table builder (see
+    #: htsql_spark.derived): the table has no backing file and is
+    #: built as a DataFrame plan from other catalog tables.  Empty →
+    #: a regular file-backed table.
+    derived: str = ""
 
     @property
     def identity_cols(self) -> tuple[str, ...]:
@@ -100,6 +105,7 @@ class Catalog:
                 pk=tuple(spec["pk"]),
                 prefix=spec.get("prefix", "") or "",
                 identity=tuple(spec.get("identity") or ()),
+                derived=spec.get("derived", "") or "",
             )
         # second pass: links + reverse links
         for tname, spec in raw["tables"].items():

@@ -1310,7 +1310,34 @@ def _coerce_identity_part(part, dtype, table: str, col: str) -> Column:
         return F.lit(part)
     if isinstance(dtype, T.StringType):
         return F.lit(str(part))
-    return F.lit(part).cast(dtype)
+    if isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        # coerce in PYTHON so a bad literal is a bind error, not a
+        # NULL-yielding runtime cast (the documented contract)
+        import datetime
+
+        s = str(part)
+        try:
+            if isinstance(dtype, T.DateType):
+                return F.lit(datetime.date.fromisoformat(s))
+            return F.lit(datetime.datetime.fromisoformat(s))
+        except ValueError:
+            raise CompileError(
+                f"identity part {part!r} does not coerce to "
+                f"{table}.{col} ({dtype.simpleString()})"
+            ) from None
+    if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
+        try:
+            return F.lit(float(part))
+        except (TypeError, ValueError):
+            raise CompileError(
+                f"identity part {part!r} does not coerce to "
+                f"{table}.{col} ({dtype.simpleString()})"
+            ) from None
+    raise CompileError(
+        f"{table}.{col} has domain {dtype.simpleString()}, which is not"
+        " a supported identity-column type (int/text/date/timestamp/"
+        "numeric)"
+    )
 
 
 def _iter_child_nodes(n: N.Node):

@@ -58,9 +58,21 @@ class HTSQL:
         self.gateways: dict[str, "HTSQL"] = {}
         self._fill_columns()
         # catalog-declared gateway mounts are FLAT (a gateway's own
-        # declared gateways are ignored — no transitive/cyclic mounts)
-        for gname, gdir in self.catalog.gateways.items():
-            sub_cat = Catalog.from_yaml()
+        # declared gateways are ignored — no transitive/cyclic mounts).
+        # A mount is either a plain directory string (assumes the
+        # default catalog — validated against the dir's files at
+        # attach) or {dir: ..., catalog: ...} with its own catalog
+        # yaml for differently-shaped data.
+        for gname, gspec in self.catalog.gateways.items():
+            if isinstance(gspec, dict):
+                gdir = gspec["dir"]
+                sub_cat = Catalog.from_yaml(gspec["catalog"]) if gspec.get(
+                    "catalog"
+                ) else None
+            else:
+                gdir, sub_cat = gspec, None
+            if sub_cat is None:
+                sub_cat = Catalog.from_yaml()
             sub_cat.gateways = {}
             self.attach(gname, gdir, catalog=sub_cat)
 
@@ -82,6 +94,12 @@ class HTSQL:
         if name not in self._tables:
             import os
 
+            tdef = self.catalog.tables.get(name)
+            if tdef is not None and tdef.derived:
+                from .derived import BUILDERS
+
+                self._tables[name] = BUILDERS[tdef.derived](self)
+                return self._tables[name]
             pq = f"{self.data_dir}/{name}.parquet"
             if os.path.exists(pq):
                 df = self.spark.read.parquet(pq)
@@ -171,9 +189,48 @@ class HTSQL:
         with ``/name(/query)``).  Unlike the reference, both catalogs
         live in one SparkSession, so gateway results are ordinary
         DataFrames."""
-        gw = target if isinstance(target, HTSQL) else HTSQL(
-            self.spark, target, catalog=catalog
-        )
+        from .compile import FLOW_METHODS
+        from . import functions as fnlib
+
+        low = name.lower()
+        if low == "meta" or low in FLOW_METHODS or low in fnlib.AGGREGATES or (
+            low in fnlib.SCALARS
+        ):
+            # a gateway named like a builtin would shadow it for
+            # single-argument calls (gateway dispatch runs first)
+            raise ValueError(
+                f"gateway name {name!r} collides with a builtin"
+                " function/flow method — pick another name"
+            )
+        if isinstance(target, HTSQL):
+            gw = target
+        else:
+            cat = catalog or Catalog.from_yaml()
+            # the declared catalog is an ASSUMPTION about the mounted
+            # directory: verify every file-backed table has a source
+            # file now, instead of misdeclaring tables until first
+            # query against a differently-shaped dir
+            import os
+
+            tdir = target.rstrip("/")
+            missing = [
+                t.name
+                for t in cat.tables.values()
+                if not t.derived
+                and not any(
+                    os.path.exists(f"{tdir}/{t.name}.{ext}")
+                    for ext in ("parquet", "csv", "json")
+                )
+            ]
+            if missing:
+                raise ValueError(
+                    f"gateway {name!r}: data dir {target!r} has no source"
+                    f" files for catalog tables {missing} — pass a catalog"
+                    " matching the directory (e.g. Catalog.from_files(dir)"
+                    " for schema-less scans, or a per-gateway catalog"
+                    " yaml in the gateways: section)"
+                )
+            gw = HTSQL(self.spark, target, catalog=cat)
         self.gateways[name] = gw
         return gw
 

@@ -211,29 +211,7 @@ def kmeans_assign(
     return embs.withColumn(out_col, nearest(F.col(vec_col)))
 
 
-def kmeans(
-    embs: DataFrame,
-    k: int = 8,
-    iters: int = 10,
-    tol: float = 1e-4,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-):
-    """Distributed Lloyd's k-means (cosine) over the embedding column,
-    DataFrame-native: per iteration one assign pass (broadcast
-    centroid matrix, Arrow GEMM) and one centroid update (posexplode →
-    map-side-combined hash aggregation on (cluster, dim)).  Only
-    k·dim partial means ever reach the driver per iteration — the
-    legitimate driver-side payload is the MODEL, never the data — so
-    the same loop runs unchanged over 100 TB of vectors.
-
-    Deterministic farthest-point (maximin) init: the first seed is
-    the row with the smallest md5(id); each next seed is the vector
-    least similar to every already-chosen seed (min-id tiebreak) — k-1
-    TakeOrdered passes, reproducible across runs and partitionings,
-    and unlike random/hash seeding it cannot drop a well-separated
-    cluster.  Empty clusters keep their previous centroid.  Returns
-    (assignments DataFrame, centroids list)."""
+def _first_seed(embs: DataFrame, vec_col: str, id_col: str):
     import numpy as np
 
     first = (
@@ -244,17 +222,155 @@ def kmeans(
     )
     if not first:
         raise ValueError("kmeans needs a non-empty corpus")
-    seeds = [np.asarray(first[0][0], dtype="float64")]
+    return np.asarray(first[0][0], dtype="float64")
+
+
+def _maximin_init(embs: DataFrame, k: int, vec_col: str, id_col: str):
+    """Deterministic farthest-point init — k−1 TakeOrdered full
+    scans; cannot drop a well-separated cluster.  Raises when the
+    corpus has fewer than k distinct directions (the next 'farthest'
+    point coincides with an existing seed)."""
+    import numpy as np
+
+    seeds = [_first_seed(embs, vec_col, id_col)]
     for _ in range(k - 1):
         nxt = (
             _max_cosine_to(embs, seeds, vec_col, "__sim")
             .orderBy(F.col("__sim"), F.col(id_col))
-            .select(F.col(vec_col))
+            .select(F.col(vec_col), F.col("__sim"))
             .limit(1)
             .collect()
         )
+        if nxt[0]["__sim"] >= 1.0 - 1e-12:
+            raise ValueError(
+                f"kmeans: corpus has fewer than k={k} distinct vector"
+                " directions (maximin found a zero-gain seed)"
+            )
         seeds.append(np.asarray(nxt[0][0], dtype="float64"))
-    cents = np.vstack(seeds)
+    return np.vstack(seeds)
+
+
+def _parallel_init(
+    embs: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    rounds: int = 4,
+    oversample: int | None = None,
+):
+    """k-means‖ init (Bahmani '12, public): O(rounds) full scans
+    instead of maximin's k−1 — each round samples ~2k candidates with
+    probability ∝ squared cosine distance to the current seed set,
+    then the oversampled candidate pool is reduced to k by a
+    weighted greedy farthest-point pass on the DRIVER (the pool is
+    O(rounds·2k) rows — model-sized).  Fully deterministic: the
+    per-point coin is md5(id:round) mapped to [0,1), not an RNG."""
+    import numpy as np
+
+    ell = float(oversample or 2 * k)
+    seeds = [_first_seed(embs, vec_col, id_col)]
+    cand: dict = {}
+    for r in range(rounds):
+        scored = _max_cosine_to(embs, seeds, vec_col, "__sim").withColumn(
+            "__d2", (F.lit(1.0) - F.col("__sim")) ** 2
+        )
+        tot = scored.agg(F.sum("__d2").alias("t")).collect()[0]["t"] or 0.0
+        if tot <= 0:
+            break  # every point already coincides with a seed
+        # deterministic uniform in [0,1): 13 hex chars of md5(id:r)
+        coin = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(r)))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / float(16**13)
+        )
+        picked = (
+            scored.filter(coin < F.least(F.lit(1.0), F.lit(ell) * F.col("__d2") / F.lit(tot)))
+            .select(id_col, vec_col)
+            .collect()
+        )
+        for row in picked:
+            cand[row[0]] = np.asarray(row[1], dtype="float64")
+        seeds = [seeds[0]] + list(cand.values())
+    pool = list(cand.items())
+    if 1 + len(pool) < k:
+        raise ValueError(
+            f"kmeans: k-means|| sampled only {1 + len(pool)} candidates"
+            f" for k={k} — corpus too small or too degenerate"
+        )
+    # weight candidates by how many points they attract (one pass)
+    cvecs = [seeds[0]] + [v for _, v in pool]
+    weights = np.ones(len(cvecs))
+    counts = (
+        kmeans_assign(embs, np.vstack(cvecs), vec_col, "__c")
+        .groupBy("__c")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    for row in counts:
+        weights[row["__c"]] = row["n"]
+    # driver-side weighted greedy farthest-point down to k (numpy,
+    # deterministic): start from the heaviest candidate
+    M = np.vstack(cvecs)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    chosen = [int(np.argmax(weights))]
+    for _ in range(k - 1):
+        sims = (Mn @ Mn[chosen].T).max(axis=1)
+        gain = weights * (1.0 - sims) ** 2
+        gain[chosen] = -1.0
+        nxt = int(np.argmax(gain))
+        if gain[nxt] <= 0:
+            raise ValueError(
+                f"kmeans: corpus has fewer than k={k} distinct vector"
+                " directions (zero-gain candidate in k-means|| reduce)"
+            )
+        chosen.append(nxt)
+    return M[chosen]
+
+
+def kmeans(
+    embs: DataFrame,
+    k: int = 8,
+    iters: int = 10,
+    tol: float = 1e-4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init: str = "maximin",
+):
+    """Distributed Lloyd's k-means (cosine) over the embedding column,
+    DataFrame-native: per iteration one assign pass (broadcast
+    centroid matrix, Arrow GEMM) and one centroid update (posexplode →
+    map-side-combined hash aggregation on (cluster, dim)).  Only
+    k·dim partial means ever reach the driver per iteration — the
+    legitimate driver-side payload is the MODEL, never the data — so
+    the same loop runs unchanged over 100 TB of vectors.
+
+    ``init`` picks the seeding strategy, both deterministic:
+
+    * ``'maximin'`` — farthest-point; k−1 full scans.  Best seeds,
+      right default for small k.
+    * ``'parallel'`` — k-means‖ (Bahmani '12): O(log k) scans via
+      oversampled distance-weighted sampling + driver-side weighted
+      reduce.  The scale path when k is large.
+
+    Both raise ValueError when the corpus has fewer than k distinct
+    vector directions (a duplicate seed would silently yield
+    coincident centroids).  Empty clusters keep their previous
+    centroid.  Returns (assignments DataFrame, centroids list)."""
+    import numpy as np
+
+    if init == "maximin":
+        cents = _maximin_init(embs, k, vec_col, id_col)
+    elif init == "parallel":
+        cents = _parallel_init(embs, k, vec_col, id_col)
+    else:
+        raise ValueError(f"unknown kmeans init {init!r}")
     for _ in range(iters):
         assigned = kmeans_assign(embs, cents, vec_col)
         upd = (

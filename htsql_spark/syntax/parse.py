@@ -360,6 +360,12 @@ def _rebase_quotient(base: N.Node, rhs: N.Node) -> tuple[N.Node, bool]:
         if split:
             return N.Selection(inner, rhs.items), True
         return N.Selection(N.Quotient(base, rhs.base), rhs.items), True
+    if isinstance(rhs, N.Selection) and rhs.base is None:
+        # a bare record at the head of the chain IS the kernel; what
+        # follows (`.define(...)`, a selection, …) binds to the
+        # quotient: `flow^{k}.define(v := sum(^.x))` groups first,
+        # then defines on the quotient flow
+        return N.Quotient(base, rhs), True
     if isinstance(rhs, N.Compose):
         inner, split = _rebase_quotient(base, rhs.base)
         if split:

@@ -122,3 +122,37 @@ def test_approx_percentile_matches_discrete_quantile(db):
         x["c_acctbal"] for x in db.produce("/customer{c_acctbal}?c_nationkey = 1")
     )
     assert r[0]["p50"] == vals[(len(vals) - 1) // 2]
+
+
+def test_derived_partsupp_shape_and_navigation(db, duck):
+    """partsupp is derived (no fixture file): 4 distinct suppliers per
+    part, values matching the oracle CTE, navigable in both
+    directions."""
+    from htsql_spark.derived import PARTSUPP_ORACLE_CTE
+
+    got = sorted(rows(db.df("/partsupp")))
+    want = sorted(duck.execute(PARTSUPP_ORACLE_CTE + "SELECT * FROM partsupp").fetchall())
+    assert got == want
+    per_part = db.produce("/part.limit(5){p_partkey, n := count(partsupp)}")
+    assert all(r["n"] == 4 for r in per_part)
+    nav = db.produce("/partsupp.limit(1){ps_partkey, pname := part.p_name, sname := supplier.s_name}")
+    assert nav[0]["pname"] and nav[0]["sname"]
+
+
+def test_define_on_quotient(db, duck):
+    """`flow^{k}.define(v := sum(^.x))` — the bare-record kernel heads
+    a compose chain; define binds to the QUOTIENT, and fork() compares
+    each group against the global aggregate of groups."""
+    got = sorted(rows(db.df(
+        "/customer.define(val := c_acctbal)"
+        "^{seg := c_mktsegment}"
+        ".define(v := sum(^.val))"
+        "{seg, total := round(v, 4)}?v > avg(fork().v)"
+    )))
+    want = sorted(duck.execute(
+        "WITH g AS (SELECT c_mktsegment AS seg, sum(c_acctbal) AS v"
+        " FROM customer GROUP BY 1)"
+        " SELECT seg, round(v, 4) AS total FROM g"
+        " WHERE v > (SELECT avg(v) FROM g)"
+    ).fetchall())
+    assert got == want

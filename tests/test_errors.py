@@ -55,3 +55,30 @@ def test_arbitrary_input_fails_cleanly(db, junk):
         db.df("/" + junk)
     except (ParseError, CompileError):
         pass
+
+
+def test_identity_coercion_bind_errors():
+    """_coerce_identity_part coerces in Python: a bad literal is a
+    CompileError at bind time, never a NULL-yielding runtime cast;
+    unsupported identity domains are rejected outright."""
+    import pyspark.sql.types as T
+    import pytest
+
+    from htsql_spark.compile import _coerce_identity_part
+    from htsql_spark.ir import CompileError
+
+    # supported domains coerce
+    _coerce_identity_part("7", T.LongType(), "t", "c")
+    _coerce_identity_part("2024-01-31", T.DateType(), "t", "c")
+    _coerce_identity_part("2024-01-31 10:00:00", T.TimestampNTZType(), "t", "c")
+    _coerce_identity_part("1.5", T.DoubleType(), "t", "c")
+    # mismatches are bind errors
+    with pytest.raises(CompileError):
+        _coerce_identity_part("abc", T.LongType(), "t", "c")
+    with pytest.raises(CompileError):
+        _coerce_identity_part("not-a-date", T.DateType(), "t", "c")
+    with pytest.raises(CompileError):
+        _coerce_identity_part("xyz", T.DoubleType(), "t", "c")
+    # unsupported identity domain rejected at bind time
+    with pytest.raises(CompileError):
+        _coerce_identity_part("x", T.BinaryType(), "t", "c")

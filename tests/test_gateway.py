@@ -69,3 +69,52 @@ def test_catalog_declared_gateways(spark, tmp_path):
     assert len(db.produce("/mid(/region)")) == 5
     # flatness: the attached engine did not re-attach anything
     assert db.gateways["mid"].gateways == {}
+
+
+def test_attach_rejects_builtin_shadowing(db):
+    """A gateway named like a builtin would shadow the builtin for
+    one-argument calls (gateway dispatch runs first) — rejected at
+    attach time."""
+    for bad in ("sort", "top", "count", "round", "meta"):
+        with pytest.raises(ValueError):
+            db.attach(bad, "/root/testdata/sf0.01")
+    assert "sort" not in db.gateways
+
+
+def test_attach_validates_dir_against_catalog(db, tmp_path):
+    """Mounting a directory that lacks the assumed catalog's tables is
+    an attach-time error, not a silent misdeclaration."""
+    (tmp_path / "somedata.parquet").write_bytes(b"")
+    with pytest.raises(ValueError) as ei:
+        db.attach("odd", str(tmp_path))
+    assert "no source files" in str(ei.value)
+    # an explicit schema-less catalog for the same dir is accepted
+    from htsql_spark.catalog import Catalog
+
+    db.attach("odd2", "/root/testdata/sf0.01", catalog=Catalog.from_files("/root/testdata/sf0.01"))
+    assert len(db.produce("/odd2(/region)")) == 5
+
+
+def test_catalog_gateway_with_own_catalog(spark, tmp_path):
+    """gateways: entries may carry their own catalog yaml
+    ({dir, catalog}) for differently-shaped mounted data."""
+    import yaml
+
+    src = "/root/repo/catalog.yaml"
+    with open(src) as f:
+        raw = yaml.safe_load(f)
+    # sub-catalog describing only region (a 'differently-shaped' dir
+    # that happens to be a subset)
+    sub = {"tables": {"region": {"pk": ["r_regionkey"], "prefix": "r_"}}}
+    subpath = tmp_path / "sub.yaml"
+    subpath.write_text(yaml.safe_dump(sub))
+    raw["gateways"] = {"mini": {"dir": "/root/testdata/sf0.01", "catalog": str(subpath)}}
+    cpath = tmp_path / "catalog.yaml"
+    cpath.write_text(yaml.safe_dump(raw))
+
+    from htsql_spark.catalog import Catalog
+
+    db = HTSQL(spark, SF_DIR, catalog=Catalog.from_yaml(str(cpath)))
+    assert len(db.produce("/mini(/region)")) == 5
+    with pytest.raises(Exception):
+        db.produce("/mini(/customer)")  # not in the sub-catalog

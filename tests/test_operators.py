@@ -341,6 +341,49 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert cents == cents2
 
 
+def test_kmeans_parallel_init_recovers_planted_clusters(spark):
+    """k-means|| init (O(log k) scans) recovers the same planted
+    structure as maximin and is deterministic (md5 coins, no RNG)."""
+    import numpy as np
+
+    from htsql_spark.operators import similarity
+
+    rng = np.random.RandomState(1)
+    centers = np.eye(3, 16) * 10
+    rows = []
+    for g in range(3):
+        for i in range(40):
+            v = centers[g] + rng.normal(0, 0.05, 16)
+            rows.append((g * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = similarity.kmeans(df, k=3, iters=10, init="parallel")
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    groups = [{got[g * 100 + i] for i in range(40)} for g in range(3)]
+    assert all(len(s) == 1 for s in groups)
+    assert len(set.union(*groups)) == 3
+    _, cents2 = similarity.kmeans(df, k=3, iters=10, init="parallel")
+    assert cents == cents2
+
+
+def test_kmeans_rejects_k_beyond_distinct_vectors(spark):
+    """Fewer distinct vector directions than k is an error, not
+    silently coincident centroids — for both init strategies."""
+    import pytest as _pytest
+
+    from htsql_spark.operators import similarity
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(5)] + [
+        (10 + i, [0.0, 1.0, 0.0, 0.0]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for init in ("maximin", "parallel"):
+        with _pytest.raises(ValueError):
+            similarity.kmeans(df, k=4, iters=2, init=init)
+    # k == distinct directions still fine
+    _, cents = similarity.kmeans(df, k=2, iters=2)
+    assert len(cents) == 2
+
+
 def test_kmeans_fixture_runs_and_partitions(embs):
     from htsql_spark.operators import similarity
 

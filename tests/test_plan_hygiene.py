@@ -34,6 +34,7 @@ SKIP = {name for name in entry_mod.queries() if name.startswith("stream_")}
 #: (pandas UDFs over mapInPandas/applyInPandas — never row-at-a-time)
 ARROW_OK = {
     "op_multimodal",
+    "op_asset_meta",
     "op_frame_sample",
     "op_dedup_embedding",
     "op_ann_bruteforce",
@@ -67,6 +68,12 @@ NLJ_OK = {
     "op_dedup_simhash",
     # tf·idf joins a broadcast single-row corpus-count aggregate
     "op_tfidf",
+    # the derived partsupp broadcasts a single-row count(supplier)
+    # (htsql_spark/derived.py) — bounded by construction
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
 }
 
 #: declared caches: the minhash candidate-pair table feeds three

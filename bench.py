@@ -46,9 +46,11 @@ HEADLINE = [
     "tpch_q8",
     "tpch_q9",
     "tpch_q10",
+    "tpch_q11",
     "tpch_q13",
     "tpch_q14",
     "tpch_q15",
+    "tpch_q16",
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
@@ -61,6 +63,7 @@ HEADLINE = [
     "op_dedup_minhash",
     "op_dedup_embedding",
     "op_winnow",
+    "op_multimodal",
     "op_text_stats",
     "op_ann_bruteforce",
     "op_curate",

@@ -615,6 +615,8 @@ class Compiler:
         flow = base.flow
         scope = ScopeRef(flow, flow.alias, flow.table)
         kitems = kernel.items if isinstance(kernel, N.Selection) and kernel.base is None else [kernel]
+        if not kitems:
+            raise CompileError("'^' projection needs a non-empty kernel")
         knames: list[str] = []
         kcols: dict[str, Column] = {}
         for item in kitems:
@@ -1210,6 +1212,8 @@ class Compiler:
 # flow methods (postfix flow functions)
 # ----------------------------------------------------------------------
 def _fm_sort(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    if not args:
+        raise CompileError("sort() needs at least one ordering key")
     flow = v.flow
     scope = ScopeRef(flow, flow.alias, flow.table)
     keys: list[tuple[str, bool]] = []
@@ -1270,6 +1274,8 @@ def _fm_top(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
 
 
 def _fm_define(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    if not args:
+        raise CompileError("define() needs at least one name := expr argument")
     for a in args:
         if not isinstance(a, N.Assignment):
             raise CompileError("define() takes name := expr arguments")

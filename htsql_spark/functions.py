@@ -360,6 +360,20 @@ def _fn_date(cc, ctx, scope, args):
     if len(args) == 3:
         y, m, d = _args(cc, ctx, scope, args, 3, 3, "date")
         return Scalar(F.make_date(y, m, d), "date")
+    # a literal argument is validated at BIND time: date('nope') is a
+    # user error, not a NULL-yielding runtime cast (same contract as
+    # identity-literal coercion)
+    import datetime
+
+    if len(args) == 1 and isinstance(args[0], N.Literal) and isinstance(
+        args[0].value, str
+    ):
+        try:
+            datetime.date.fromisoformat(args[0].value)
+        except ValueError:
+            raise CompileError(
+                f"date({args[0].value!r}) is not a valid ISO date literal"
+            ) from None
     (c,) = _args(cc, ctx, scope, args, 1, name="date")
     return Scalar(c.cast("date"), "date")
 

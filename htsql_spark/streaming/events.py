@@ -207,10 +207,23 @@ def purchases_enriched(events: DataFrame, customer: DataFrame) -> DataFrame:
     )
 
 
+def _require_stream(df: DataFrame, where: str) -> None:
+    """Streaming misuse is a user error with a named remedy, not an
+    opaque AnalysisException (same contract as the language's bind
+    errors)."""
+    if not df.isStreaming:
+        raise ValueError(
+            f"{where} requires a STREAMING DataFrame (use"
+            " read_events_stream / spark.readStream); got a batch"
+            " DataFrame — use the batch variant or write it directly"
+        )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     """Stateful exactly-once-per-id dedup bounded by the watermark —
     state is dropped once the watermark passes (bounded memory at
     100 TB/day rates)."""
+    _require_stream(events, "dedup_within_watermark()")
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
@@ -235,6 +248,7 @@ def running_totals_per_user(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running (count, sum(value))
     maintained in the state store via applyInPandasWithState — the
     pattern for operators Structured Streaming lacks natively."""
+    _require_stream(events, "running_totals_per_user()")
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
@@ -286,6 +300,7 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming DataFrame to completion over the available
     input (availableNow trigger) into an in-memory table; returns the
     query handle after termination."""
+    _require_stream(stream_df, "run_to_memory()")
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)

@@ -371,6 +371,11 @@ def _rebase_quotient(base: N.Node, rhs: N.Node) -> tuple[N.Node, bool]:
         if split:
             return N.Compose(inner, rhs.op), True
         return rhs, False
+    if isinstance(rhs, N.Locate):
+        inner, split = _rebase_quotient(base, rhs.base)
+        if split:
+            return N.Locate(inner, rhs.identity), True
+        return rhs, False
     return rhs, False
 
 

@@ -194,3 +194,20 @@ def test_stream_static_enrichment(spark, db, events_batch, events_stream):
     # stateless: the streaming plan must not contain a state store op
     plan = streaming.purchases_enriched(events_stream, customer)._jdf.queryExecution().analyzed().toString()
     assert "StateStore" not in plan
+
+
+def test_streaming_misuse_is_named_error(db):
+    """Stateful/stream-only operators reject batch DataFrames with a
+    named remedy instead of an opaque AnalysisException (error-corpus
+    spirit for the streaming surface)."""
+    import pytest
+
+    from htsql_spark import streaming
+
+    batch = db.table("events")
+    with pytest.raises(ValueError, match="STREAMING DataFrame"):
+        streaming.dedup_within_watermark(batch)
+    with pytest.raises(ValueError, match="STREAMING DataFrame"):
+        streaming.running_totals_per_user(batch)
+    with pytest.raises(ValueError, match="STREAMING DataFrame"):
+        streaming.run_to_memory(batch, "nope")

@@ -892,6 +892,55 @@ def _op_winnow(spark, sf_dir):
     return textstats.winnow_fingerprints(_db(spark, sf_dir).table("documents"))
 
 
+def _op_winnow_portable(spark, sf_dir):
+    """The SAME winnowing pipeline as op_winnow but with the portable
+    md5 gram hash (textstats._gram_hash) — every fingerprint value is
+    replayed by a DuckDB oracle (rolling k-grams, window-min with the
+    same edge semantics, distinct).  op_winnow keeps xxhash64 as the
+    fast production path; this entry proves the ALGORITHM."""
+    from htsql_spark.operators import textstats
+
+    return textstats.winnow_fingerprints(
+        _db(spark, sf_dir).table("documents"), gram_hash="md5"
+    )
+
+
+def _op_simhash_portable(spark, sf_dir):
+    """The SAME one-pass simhash as op_dedup_simhash but with the
+    portable md5 token hash — full signature values replayed by a
+    DuckDB oracle (per-bit ±1 majority vote over distinct tokens;
+    effective width 60 bits with md5).  op_dedup_simhash keeps
+    xxhash64 as the fast production path."""
+    from htsql_spark.operators import dedup
+
+    return dedup.simhash_signatures(
+        _db(spark, sf_dir).table("documents"), token_hash="md5"
+    )
+
+
+def _op_winnow_pairs_portable(spark, sf_dir):
+    """winnow_overlap_pairs with the portable md5 gram hash — the
+    inverted-index pair join (posting-capped) is replayed end-to-end
+    by the DuckDB oracle."""
+    from htsql_spark.operators import textstats
+
+    return textstats.winnow_overlap_pairs(
+        _db(spark, sf_dir).table("documents"), gram_hash="md5"
+    )
+
+
+def _op_simhash_pairs_portable(spark, sf_dir):
+    """simhash_near_pairs with the portable md5 token hash.  Banding
+    (4×16-bit chunks) guarantees every hamming≤3 pair shares a chunk,
+    so the oracle is simply ALL pairs at hamming≤3 — banding recall
+    is part of what the value-match proves."""
+    from htsql_spark.operators import dedup
+
+    return dedup.simhash_near_pairs(
+        _db(spark, sf_dir).table("documents"), token_hash="md5"
+    )
+
+
 def _op_winnow_pairs(spark, sf_dir):
     """Content-overlap candidate pairs from shared winnowing
     fingerprints (substring-reuse detection, complements minhash)."""
@@ -1063,7 +1112,11 @@ _QUERIES.update(
         "op_pii": _op_pii,
         "op_text_stats": _op_text_stats,
         "op_winnow": _op_winnow,
+        "op_winnow_portable": _op_winnow_portable,
         "op_winnow_pairs": _op_winnow_pairs,
+        "op_winnow_pairs_portable": _op_winnow_pairs_portable,
+        "op_simhash_portable": _op_simhash_portable,
+        "op_simhash_pairs_portable": _op_simhash_pairs_portable,
         "op_dedup_exact": _op_dedup_exact,
         "op_dedup_minhash": _op_dedup_minhash,
         "op_dedup_simhash": _op_dedup_simhash,
@@ -1788,6 +1841,29 @@ WHERE p_size = 23
         "stream_sliding": _STREAM_SLIDING_SQL,
         "op_ann_lsh": _ann_lsh_oracle(),
         "op_ann_ivf": _ann_ivf_oracle(),
+        "op_winnow_portable": _WINNOW_PORTABLE_SQL,
+        "op_simhash_portable": _SIMHASH_PORTABLE_SQL,
+        "op_winnow_pairs_portable": (
+            "WITH fps AS (" + _WINNOW_PORTABLE_SQL + "),"
+            """
+pruned AS (
+  SELECT doc_id, fp FROM fps
+  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000)
+)
+SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared_fps
+FROM pruned x JOIN pruned y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+        ),
+        "op_simhash_pairs_portable": (
+            "WITH sig AS (" + _SIMHASH_PORTABLE_SQL + ")"
+            """
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+        ),
     }
 
 
@@ -1817,6 +1893,53 @@ x AS (
 SELECT w_start, round(avg(value), 4) AS avg_value, count(*) AS n
 FROM x GROUP BY 1
 HAVING w_start + INTERVAL 2 DAYS <= (SELECT w FROM wm)
+"""
+
+
+# ----------------------------------------------------------------------
+# portable-hash fingerprint oracles: the md5 60-bit gram/token hash
+# (textstats._gram_hash) is bit-identical in DuckDB
+# (CAST('0x' || substr(md5(s),1,15) AS BIGINT)), so winnowing and
+# simhash are replayed value-for-value; the xxhash64 production
+# variants (op_winnow / op_dedup_simhash) share every line of
+# algorithm with these, differing only in the hash leaf.
+_WINNOW_PORTABLE_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 8)), 1, 15))
+              AS BIGINT) AS h
+  FROM d, LATERAL (SELECT unnest(range(1, greatest(length(t) - 7, 1) + 1)) AS i) s
+),
+m AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm,
+         count(*) OVER (PARTITION BY doc_id) AS cnt
+  FROM g
+)
+SELECT DISTINCT doc_id, wm AS fp FROM m WHERE i <= greatest(cnt - 3, 1)
+"""
+_SIMHASH_PORTABLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(
+    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+bits AS (
+  SELECT doc_id, b.i,
+         sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(range(60)) AS i) b
+  GROUP BY doc_id, b.i
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
 """
 
 

@@ -206,13 +206,23 @@ def simhash(text: Column, bits: int = 64) -> Column:
     return out
 
 
-def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
+def simhash_signatures(
+    docs: DataFrame, bits: int = 64, token_hash: str = "xxhash64"
+) -> DataFrame:
     """Same signature as ``simhash`` but computed in ONE pass: each
     token hash expands to a ±1 bit-vector, a single fold sums the
     vectors, and the 64 sign tests read the materialized sum array —
-    vs 64 separate folds over the token array (measured ~8×)."""
+    vs 64 separate folds over the token array (measured ~8×).
+
+    ``token_hash='md5'`` uses the top 60 bits of md5 instead of
+    xxhash64 — slower, but bit-identical in any engine with md5, so
+    the whole signature is value-checkable against a SQL oracle
+    (signature bits ≥ 60 are then always 0: the sum of all-(-1) never
+    goes positive)."""
+    from ..operators.textstats import _gram_hash
+
     toks = F.array_distinct(_tokens(F.col("text")))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: _gram_hash(t, token_hash))
     bitvecs = F.transform(
         hashes,
         lambda h: F.array(
@@ -238,11 +248,13 @@ def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
     return d.select("doc_id", out.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, token_hash: str = "xxhash64"
+) -> DataFrame:
     """Near-dup pairs by simhash banding: 4 × 16-bit chunks; pairs
     sharing a chunk are candidates (guaranteed to catch hamming ≤ 3),
     verified by popcount of xor."""
-    sig = simhash_signatures(docs)
+    sig = simhash_signatures(docs, token_hash=token_hash)
     chunk = sig.select(
         "doc_id",
         "simhash",

@@ -76,12 +76,26 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
+def _gram_hash(s: Column, gram_hash: str) -> Column:
+    """64-bit gram hash.  'xxhash64' is the fast production default;
+    'md5' (top 60 bits of the digest) is slower but bit-identical in
+    any engine with md5 — it makes the whole winnowing pipeline
+    value-checkable against a SQL oracle
+    (``CAST('0x' || substr(md5(s),1,15) AS BIGINT)`` in DuckDB)."""
+    if gram_hash == "xxhash64":
+        return F.xxhash64(s)
+    if gram_hash == "md5":
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown gram_hash {gram_hash!r}")
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = 8,
     w: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    gram_hash: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
     SIGMOD'03, the MOSS algorithm): rolling char ``k``-gram hashes,
@@ -110,7 +124,7 @@ def winnow_fingerprints(
         F.col(id_col),
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
-            lambda i: F.xxhash64(F.substring(t, i, k)),
+            lambda i: _gram_hash(F.substring(t, i, k), gram_hash),
         ).alias("__grams"),
     )
     grams = F.col("__grams")
@@ -129,6 +143,7 @@ def winnow_overlap_pairs(
     max_postings: int = 1000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    gram_hash: str = "xxhash64",
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints
     — the content-overlap candidate generator (plagiarism / near-dup
@@ -137,7 +152,7 @@ def winnow_overlap_pairs(
     standard inverted-index bucket join, and hot fingerprints
     (boilerplate) are dropped when their posting list exceeds
     ``max_postings``, keeping any single fp from going quadratic."""
-    fps = winnow_fingerprints(docs, k, w, text_col, id_col)
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col, gram_hash)
     postings = fps.groupBy("fp").agg(F.count("*").alias("__n"))
     pruned = fps.join(postings.filter(F.col("__n") <= max_postings), "fp").select(
         id_col, "fp"

@@ -941,6 +941,17 @@ def _op_simhash_pairs_portable(spark, sf_dir):
     )
 
 
+def _op_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing (GPT-style pre-training
+    layout): docs laid end-to-end per md5-derived shard, cut into
+    64-token sequences; one row per (doc × sequence) span.  Window
+    cumsum per shard — parallelism is the shard count, no global
+    order dependency."""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.pack_sequences(_db(spark, sf_dir).table("documents"))
+
+
 def _op_winnow_pairs(spark, sf_dir):
     """Content-overlap candidate pairs from shared winnowing
     fingerprints (substring-reuse detection, complements minhash)."""
@@ -1108,6 +1119,7 @@ _QUERIES.update(
         "op_weighted_sample": _op_weighted_sample,
         "op_mix": _op_mix,
         "op_chunk": _op_chunk,
+        "op_pack": _op_pack,
         "op_tfidf": _op_tfidf,
         "op_pii": _op_pii,
         "op_text_stats": _op_text_stats,
@@ -1843,6 +1855,7 @@ WHERE p_size = 23
         "op_ann_ivf": _ann_ivf_oracle(),
         "op_winnow_portable": _WINNOW_PORTABLE_SQL,
         "op_simhash_portable": _SIMHASH_PORTABLE_SQL,
+        "op_pack": _PACK_SQL,
         "op_winnow_pairs_portable": (
             "WITH fps AS (" + _WINNOW_PORTABLE_SQL + "),"
             """
@@ -1893,6 +1906,37 @@ x AS (
 SELECT w_start, round(avg(value), 4) AS avg_value, count(*) AS n
 FROM x GROUP BY 1
 HAVING w_start + INTERVAL 2 DAYS <= (SELECT w FROM wm)
+"""
+
+
+# sequence packing: deterministic shard + window cumsum + span split,
+# all integer arithmetic — replayed verbatim
+_PACK_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 8 AS INTEGER) AS shard,
+         CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+              AS BIGINT) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n,
+         sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n AS cum0
+  FROM d
+),
+x AS (
+  SELECT doc_id, shard, n, cum0,
+         unnest(range(CAST(cum0 // 64 AS BIGINT),
+                      CAST((cum0 + n - 1) // 64 + 1 AS BIGINT))) AS seq_id
+  FROM c
+)
+SELECT doc_id, shard, CAST(seq_id AS INTEGER) AS seq_id,
+       CAST(greatest(0, seq_id * 64 - cum0) AS INTEGER) AS offset,
+       CAST(least((seq_id + 1) * 64 - cum0, n) - greatest(0, seq_id * 64 - cum0)
+            AS INTEGER) AS take
+FROM x
 """
 
 

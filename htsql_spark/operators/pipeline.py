@@ -234,6 +234,54 @@ def tfidf_top_terms(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 64,
+    shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pre-training
+    layout): documents are laid end-to-end in a deterministic order
+    and cut into fixed ``budget``-token training sequences; a document
+    may straddle a sequence boundary.  Output is one row per
+    (document × sequence) span: (doc_id, shard, seq_id, offset, take)
+    — offset/take say which slice of the doc's tokens lands in that
+    sequence, so the actual batch materialization is a later narrow
+    gather.
+
+    Scale posture: documents are bucketed into ``shards`` independent
+    streams by md5(doc_id), each packed with ONE window cumsum
+    (partitionBy shard) — so parallelism is the shard count and a
+    100 TB corpus packs as `shards` independent scans; there is no
+    global order dependency.  Deterministic: shard assignment and
+    within-shard order are both md5/id-derived, no RNG."""
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % shards
+    ).cast("int")
+    d = docs.select(
+        F.col(id_col), shard.alias("shard"), n_tok.cast("long").alias("__n")
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    d = d.withColumn("__cum0", F.sum("__n").over(w) - F.col("__n"))
+    first_seq = F.floor(F.col("__cum0") / budget)
+    last_seq = F.floor((F.col("__cum0") + F.col("__n") - 1) / budget)
+    d = d.withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
+    offset = F.greatest(F.lit(0).cast("long"), F.col("seq_id") * budget - F.col("__cum0"))
+    take = (
+        F.least((F.col("seq_id") + 1) * budget - F.col("__cum0"), F.col("__n")) - offset
+    )
+    return d.select(
+        F.col(id_col),
+        "shard",
+        F.col("seq_id").cast("int").alias("seq_id"),
+        offset.cast("int").alias("offset"),
+        take.cast("int").alias("take"),
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     min_quality: float = 0.5,

@@ -236,3 +236,34 @@ def test_mix_corpora_proportions(db):
     # the binding source keeps ~all rows; ratios near the target
     assert abs(by["en"] / total - 0.7) < 0.1
     assert abs(by["de"] / total - 0.3) < 0.1
+
+
+def test_pack_sequences_invariants(db):
+    """Every non-final sequence in a shard is exactly full, and each
+    doc's spans partition its token count contiguously."""
+    from collections import Counter
+
+    from htsql_spark.operators import pipeline
+
+    rows = pipeline.pack_sequences(db.table("documents"), budget=64).collect()
+    fill = Counter()
+    last_seq = {}
+    for r in rows:
+        fill[(r["shard"], r["seq_id"])] += r["take"]
+        last_seq[r["shard"]] = max(last_seq.get(r["shard"], 0), r["seq_id"])
+    for (sh, seq), t in fill.items():
+        if seq != last_seq[sh]:
+            assert t == 64, f"shard {sh} seq {seq} has {t} tokens"
+        else:
+            assert 0 < t <= 64
+    # spans of one doc are contiguous from offset 0
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["seq_id"], r["offset"], r["take"]))
+    for doc, spans in by_doc.items():
+        spans.sort()
+        assert spans[0][1] == 0
+        pos = 0
+        for _, off, take in spans:
+            assert off == pos and take > 0
+            pos += take

@@ -64,6 +64,16 @@ class TableDef:
     #: built as a DataFrame plan from other catalog tables.  Empty →
     #: a regular file-backed table.
     derived: str = ""
+    #: namespace (reference: src/htsql/core/entity.py::SchemaEntity).
+    #: Empty = the default namespace.  A namespaced table is addressed
+    #: ``/ns.table``; the bare ``/table`` spelling still resolves when
+    #: the name is unique across namespaces (ambiguity is a bind
+    #: error, reference AmbiguousArc).
+    namespace: str = ""
+
+    @property
+    def qualified(self) -> str:
+        return f"{self.namespace}.{self.name}" if self.namespace else self.name
 
     @property
     def identity_cols(self) -> tuple[str, ...]:
@@ -99,25 +109,60 @@ class Catalog:
         with open(path) as f:
             raw = yaml.safe_load(f)
         tables: dict[str, TableDef] = {}
+        keys: dict[str, str] = {}  # declared name → catalog key
         for tname, spec in raw["tables"].items():
-            tables[tname] = TableDef(
+            ns = spec.get("namespace", "") or ""
+            td = TableDef(
                 name=tname,
                 pk=tuple(spec["pk"]),
                 prefix=spec.get("prefix", "") or "",
                 identity=tuple(spec.get("identity") or ()),
                 derived=spec.get("derived", "") or "",
+                namespace=ns,
             )
-        # second pass: links + reverse links
+            tables[td.qualified] = td
+            keys[tname] = td.qualified
+        # second pass: links + reverse links (targets may be spelled
+        # bare or namespace-qualified)
         for tname, spec in raw["tables"].items():
+            okey = keys[tname]
             for lname, lspec in (spec.get("links") or {}).items():
                 target = lspec["target"]
+                tkey = target if target in tables else keys[target]
                 cols = tuple(lspec["cols"])
-                tcols = tuple(lspec.get("target_cols") or tables[target].pk)
-                fwd = Link(lname, tname, target, cols, tcols, is_singular=True)
-                tables[tname].links[lname] = fwd
-                rev = Link(tname, target, tname, tcols, cols, is_singular=False)
-                tables[target].links.setdefault(tname, rev)
+                tcols = tuple(lspec.get("target_cols") or tables[tkey].pk)
+                fwd = Link(lname, okey, tkey, cols, tcols, is_singular=True)
+                tables[okey].links[lname] = fwd
+                rev = Link(
+                    tables[okey].name, tkey, okey, tcols, cols, is_singular=False
+                )
+                tables[tkey].links.setdefault(tables[okey].name, rev)
         return cls(tables, gateways=dict(raw.get("gateways") or {}))
+
+    # -- namespace-aware resolution ------------------------------------
+    def namespaces(self) -> set[str]:
+        return {t.namespace for t in self.tables.values() if t.namespace}
+
+    def resolve(self, name: str):
+        """Resolve a (possibly bare) table name to its catalog key.
+        Returns None when unknown; raises on a bare name that exists
+        in several namespaces (reference: AmbiguousArc → bind error
+        on use)."""
+        if name in self.tables:
+            return name
+        hits = [k for k, t in self.tables.items() if t.name == name]
+        if len(hits) > 1:
+            from .ir import CompileError
+
+            raise CompileError(
+                f"table name '{name}' is ambiguous across namespaces"
+                f" ({', '.join(sorted(hits))}) — qualify it as ns.table"
+            )
+        return hits[0] if hits else None
+
+    def in_namespace(self, ns: str, name: str):
+        key = f"{ns}.{name}"
+        return key if key in self.tables else None
 
     @classmethod
     def from_files(cls, data_dir: str) -> "Catalog":

@@ -65,6 +65,15 @@ def hint_of(node: N.Node) -> str:
     return "expr"
 
 
+class NamespaceRef:
+    """A namespace named at home scope (reference: SchemaEntity) —
+    only valid as the left side of ``ns.table`` composition."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.hint = name
+
+
 class RefValue:
     """A $reference evaluated EAGERLY in its definition scope
     (reference: src/htsql/core/tr/lookup.py::lookup_reference —
@@ -255,11 +264,16 @@ class Compiler:
                 for oname, ocol in flow.output:
                     if oname == name:
                         return Scalar(F.col(ocol), name)
-        # home scope: table names
+        # home scope: table names (bare or namespace-qualified;
+        # reference: SchemaEntity namespaces — a bare name resolves
+        # when unique across namespaces, ambiguity is a bind error)
         if table is None and (flow.is_home or flow.kernel is None):
-            if name in self.engine.catalog:
-                sub = self.engine.scan_flow(name)
+            key = self.engine.catalog.resolve(name)
+            if key is not None:
+                sub = self.engine.scan_flow(key)
                 return FlowV(sub, [], [], hint=name)
+            if name in self.engine.catalog.namespaces():
+                return NamespaceRef(name)
             raise CompileError(f"unknown name '{name}'")
         if table is None:
             raise CompileError(f"unknown attribute '{name}' in projection scope")
@@ -420,6 +434,18 @@ class Compiler:
     def eval_member(self, ctx: Ctx, outer: ScopeRef, base, op: N.Node):
         if isinstance(base, Scalar):
             raise CompileError(f"cannot compose into a scalar ({base.hint!r})")
+        if isinstance(base, NamespaceRef):
+            if not isinstance(op, N.Identifier):
+                raise CompileError(
+                    f"namespace '{base.name}' must be followed by a table name"
+                )
+            key = self.engine.catalog.in_namespace(base.name, op.name)
+            if key is None:
+                raise CompileError(
+                    f"no table '{op.name}' in namespace '{base.name}'"
+                )
+            sub = self.engine.scan_flow(key)
+            return FlowV(sub, [], [], hint=f"{base.name}.{op.name}")
         if isinstance(base, ScopeRef):
             v = self.eval(ctx, base, op)
             if isinstance(v, list):  # wildcard expansion only valid in selections

@@ -100,16 +100,20 @@ class HTSQL:
 
                 self._tables[name] = BUILDERS[tdef.derived](self)
                 return self._tables[name]
-            pq = f"{self.data_dir}/{name}.parquet"
+            # namespaced tables are keyed 'ns.name' in the catalog but
+            # backed by their bare file name (one flat directory; a
+            # real multi-schema mount is a gateway per directory)
+            fname = tdef.name if tdef is not None else name
+            pq = f"{self.data_dir}/{fname}.parquet"
             if os.path.exists(pq):
                 df = self.spark.read.parquet(pq)
                 df = convert_nano_cols(df, nano_timestamp_fields(pq))
-            elif os.path.exists(f"{self.data_dir}/{name}.csv"):
+            elif os.path.exists(f"{self.data_dir}/{fname}.csv"):
                 df = self.spark.read.csv(
-                    f"{self.data_dir}/{name}.csv", header=True, inferSchema=True
+                    f"{self.data_dir}/{fname}.csv", header=True, inferSchema=True
                 )
-            elif os.path.exists(f"{self.data_dir}/{name}.json"):
-                df = self.spark.read.json(f"{self.data_dir}/{name}.json")
+            elif os.path.exists(f"{self.data_dir}/{fname}.json"):
+                df = self.spark.read.json(f"{self.data_dir}/{fname}.json")
             else:
                 raise KeyError(f"no source file for table {name!r} in {self.data_dir}")
             self._tables[name] = df

@@ -1,0 +1,86 @@
+"""Namespace-qualified table forms (reference: SchemaEntity — the
+`ns.table` spelling; bare names resolve when unique, ambiguity is a
+bind error like AmbiguousArc)."""
+
+import pytest
+import yaml
+
+from htsql_spark import HTSQL, CompileError
+from htsql_spark.catalog import Catalog
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def nsdb(spark, tmp_path_factory):
+    raw = {
+        "tables": {
+            # two namespaces; 'region' exists in BOTH → bare spelling
+            # is ambiguous, everything else resolves bare
+            "region": {"pk": ["r_regionkey"], "prefix": "r_", "namespace": "geo"},
+            "region2": None,  # placeholder replaced below
+            "nation": {
+                "pk": ["n_nationkey"],
+                "prefix": "n_",
+                "namespace": "geo",
+                "links": {"region": {"cols": ["n_regionkey"], "target": "geo.region"}},
+            },
+            "customer": {
+                "pk": ["c_custkey"],
+                "prefix": "c_",
+                "namespace": "crm",
+                "links": {"nation": {"cols": ["c_nationkey"], "target": "nation"}},
+            },
+        }
+    }
+    del raw["tables"]["region2"]
+    # second 'region' in another namespace, same backing file: yaml
+    # keys must be unique, so write it under its declared name via a
+    # second catalog entry name — use a distinct decl name but same
+    # table name is not expressible in yaml; build the Catalog object
+    # directly instead.
+    path = tmp_path_factory.mktemp("ns") / "catalog.yaml"
+    path.write_text(yaml.safe_dump(raw))
+    cat = Catalog.from_yaml(str(path))
+    # inject the ambiguous twin: crm.region (same file, other ns)
+    from htsql_spark.catalog import TableDef
+
+    twin = TableDef(name="region", pk=("r_regionkey",), prefix="r_", namespace="crm")
+    cat.tables[twin.qualified] = twin
+    return HTSQL(spark, SF_DIR, catalog=cat)
+
+
+def test_qualified_scan_and_navigation(nsdb):
+    assert len(nsdb.produce("/geo.region")) == 5
+    # navigation from a namespaced table follows links as usual
+    rows = nsdb.produce("/geo.nation{name, reg := region.name}?n_nationkey=1")
+    assert rows[0]["reg"]
+    # cross-namespace link (crm.customer → geo-resolved nation)
+    rows = nsdb.produce("/crm.customer{name := c_name, nat := nation.name}?c_custkey=1")
+    assert rows[0]["nat"]
+
+
+def test_bare_name_unique_resolves(nsdb):
+    # nation exists only in geo → bare spelling still works
+    assert len(nsdb.produce("/nation")) == 25
+    assert len(nsdb.produce("/customer?c_acctbal > 0")) > 0
+
+
+def test_bare_name_ambiguous_is_bind_error(nsdb):
+    with pytest.raises(CompileError) as ei:
+        nsdb.df("/region")
+    assert "ambiguous across namespaces" in str(ei.value)
+    # qualified forms disambiguate
+    assert len(nsdb.produce("/geo.region")) == 5
+    assert len(nsdb.produce("/crm.region")) == 5
+
+
+def test_unknown_table_in_namespace(nsdb):
+    with pytest.raises(CompileError) as ei:
+        nsdb.df("/geo.customer")
+    assert "no table 'customer' in namespace 'geo'" in str(ei.value)
+
+
+def test_default_catalog_unchanged(db):
+    # the shipped catalog stays flat: no namespaces, bare names as ever
+    assert db.catalog.namespaces() == set()
+    assert len(db.produce("/region")) == 5

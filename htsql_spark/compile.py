@@ -751,14 +751,29 @@ class Compiler:
                     # count(li)})` evaluates li once
                     head = ctx.names[chain[0]]
                     groups2.setdefault(repr(head), []).append(
-                        (node, node.name.lower(), head, [], chain[1:], node.args[1:])
+                        (node, node.name.lower(), head, [], chain[1:], node.args[1:], None)
                     )
                     continue
                 dec = _split_flow_value(node.args[0])
                 if dec is not None:
                     fexpr, defines, vpath = dec
+                    # sieve-family elimination: aggregates over the
+                    # same flow that differ ONLY in a sieve predicate
+                    # (`exists(F?P)` with `!exists(F?P&Q)`, TPC-H Q21
+                    # shape) share ONE flow evaluation and ONE grouped
+                    # join — each member's predicate becomes a
+                    # conditional aggregate (max(P), count(when(P,1)),
+                    # sum(when(P,v)), …) instead of a separate
+                    # filter+groupBy+join over the fact table.
+                    # Predicates that themselves contain aggregates
+                    # stay on the one-off path.
+                    pred = None
+                    if isinstance(fexpr, N.Sieve) and not _find_agg_applications(
+                        fexpr.predicate
+                    ):
+                        pred, fexpr = fexpr.predicate, fexpr.base
                     groups2.setdefault(repr(fexpr), []).append(
-                        (node, node.name.lower(), fexpr, defines, vpath, node.args[1:])
+                        (node, node.name.lower(), fexpr, defines, vpath, node.args[1:], pred)
                     )
         prepared: dict[int, Scalar] = {}
         # structural memo: the same pure-chain aggregate lowered twice
@@ -841,8 +856,8 @@ class Compiler:
         for key2, members2 in groups2.items():
             fresh2 = []
             for m in members2:
-                node, aggname, fexpr, defines, vpath, extra = m
-                mkey = (aggname, key2, repr(defines), tuple(vpath), repr(extra))
+                node, aggname, fexpr, defines, vpath, extra, pred = m
+                mkey = (aggname, key2, repr(defines), tuple(vpath), repr(extra), repr(pred))
                 hit = memo.get(mkey)
                 if hit is not None:
                     prepared[id(node)] = hit
@@ -861,7 +876,7 @@ class Compiler:
             aggs = []
             lowered = []
             for member in members2:
-                node, aggname, fexpr, defines, vpath, extra = member
+                node, aggname, fexpr, defines, vpath, extra, pred = member
                 mctx = ctx.child()
                 for a in defines:
                     mctx.names[a.name] = a.expr
@@ -876,6 +891,18 @@ class Compiler:
                         continue  # too complex → one-off path
                 elif v.value is not None:
                     val = v.value
+                if pred is not None:
+                    # the member's sieve as a conditional aggregate:
+                    # $references join in first (extending the shared
+                    # flow's correlation), then rows failing the
+                    # predicate null out of the aggregate
+                    try:
+                        self._inject_refs(mctx, v, pred)
+                        sub_scope = ScopeRef(v.flow, v.flow.alias, v.flow.table)
+                        predcol = self.to_predicate(mctx, sub_scope, pred)
+                    except CompileError:
+                        continue  # too complex → one-off path
+                    val = predcol if val is None else F.when(predcol, val)
                 try:
                     agg, post = fnlib.agg_expr(self, sub_scope, aggname, val, extra)
                 except CompileError:
@@ -886,13 +913,13 @@ class Compiler:
             if not aggs:
                 continue
             self._join_grouped(scope.flow, v, aggs)
-            for (node, aggname, fexpr, defines, vpath, extra), vname, post in lowered:
+            for (node, aggname, fexpr, defines, vpath, extra, pred), vname, post in lowered:
                 col = F.col(vname)
                 if post is not None:
                     col = post(col)
                 sc = Scalar(col, f"{aggname}")
                 prepared[id(node)] = sc
-                memo[(aggname, key2, repr(defines), tuple(vpath), repr(extra))] = sc
+                memo[(aggname, key2, repr(defines), tuple(vpath), repr(extra), repr(pred))] = sc
         ctx.prepared.update(prepared)
         return prepared
 

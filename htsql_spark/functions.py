@@ -432,6 +432,11 @@ def _fn_given(cc, ctx, scope, args):
             raise CompileError("given() takes one body expression plus assignments")
     if body is None:
         raise CompileError("given() needs a body expression")
+    # batch the body's aggregates HERE, where the $references are
+    # bound: sieve-family members (`exists(F?P)` & `!exists(F?P&Q)`,
+    # TPC-H Q21 shape) then share one flow evaluation and one grouped
+    # join instead of touching the fact table once per aggregate
+    cc.batch_aggregates(sub, scope, [body])
     return cc.eval(sub, scope, body)
 
 

@@ -164,6 +164,57 @@ def test_shared_sieved_flow_aggregates_batch(db):
     assert plan.count("Aggregate [") == 1, plan
 
 
+def test_sieve_family_aggregates_batch(db, duck):
+    """Aggregates over the same flow differing ONLY in their sieve
+    predicate (TPC-H Q21's exists/!exists pair) lower as conditional
+    aggregates in ONE grouped join — the fact table is touched once
+    for the whole family, not once per aggregate — and the values
+    match the correlated-subquery oracle."""
+    q = (
+        "/customer{name := c_name,"
+        " nf := count(orders?o_orderstatus='F'),"
+        " hi := exists(orders?o_totalprice > 200000),"
+        " spend := sum((orders?o_orderstatus='F').o_totalprice)}"
+        "?c_custkey < 50"
+    )
+    df = db.df(q)
+    plan = optimized(df)
+    # orders appears ONCE: one shared scan feeds all three aggregates
+    assert (
+        sum("o_orderstatus" in l and "] parquet" in l for l in plan.splitlines()) == 1
+    ), plan
+    assert plan.count("Aggregate [") == 1, plan
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(
+        duck.execute(
+            "SELECT c_name AS name,"
+            " coalesce((SELECT count(*) FROM orders WHERE o_custkey = c_custkey"
+            "   AND o_orderstatus = 'F'), 0) AS nf,"
+            " coalesce((SELECT count(*) FROM orders WHERE o_custkey = c_custkey"
+            "   AND o_totalprice > 200000) > 0, FALSE) AS hi,"
+            " (SELECT sum(o_totalprice) FROM orders WHERE o_custkey = c_custkey"
+            "   AND o_orderstatus = 'F') AS spend"
+            " FROM customer WHERE c_custkey < 50"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_q21_reference_family_single_grouped_join(db):
+    """The Q21 shape (given $ref + exists/!exists over the same
+    correlated flow) touches lineitem 3×, not 5×: outer scan + ONE
+    shared grouped join + the ref-injection join."""
+    df = db.df(
+        "/lineitem?l_shipdate > orders.o_orderdate + 90"
+        " & given($me := l_suppkey,"
+        " exists(orders.lineitem?l_suppkey != $me)"
+        " & !exists(orders.lineitem?l_suppkey != $me"
+        "  & l_shipdate > orders.o_orderdate + 90))"
+    )
+    plan = physical(df)
+    assert plan.count("lineitem.parquet") <= 3, plan
+
+
 def test_tfidf_no_forced_broadcast(db):
     """The tf↔df join must not force a broadcast of the unbounded
     vocabulary table (VERDICT r1 #3): no ResolvedHint in the optimized

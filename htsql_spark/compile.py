@@ -587,8 +587,15 @@ class Compiler:
                 yield (s.hint, s.col, None)
             return
         # the evaluated hint carries `:as` titles and function headers;
-        # fall back to the syntactic header (reference: decorate stage)
-        name = v.hint if getattr(v, "hint", "?") not in ("?", "") else hint_of(item)
+        # fall back to the syntactic header (reference: decorate stage).
+        # A bare identifier keeps ITS name even when it resolves
+        # through a define() — selecting `x` yields column x, not the
+        # defined expression's header (reference: decorate uses the
+        # syntax node's name for identifiers)
+        if isinstance(item, N.Identifier):
+            name = item.name
+        else:
+            name = v.hint if getattr(v, "hint", "?") not in ("?", "") else hint_of(item)
         yield (name, self.value_col(ctx, scope, v, item), direction)
 
     def value_col(self, ctx: Ctx, scope: ScopeRef, v, node: N.Node) -> Column:

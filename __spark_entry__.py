@@ -1059,6 +1059,23 @@ def _op_kmeans(spark, sf_dir):
     return assigned.select("vec_id", "cluster")
 
 
+def _op_kmeans_assign(spark, sf_dir):
+    """The k-means ASSIGN kernel (Arrow GEMM argmax) against fixed
+    seeded centroids — the one deterministic, SQL-expressible piece of
+    the training loop, value-checked like the IVF cell assignment.
+    The iterative trainer (op_kmeans) stays rows-only; this proves its
+    inner kernel returns exactly argmax-cosine."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import similarity
+
+    cents = similarity._centroids(64, 8, seed=11)
+    out = similarity.kmeans_assign(
+        _db(spark, sf_dir).table("embeddings"), cents
+    )
+    return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+
+
 def _op_centroids(spark, sf_dir):
     """Per-label embedding centroids, long-form (label, dim, value)."""
     from htsql_spark.operators import similarity
@@ -1112,6 +1129,7 @@ _QUERIES.update(
         "op_curate": _op_curate,
         "op_centroids": _op_centroids,
         "op_kmeans": _op_kmeans,
+        "op_kmeans_assign": _op_kmeans_assign,
         "op_quantize": _op_quantize,
         "op_split": _op_split,
         "op_sample_stratified": _op_sample_stratified,
@@ -1853,6 +1871,7 @@ WHERE p_size = 23
         "stream_sliding": _STREAM_SLIDING_SQL,
         "op_ann_lsh": _ann_lsh_oracle(),
         "op_ann_ivf": _ann_ivf_oracle(),
+        "op_kmeans_assign": _kmeans_assign_oracle(),
         "op_winnow_portable": _WINNOW_PORTABLE_SQL,
         "op_simhash_portable": _SIMHASH_PORTABLE_SQL,
         "op_pack": _PACK_SQL,
@@ -2018,6 +2037,22 @@ WHERE b.vec_id <> {query_id}
   AND (b.bucket = q.qb OR xor(b.bucket, q.qb) IN ({probes}))
 ORDER BY round(list_cosine_similarity(b.e, q.qv), 6) DESC, b.vec_id
 LIMIT {k}
+"""
+
+
+def _kmeans_assign_oracle(num_cells: int = 8, seed: int = 11) -> str:
+    from htsql_spark.operators.similarity import _centroids
+
+    cents = _centroids(64, num_cells, seed=seed)
+    ds = "[" + ", ".join(
+        f"list_cosine_similarity(e, {_sql_vec(c)})" for c in cents
+    ) + "]"
+    return f"""
+WITH emb AS (SELECT vec_id,
+       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)
+SELECT vec_id,
+       CAST(list_indexof({ds}, list_max({ds})) - 1 AS INTEGER) AS cluster
+FROM emb
 """
 
 

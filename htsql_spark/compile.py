@@ -137,7 +137,9 @@ class Compiler:
                 flow.output = [(val.hint, tmp)]
             out = flow.output or self.default_output(flow)
             df = flow.df
-            if flow.explicit_order and flow.order:
+            if flow.order and (
+                flow.explicit_order or getattr(self.engine, "ordered", False)
+            ):
                 df = df.orderBy(*order_cols(flow.order))
             return df.select(*[F.col(c).alias(n) for n, c in out])
         raise CompileError(f"cannot produce output from {type(val).__name__}")

@@ -43,12 +43,21 @@ class HTSQL:
         catalog: Catalog | None = None,
         autolimit: int | None = None,
         timeout: float | None = None,
+        ordered: bool = False,
     ):
         self.spark = spark
         self.data_dir = data_dir.rstrip("/")
         self.catalog = catalog or Catalog.from_yaml()
         self.autolimit = autolimit  # reference: src/htsql/tweak/autolimit/
         self.timeout = timeout  # reference: src/htsql/tweak/timeout/
+        #: reference-parity output ordering: the reference ALWAYS
+        #: emits rows in the implicit order (PK / kernel / sort keys).
+        #: Off by default here — a global sort on every 100 TB result
+        #: is the wrong default on Spark, and order-sensitive
+        #: boundaries (limit/top/nested collect) already materialize
+        #: their order.  ordered=True restores full parity for
+        #: regress-style consumers.
+        self.ordered = ordered
         self.last_format: str | None = None  # format used by last emit()
         self.broadcast_tables = BROADCAST_TABLES
         self._counter = itertools.count()

@@ -156,3 +156,22 @@ def test_define_on_quotient(db, duck):
         " WHERE v > (SELECT avg(v) FROM g)"
     ).fetchall())
     assert got == want
+
+
+def test_ordered_mode_reference_parity(spark, duck):
+    """ordered=True restores the reference's always-ordered output
+    contract: scans come back in PK order, quotients in kernel order —
+    without it, order is only materialized at order-sensitive
+    boundaries (the Spark-sane default)."""
+    from htsql_spark import HTSQL
+    from tests.conftest import SF_DIR
+
+    odb = HTSQL(spark, SF_DIR, ordered=True)
+    got = [r["c_custkey"] for r in odb.produce("/customer{c_custkey}?c_custkey < 20")]
+    assert got == sorted(got)
+    segs = [r["seg"] for r in odb.produce("/customer^{seg := c_mktsegment}{seg}")]
+    assert segs == sorted(segs)
+    # explicit sort still wins over the implicit PK order
+    desc = [r["c_custkey"] for r in odb.produce(
+        "/customer.sort(c_custkey-).limit(5){c_custkey}")]
+    assert desc == sorted(desc, reverse=True)

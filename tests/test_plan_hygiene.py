@@ -42,6 +42,7 @@ ARROW_OK = {
     "op_ann_ivf",
     # kmeans assign is the declared Arrow-GEMM pandas UDF
     "op_kmeans",
+    "op_kmeans_assign",
 }
 
 #: nested-loop joins bounded by a broadcast single-row / tiny side:

@@ -410,11 +410,25 @@ def test_ivf_with_trained_cells(embs):
 
 
 def test_resize_images_contract(docs):
-    from htsql_spark.operators import multimodal
+    """Real decode → nearest-neighbor resample → BMP re-encode: a
+    planted solid-color image resizes to the SAME color at the new
+    dims; non-image payloads keep the truncate/pad pass-through."""
+    import numpy as np
 
-    assets = multimodal.assets_from_documents(docs)
-    out = multimodal.resize_images(assets, width=16, height=8)
-    rows = out.orderBy("asset_id").limit(3).collect()
-    assert all(len(r["payload"]) == 16 * 8 for r in rows)
+    from htsql_spark.operators import imaging, multimodal
+
+    imgs = multimodal.image_assets_from_documents(docs.filter("doc_id < 10"))
+    out = multimodal.resize_images(imgs, width=16, height=8)
+    rows = out.orderBy("asset_id").collect()
     assert all(r["width"] == 16 and r["height"] == 8 for r in rows)
-    assert out.count() == docs.count()
+    for r in rows:
+        img = imaging.decode_image(bytes(r["payload"]))
+        assert img.shape == (8, 16, 3)
+        i = r["asset_id"]
+        expect = ((i % 256), (i * 7 % 256), (i * 13 % 256))
+        assert np.array_equal(img[0, 0], np.array(expect, np.uint8))
+        assert (img == img[0, 0]).all()  # still solid
+    # non-image payloads: deterministic truncate/pad pass-through
+    raw = multimodal.assets_from_documents(docs.filter("doc_id < 3"))
+    rows2 = multimodal.resize_images(raw, width=16, height=8).collect()
+    assert all(len(r["payload"]) == 16 * 8 for r in rows2)

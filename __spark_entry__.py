@@ -941,6 +941,25 @@ def _op_simhash_pairs_portable(spark, sf_dir):
     )
 
 
+def _op_contamination(spark, sf_dir):
+    """Exact-match eval-set contamination audit: valid/test documents
+    whose normalized-content fingerprint matches a train document,
+    over the same deterministic hash_split the pipeline trains with.
+    One equi-join shuffle keyed on the content hash.  The fixture has
+    no cross-split exact dups, so the corpus is unioned with content
+    clones (doc_id + 500000) — planted contamination the audit must
+    find; the oracle plants the identical clones in SQL."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import pipeline
+
+    docs = _db(spark, sf_dir).table("documents")
+    clones = docs.select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return pipeline.cross_split_contamination(docs.unionByName(clones))
+
+
 def _op_pack(spark, sf_dir):
     """Concat-and-chunk sequence packing (GPT-style pre-training
     layout): docs laid end-to-end per md5-derived shard, cut into
@@ -1138,6 +1157,7 @@ _QUERIES.update(
         "op_mix": _op_mix,
         "op_chunk": _op_chunk,
         "op_pack": _op_pack,
+        "op_contamination": _op_contamination,
         "op_tfidf": _op_tfidf,
         "op_pii": _op_pii,
         "op_text_stats": _op_text_stats,
@@ -1875,6 +1895,7 @@ WHERE p_size = 23
         "op_winnow_portable": _WINNOW_PORTABLE_SQL,
         "op_simhash_portable": _SIMHASH_PORTABLE_SQL,
         "op_pack": _PACK_SQL,
+        "op_contamination": _CONTAMINATION_SQL,
         "op_winnow_pairs_portable": (
             "WITH fps AS (" + _WINNOW_PORTABLE_SQL + "),"
             """
@@ -2161,6 +2182,29 @@ SELECT doc_id,
        WHEN {_H_SPLIT} < '{_T_VALID}' THEN 'valid'
        ELSE 'test' END AS split
 FROM documents
+"""
+
+# exact-match eval-contamination audit over the REAL split assignment;
+# the corpus is unioned with planted content clones (doc_id + 500000)
+# exactly as the Spark side does, so the audit provably fires
+_CONTAMINATION_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, text FROM documents
+),
+tagged AS (
+  SELECT doc_id,
+    CASE WHEN {_H_SPLIT} < '{_T_TRAIN}' THEN 'train'
+         WHEN {_H_SPLIT} < '{_T_VALID}' THEN 'valid'
+         ELSE 'test' END AS split,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM corpus
+)
+SELECT e.doc_id AS eval_id, e.split AS eval_split,
+       t.doc_id AS train_id, e.fp
+FROM tagged e JOIN tagged t ON e.fp = t.fp
+WHERE e.split IN ('valid', 'test') AND t.split = 'train'
 """
 
 _SAMPLE_STRAT_SQL = f"""

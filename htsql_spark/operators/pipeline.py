@@ -234,6 +234,42 @@ def tfidf_top_terms(
     )
 
 
+def cross_split_contamination(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    train: str = "train",
+    eval_splits: tuple[str, ...] = ("valid", "test"),
+    salt: str = "split",
+) -> DataFrame:
+    """Eval-set contamination detection: eval documents whose
+    normalized content exactly matches a training document (the
+    decontamination step every LLM data pipeline needs before
+    training).  Content key = the md5 fingerprint over
+    whitespace-normalized lowercased text (textstats.fingerprint);
+    splits come from the same deterministic hash_split assignment the
+    pipeline trains with, so this audits the REAL split.
+
+    One shuffle on the fingerprint (train side is the typically-small
+    probe … no: train is the big side — the join is fp↔fp equi-join,
+    shuffle keyed on content hash, skew-free by construction since
+    exact-dup groups are tiny after upstream dedup).  Near-dup
+    contamination is the same join fed by minhash/simhash signatures
+    instead of fp — this operator is the exact-match tier."""
+    from .textstats import fingerprint
+
+    tagged = hash_split(docs, key, salt=salt).select(
+        F.col(key), F.col("split"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    tr = tagged.filter(F.col("split") == train).select(
+        F.col(key).alias("train_id"), "fp"
+    )
+    ev = tagged.filter(F.col("split").isin(list(eval_splits))).select(
+        F.col(key).alias("eval_id"), F.col("split").alias("eval_split"), "fp"
+    )
+    return ev.join(tr, "fp").select("eval_id", "eval_split", "train_id", "fp")
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 64,

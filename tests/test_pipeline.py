@@ -267,3 +267,32 @@ def test_pack_sequences_invariants(db):
         for _, off, take in spans:
             assert off == pos and take > 0
             pos += take
+
+
+def test_cross_split_contamination_detects_planted_clones(db):
+    """Planted content clones that land in eval splits are reported
+    against their train twins; a clean corpus reports nothing."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import pipeline
+
+    docs = db.table("documents")
+    assert pipeline.cross_split_contamination(docs).count() == 0
+    clones = docs.select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    hits = pipeline.cross_split_contamination(docs.unionByName(clones))
+    rows = hits.collect()
+    assert len(rows) > 0
+    # every reported pair really is content-equal and really crosses
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    import re
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.strip().lower())
+
+    for r in rows:
+        e = r["eval_id"] % 500000
+        t = r["train_id"] % 500000
+        assert norm(texts[e]) == norm(texts[t])
+        assert r["eval_split"] in ("valid", "test")

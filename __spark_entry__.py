@@ -960,6 +960,59 @@ def _op_contamination(spark, sf_dir):
     return pipeline.cross_split_contamination(docs.unionByName(clones))
 
 
+def _op_contamination_ngram(spark, sf_dir):
+    """N-gram overlap decontamination (GPT-3 §C-style, word 8-grams):
+    eval-split docs sharing ≥1 distinct 8-gram with a train doc over
+    the real hash_split assignment — the PARTIAL-contamination tier
+    the exact-fingerprint audit misses.  Planted: clones with doc_id
+    + 700000 and a tail appended, so fingerprints differ but all
+    original 8-grams are shared; the oracle plants identical clones.
+    One equi-join shuffle on the gram hash; train grams held by
+    >1000 docs are dropped (boilerplate + skew guard)."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import pipeline
+
+    docs = _db(spark, sf_dir).table("documents")
+    clones = docs.select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz contaminated tail marker")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return pipeline.ngram_contamination(docs.unionByName(clones), n=8)
+
+
+def _op_repetition(spark, sf_dir):
+    """Gopher-rule repetition quality signals (dup-word fraction,
+    modal-word fraction, modal-bigram fraction) — pure higher-order
+    array functions, zero shuffles, codegen end-to-end."""
+    from htsql_spark.operators import textstats
+
+    return textstats.repetition_stats(_db(spark, sf_dir).table("documents"))
+
+
+def _op_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup: argmax-to-centroid cells (the
+    seeded deterministic cells, so the oracle replays the assignment
+    with the same literals), within-cell exact-cosine pairs ≥ 0.95.
+    One shuffle keyed on cell.  The fixture has no natural near-dups
+    (max pairwise cosine ≈ 0.51), so coincident clones (vec_id +
+    500000) are planted — identical vectors share a cell by
+    construction, making the gate row non-trivial; the oracle plants
+    the same clones."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import dedup
+
+    embs = _db(spark, sf_dir).table("embeddings")
+    clones = embs.select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding", "label"
+    )
+    return dedup.semantic_dup_pairs(
+        embs.unionByName(clones), threshold=0.95, num_cells=8
+    )
+
+
 def _op_pack(spark, sf_dir):
     """Concat-and-chunk sequence packing (GPT-style pre-training
     layout): docs laid end-to-end per md5-derived shard, cut into
@@ -1158,6 +1211,9 @@ _QUERIES.update(
         "op_chunk": _op_chunk,
         "op_pack": _op_pack,
         "op_contamination": _op_contamination,
+        "op_contamination_ngram": _op_contamination_ngram,
+        "op_repetition": _op_repetition,
+        "op_dedup_semantic": _op_dedup_semantic,
         "op_tfidf": _op_tfidf,
         "op_pii": _op_pii,
         "op_text_stats": _op_text_stats,
@@ -1205,9 +1261,13 @@ _QUERIES.update(
 # hard-verified by the external gate; everything outside any window
 # stays oracle-replayed by tests/test_entry.py every run.
 _GATE_ORDER = [
-    # kept from r2: language flagships + once-red rows
-    "scan", "selection", "nav_singular", "nav_plural",
-    "agg_flagship", "quotient",
+    # kept from r2: language flagships + once-red rows (selection/
+    # nav_singular/nav_plural — r2-gate-green — rotate out in favor
+    # of the three round-3 operators below, growing the r2∪r3 union)
+    "scan", "agg_flagship", "quotient",
+    # new this round: repetition quality, n-gram decontamination,
+    # SemDeDup — full value oracles
+    "op_repetition", "op_contamination_ngram", "op_dedup_semantic",
     "nested_segment_flat", "topk_per_parent_flat",
     "tpch_q1", "tpch_q2",
     "op_curate", "op_dedup_pipeline", "op_dedup_embedding", "op_tfidf",
@@ -1896,6 +1956,9 @@ WHERE p_size = 23
         "op_simhash_portable": _SIMHASH_PORTABLE_SQL,
         "op_pack": _PACK_SQL,
         "op_contamination": _CONTAMINATION_SQL,
+        "op_contamination_ngram": _CONTAM_NGRAM_SQL,
+        "op_repetition": _REPETITION_SQL,
+        "op_dedup_semantic": _semantic_dedup_oracle(),
         "op_winnow_pairs_portable": (
             "WITH fps AS (" + _WINNOW_PORTABLE_SQL + "),"
             """
@@ -2077,6 +2140,38 @@ FROM emb
 """
 
 
+def _semantic_dedup_oracle(
+    num_cells: int = 8, seed: int = 7, threshold: float = 0.95
+) -> str:
+    """SemDeDup oracle: the centroids are seeded literals, so DuckDB
+    replays the argmax cell assignment (first-max ties, matching the
+    strict-> Spark fold) and the within-cell cosine pair join."""
+    from htsql_spark.operators.similarity import _centroids
+
+    cents = _centroids(64, num_cells, seed=seed)
+    ds = "[" + ", ".join(
+        f"list_cosine_similarity(e, {_sql_vec(c)})" for c in cents
+    ) + "]"
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 500000 AS vec_id, embedding FROM embeddings
+),
+emb AS (SELECT vec_id,
+       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM corpus),
+cells AS (
+  SELECT vec_id, e,
+         CAST(list_indexof({ds}, list_max({ds})) - 1 AS INTEGER) AS cell
+  FROM emb
+)
+SELECT x.vec_id AS a, y.vec_id AS b, x.cell AS cell,
+       round(list_cosine_similarity(x.e, y.e), 6) AS cos
+FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.e, y.e) >= {threshold}
+"""
+
+
 def _ann_ivf_oracle(
     query_id: int = 0, k: int = 10, num_cells: int = 16, nprobe: int = 4
 ) -> str:
@@ -2206,6 +2301,81 @@ SELECT e.doc_id AS eval_id, e.split AS eval_split,
 FROM tagged e JOIN tagged t ON e.fp = t.fp
 WHERE e.split IN ('valid', 'test') AND t.split = 'train'
 """
+
+# n-gram contamination tier: same planted-clone trick (tail appended
+# so fingerprints differ but 8-grams overlap); DuckDB generates the
+# same md5'd word-8-grams via list slicing and replays the train-side
+# posting cap.  range(start, stop) is end-exclusive and ws[i:j] is
+# 1-based end-inclusive, so i runs 1 .. len-7 and ws[i:i+7] is the
+# 8-word window — matching Spark's sequence(1, size-7) windows.
+_CONTAM_NGRAM_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 700000 AS doc_id,
+         text || ' zz contaminated tail marker' AS text FROM documents
+),
+d AS (
+  SELECT doc_id,
+    CASE WHEN {_H_SPLIT} < '{_T_TRAIN}' THEN 'train'
+         WHEN {_H_SPLIT} < '{_T_VALID}' THEN 'valid'
+         ELSE 'test' END AS split,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM corpus
+),
+g AS (
+  SELECT doc_id, split,
+    unnest(list_distinct(list_transform(range(1, len(ws) - 6),
+           i -> md5(array_to_string(ws[i:i+7], ' '))))) AS g
+  FROM d WHERE len(ws) >= 8
+),
+tr AS (
+  SELECT doc_id AS train_id, g FROM g WHERE split = 'train'
+    AND g IN (SELECT g FROM g WHERE split = 'train'
+              GROUP BY g HAVING count(*) <= 1000)
+),
+ev AS (
+  SELECT doc_id AS eval_id, split AS eval_split, g
+  FROM g WHERE split IN ('valid', 'test')
+)
+SELECT ev.eval_id, ev.eval_split, tr.train_id, count(*) AS shared_ngrams
+FROM ev JOIN tr USING (g)
+GROUP BY 1, 2, 3
+"""
+
+# Gopher-rule repetition stats: modal word / modal bigram via
+# group-by-count (the relational spelling of Spark's per-row
+# higher-order-function counts)
+_REPETITION_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+),
+w AS (SELECT doc_id, unnest(ws) AS word FROM d),
+wc AS (
+  SELECT doc_id, max(c) AS topw FROM (
+    SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2) GROUP BY 1
+),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+  FROM d WHERE len(ws) >= 2
+),
+bc AS (
+  SELECT doc_id, max(c) AS topb FROM (
+    SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2) GROUP BY 1
+)
+SELECT d.doc_id,
+       len(ws) AS n_words,
+       round(1 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 6)
+         AS dup_word_frac,
+       round(wc.topw / CAST(len(ws) AS DOUBLE), 6) AS top_word_frac,
+       coalesce(round(bc.topb / CAST(len(ws) - 1 AS DOUBLE), 6), 0.0)
+         AS top_bigram_frac
+FROM d JOIN wc USING (doc_id) LEFT JOIN bc USING (doc_id)
+"""
+
 
 _SAMPLE_STRAT_SQL = f"""
 SELECT doc_id, lang, source FROM documents

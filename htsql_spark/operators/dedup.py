@@ -518,6 +518,59 @@ def _embedding_dup_pairs_lsh(
 # ----------------------------------------------------------------------
 # near-dup clustering (connected components over the pair graph)
 # ----------------------------------------------------------------------
+def semantic_dup_pairs(
+    embs: DataFrame,
+    threshold: float = 0.95,
+    num_cells: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cells_from=None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas '23): cluster the
+    embedding space coarsely, then emit within-cluster pairs whose
+    exact cosine ≥ ``threshold``.  Complements ``embedding_dup_pairs``
+    (hyperplane LSH): clustering gives *recall-by-construction inside
+    a cell* and a tunable compute knob (cell count), LSH gives
+    probabilistic recall across the whole space.
+
+    Plan: one narrow argmax-over-centroids projection (codegen, no
+    shuffle), then ONE shuffle keyed on ``cell`` for the within-cell
+    self-join; only (id, vec, cell) flows through it.  Scale recipe
+    (the published one): choose num_cells ∝ corpus_size /
+    target_cell_size so per-cell pair work stays bounded — at 100 TB
+    that means trained k-means centroids via ``cells_from`` (pass
+    :func:`htsql_spark.operators.similarity.kmeans` output) rather
+    than the seeded random cells, which exist to keep the operator
+    deterministic and oracle-checkable without an iterative fit.
+    Cross-cell near-dups at the cell boundary are the documented
+    recall gap of the method itself (mitigated by larger threshold
+    margins or multi-assignment, not implemented here).
+    """
+    from .similarity import _centroids, _nearest_centroid
+
+    cents = cells_from if cells_from is not None else _centroids(64, num_cells, seed)
+    cells = embs.select(id_col, vec_col).withColumn(
+        "cell", _nearest_centroid(F.col(vec_col), cents)
+    )
+    x, y = cells.alias("x"), cells.alias("y")
+    cos = cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"))
+    return (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .filter(cos >= threshold)
+        .select(
+            F.col(f"x.{id_col}").alias("a"),
+            F.col(f"y.{id_col}").alias("b"),
+            F.col("x.cell").alias("cell"),
+            F.round(cos, 6).alias("cos"),
+        )
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     left: str = "a",

@@ -270,6 +270,67 @@ def cross_split_contamination(
     return ev.join(tr, "fp").select("eval_id", "eval_split", "train_id", "fp")
 
 
+def ngram_contamination(
+    docs: DataFrame,
+    n: int = 8,
+    key: str = "doc_id",
+    text_col: str = "text",
+    train: str = "train",
+    eval_splits: tuple[str, ...] = ("valid", "test"),
+    salt: str = "split",
+    max_postings: int = 1000,
+    min_shared: int = 1,
+) -> DataFrame:
+    """N-gram overlap decontamination (the GPT-3 §C / Gopher-style
+    13-gram tier, here word-``n``-grams): eval-split documents that
+    share ≥ ``min_shared`` distinct word n-grams with a training
+    document — catches PARTIAL contamination (quotes, near-copies,
+    shared passages) that the exact-fingerprint tier
+    (``cross_split_contamination``) misses.  Splits come from the same
+    deterministic ``hash_split`` the pipeline trains with.
+
+    Plan: words → md5-hashed n-grams (narrow, codegen) → distinct
+    (doc, gram) → one equi-join shuffle keyed on the 32-hex gram hash.
+    Skew/boilerplate guard: grams held by more than ``max_postings``
+    TRAIN docs are dropped before the join (a gram that common is
+    formulaic language, not contamination — and at 100 TB it is also
+    the key that would explode the join).  Shuffle payload is
+    (id, hash) pairs only; never text.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # sequence(start, stop) DESCENDS when start > stop — guard short docs
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(words, i + j) for j in range(n)]
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tagged = hash_split(docs, key, salt=salt).select(
+        F.col(key), F.col("split"), F.explode(F.array_distinct(grams)).alias("g")
+    )
+    tr = tagged.filter(F.col("split") == train).select(
+        F.col(key).alias("train_id"), "g"
+    )
+    postings = tr.groupBy("g").agg(F.count(F.lit(1)).alias("__n"))
+    tr = tr.join(postings.filter(F.col("__n") <= max_postings), "g").select(
+        "train_id", "g"
+    )
+    ev = tagged.filter(F.col("split").isin(list(eval_splits))).select(
+        F.col(key).alias("eval_id"), F.col("split").alias("eval_split"), "g"
+    )
+    return (
+        ev.join(tr, "g")
+        .groupBy("eval_id", "eval_split", "train_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 64,

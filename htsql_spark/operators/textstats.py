@@ -170,6 +170,59 @@ def winnow_overlap_pairs(
     )
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition-based quality signals (Gopher-rule family, Rae '21
+    §A1.1: documents dominated by a few repeated words/n-grams are
+    boilerplate and should be filtered before training).  Per doc:
+
+    - ``n_words``        total whitespace words
+    - ``dup_word_frac``  1 − distinct/total words (word-level repetition)
+    - ``top_word_frac``  occurrences of the modal word / total words
+    - ``top_bigram_frac`` occurrences of the modal bigram / total bigrams
+
+    All four are pure higher-order array functions over one row —
+    zero shuffles, whole-stage codegen, scan pruned to (id, text).
+    Per-row cost is O(distinct × words): bounded by document length,
+    embarrassingly parallel, unaffected by corpus size — the right
+    shape at 100 TB.  The filter rule itself (e.g. drop when
+    dup_word_frac > 0.3) is a downstream sieve.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(F.col(id_col), words.alias("__w"))
+    w = F.col("__w")
+    n = F.size(w)
+    # per-distinct-word counts; modal count = array_max
+    wcounts = F.transform(
+        F.array_distinct(w), lambda t: F.size(F.filter(w, lambda x: x == t))
+    )
+    # bigrams as 'w[i] w[i+1]' strings (element_at is 1-based);
+    # sequence(start, stop) DESCENDS when start > stop — guard n=1
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bcounts = F.transform(
+        F.array_distinct(bigrams),
+        lambda t: F.size(F.filter(bigrams, lambda x: x == t)),
+    )
+    return d.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(w)) / n.cast("double"), 6
+        ).alias("dup_word_frac"),
+        F.round(F.array_max(wcounts) / n.cast("double"), 6).alias("top_word_frac"),
+        F.when(n >= 2, F.round(F.array_max(bcounts) / (n - 1).cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
 def text_stats(docs: DataFrame) -> DataFrame:
     """One row per document with the full stat set."""
     t = F.col("text")

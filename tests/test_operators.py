@@ -432,3 +432,102 @@ def test_resize_images_contract(docs):
     raw = multimodal.assets_from_documents(docs.filter("doc_id < 3"))
     rows2 = multimodal.resize_images(raw, width=16, height=8).collect()
     assert all(len(r["payload"]) == 16 * 8 for r in rows2)
+
+
+def test_repetition_stats_planted(spark):
+    """Hand-computable docs lock the four repetition signals."""
+    from htsql_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 1 distinct of 4; modal word 4/4; modal bigram 'a a' 3/3
+            (2, "a b c d"),          # all distinct; modal word 1/4; each bigram once 1/3
+            (3, "x y x y x"),        # 2 distinct of 5; 'x' 3/5; 'x y' 2/4
+            (4, "solo"),             # single word: bigram frac 0.0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+    assert rows[1]["n_words"] == 4
+    assert rows[1]["dup_word_frac"] == 0.75
+    assert rows[1]["top_word_frac"] == 1.0
+    assert rows[1]["top_bigram_frac"] == 1.0
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["top_word_frac"] == 0.25
+    assert rows[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert rows[3]["dup_word_frac"] == round(1 - 2 / 5, 6)
+    assert rows[3]["top_word_frac"] == round(3 / 5, 6)
+    assert rows[3]["top_bigram_frac"] == 0.5
+    assert rows[4]["n_words"] == 1 and rows[4]["top_bigram_frac"] == 0.0
+
+
+def test_ngram_contamination_detects_partial_clones(docs, spark):
+    """Every (orig→clone-with-tail) pair that hash_split puts on
+    opposite sides of the train/eval divide must be reported, and
+    clone pairs must share exactly the original's distinct 8-grams."""
+    from htsql_spark.operators import pipeline
+
+    base = docs.filter("doc_id < 60")
+    clones = base.select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" q w e r t y u i")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = base.unionByName(clones)
+    got = {
+        (r["eval_id"], r["train_id"])
+        for r in pipeline.ngram_contamination(corpus, n=8).collect()
+    }
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in pipeline.hash_split(corpus, "doc_id").select("doc_id", "split").collect()
+    }
+    long_enough = {
+        r["doc_id"]
+        for r in base.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 8).collect()
+    }
+    for d in long_enough:
+        c = d + 900000
+        if splits[d] == "train" and splits[c] in ("valid", "test"):
+            assert (c, d) in got, f"missed planted pair eval={c} train={d}"
+        if splits[c] == "train" and splits[d] in ("valid", "test"):
+            assert (d, c) in got, f"missed planted pair eval={d} train={c}"
+    # no self pairs, eval ids really are eval-split
+    for e, t in got:
+        assert splits[e] in ("valid", "test") and splits[t] == "train"
+
+
+def test_semantic_dedup_planted_and_subset(spark, embs):
+    """Planted coincident vectors are found with cosine 1.0; every
+    reported pair respects the threshold; identical vectors share a
+    cell by construction (same argmax)."""
+    import numpy as np
+
+    from htsql_spark.operators import dedup
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=64)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v], 0))
+    # plant: 100+i is an exact copy of i for i in 0..4
+    for i in range(5):
+        rows.append((100 + i, rows[i][1], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = dedup.semantic_dup_pairs(df, threshold=0.95, num_cells=4).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    for i in range(5):
+        assert (i, 100 + i) in found
+    assert all(r["cos"] >= 0.95 for r in pairs)
+    # on the real fixture: semantic pairs ⊆ exact all-pairs at the
+    # same threshold (the join only ever prunes, never invents)
+    sem = {
+        (r["a"], r["b"])
+        for r in dedup.semantic_dup_pairs(embs, threshold=0.9, num_cells=8).collect()
+    }
+    exact = {
+        (r["a"], r["b"])
+        for r in dedup.embedding_dup_pairs(embs, threshold=0.9, method="exact").collect()
+    }
+    assert sem <= exact

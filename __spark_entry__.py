@@ -1013,6 +1013,23 @@ def _op_dedup_semantic(spark, sf_dir):
     )
 
 
+def _op_vocab(spark, sf_dir):
+    """Corpus-wide top-500 vocabulary: one partial-agg shuffle on
+    term + TakeOrderedAndProject; deterministic (count desc, term)
+    cutoff."""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.vocab_top_terms(_db(spark, sf_dir).table("documents"), v=500)
+
+
+def _op_profile(spark, sf_dir):
+    """Dataset-card corpus profile per (lang, source): algebraic
+    aggregates only, one tiny-key hash-agg shuffle."""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.corpus_profile(_db(spark, sf_dir).table("documents"))
+
+
 def _op_pack(spark, sf_dir):
     """Concat-and-chunk sequence packing (GPT-style pre-training
     layout): docs laid end-to-end per md5-derived shard, cut into
@@ -1213,6 +1230,8 @@ _QUERIES.update(
         "op_contamination": _op_contamination,
         "op_contamination_ngram": _op_contamination_ngram,
         "op_repetition": _op_repetition,
+        "op_vocab": _op_vocab,
+        "op_profile": _op_profile,
         "op_dedup_semantic": _op_dedup_semantic,
         "op_tfidf": _op_tfidf,
         "op_pii": _op_pii,
@@ -1958,6 +1977,20 @@ WHERE p_size = 23
         "op_contamination": _CONTAMINATION_SQL,
         "op_contamination_ngram": _CONTAM_NGRAM_SQL,
         "op_repetition": _REPETITION_SQL,
+        "op_vocab": (
+            "SELECT word AS term, count(*) AS n FROM ("
+            " SELECT unnest(string_split(trim(regexp_replace(lower(text),"
+            " '\\s+', ' ', 'g')), ' ')) AS word FROM documents)"
+            " GROUP BY 1 ORDER BY n DESC, term LIMIT 500"
+        ),
+        "op_profile": (
+            "SELECT lang, source, count(*) AS docs,"
+            " sum(len(string_split(trim(regexp_replace(text, '\\s+', ' ',"
+            " 'g')), ' '))) AS tokens,"
+            " sum(n_chars) AS chars, round(avg(n_chars), 4) AS avg_chars,"
+            " min(n_chars) AS min_chars, max(n_chars) AS max_chars"
+            " FROM documents GROUP BY 1, 2"
+        ),
         "op_dedup_semantic": _semantic_dedup_oracle(),
         "op_winnow_pairs_portable": (
             "WITH fps AS (" + _WINNOW_PORTABLE_SQL + "),"

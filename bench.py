@@ -67,6 +67,9 @@ HEADLINE = [
     "op_text_stats",
     "op_ann_bruteforce",
     "op_curate",
+    "op_repetition",
+    "op_contamination_ngram",
+    "op_dedup_semantic",
     "op_chunk",
     "op_tfidf",
     "op_quantize",

@@ -331,6 +331,46 @@ def ngram_contamination(
     )
 
 
+def vocab_top_terms(
+    docs: DataFrame, v: int = 1000, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus-wide vocabulary: global term frequencies, top ``v`` by
+    (count desc, term) — the first step of tokenizer/vocab training.
+
+    One shuffle keyed on term with map-side partial aggregation (the
+    hot 'the'-style keys are pre-combined per partition, so the
+    shuffle carries one row per (partition, term), not per
+    occurrence); the top-v is TakeOrderedAndProject — only v rows per
+    partition reach the driver-side merge.  Tie-break on the term
+    string makes the cutoff deterministic.
+    """
+    words = F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term")
+    counts = docs.select(words).groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.filter(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), "term")
+        .limit(v)
+    )
+
+
+def corpus_profile(docs: DataFrame) -> DataFrame:
+    """Dataset-card profile: per (lang, source) document counts,
+    token/char totals and length extrema — the summary every corpus
+    release ships with.  One hash-aggregate shuffle on the tiny
+    (lang, source) key space; all measures are algebraic (partial-agg
+    friendly), so the map side reduces to |lang×source| rows per
+    partition before the exchange."""
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(words).alias("tokens"),
+        F.sum("n_chars").alias("chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 64,

@@ -183,7 +183,9 @@ def repetition_stats(
     - ``top_bigram_frac`` occurrences of the modal bigram / total bigrams
 
     All four are pure higher-order array functions over one row —
-    zero shuffles, whole-stage codegen, scan pruned to (id, text).
+    zero shuffles, task-local projection (higher-order lambdas sit
+    outside whole-stage codegen but stay JVM-side and vectorized at
+    the scan), scan pruned to (id, text).
     Per-row cost is O(distinct × words): bounded by document length,
     embarrassingly parallel, unaffected by corpus size — the right
     shape at 100 TB.  The filter rule itself (e.g. drop when

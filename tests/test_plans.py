@@ -250,3 +250,62 @@ def test_winnow_fingerprints_no_shuffle(db):
 
     plan = physical(textstats.winnow_fingerprints(db.table("documents")))
     assert "Exchange" not in plan, plan
+
+
+def test_repetition_stats_no_shuffle(db):
+    """Repetition quality signals are per-row array algebra: no
+    Exchange, whole-stage codegen, scan pruned to (doc_id, text)."""
+    from htsql_spark.operators import textstats
+
+    plan = physical(textstats.repetition_stats(db.table("documents")))
+    assert "Exchange" not in plan, plan
+    # scan pruned to the two columns used
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_vocab_partial_agg_and_take_ordered(db):
+    """Global vocabulary: map-side partial aggregation before the
+    term exchange, top-v via TakeOrderedAndProject (no global sort)."""
+    from htsql_spark.operators import pipeline
+
+    plan = physical(pipeline.vocab_top_terms(db.table("documents"), v=100))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "Sort " not in plan, plan  # no full sort — heap-merge only
+
+
+def test_corpus_profile_single_exchange(db):
+    """Dataset-card profile: exactly one exchange (the lang×source
+    hash agg); all measures partial-agg on the map side."""
+    from htsql_spark.operators import pipeline
+
+    plan = physical(pipeline.corpus_profile(db.table("documents")))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_ngram_contamination_id_hash_shuffle_only(db):
+    """Decontamination join shuffles (id, gram-hash) pairs only —
+    document text never crosses the wire."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import pipeline
+
+    df = pipeline.ngram_contamination(db.table("documents"), n=8)
+    plan = physical(df)
+    # the join key is the md5 gram hash; text is consumed upstream of
+    # every exchange (no 'text' column in any exchange's schema line)
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)
+
+
+def test_semantic_dedup_cell_keyed_join(db):
+    """SemDeDup pair join is keyed on the centroid cell (plus the
+    id inequality as a post-filter) — a hash/sort-merge join, never a
+    cartesian."""
+    from htsql_spark.operators import dedup
+
+    plan = physical(dedup.semantic_dup_pairs(db.table("embeddings"), num_cells=4))
+    assert "CartesianProduct" not in plan, plan
+    assert "cell" in plan, plan

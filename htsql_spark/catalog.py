@@ -169,13 +169,14 @@ class Catalog:
         """Reflect a catalog from the data files in a directory — the
         reference's ``tweak.filedb`` posture (reference:
         src/htsql/tweak/filedb/): every ``*.parquet``/``*.csv``/
-        ``*.json`` file is a table; no PKs or FKs are assumed, so
+        ``*.json``/``*.orc``/``*.txt`` file is a table; no PKs or
+        FKs are assumed, so
         navigation links are unavailable but scans, selections,
         filters, quotients and functions all work."""
         tables: dict[str, TableDef] = {}
         for fn in sorted(os.listdir(data_dir)):
             base, ext = os.path.splitext(fn)
-            if ext in (".parquet", ".csv", ".json") and base not in tables:
+            if ext in (".parquet", ".csv", ".json", ".orc", ".txt") and base not in tables:
                 tables[base] = TableDef(name=base, pk=())
         return cls(tables)
 

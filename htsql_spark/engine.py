@@ -94,7 +94,8 @@ class HTSQL:
     def table(self, name: str) -> DataFrame:
         """Raw table scan, cached per engine.  Sources, probed in
         order: ``{name}.parquet`` (primary), ``{name}.csv``,
-        ``{name}.json`` — the generalization of the reference's
+        ``{name}.json``, ``{name}.orc``, ``{name}.txt`` (raw lines)
+        — the generalization of the reference's
         ``tweak.filedb`` CSV-directory mount (reference:
         src/htsql/tweak/filedb/).  TIMESTAMP(NANOS) parquet columns
         (which the JVM reader refuses) are read as nano longs
@@ -123,6 +124,13 @@ class HTSQL:
                 )
             elif os.path.exists(f"{self.data_dir}/{fname}.json"):
                 df = self.spark.read.json(f"{self.data_dir}/{fname}.json")
+            elif os.path.exists(f"{self.data_dir}/{fname}.orc"):
+                df = self.spark.read.orc(f"{self.data_dir}/{fname}.orc")
+            elif os.path.exists(f"{self.data_dir}/{fname}.txt"):
+                # raw text: one row per line, in-file line order
+                df = self.spark.read.text(f"{self.data_dir}/{fname}.txt").select(
+                    F.col("value").alias("line")
+                )
             else:
                 raise KeyError(f"no source file for table {name!r} in {self.data_dir}")
             self._tables[name] = df
@@ -232,7 +240,7 @@ class HTSQL:
                 if not t.derived
                 and not any(
                     os.path.exists(f"{tdir}/{t.name}.{ext}")
-                    for ext in ("parquet", "csv", "json")
+                    for ext in ("parquet", "csv", "json", "orc", "txt")
                 )
             ]
             if missing:

@@ -145,3 +145,44 @@ def test_store_csv_flattens_nested(db, spark, tmp_path):
 def test_describe_returns_plan(db):
     out = db.describe("/nation{name, count(customer)}?region.name='ASIA'")
     assert "Physical Plan" in out and "Scan parquet" in out
+
+
+def test_filedb_orc_and_txt_mount(spark, tmp_path):
+    """ORC files and raw text files mount as tables like CSV/JSON."""
+    from htsql_spark import HTSQL
+    from htsql_spark.catalog import Catalog
+
+    spark.createDataFrame(
+        [(1, "Rex", "dog"), (2, "Tom", "cat")], "pet_id int, name string, kind string"
+    ).coalesce(1).write.mode("overwrite").orc(str(tmp_path / "pets.orc"))
+    (tmp_path / "notes.txt").write_text("first line\nsecond line\nthird line\n")
+    db = HTSQL(spark, str(tmp_path), catalog=Catalog.from_files(str(tmp_path)))
+    rows = db.produce("/pets{name}?kind='cat'")
+    assert [r["name"] for r in rows] == ["Tom"]
+    lines = db.produce("/notes?line~'line'")
+    assert len(lines) == 3
+    assert db.produce("/notes{line}?line='second line'")[0]["line"] == "second line"
+
+
+def test_text_corpus_ingestion(spark, tmp_path):
+    """Directory of text files → documents-shaped DataFrame with
+    path-derived deterministic ids."""
+    from htsql_spark import ingest
+
+    (tmp_path / "a.txt").write_text("alpha beta gamma")
+    (tmp_path / "b.txt").write_text("delta epsilon")
+    docs = ingest.documents_from_text(spark, str(tmp_path / "*.txt"))
+    rows = sorted(docs.collect(), key=lambda r: r["source"])
+    assert [r["text"] for r in rows] == ["alpha beta gamma", "delta epsilon"]
+    assert rows[0]["n_chars"] == 16 and rows[1]["n_chars"] == 13
+    assert len({r["doc_id"] for r in rows}) == 2
+    # ids stable across re-ingestion
+    again = sorted(
+        ingest.documents_from_text(spark, str(tmp_path / "*.txt")).collect(),
+        key=lambda r: r["source"],
+    )
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in rows]
+    # line mode preserves per-file lines
+    (tmp_path / "c.txt").write_text("l1\nl2\n")
+    lines = ingest.text_corpus(spark, str(tmp_path / "c.txt"), wholetext=False)
+    assert sorted(r["line"] for r in lines.collect()) == ["l1", "l2"]

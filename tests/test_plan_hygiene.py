@@ -43,6 +43,8 @@ ARROW_OK = {
     # kmeans assign is the declared Arrow-GEMM pandas UDF
     "op_kmeans",
     "op_kmeans_assign",
+    # SemDeDup: within-cell pair GEMM is a declared applyInPandas stage
+    "op_dedup_semantic",
 }
 
 #: nested-loop joins bounded by a broadcast single-row / tiny side:

@@ -300,12 +300,13 @@ def test_ngram_contamination_id_hash_shuffle_only(db):
         assert "text" not in m.group(0), m.group(0)
 
 
-def test_semantic_dedup_cell_keyed_join(db):
-    """SemDeDup pair join is keyed on the centroid cell (plus the
-    id inequality as a post-filter) — a hash/sort-merge join, never a
-    cartesian."""
+def test_semantic_dedup_cell_keyed_gemm(db):
+    """SemDeDup pair stage is ONE Arrow applyInPandas GEMM per
+    centroid cell — a single exchange keyed on cell, never a
+    cartesian or an expression-level self-join."""
     from htsql_spark.operators import dedup
 
     plan = physical(dedup.semantic_dup_pairs(db.table("embeddings"), num_cells=4))
     assert "CartesianProduct" not in plan, plan
-    assert "cell" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("Exchange") == 1, plan

@@ -804,6 +804,35 @@ def _op_dedup_ngram(spark, sf_dir):
     )
 
 
+def _op_dedup_incremental(spark, sf_dir):
+    """Incremental batch-vs-archive dedup: banding join between the
+    incoming batch and the existing corpus, never a corpus self-join.
+    Incoming = near-clones of docs 0-99 (id+800000, ' zzz' appended,
+    shingle-jaccard ≈ 0.97 → banding detection ~1) + genuinely new
+    docs (id+900000, reversed text).  Oracle = all cross/within pairs
+    at true shingle-jaccard ≥ 0.8 (same recall argument as
+    op_dedup_minhash, larger margin)."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import dedup
+
+    docs = _db(spark, sf_dir).table("documents")
+    head = docs.filter("doc_id < 100")
+    near = head.select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    fresh = head.select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return dedup.incremental_dup_pairs(
+        docs, near.unionByName(fresh), threshold=0.8
+    )
+
+
 def _op_dedup_embedding(spark, sf_dir):
     from htsql_spark.operators import dedup
 
@@ -1249,6 +1278,7 @@ _QUERIES.update(
         "op_dedup_clusters": _op_dedup_clusters,
         "op_dedup_pipeline": _op_dedup_pipeline,
         "op_dedup_ngram": _op_dedup_ngram,
+        "op_dedup_incremental": _op_dedup_incremental,
         "op_dedup_embedding": _op_dedup_embedding,
         "op_ann_bruteforce": _op_ann_bruteforce,
         "op_ann_lsh": _op_ann_lsh,
@@ -1928,6 +1958,43 @@ WHERE p_size = 23
             "   / len(list_distinct(a.s || b.s)), 6) AS jaccard"
             " FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
             " SELECT * FROM pairs WHERE jaccard >= 0.5"
+        ),
+        # op_dedup_incremental: cross/within batch dedup; oracle is the
+        # all-pairs shingle-jaccard truth per side-pairing
+        "op_dedup_incremental": (
+            "WITH inc AS ("
+            " SELECT doc_id + 800000 AS doc_id, text || ' zzz' AS text"
+            "  FROM documents WHERE doc_id < 100"
+            " UNION ALL"
+            " SELECT doc_id + 900000 AS doc_id, reverse(text) AS text"
+            "  FROM documents WHERE doc_id < 100"
+            "), she AS ("
+            " SELECT doc_id, CASE WHEN len(t) >= 3 THEN"
+            "   list_distinct(list_transform(range(1, len(t)-1),"
+            "    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+            "  ELSE [array_to_string(t, ' ')] END AS s FROM ("
+            "  SELECT doc_id, string_split(regexp_replace(lower(trim(text)),"
+            "   '\\s+', ' ', 'g'), ' ') AS t FROM documents)"
+            "), shi AS ("
+            " SELECT doc_id, CASE WHEN len(t) >= 3 THEN"
+            "   list_distinct(list_transform(range(1, len(t)-1),"
+            "    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+            "  ELSE [array_to_string(t, ' ')] END AS s FROM ("
+            "  SELECT doc_id, string_split(regexp_replace(lower(trim(text)),"
+            "   '\\s+', ' ', 'g'), ' ') AS t FROM inc)"
+            "), pairs AS ("
+            " SELECT e.doc_id AS a, i.doc_id AS b,"
+            "  round(len(list_intersect(e.s, i.s))::DOUBLE"
+            "   / len(list_distinct(e.s || i.s)), 6) AS jaccard,"
+            "  'cross' AS origin"
+            " FROM she e JOIN shi i ON true"
+            " UNION ALL"
+            " SELECT x.doc_id AS a, y.doc_id AS b,"
+            "  round(len(list_intersect(x.s, y.s))::DOUBLE"
+            "   / len(list_distinct(x.s || y.s)), 6) AS jaccard,"
+            "  'within' AS origin"
+            " FROM shi x JOIN shi y ON x.doc_id < y.doc_id)"
+            " SELECT * FROM pairs WHERE jaccard >= 0.8"
         ),
         # op_dedup_ngram: bucketed char-3-gram Jaccard — fully
         # deterministic and SQL-expressible (the engine hashes grams

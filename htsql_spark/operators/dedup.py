@@ -99,21 +99,17 @@ def minhash_signature_arr(sh: Column, num_hashes: int = 32) -> Column:
     )
 
 
-def minhash_candidates(
+def _band_table(
     docs: DataFrame, k: int = 3, num_hashes: int = 32, bands: int = 8
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing ≥1 minhash band.
-
-    shingle → minhash(num_hashes) → bands of rows r=num_hashes/bands →
-    explode (band_idx, band_hash) → self-join per bucket.
-    Returns (a, b) with a < b, distinct.
-    """
+    """(doc_id, band, h) LSH banding table: shingle → minhash
+    signature → bands of r=num_hashes/bands rows, hashed per band."""
     r = num_hashes // bands
     sh = docs.select(F.col("doc_id"), shingles(F.col("text"), k).alias("sh"))
     sig = sh.select(
         "doc_id", minhash_signature_arr(F.col("sh"), num_hashes).alias("sig")
     )
-    band = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -124,6 +120,18 @@ def minhash_candidates(
             )
         ).alias("bh"),
     ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+
+def minhash_candidates(
+    docs: DataFrame, k: int = 3, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 minhash band.
+
+    shingle → minhash(num_hashes) → bands of rows r=num_hashes/bands →
+    explode (band_idx, band_hash) → self-join per bucket.
+    Returns (a, b) with a < b, distinct.
+    """
+    band = _band_table(docs, k, num_hashes, bands)
     left = band.alias("l")
     right = band.alias("r")
     return (
@@ -179,6 +187,94 @@ def minhash_dedup_pairs(
         .select("a", "b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def incremental_dup_pairs(
+    existing: DataFrame,
+    incoming: DataFrame,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    within_incoming: bool = True,
+) -> DataFrame:
+    """Incremental (daily-batch) near-dup detection: pairs between a
+    NEW batch and the EXISTING corpus, plus (optionally) within the
+    new batch — WITHOUT ever self-joining the existing corpus.  The
+    growing-corpus workhorse: at 100 TB the existing side is the
+    whole archive; re-running full-corpus dedup per batch is
+    O(archive²)-ish, while this is banding over the archive (linear
+    scan, or a pre-materialized band table) joined against the tiny
+    batch's bands.
+
+    Returns (a, b, jaccard, origin): origin='cross' → a is the
+    existing doc, b the incoming doc; origin='within' → both incoming
+    (a < b).  doc_ids are assumed unique across the two inputs (the
+    normal append-only ingest contract).
+
+    Plan: band tables per side; the cross candidate join is keyed on
+    (band, h) with the incoming side naturally small (broadcast-able
+    by AQE); verification re-shingles only candidate docs per side
+    (semi-join prune), exact Jaccard ≥ threshold.
+    """
+    eb = _band_table(existing, k, num_hashes, bands)
+    ib = _band_table(incoming, k, num_hashes, bands)
+    cross = (
+        eb.alias("e")
+        .join(
+            ib.alias("i"),
+            (F.col("e.band") == F.col("i.band")) & (F.col("e.h") == F.col("i.h")),
+        )
+        .select(F.col("e.doc_id").alias("a"), F.col("i.doc_id").alias("b"))
+        .distinct()
+        .withColumn("origin", F.lit("cross"))
+    )
+    cands = [cross]
+    if within_incoming:
+        cands.append(
+            ib.alias("l")
+            .join(
+                ib.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.h") == F.col("r.h"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+            .distinct()
+            .withColumn("origin", F.lit("within"))
+        )
+    allc = cands[0] if len(cands) == 1 else cands[0].unionByName(cands[1])
+    allc = allc.cache()  # feeds the id prunes AND the verify joins
+
+    def _sh(side: DataFrame, ids: DataFrame) -> DataFrame:
+        return side.join(ids.distinct(), "doc_id", "left_semi").select(
+            F.col("doc_id"), shingles(F.col("text"), k).alias("sh")
+        )
+
+    sh_e = _sh(existing, allc.filter(F.col("origin") == "cross").select(F.col("a").alias("doc_id")))
+    i_ids = allc.filter(F.col("origin") == "cross").select(F.col("b").alias("doc_id")).union(
+        allc.filter(F.col("origin") == "within").select(F.col("a").alias("doc_id"))
+    ).union(allc.filter(F.col("origin") == "within").select(F.col("b").alias("doc_id")))
+    sh_i = _sh(incoming, i_ids)
+
+    def _verify(c: DataFrame, sa: DataFrame, sb: DataFrame) -> DataFrame:
+        return (
+            c.join(sa.withColumnsRenamed({"doc_id": "a", "sh": "sh_a"}), "a")
+            .join(sb.withColumnsRenamed({"doc_id": "b", "sh": "sh_b"}), "b")
+            .select(
+                "a", "b",
+                F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+                "origin",
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    out = _verify(allc.filter(F.col("origin") == "cross"), sh_e, sh_i)
+    if within_incoming:
+        out = out.unionByName(
+            _verify(allc.filter(F.col("origin") == "within"), sh_i, sh_i)
+        )
+    return out
 
 
 # ----------------------------------------------------------------------

@@ -531,3 +531,31 @@ def test_semantic_dedup_planted_and_subset(spark, embs):
         for r in dedup.embedding_dup_pairs(embs, threshold=0.9, method="exact").collect()
     }
     assert sem <= exact
+
+
+def test_incremental_dedup_planted(docs, spark):
+    """Planted cross-batch clones are all found as origin='cross'
+    with the existing id in `a`; reversed-text newcomers match
+    nothing; no existing-existing pairs ever appear."""
+    from htsql_spark.operators import dedup
+
+    head = docs.filter("doc_id < 50")
+    near = head.select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    fresh = head.select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    out = dedup.incremental_dup_pairs(
+        docs, near.unionByName(fresh), threshold=0.8
+    ).collect()
+    cross = {(r["a"], r["b"]) for r in out if r["origin"] == "cross"}
+    for d in range(50):
+        assert (d, d + 800000) in cross, f"missed planted clone {d}"
+    for a, b in cross:
+        assert a < 800000 <= b  # a existing, b incoming — never e-e
+    assert not any(800000 <= r["a"] < 900000 and r["b"] >= 900000 for r in out)

@@ -81,7 +81,8 @@ NLJ_OK = {
 
 #: declared caches: the minhash candidate-pair table feeds three
 #: consumers and is cache()d on purpose (operators/dedup.py docstring)
-CACHE_OK = {"op_dedup_minhash", "op_dedup_pipeline"}
+#: declared candidate-table caches (ids only, feeds multiple consumers)
+CACHE_OK = {"op_dedup_minhash", "op_dedup_pipeline", "op_dedup_incremental"}
 
 BATCH = sorted(set(entry_mod.queries()) - SKIP)
 

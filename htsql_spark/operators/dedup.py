@@ -104,6 +104,10 @@ def _band_table(
 ) -> DataFrame:
     """(doc_id, band, h) LSH banding table: shingle → minhash
     signature → bands of r=num_hashes/bands rows, hashed per band."""
+    if bands < 1 or num_hashes % bands:
+        raise ValueError(
+            f"banding requires num_hashes divisible by bands, got {num_hashes}/{bands}"
+        )
     r = num_hashes // bands
     sh = docs.select(F.col("doc_id"), shingles(F.col("text"), k).alias("sh"))
     sig = sh.select(
@@ -645,6 +649,8 @@ def semantic_dup_pairs(
     """
     from .similarity import _centroids, _nearest_centroid
 
+    if cells_from is None and num_cells < 1:
+        raise ValueError(f"semantic_dup_pairs: num_cells must be >= 1, got {num_cells}")
     cents = cells_from if cells_from is not None else _centroids(64, num_cells, seed)
     cells = embs.select(id_col, vec_col).withColumn(
         "cell", _nearest_centroid(F.col(vec_col), cents)

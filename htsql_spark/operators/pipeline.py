@@ -297,6 +297,10 @@ def ngram_contamination(
     the key that would explode the join).  Shuffle payload is
     (id, hash) pairs only; never text.
     """
+    if n < 1:
+        raise ValueError(f"ngram_contamination: n must be >= 1, got {n}")
+    if not eval_splits:
+        raise ValueError("ngram_contamination: eval_splits must be non-empty")
     # materialize the word array ONCE before the gram transform: the
     # lambda reads it 8× per position, and an inlined split()
     # expression would be re-evaluated at every read (measured 38 s →
@@ -351,6 +355,8 @@ def vocab_top_terms(
     partition reach the driver-side merge.  Tie-break on the term
     string makes the cutoff deterministic.
     """
+    if v < 1:
+        raise ValueError(f"vocab_top_terms: v must be >= 1, got {v}")
     words = F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term")
     counts = docs.select(words).groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     return (

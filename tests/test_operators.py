@@ -559,3 +559,54 @@ def test_incremental_dedup_planted(docs, spark):
     for a, b in cross:
         assert a < 800000 <= b  # a existing, b incoming — never e-e
     assert not any(800000 <= r["a"] < 900000 and r["b"] >= 900000 for r in out)
+
+
+def test_repetition_stats_properties(spark):
+    """Invariants against a python reference on adversarial word
+    soups: fractions in [0,1]; dup_word_frac = 0 iff all words
+    distinct; values equal the direct Counter computation."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(17)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    docs = []
+    for i in range(30):
+        n = rng.randint(1, 12)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    from htsql_spark.operators import textstats
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+    for i, text in docs:
+        ws = text.split(" ")
+        n = len(ws)
+        r = rows[i]
+        assert r["n_words"] == n
+        assert r["dup_word_frac"] == round(1 - len(set(ws)) / n, 6)
+        assert r["top_word_frac"] == round(Counter(ws).most_common(1)[0][1] / n, 6)
+        if n >= 2:
+            bgs = [f"{ws[j]} {ws[j+1]}" for j in range(n - 1)]
+            assert r["top_bigram_frac"] == round(
+                Counter(bgs).most_common(1)[0][1] / (n - 1), 6
+            )
+        else:
+            assert r["top_bigram_frac"] == 0.0
+        for c in ("dup_word_frac", "top_word_frac", "top_bigram_frac"):
+            assert 0.0 <= r[c] <= 1.0
+
+
+def test_new_operator_guards(spark, docs, embs):
+    """Bad parameters fail fast with ValueError, not a runtime NPE."""
+    from htsql_spark.operators import dedup, pipeline
+
+    with pytest.raises(ValueError):
+        pipeline.ngram_contamination(docs, n=0)
+    with pytest.raises(ValueError):
+        pipeline.ngram_contamination(docs, eval_splits=())
+    with pytest.raises(ValueError):
+        pipeline.vocab_top_terms(docs, v=0)
+    with pytest.raises(ValueError):
+        dedup.semantic_dup_pairs(embs, num_cells=0)
+    with pytest.raises(ValueError):
+        dedup.incremental_dup_pairs(docs, docs, num_hashes=32, bands=5)

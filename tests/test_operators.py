@@ -610,3 +610,20 @@ def test_new_operator_guards(spark, docs, embs):
         dedup.semantic_dup_pairs(embs, num_cells=0)
     with pytest.raises(ValueError):
         dedup.incremental_dup_pairs(docs, docs, num_hashes=32, bands=5)
+
+
+def test_winnow_short_docs(spark):
+    """Docs shorter than k+w-1 chars still fingerprint (single
+    clamped window), and two short identical docs share it."""
+    from htsql_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny"), (3, "ab"), (4, "a longer doc body here")],
+        "doc_id long, text string",
+    )
+    fps = textstats.winnow_fingerprints(df, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] == by_doc[2] and len(by_doc[1]) == 1
+    assert 3 in by_doc and 4 in by_doc

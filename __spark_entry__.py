@@ -1194,6 +1194,30 @@ def _op_kmeans_assign(spark, sf_dir):
     return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
 
 
+def _op_kmeans_step(spark, sf_dir):
+    """A FULL Lloyd iteration against fixed seeded centroids: Arrow
+    GEMM assign + posexplode centroid update (per-(cluster, dim)
+    mean).  With op_kmeans_assign this value-proves both halves of
+    the training loop — the iterative trainer differs only in
+    feeding each step's output into the next."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import similarity
+
+    cents = similarity._centroids(64, 8, seed=11)
+    assigned = similarity.kmeans_assign(
+        _db(spark, sf_dir).table("embeddings"), cents
+    )
+    return (
+        assigned.select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.posexplode("embedding").alias("dim", "v"),
+        )
+        .groupBy("cluster", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+    )
+
+
 def _op_centroids(spark, sf_dir):
     """Per-label embedding centroids, long-form (label, dim, value)."""
     from htsql_spark.operators import similarity
@@ -1248,6 +1272,7 @@ _QUERIES.update(
         "op_centroids": _op_centroids,
         "op_kmeans": _op_kmeans,
         "op_kmeans_assign": _op_kmeans_assign,
+        "op_kmeans_step": _op_kmeans_step,
         "op_quantize": _op_quantize,
         "op_split": _op_split,
         "op_sample_stratified": _op_sample_stratified,
@@ -2038,6 +2063,7 @@ WHERE p_size = 23
         "op_ann_lsh": _ann_lsh_oracle(),
         "op_ann_ivf": _ann_ivf_oracle(),
         "op_kmeans_assign": _kmeans_assign_oracle(),
+        "op_kmeans_step": _kmeans_step_oracle(),
         "op_winnow_portable": _WINNOW_PORTABLE_SQL,
         "op_simhash_portable": _SIMHASH_PORTABLE_SQL,
         "op_pack": _PACK_SQL,
@@ -2237,6 +2263,24 @@ WITH emb AS (SELECT vec_id,
 SELECT vec_id,
        CAST(list_indexof({ds}, list_max({ds})) - 1 AS INTEGER) AS cluster
 FROM emb
+"""
+
+
+def _kmeans_step_oracle(num_cells: int = 8, seed: int = 11) -> str:
+    """Assign (argmax cosine to seeded literal centroids) + centroid
+    update (per-(cluster, dim) element-wise mean) — one full Lloyd
+    iteration replayed in DuckDB via aligned unnest."""
+    assign = _kmeans_assign_oracle(num_cells, seed)
+    return f"""
+WITH asg AS ({assign}),
+x AS (
+  SELECT a.cluster,
+         generate_subscripts(e.embedding, 1) - 1 AS dim,
+         unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS v
+  FROM asg a JOIN embeddings e USING (vec_id)
+)
+SELECT cluster, dim, round(avg(v), 6) AS m
+FROM x GROUP BY 1, 2
 """
 
 

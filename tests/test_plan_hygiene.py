@@ -43,6 +43,7 @@ ARROW_OK = {
     # kmeans assign is the declared Arrow-GEMM pandas UDF
     "op_kmeans",
     "op_kmeans_assign",
+    "op_kmeans_step",
     # SemDeDup: within-cell pair GEMM is a declared applyInPandas stage
     "op_dedup_semantic",
 }

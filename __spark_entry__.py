@@ -469,6 +469,22 @@ def _stream_dedup(spark, sf_dir):
     return spark.table(name).select("event_id", "user_id", "event_type", "value", "props")
 
 
+def _stream_curate(spark, sf_dir):
+    """Streaming corpus curation (quality gate → first-seen
+    fingerprint dedup → split tag) drained with availableNow over the
+    documents file.  One file → one micro-batch in doc_id order, and
+    the fixture has no exact dups, so first-seen ≡ min-doc_id and the
+    batch curate oracle applies verbatim."""
+    import uuid
+
+    from htsql_spark import streaming
+
+    name = f"t_curate_{uuid.uuid4().hex[:8]}"
+    stream = streaming.read_documents_stream(spark, sf_dir, "documents.parquet")
+    streaming.run_to_memory(streaming.curate_stream(stream), name, "append")
+    return spark.table(name)
+
+
 def _stream_running_totals(spark, sf_dir):
     import uuid
 
@@ -684,6 +700,7 @@ _QUERIES.update(
         "op_window_topk": _op_window_topk,
         "stream_dedup": _stream_dedup,
         "stream_running_totals": _stream_running_totals,
+        "stream_curate": _stream_curate,
         "stream_tumbling": _stream_tumbling,
         "stream_sliding": _stream_sliding,
         "stream_session": _stream_session,
@@ -2048,6 +2065,10 @@ WHERE p_size = 23
         "op_retention": _RETENTION_SQL,
         "op_transitions": _TRANSITIONS_SQL,
         "op_curate": _CURATE_SQL,
+        # streaming curation drains the same docs in one micro-batch →
+        # batch curate truth applies (no exact dups in the fixture, so
+        # first-seen ≡ min-doc_id survivor)
+        "stream_curate": _CURATE_SQL,
         "op_centroids": _CENTROIDS_SQL,
         "op_quantize": _QUANTIZE_SQL,
         "op_split": _SPLIT_SQL,

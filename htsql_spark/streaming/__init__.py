@@ -12,3 +12,4 @@ from .events import (  # noqa: F401
     sliding_event_avg,
     tumbling_counts,
 )
+from .curate import curate_stream, read_documents_stream  # noqa: F401

@@ -211,3 +211,40 @@ def test_streaming_misuse_is_named_error(db):
         streaming.running_totals_per_user(batch)
     with pytest.raises(ValueError, match="STREAMING DataFrame"):
         streaming.run_to_memory(batch, "nope")
+
+
+def test_curate_stream_matches_batch(spark, tmp_path):
+    """Streaming curation over an id-ordered landing file equals the
+    batch curate_corpus result exactly (same quality gate, same
+    fingerprint survivor, same split tags) — planted exact clones
+    prove the dedup state actually fires."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark import streaming
+    from htsql_spark.engine import HTSQL
+    from htsql_spark.operators import pipeline
+    from tests.conftest import SF_DIR
+
+    docs = HTSQL(spark, SF_DIR).table("documents").filter("doc_id < 200")
+    clones = docs.select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    corpus = docs.unionByName(clones).orderBy("doc_id")
+    land = str(tmp_path / "landing")
+    corpus.coalesce(1).write.parquet(land)
+
+    stream = streaming.read_documents_stream(spark, land)
+    streaming.run_to_memory(
+        streaming.curate_stream(stream), "t_curate_stream", "append"
+    )
+    got = {
+        (r["doc_id"], r["quality"], r["split"])
+        for r in spark.table("t_curate_stream").collect()
+    }
+    exp = {
+        (r["doc_id"], r["quality"], r["split"])
+        for r in pipeline.curate_corpus(spark.read.parquet(land)).collect()
+    }
+    assert got == exp and len(got) > 0
+    # every planted clone was deduped away (original survives)
+    assert all(d < 5000 for d, _, _ in got)

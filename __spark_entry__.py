@@ -123,6 +123,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "/customer{name := upper(c_name), l := length(c_name), h := head(c_name, 3),"
         " t := tail(c_name, 2), r := replace(c_name, 'Customer', 'C')}"
     ),
+    # text-pipeline kernels as language scalars (beyond-reference):
+    # quality/lang_id/token_count/fingerprint callable from queries
+    "fn_textstats": _q(
+        "/documents{doc_id, q := quality(text), lid := lang_id(text),"
+        " toks := token_count(text), fp := fingerprint(text)}"
+        "?word_count(text) >= 50"
+    ),
     # §3.3 date functions
     "fn_date": _q(
         "/orders{okey := o_orderkey, yr := year(o_orderdate), mo := month(o_orderdate),"
@@ -1495,6 +1502,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_name AS name, CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS big"
             " FROM customer WHERE c_acctbal > 5000"
         ),
+        "fn_textstats": f"""
+WITH s AS (
+  SELECT doc_id, text,
+    length(regexp_extract_all(text, '{_TOKEN_SQL}')) AS tokens,
+    length(string_split_regex(trim(text), '\\s+')) AS words,
+    length(text) AS chars,
+    CASE WHEN length(text) > 0
+      THEN length(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+      ELSE 0.0 END AS praw,
+    length(regexp_extract_all(lower(text), '{_EN}')) AS en_n,
+    length(regexp_extract_all(lower(text), '{_ES}')) AS es_n,
+    length(regexp_extract_all(lower(text), '{_DE}')) AS de_n,
+    length(regexp_extract_all(lower(text), '{_FR}')) AS fr_n
+  FROM documents
+), q AS (
+  SELECT *, CASE WHEN words > 0 THEN en_n * 1.0 / words ELSE 0.0 END AS sraw,
+    greatest(en_n, es_n, de_n, fr_n) AS best
+  FROM s
+)
+SELECT doc_id,
+  round((least(chars / 500.0, 1.0) + greatest(0.0, 1.0 - praw * 4)
+         + least(sraw * 5, 1.0)) / 3, 6) AS q,
+  CASE WHEN en_n > 0 AND en_n = best THEN 'en'
+       WHEN es_n > 0 AND es_n = best THEN 'es'
+       WHEN de_n > 0 AND de_n = best THEN 'de'
+       WHEN fr_n > 0 AND fr_n = best THEN 'fr'
+       ELSE 'und' END AS lid,
+  CAST(tokens AS INTEGER) AS toks,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM q WHERE words >= 50
+""",
         "fn_text": (
             "SELECT upper(c_name) AS name, CAST(length(c_name) AS INTEGER) AS l,"
             " substr(c_name, 1, 3) AS h, substr(c_name, length(c_name) - 1, 2) AS t,"

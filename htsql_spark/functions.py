@@ -516,6 +516,20 @@ def _num_trunc(x: Column, n: int) -> Column:
     return F.floor(F.abs(x) * factor) / factor * F.when(x < 0, -1).otherwise(1)
 
 
+def _textstat(fn_name: str, name: str):
+    """Language binding for a per-row kernel from operators/textstats
+    (imported lazily — the operators package must not be a hard
+    dependency of the language core)."""
+
+    def handler(cc, ctx, scope, args):
+        from .operators import textstats
+
+        cols = _args(cc, ctx, scope, args, 1, 1, name)
+        return Scalar(getattr(textstats, fn_name)(cols[0]), name)
+
+    return handler
+
+
 SCALARS = {
     # logic & null (reference doc/ref/functions.rst)
     "boolean": _fn_boolean,
@@ -588,6 +602,15 @@ SCALARS = {
         name="array_sum",
     ),
     "array_contains": _simple(F.array_contains, 2, name="array_contains"),
+    # text-pipeline scalars (beyond-reference): the training-data
+    # operators' per-row kernels exposed to the query language, so
+    # `/documents{doc_id, quality(text)}?lang_id(text)='en'` works
+    # without leaving HTSQL (operators/textstats.py owns the exprs)
+    "quality": _textstat("quality_score", "quality"),
+    "lang_id": _textstat("lang_id", "lang_id"),
+    "fingerprint": _textstat("fingerprint", "fingerprint"),
+    "token_count": _textstat("token_count", "token_count"),
+    "word_count": _textstat("word_count", "word_count"),
     # misc
     "id": _fn_id,
     "as": _fn_as,

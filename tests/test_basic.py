@@ -175,3 +175,24 @@ def test_ordered_mode_reference_parity(spark, duck):
     desc = [r["c_custkey"] for r in odb.produce(
         "/customer.sort(c_custkey-).limit(5){c_custkey}")]
     assert desc == sorted(desc, reverse=True)
+
+
+def test_textstat_scalars_in_language(db):
+    """Pipeline kernels callable from HTSQL queries: quality/lang_id/
+    token_count/fingerprint/word_count as scalar functions."""
+    rows = db.produce(
+        "/documents{doc_id, q := quality(text), lid := lang_id(text)}"
+        "?doc_id < 5"
+    )
+    assert len(rows) == 5
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+    assert all(isinstance(r["lid"], str) for r in rows)
+    # usable in predicates and arity-checked
+    n = db.produce("/{n := count(documents?word_count(text) >= 50)}")
+    assert n[0]["n"] > 0
+    import pytest as _pytest
+
+    from htsql_spark.compile import CompileError
+
+    with _pytest.raises(CompileError):
+        db.df("/documents{quality(text, 2)}")

@@ -1035,6 +1035,26 @@ def _op_contamination_ngram(spark, sf_dir):
     return pipeline.ngram_contamination(docs.unionByName(clones), n=8)
 
 
+def _op_contamination_near(spark, sf_dir):
+    """Near-duplicate eval↔train contamination (shingle-jaccard ≥ 0.8
+    via cross-side LSH banding): the fuzziest decontamination tier.
+    Planted: near-clones at doc_id + 600000 (' zzz' appended) land in
+    splits by their own id hash, so some cross the train/eval divide;
+    the oracle plants identically and computes the all-pairs
+    cross-side jaccard truth."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import pipeline
+
+    docs = _db(spark, sf_dir).table("documents")
+    clones = docs.select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return pipeline.near_split_contamination(docs.unionByName(clones))
+
+
 def _op_repetition(spark, sf_dir):
     """Gopher-rule repetition quality signals (dup-word fraction,
     modal-word fraction, modal-bigram fraction) — pure higher-order
@@ -1307,6 +1327,7 @@ _QUERIES.update(
         "op_pack": _op_pack,
         "op_contamination": _op_contamination,
         "op_contamination_ngram": _op_contamination_ngram,
+        "op_contamination_near": _op_contamination_near,
         "op_repetition": _op_repetition,
         "op_vocab": _op_vocab,
         "op_profile": _op_profile,
@@ -2128,6 +2149,7 @@ WHERE p_size = 23
         "op_pack": _PACK_SQL,
         "op_contamination": _CONTAMINATION_SQL,
         "op_contamination_ngram": _CONTAM_NGRAM_SQL,
+        "op_contamination_near": _CONTAM_NEAR_SQL,
         "op_repetition": _REPETITION_SQL,
         "op_vocab": (
             "SELECT word AS term, count(*) AS n FROM ("
@@ -2544,6 +2566,38 @@ ev AS (
 SELECT ev.eval_id, ev.eval_split, tr.train_id, count(*) AS shared_ngrams
 FROM ev JOIN tr USING (g)
 GROUP BY 1, 2, 3
+"""
+
+# near-dup contamination tier: all-pairs cross-side shingle-jaccard
+# truth over the planted corpus (banding recall ≈ 1 at j ≥ 0.8 with
+# the 8×4 scheme — same argument as op_dedup_minhash/incremental)
+_CONTAM_NEAR_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 600000 AS doc_id, text || ' zzz' AS text FROM documents
+),
+tagged AS (
+  SELECT doc_id, text,
+    CASE WHEN {_H_SPLIT} < '{_T_TRAIN}' THEN 'train'
+         WHEN {_H_SPLIT} < '{_T_VALID}' THEN 'valid'
+         ELSE 'test' END AS split
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id, split, CASE WHEN len(t) >= 3 THEN
+      list_distinct(list_transform(range(1, len(t)-1),
+       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    ELSE [array_to_string(t, ' ')] END AS s FROM (
+   SELECT doc_id, split, string_split(regexp_replace(lower(trim(text)),
+    '\\s+', ' ', 'g'), ' ') AS t FROM tagged)
+)
+SELECT e.doc_id AS train_id, i.doc_id AS eval_id,
+  round(len(list_intersect(e.s, i.s))::DOUBLE
+   / len(list_distinct(e.s || i.s)), 6) AS jaccard
+FROM sh e JOIN sh i ON e.split = 'train' AND i.split IN ('valid', 'test')
+WHERE len(list_intersect(e.s, i.s))::DOUBLE
+   / len(list_distinct(e.s || i.s)) >= 0.8
 """
 
 # Gopher-rule repetition stats: modal word / modal bigram via

@@ -342,6 +342,43 @@ def ngram_contamination(
     )
 
 
+def near_split_contamination(
+    docs: DataFrame,
+    key: str = "doc_id",
+    train: str = "train",
+    eval_splits: tuple[str, ...] = ("valid", "test"),
+    salt: str = "split",
+    threshold: float = 0.8,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """NEAR-duplicate eval-set contamination: eval-split documents
+    whose shingle-Jaccard with some training document is ≥
+    ``threshold`` — the fuzziest decontamination tier, above
+    exact-fingerprint (``cross_split_contamination``) and shared-
+    n-gram (``ngram_contamination``).  Splits come from the same
+    deterministic ``hash_split`` the pipeline trains with.
+
+    Implementation: the train side is the 'archive' and the eval side
+    the 'batch' of :func:`htsql_spark.operators.dedup.
+    incremental_dup_pairs` — LSH banding join across sides only,
+    never a train-side self-join, exact-Jaccard verification of
+    candidates.  Output (train_id, eval_id, jaccard)."""
+    from .dedup import incremental_dup_pairs
+
+    tagged = hash_split(docs, key, salt=salt)
+    tr = tagged.filter(F.col("split") == train).drop("split")
+    ev = tagged.filter(F.col("split").isin(list(eval_splits))).drop("split")
+    pairs = incremental_dup_pairs(
+        tr, ev, k=k, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, within_incoming=False,
+    )
+    return pairs.select(
+        F.col("a").alias("train_id"), F.col("b").alias("eval_id"), "jaccard"
+    )
+
+
 def vocab_top_terms(
     docs: DataFrame, v: int = 1000, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

@@ -83,7 +83,12 @@ NLJ_OK = {
 #: declared caches: the minhash candidate-pair table feeds three
 #: consumers and is cache()d on purpose (operators/dedup.py docstring)
 #: declared candidate-table caches (ids only, feeds multiple consumers)
-CACHE_OK = {"op_dedup_minhash", "op_dedup_pipeline", "op_dedup_incremental"}
+CACHE_OK = {
+    "op_dedup_minhash",
+    "op_dedup_pipeline",
+    "op_dedup_incremental",
+    "op_contamination_near",  # rides incremental_dup_pairs' candidate cache
+}
 
 BATCH = sorted(set(entry_mod.queries()) - SKIP)
 

@@ -914,6 +914,20 @@ def _op_multimodal(spark, sf_dir):
     return multimodal.image_features(assets)
 
 
+def _op_audio(spark, sf_dir):
+    """REAL WAV decode: planted ±amp square waves (amp, length both
+    f(doc_id)) written as actual RIFF/WAVE PCM bytes, then chunk-walk
+    decoded to rate/duration/RMS/peak inside Arrow batches.  The
+    oracle recomputes the planted wave's exact statistics in SQL
+    (RMS of a constant-|amp| wave is amp, exactly)."""
+    from htsql_spark.operators import multimodal
+
+    assets = multimodal.audio_assets_from_documents(
+        _db(spark, sf_dir).table("documents")
+    )
+    return multimodal.audio_features(assets)
+
+
 def _op_asset_meta(spark, sf_dir):
     """Metadata-only multimodal pass (n_bytes + digest over opaque
     binary payloads) — the pre-decode inventory scan."""
@@ -1355,6 +1369,7 @@ _QUERIES.update(
         "op_ann_ivf": _op_ann_ivf,
         "op_multimodal": _op_multimodal,
         "op_asset_meta": _op_asset_meta,
+        "op_audio": _op_audio,
         "op_frame_sample": _op_frame_sample,
     }
 )
@@ -2027,6 +2042,17 @@ WHERE p_size = 23
             " CAST(doc_id % 256 AS DOUBLE) AS mean_r,"
             " CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,"
             " CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b"
+            " FROM documents"
+        ),
+        # planted square-wave audio: amp/length = f(doc_id); RMS of a
+        # constant-|amp| wave is exactly amp
+        "op_audio": (
+            "SELECT doc_id AS asset_id,"
+            " CAST(8000 AS INTEGER) AS sample_rate,"
+            " CAST(160 + (doc_id % 5) * 40 AS INTEGER) AS n_samples,"
+            " round((160 + (doc_id % 5) * 40) / 8000.0, 6) AS duration_s,"
+            " round(CAST(100 + (doc_id % 200) * 100 AS DOUBLE), 6) AS rms,"
+            " CAST(100 + (doc_id % 200) * 100 AS INTEGER) AS peak"
             " FROM documents"
         ),
         "op_frame_sample": (

@@ -17,10 +17,13 @@ Everything decodes to a ``numpy.uint8`` array of shape (h, w, 3).
 These codecs run *inside* Arrow batches on executors — per-image
 cost is numpy slicing; nothing here touches the driver.
 
-There is no codec for video containers or audio: ``RAWV`` below is a
+* **WAV** — RIFF/WAVE PCM 16-bit mono (chunk walk, unknown-chunk
+  skip, word alignment) — real audio sample decode.
+
+There is no codec for real video containers: ``RAWV`` below is a
 deliberately trivial length-prefixed frame container used to exercise
 the frame-sampling plumbing with real per-frame pixel decode.  Real
-mp4/wav decode stays honestly out of scope for this container.
+mp4/h264 decode stays honestly out of scope for this container.
 """
 
 from __future__ import annotations
@@ -289,3 +292,43 @@ def decode_rawv_frame(data: bytes, idx: int) -> np.ndarray:
         pos += 4 + ln
     (ln,) = struct.unpack_from("<I", data, pos)
     return decode_image(data[pos + 4 : pos + 4 + ln])
+
+
+# ----------------------------------------------------------------------
+# WAV (RIFF/WAVE, PCM 16-bit mono) — public spec, stdlib struct only
+# ----------------------------------------------------------------------
+def encode_wav(samples: "np.ndarray", rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM (fmt tag 1), mono, 16-bit
+    little-endian.  Enough container to exercise a REAL chunk-walking
+    decode path."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+    dat = struct.pack("<4sI", b"data", len(data)) + data
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(dat), b"WAVE")
+    return hdr + fmt + dat
+
+
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Parse a RIFF/WAVE payload by walking its chunks (fmt + data;
+    unknown chunks skipped, odd-size pad honored per the RIFF spec).
+    Returns (sample_rate, int16 sample array).  PCM 16-bit mono only
+    — anything else raises ValueError."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        body = payload[pos : pos + sz]
+        pos += sz + (sz & 1)  # RIFF chunks are word-aligned
+        if cid == b"fmt ":
+            tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if tag != 1:
+                raise ValueError(f"unsupported WAV format tag {tag} (PCM only)")
+        elif cid == b"data":
+            data = body
+    if rate is None or data is None:
+        raise ValueError("WAV payload missing fmt or data chunk")
+    if channels != 1 or bits != 16:
+        raise ValueError(f"only 16-bit mono supported, got {channels}ch/{bits}bit")
+    return int(rate), np.frombuffer(data, dtype="<i2")

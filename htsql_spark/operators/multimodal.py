@@ -5,10 +5,10 @@ Image decode is REAL: :mod:`.imaging` provides pure-python/numpy
 BMP/PPM/PNG codecs (the container has no PIL/opencv), so
 ``image_features`` and ``sampled_frame_features`` run actual pixel
 work — header parse, inflate, unfilter, channel means — inside Arrow
-batches.  Only audio and real video containers stay stubbed
-(``try_decode`` raises for those kinds); the RAWV frame container in
-:mod:`.imaging` is the stand-in that lets frame sampling decode real
-per-frame pixels.
+batches; ``audio_features`` decodes real RIFF/WAVE PCM to samples.
+Only real video containers stay stubbed (``try_decode`` raises for
+kind='video'); the RAWV frame container in :mod:`.imaging` is the
+stand-in that lets frame sampling decode real per-frame pixels.
 
 At 100 TB: binary payloads stay columnar (parquet binary), batches
 stream through Arrow without driver involvement, and per-partition
@@ -65,15 +65,21 @@ def try_decode(payload: bytes, kind: str) -> list[float]:
     """Decode a payload into a feature vector.  Image formats with a
     real codec in :mod:`.imaging` (BMP/PPM/PNG) decode to actual
     pixels → [w, h, mean_r, mean_g, mean_b, std_gray].  Audio and
-    real video containers raise NotImplementedError (no codecs in
-    this container — honest stub).  Unrecognized binary (e.g. the
-    utf-8 text payloads in the synthetic asset fixture) falls back to
-    a deterministic digest feature so metadata-only pipelines remain
-    testable end-to-end."""
+    WAV PCM audio decodes to actual samples → [rate, n, rms].  Real
+    video containers (mp4 etc.) raise NotImplementedError (no codec
+    in this container — honest stub; the RAWV path in
+    :func:`sampled_frame_features` does real per-frame pixel work).
+    Unrecognized binary (e.g. the utf-8 text payloads in the
+    synthetic asset fixture) falls back to a deterministic digest
+    feature so metadata-only pipelines remain testable end-to-end."""
     if payload is None:
         raise NotImplementedError("no payload")
-    if kind in ("audio", "video"):
-        raise NotImplementedError(f"no {kind} codec in this container")
+    if kind == "audio":
+        rate, samples = imaging.decode_wav(payload)  # ValueError on non-WAV
+        x = samples.astype("float64")
+        return [float(rate), float(len(samples)), float(np.sqrt((x * x).mean()))]
+    if kind == "video":
+        raise NotImplementedError("no video-container codec (see RAWV path)")
     try:
         img = imaging.decode_image(payload)
     except ValueError:
@@ -234,6 +240,74 @@ def video_assets_from_documents(
         synth(F.col("doc_id")).alias("payload"),
         F.create_map(F.lit("frames"), F.lit(str(n_frames))).alias("meta"),
     )
+
+
+def _plant_wave(doc_id: int) -> tuple[int, int]:
+    """(amplitude, n_samples) for the planted square wave — both pure
+    functions of doc_id so oracles recompute them in SQL."""
+    return 100 + (doc_id % 200) * 100, 160 + (doc_id % 5) * 40
+
+
+def audio_assets_from_documents(docs: DataFrame, rate: int = 8000) -> DataFrame:
+    """Planted WAV per document: a ±amp square wave (amp, length both
+    f(doc_id)) written as REAL RIFF/WAVE PCM bytes — decode must walk
+    the actual chunks to recover the samples."""
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            amp, n = _plant_wave(int(i))
+            wave = np.where(np.arange(n) % 2 == 0, amp, -amp).astype("<i2")
+            out.append(imaging.encode_wav(wave, rate))
+        return pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio").alias("kind"),
+        synth(F.col("doc_id")).alias("payload"),
+        F.create_map(F.lit("rate"), F.lit(str(rate))).alias("meta"),
+    )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+    ]
+)
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """REAL WAV decode over Arrow batches: RIFF chunk walk, int16
+    samples, rate/duration/RMS/peak.  Narrow mapInPandas, no shuffle
+    — per-asset cost is a numpy reduction."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rate, samples = imaging.decode_wav(bytes(payload))
+                x = samples.astype("float64")
+                rows.append(
+                    (
+                        int(aid),
+                        rate,
+                        len(samples),
+                        round(len(samples) / rate, 6),
+                        round(float(np.sqrt((x * x).mean())), 6),
+                        int(np.abs(samples).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
 
 
 IMAGE_FEATURE_SCHEMA = T.StructType(

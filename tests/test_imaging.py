@@ -61,9 +61,16 @@ def test_try_decode_real_image_vs_fallback_vs_stub():
     assert feat == [8.0, 8.0, 10.0, 20.0, 30.0, 0.0]
     # unrecognized binary → deterministic digest fallback
     assert len(multimodal.try_decode(b"plain text", "image")) == 8
-    # audio/video containers stay honestly stubbed
-    with pytest.raises(NotImplementedError):
+    # WAV PCM audio decodes for real: rate, n, exact rms of ±amp wave
+    wave = np.where(np.arange(100) % 2 == 0, 500, -500).astype("<i2")
+    assert multimodal.try_decode(imaging.encode_wav(wave, 8000), "audio") == [
+        8000.0, 100.0, 500.0,
+    ]
+    # malformed audio is a decode error; video container stays stubbed
+    with pytest.raises(ValueError):
         multimodal.try_decode(b"RIFF....WAVE", "audio")
+    with pytest.raises(NotImplementedError):
+        multimodal.try_decode(b"\x00\x00mp4?", "video")
 
 
 def test_image_features_planted_colors(db):
@@ -93,3 +100,39 @@ def test_sampled_frame_features_planted_colors(db):
             float((i * 7 + f) % 256),
             float((i * 13 + 5 * f) % 256),
         )
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """Encode→decode roundtrip; decoder skips unknown chunks and
+    honors RIFF word alignment; non-PCM and stereo are rejected."""
+    import struct
+
+    wave = (np.sin(np.linspace(0, 20, 321)) * 12000).astype("<i2")
+    payload = imaging.encode_wav(wave, 44100)
+    rate, back = imaging.decode_wav(payload)
+    assert rate == 44100 and np.array_equal(back, wave)
+    # splice an odd-sized unknown chunk before data: still decodes
+    fmt_end = 12 + 8 + 16
+    junk = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"  # padded
+    spliced = payload[:fmt_end] + junk + payload[fmt_end:]
+    rate2, back2 = imaging.decode_wav(spliced)
+    assert rate2 == 44100 and np.array_equal(back2, wave)
+    # stereo rejected
+    bad = bytearray(payload)
+    struct.pack_into("<H", bad, 12 + 8 + 2, 2)  # channels=2
+    with pytest.raises(ValueError):
+        imaging.decode_wav(bytes(bad))
+
+
+def test_audio_features_planted(db):
+    from htsql_spark.operators import multimodal
+
+    docs = db.table("documents").filter(F.col("doc_id") < 20)
+    rows = multimodal.audio_features(
+        multimodal.audio_assets_from_documents(docs)
+    ).collect()
+    assert len(rows) == 20
+    for r in rows:
+        amp, n = multimodal._plant_wave(r["asset_id"])
+        assert r["rms"] == float(amp) and r["peak"] == amp
+        assert r["n_samples"] == n and r["sample_rate"] == 8000

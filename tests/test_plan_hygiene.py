@@ -35,6 +35,7 @@ SKIP = {name for name in entry_mod.queries() if name.startswith("stream_")}
 ARROW_OK = {
     "op_multimodal",
     "op_asset_meta",
+    "op_audio",
     "op_frame_sample",
     "op_dedup_embedding",
     "op_ann_bruteforce",

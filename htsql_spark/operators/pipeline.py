@@ -421,6 +421,38 @@ def corpus_profile(docs: DataFrame) -> DataFrame:
     )
 
 
+def write_dataset(
+    docs: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("lang",),
+    card: bool = True,
+) -> None:
+    """Publish a curated corpus: partitioned parquet plus a
+    ``_dataset_card.json`` sidecar carrying the per-(lang, source)
+    profile — the release layout a training job consumes directly
+    (partition pruning on ``lang`` etc. comes free at read time).
+
+    The card is the ONLY driver-side materialization and is
+    |lang×source| rows — model-card-sized, not data-sized.  The
+    write itself is the ordinary distributed parquet sink."""
+    import json
+
+    (docs.write.partitionBy(*partition_by).mode("overwrite").parquet(path))
+    if card:
+        rows = [r.asDict() for r in corpus_profile(docs).collect()]
+        spark = docs.sparkSession
+        # write through the JVM filesystem API so the card lands next
+        # to the data on whatever storage the path points at (local,
+        # HDFS, s3a…), not just the driver's local disk
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/_dataset_card.json")
+        fs = p.getFileSystem(conf)
+        out = fs.create(p, True)
+        out.write(bytearray(json.dumps(rows, sort_keys=True).encode()))
+        out.close()
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 64,

@@ -296,3 +296,28 @@ def test_cross_split_contamination_detects_planted_clones(db):
         t = r["train_id"] % 500000
         assert norm(texts[e]) == norm(texts[t])
         assert r["eval_split"] in ("valid", "test")
+
+
+def test_write_dataset_card_and_partitions(db, spark, tmp_path):
+    """Partitioned publish + dataset-card sidecar: partitions prune at
+    read time, the card matches corpus_profile exactly."""
+    import json
+    import os
+
+    from htsql_spark.operators import pipeline
+
+    docs = db.table("documents").filter("doc_id < 300")
+    out = str(tmp_path / "release")
+    pipeline.write_dataset(docs, out, partition_by=("lang",))
+    assert any(d.startswith("lang=") for d in os.listdir(out))
+    card = json.loads(open(f"{out}/_dataset_card.json").read())
+    expect = sorted(
+        (r.asDict() for r in pipeline.corpus_profile(docs).collect()),
+        key=lambda r: (r["lang"], r["source"]),
+    )
+    assert sorted(card, key=lambda r: (r["lang"], r["source"])) == expect
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # partition pruning visible in the plan
+    plan = back.filter("lang = 'en'")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan

@@ -67,6 +67,11 @@ HEADLINE = [
     "op_text_stats",
     "op_ann_bruteforce",
     "op_curate",
+    "op_vocab",
+    "op_profile",
+    "op_audio",
+    "fn_textstats",
+    "op_kmeans_step",
     "op_repetition",
     "op_contamination_ngram",
     "op_dedup_semantic",

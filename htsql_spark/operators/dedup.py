@@ -823,10 +823,20 @@ def dedup_pipeline(
     strategy: str = "minhash",
     threshold: float = 0.8,
     scratch_dir: str | None = None,
+    survivor: str = "min_id",
 ) -> DataFrame:
     """End-to-end dedup: candidate pairs (chosen strategy) → connected
-    components (``dedup_clusters``) → keep only each cluster's minimum
-    doc_id. Returns the surviving documents with their original schema.
+    components (``dedup_clusters``) → keep one document per cluster.
+    Returns the surviving documents with their original schema.
+
+    ``survivor`` picks which cluster member lives: ``'min_id'`` (the
+    deterministic default — the cluster representative itself) or
+    ``'quality'`` (keep the member with the highest
+    :func:`~htsql_spark.operators.textstats.quality_score`, ties
+    broken by min id — the policy real curation wants, since fuzzy
+    duplicates differ and the best copy should survive).  The quality
+    rank runs only over clustered docs (duplicate members), not the
+    corpus: one row_number window partitioned by cluster_id.
 
     Every strategy flows through the same clustering + survivor
     selection path, so the oracle-checkable ``exact`` strategy verifies
@@ -845,5 +855,24 @@ def dedup_pipeline(
     else:
         raise ValueError(f"unknown dedup strategy: {strategy!r}")
     clusters = dedup_clusters(pairs, scratch_dir=scratch_dir)
-    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    if survivor == "min_id":
+        drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    elif survivor == "quality":
+        from pyspark.sql import Window
+
+        from .textstats import quality_score
+
+        scored = docs.join(clusters, "doc_id").select(
+            "doc_id", "cluster_id", quality_score(F.col("text")).alias("__q")
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("__q").desc(), F.col("doc_id")
+        )
+        drop = (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") > 1)
+            .select("doc_id")
+        )
+    else:
+        raise ValueError(f"unknown survivor policy: {survivor!r}")
     return docs.join(drop, "doc_id", "left_anti")

@@ -627,3 +627,72 @@ def test_winnow_short_docs(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[1] == by_doc[2] and len(by_doc[1]) == 1
     assert 3 in by_doc and 4 in by_doc
+
+
+def test_dedup_pipeline_quality_survivor(docs, spark):
+    """survivor='quality' keeps exactly one member per duplicate
+    cluster — the argmax-quality one (ties: min id).  Checked against
+    a python-side reference computed from the pipeline's own pair
+    graph, so fixture quirks (natural near-dups, short docs) are
+    covered rather than assumed away."""
+    from htsql_spark.operators import dedup, textstats
+
+    base = docs.filter("doc_id < 40")
+    junk = base.select(
+        (F.col("doc_id") - 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz !!!! ???? ;;;; ####")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = base.unionByName(junk)
+    kept_q = {
+        r["doc_id"]
+        for r in dedup.dedup_pipeline(
+            corpus, strategy="minhash", threshold=0.8, survivor="quality"
+        ).select("doc_id").collect()
+    }
+    # python reference: same pairs -> union-find -> argmax quality
+    pairs = [
+        (r["a"], r["b"])
+        for r in dedup.minhash_dedup_pairs(corpus, threshold=0.8).collect()
+    ]
+    qual = {
+        r["doc_id"]: r["quality"]
+        for r in corpus.select(
+            "doc_id", textstats.quality_score(F.col("text")).alias("quality")
+        ).collect()
+    }
+    parent = {d: d for d in qual}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters = {}
+    for d in qual:
+        clusters.setdefault(find(d), []).append(d)
+    expect = set()
+    for members in clusters.values():
+        expect.add(max(members, key=lambda d: (qual[d], -d)))
+    assert kept_q == expect
+    # count invariant vs the min_id policy: same survivors-per-cluster
+    kept_m = {
+        r["doc_id"]
+        for r in dedup.dedup_pipeline(corpus, strategy="minhash", threshold=0.8)
+        .select("doc_id").collect()
+    }
+    assert len(kept_m) == len(kept_q)
+    # planted junk clones that DID pair with their original never
+    # outlive it: quality keeps the clean copy
+    paired = {frozenset(p) for p in pairs}
+    for d in [r["doc_id"] for r in base.collect()]:
+        if frozenset((d, d - 10000)) in paired:
+            assert d in kept_q or find(d) != d  # survives unless merged away
+            assert (d - 10000) not in kept_q
+    with pytest.raises(ValueError):
+        dedup.dedup_pipeline(corpus, survivor="nope")

@@ -321,3 +321,59 @@ def test_write_dataset_card_and_partitions(db, spark, tmp_path):
     # partition pruning visible in the plan
     plan = back.filter("lang = 'en'")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_end_to_end_training_pipeline(db, spark, tmp_path):
+    """The whole curation story in one run: raw text-file ingestion →
+    quality/dedup/split curation → decontamination audit → sequence
+    packing → partitioned publish with a dataset card.  Each stage's
+    output feeds the next; invariants checked at every seam."""
+    import json
+    import os
+
+    from htsql_spark import ingest
+    from htsql_spark.operators import pipeline
+
+    # 1. ingest a landing directory of text files (with a planted dup)
+    land = tmp_path / "landing"
+    land.mkdir()
+    texts = {
+        f"doc{i:02d}.txt": f"document number {i} " + " ".join(
+            ["alpha beta gamma delta epsilon zeta eta theta"] * (2 + i % 3)
+        )
+        for i in range(12)
+    }
+    texts["dup_of_doc00.txt"] = texts["doc00.txt"]
+    for name, body in texts.items():
+        (land / name).write_text(body)
+    docs = ingest.documents_from_text(spark, str(land / "*.txt"))
+    assert docs.count() == 13
+
+    # 2. curate: quality gate + exact dedup + split
+    curated = pipeline.curate_corpus(docs, min_quality=0.2)
+    kept = curated.collect()
+    assert len(kept) == 12  # the planted dup died
+    assert {r["split"] for r in kept} <= {"train", "valid", "test"}
+
+    # 3. decontamination audit over the split that was just assigned
+    audit = pipeline.cross_split_contamination(docs)
+    # fingerprint-identical docs may or may not straddle splits; the
+    # audit must at least be consistent: every hit is a real fp match
+    for r in audit.collect():
+        assert r["eval_id"] != r["train_id"]
+
+    # 4. pack surviving docs into training sequences
+    survivors = docs.join(curated.select("doc_id"), "doc_id")
+    packed = pipeline.pack_sequences(survivors, budget=16, shards=2)
+    spans = packed.collect()
+    assert len(spans) > 0
+    # every span fits its budget and every surviving doc is packed
+    assert all(0 < r["take"] <= 16 for r in spans)
+    assert {r["doc_id"] for r in spans} == {r["doc_id"] for r in kept}
+
+    # 5. publish with card
+    out = str(tmp_path / "release")
+    pipeline.write_dataset(survivors, out, partition_by=("lang",))
+    card = json.loads(open(f"{out}/_dataset_card.json").read())
+    assert sum(c["docs"] for c in card) == 12
+    assert spark.read.parquet(out).count() == 12

@@ -193,6 +193,33 @@ def minhash_dedup_pairs(
     )
 
 
+def materialize_band_index(
+    docs: DataFrame,
+    table: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n_buckets: int = 32,
+) -> None:
+    """Materialize the archive's LSH band table as a managed table
+    hash-bucketed on ``h`` — the 100 TB amortization for incremental
+    dedup: shingle+minhash the archive ONCE, then every daily batch
+    joins its own (tiny) band table against the index with NO archive
+    re-shingle and NO archive-side shuffle (HashPartitioning(h)
+    satisfies the (band, h) join's clustering, so only the batch side
+    exchanges).  Append the batch's own bands after each run to keep
+    the index current."""
+    from .layout import write_bucketed
+
+    write_bucketed(
+        _band_table(docs, k, num_hashes, bands),
+        table,
+        ["h"],
+        n_buckets=n_buckets,
+        sort_cols=["h"],
+    )
+
+
 def incremental_dup_pairs(
     existing: DataFrame,
     incoming: DataFrame,
@@ -201,6 +228,7 @@ def incremental_dup_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     within_incoming: bool = True,
+    archive_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (daily-batch) near-dup detection: pairs between a
     NEW batch and the EXISTING corpus, plus (optionally) within the
@@ -220,8 +248,18 @@ def incremental_dup_pairs(
     (band, h) with the incoming side naturally small (broadcast-able
     by AQE); verification re-shingles only candidate docs per side
     (semi-join prune), exact Jaccard ≥ threshold.
+
+    ``archive_bands`` (from :func:`materialize_band_index`) skips the
+    archive banding pass entirely — at 100 TB the difference between
+    re-hashing the archive per batch and reading a bucketed index.
+    ``existing`` is still needed for the verification re-shingle of
+    the (few) candidate docs.
     """
-    eb = _band_table(existing, k, num_hashes, bands)
+    eb = (
+        archive_bands
+        if archive_bands is not None
+        else _band_table(existing, k, num_hashes, bands)
+    )
     ib = _band_table(incoming, k, num_hashes, bands)
     cross = (
         eb.alias("e")

@@ -696,3 +696,43 @@ def test_dedup_pipeline_quality_survivor(docs, spark):
             assert (d - 10000) not in kept_q
     with pytest.raises(ValueError):
         dedup.dedup_pipeline(corpus, survivor="nope")
+
+
+def test_incremental_dedup_band_index(docs, spark):
+    """Materialized bucketed band index: identical pairs with NO
+    archive-side banding recompute — the candidate join reads the
+    index scan directly (no Exchange above the archive scan; only
+    the tiny batch side moves)."""
+    from htsql_spark.operators import dedup
+
+    head = docs.filter("doc_id < 50")
+    inc = head.select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    spark.sql("DROP TABLE IF EXISTS t_band_idx")
+    dedup.materialize_band_index(docs, "t_band_idx")
+    idx = spark.table("t_band_idx")
+    base = {
+        (r["a"], r["b"], r["origin"])
+        for r in dedup.incremental_dup_pairs(docs, inc).collect()
+    }
+    via_idx = {
+        (r["a"], r["b"], r["origin"])
+        for r in dedup.incremental_dup_pairs(docs, inc, archive_bands=idx).collect()
+    }
+    assert via_idx == base and len(base) > 0
+    # candidate-join plan: archive side is a bare index scan — the
+    # only Exchange(s) belong to the batch side / broadcast
+    cross = idx.alias("e").join(
+        dedup._band_table(inc).alias("i"),
+        (F.col("e.band") == F.col("i.band")) & (F.col("e.h") == F.col("i.h")),
+    )
+    plan = cross._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    scan_line = next(i for i, l in enumerate(lines) if "band_idx" in l)
+    assert not any(
+        "Exchange" in l for l in lines[:scan_line] if "Broadcast" not in l
+    ), plan
+    spark.sql("DROP TABLE IF EXISTS t_band_idx")

@@ -1109,6 +1109,16 @@ def _op_vocab(spark, sf_dir):
     return pipeline.vocab_top_terms(_db(spark, sf_dir).table("documents"), v=500)
 
 
+def _op_unigram_lm(spark, sf_dir):
+    """Unigram-LM document scoring (perplexity-filter proxy): mean
+    log-prob of each doc's words under the corpus's own unigram
+    distribution.  Two shuffles on term (count + probe), per-doc
+    mean; vocabulary never broadcast."""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.unigram_logprob(_db(spark, sf_dir).table("documents"))
+
+
 def _op_profile(spark, sf_dir):
     """Dataset-card corpus profile per (lang, source): algebraic
     aggregates only, one tiny-key hash-agg shuffle."""
@@ -1344,6 +1354,7 @@ _QUERIES.update(
         "op_contamination_near": _op_contamination_near,
         "op_repetition": _op_repetition,
         "op_vocab": _op_vocab,
+        "op_unigram_lm": _op_unigram_lm,
         "op_profile": _op_profile,
         "op_dedup_semantic": _op_dedup_semantic,
         "op_tfidf": _op_tfidf,
@@ -2183,6 +2194,21 @@ WHERE p_size = 23
             " '\\s+', ' ', 'g')), ' ')) AS word FROM documents)"
             " GROUP BY 1 ORDER BY n DESC, term LIMIT 500"
         ),
+        "op_unigram_lm": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+freqs AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+total AS (SELECT sum(tf) AS n FROM freqs)
+SELECT t.doc_id,
+       count(*) AS n_words,
+       round(avg(ln(f.tf) - ln((SELECT n FROM total))), 6) AS avg_logp,
+       round(exp(-avg(ln(f.tf) - ln((SELECT n FROM total)))), 4) AS ppl
+FROM toks t JOIN freqs f USING (term)
+GROUP BY 1
+""",
         "op_profile": (
             "SELECT lang, source, count(*) AS docs,"
             " sum(len(string_split(trim(regexp_replace(text, '\\s+', ' ',"

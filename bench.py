@@ -68,6 +68,7 @@ HEADLINE = [
     "op_ann_bruteforce",
     "op_curate",
     "op_vocab",
+    "op_unigram_lm",
     "op_profile",
     "op_audio",
     "fn_textstats",

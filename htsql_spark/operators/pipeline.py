@@ -403,6 +403,50 @@ def vocab_top_terms(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model scoring — the cheap proxy for the
+    perplexity-filter tier (KenLM-style) every large pipeline runs:
+    score each document by the mean log-probability of its words
+    under the corpus's own unigram distribution.  Gibberish and
+    off-distribution documents score low; boilerplate scores high —
+    both tails get filtered downstream.
+
+    Output: (id, n_words, avg_logp, ppl) with ppl = exp(−avg_logp).
+
+    Plan: one term-count aggregation (map-side combined, shuffle
+    keyed on term), then one join of exploded doc words against the
+    frequency table (shuffle on term — the same key distribution, so
+    AQE reuses statistics), then a per-doc mean.  Nothing is
+    broadcast: the vocabulary is unbounded at 100 TB.  Hot stop-words
+    are the biggest term keys, but their posting rows are (term,
+    count) partials on the count side and (doc, term) pairs on the
+    probe side — bounded by document length, not corpus size.
+    """
+    words = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("term")
+    toks = docs.select(F.col(id_col), words)
+    freqs = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = freqs.agg(F.sum("tf").alias("n")).select("n")
+    scored = (
+        toks.join(freqs, "term")
+        .crossJoin(F.broadcast(total))  # 1-row corpus size
+        .select(
+            F.col(id_col),
+            (F.log(F.col("tf").cast("double")) - F.log(F.col("n").cast("double"))).alias(
+                "__lp"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.round(F.avg("__lp"), 6).alias("avg_logp"),
+        F.round(F.exp(-F.avg("__lp")), 4).alias("ppl"),
+    )
+
+
 def corpus_profile(docs: DataFrame) -> DataFrame:
     """Dataset-card profile: per (lang, source) document counts,
     token/char totals and length extrema — the summary every corpus

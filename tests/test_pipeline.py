@@ -377,3 +377,30 @@ def test_end_to_end_training_pipeline(db, spark, tmp_path):
     card = json.loads(open(f"{out}/_dataset_card.json").read())
     assert sum(c["docs"] for c in card) == 12
     assert spark.read.parquet(out).count() == 12
+
+
+def test_unigram_logprob_reference(spark):
+    """Exact agreement with a python Counter reference on a tiny
+    corpus; rare words score lower than common ones."""
+    import math
+    from collections import Counter
+
+    from htsql_spark.operators import pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "the the the cat"), (2, "the dog"), (3, "xylophone")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pipeline.unigram_logprob(docs).collect()}
+    words = "the the the cat the dog xylophone".split()
+    tf = Counter(words)
+    n = len(words)
+
+    def avg_lp(ws):
+        return round(sum(math.log(tf[w] / n) for w in ws) / len(ws), 6)
+
+    assert rows[1]["avg_logp"] == avg_lp("the the the cat".split())
+    assert rows[2]["avg_logp"] == avg_lp("the dog".split())
+    assert rows[3]["avg_logp"] == avg_lp(["xylophone"])
+    # the rare-word doc is the least probable → highest ppl
+    assert rows[3]["ppl"] > rows[1]["ppl"] and rows[3]["ppl"] > rows[2]["ppl"]

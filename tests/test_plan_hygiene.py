@@ -71,6 +71,8 @@ NLJ_OK = {
     "op_dedup_pipeline",
     "op_simhash_pairs",
     "op_dedup_simhash",
+    # unigram LM joins a broadcast single-row corpus-size aggregate
+    "op_unigram_lm",
     # tf·idf joins a broadcast single-row corpus-count aggregate
     "op_tfidf",
     # the derived partsupp broadcasts a single-row count(supplier)

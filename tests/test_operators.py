@@ -736,3 +736,25 @@ def test_incremental_dedup_band_index(docs, spark):
         "Exchange" in l for l in lines[:scan_line] if "Broadcast" not in l
     ), plan
     spark.sql("DROP TABLE IF EXISTS t_band_idx")
+
+
+def test_semantic_dedup_with_trained_centroids(embs, spark):
+    """cells_from accepts kmeans() output: planted coincident vectors
+    still share a cell (identical argmax) and pair at cosine 1."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import dedup, similarity
+
+    base = embs.filter("vec_id < 60")
+    clones = base.filter("vec_id < 5").select(
+        (F.col("vec_id") + 700).alias("vec_id"), "embedding", "label"
+    )
+    corpus = base.unionByName(clones)
+    _, cents = similarity.kmeans(base, k=4, iters=2)
+    pairs = dedup.semantic_dup_pairs(
+        corpus, threshold=0.95, cells_from=cents
+    ).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    for i in range(5):
+        assert (i, i + 700) in found
+    assert all(r["cos"] >= 0.95 for r in pairs)

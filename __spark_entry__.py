@@ -1109,6 +1109,17 @@ def _op_vocab(spark, sf_dir):
     return pipeline.vocab_top_terms(_db(spark, sf_dir).table("documents"), v=500)
 
 
+def _op_select_budget(spark, sf_dir):
+    """Token-budget corpus selection (best quality first): histogram
+    walk + boundary-bucket-only window — no global sort.  The oracle
+    replays the equivalent global-order monotone prefix rule."""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.select_token_budget(
+        _db(spark, sf_dir).table("documents"), budget_tokens=100_000
+    )
+
+
 def _op_unigram_lm(spark, sf_dir):
     """Unigram-LM document scoring (perplexity-filter proxy): mean
     log-prob of each doc's words under the corpus's own unigram
@@ -1355,6 +1366,7 @@ _QUERIES.update(
         "op_repetition": _op_repetition,
         "op_vocab": _op_vocab,
         "op_unigram_lm": _op_unigram_lm,
+        "op_select_budget": _op_select_budget,
         "op_profile": _op_profile,
         "op_dedup_semantic": _op_dedup_semantic,
         "op_tfidf": _op_tfidf,
@@ -2194,6 +2206,30 @@ WHERE p_size = 23
             " '\\s+', ' ', 'g')), ' ')) AS word FROM documents)"
             " GROUP BY 1 ORDER BY n DESC, term LIMIT 500"
         ),
+        "op_select_budget": f"""
+WITH s AS (
+  SELECT doc_id, text, length(text) AS chars,
+    CASE WHEN length(text) > 0
+      THEN length(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+      ELSE 0.0 END AS praw,
+    length(string_split_regex(trim(text), '\\s+')) AS toks,
+    length(regexp_extract_all(lower(text), '{_EN}')) AS en_n
+  FROM documents
+), q AS (
+  SELECT doc_id, toks,
+    round((least(chars / 500.0, 1.0) + greatest(0.0, 1.0 - praw * 4)
+           + least(CASE WHEN toks > 0 THEN en_n * 1.0 / toks
+                   ELSE 0.0 END * 5, 1.0)) / 3, 6) AS q
+  FROM s
+), o AS (
+  SELECT doc_id, q, toks,
+    sum(toks) OVER (ORDER BY least(floor(q * 1000), 999) DESC,
+                    md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM q
+)
+SELECT doc_id, q, toks FROM o WHERE cum <= 100000
+""",
         "op_unigram_lm": r"""
 WITH toks AS (
   SELECT doc_id,

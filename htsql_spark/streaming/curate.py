@@ -46,6 +46,96 @@ def read_documents_stream(
     )
 
 
+def run_dedup_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    archive_path: str,
+    index_table: str,
+    threshold: float = 0.8,
+) -> None:
+    """Continuous near-dup-free ingest: each micro-batch is deduped
+    against the ever-growing archive via the bucketed LSH band index,
+    survivors are appended to the archive, and their bands appended
+    to the index — the index-maintenance loop
+    :func:`~htsql_spark.operators.dedup.materialize_band_index`
+    documents, driven by Structured Streaming.
+
+    Per batch: banding the batch is O(batch); the candidate join
+    reads the bucketed index (no archive recompute, no archive-side
+    shuffle); verification re-shingles only candidate docs.  The
+    archive is touched only through (a) the index scan and (b) the
+    candidate-doc semi-join — never fully re-processed.  Exactly-once
+    comes from the streaming checkpoint; availableNow drains the
+    backlog and returns.
+
+    Within-batch duplicates are also dropped (first-seen by id
+    order); batch ids must be globally unique (append-only ingest
+    contract)."""
+    from ..operators import dedup
+
+    if not spark.catalog.tableExists(index_table):
+        # a previously-dropped table can orphan its managed location,
+        # which blocks re-creation — clear it through the JVM FS API
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        p = spark._jvm.org.apache.hadoop.fs.Path(wh, index_table.lower())
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as BF
+
+        batch = batch.dropDuplicates(["doc_id"])
+        have_archive = spark.catalog.tableExists(index_table)
+        if have_archive:
+            archive = spark.read.parquet(archive_path)
+            pairs = dedup.incremental_dup_pairs(
+                archive,
+                batch,
+                threshold=threshold,
+                archive_bands=spark.table(index_table),
+            )
+            # drop batch docs that matched the archive (cross) or an
+            # earlier batch doc (within: keep the pair's min id)
+            dead = pairs.filter(BF.col("origin") == "cross").select(
+                BF.col("b").alias("doc_id")
+            ).union(
+                pairs.filter(BF.col("origin") == "within").select(
+                    BF.col("b").alias("doc_id")
+                )
+            )
+            survivors = batch.join(dead.distinct(), "doc_id", "left_anti")
+        else:
+            pairs = dedup.incremental_dup_pairs(
+                batch.limit(0), batch, threshold=threshold
+            )
+            dead = pairs.select(BF.col("b").alias("doc_id"))
+            survivors = batch.join(dead.distinct(), "doc_id", "left_anti")
+        survivors = survivors.cache()
+        survivors.write.mode("append").parquet(archive_path)
+        from ..operators.layout import write_bucketed
+
+        write_bucketed(
+            dedup._band_table(survivors),
+            index_table,
+            ["h"],
+            sort_cols=["h"],
+            # first batch (re)creates the table — overwrite also clears
+            # any stale warehouse location from a dropped table; later
+            # batches append with the same bucket spec, staying bucketed
+            mode="append" if have_archive else "overwrite",
+        )
+        survivors.unpersist()
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{archive_path}__checkpoint")
+        .start()
+        .awaitTermination()
+    )
+
+
 def curate_stream(
     docs: DataFrame,
     min_quality: float = 0.5,

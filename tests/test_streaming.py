@@ -248,3 +248,77 @@ def test_curate_stream_matches_batch(spark, tmp_path):
     assert got == exp and len(got) > 0
     # every planted clone was deduped away (original survives)
     assert all(d < 5000 for d, _, _ in got)
+
+
+def test_run_dedup_ingest_two_batches(spark, tmp_path):
+    """Streaming dedup ingest maintains the archive + band index
+    across micro-batches: batch 2's near-clones of batch 1 docs are
+    dropped, genuinely new docs land, the index covers the archive."""
+    import os
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from htsql_spark import streaming
+    from htsql_spark.engine import HTSQL
+    from tests.conftest import SF_DIR
+
+    docs = HTSQL(spark, SF_DIR).table("documents")
+    land = tmp_path / "landing"
+    batch1 = docs.filter("doc_id < 30")
+    batch2 = (
+        docs.filter("doc_id >= 30 AND doc_id < 50")
+        .unionByName(
+            batch1.filter("doc_id < 10").select(
+                (F.col("doc_id") + 70000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        )
+    )
+    batch1.coalesce(1).write.parquet(str(land / "b1"))
+    batch2.coalesce(1).write.parquet(str(land / "b2"))
+    # file-source order is by modification time: make b1 strictly older
+    now = _t.time()
+    for sub, ts in (("b1", now - 60), ("b2", now)):
+        for f in (land / sub).glob("*.parquet"):
+            os.utime(f, (ts, ts))
+
+    schema = spark.read.parquet(str(land / "b1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(land))
+    )
+    archive = str(tmp_path / "archive")
+    spark.sql("DROP TABLE IF EXISTS t_ingest_idx")
+    streaming.run_dedup_ingest(spark, stream, archive, "t_ingest_idx")
+
+    got = {r["doc_id"] for r in spark.read.parquet(archive).select("doc_id").collect()}
+    # expected = replaying the same two batches through the BATCH
+    # operators (stream ≡ batch equivalence; covers natural near-dups
+    # inside the fixture, e.g. docs 8/12)
+    from htsql_spark.operators import dedup
+
+    dead1 = {
+        r["b"] for r in dedup.minhash_dedup_pairs(batch1, threshold=0.8).collect()
+    }
+    archive1 = batch1.join(
+        spark.createDataFrame([(d,) for d in dead1] or [(-1,)], "doc_id long"),
+        "doc_id", "left_anti",
+    )
+    pairs2 = dedup.incremental_dup_pairs(archive1, batch2, threshold=0.8)
+    dead2 = {r["b"] for r in pairs2.collect()}
+    expected = {r["doc_id"] for r in archive1.collect()} | {
+        r["doc_id"] for r in batch2.collect() if r["doc_id"] not in dead2
+    }
+    assert got == expected
+    assert not any(d >= 70000 for d in got)  # every planted clone died
+    assert set(range(30, 50)) <= got  # genuinely new docs all landed
+    idx_ids = {
+        r["doc_id"] for r in spark.table("t_ingest_idx").select("doc_id").collect()
+    }
+    assert idx_ids == got  # index covers exactly the archive
+    spark.sql("DROP TABLE IF EXISTS t_ingest_idx")

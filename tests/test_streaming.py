@@ -322,3 +322,54 @@ def test_run_dedup_ingest_two_batches(spark, tmp_path):
     }
     assert idx_ids == got  # index covers exactly the archive
     spark.sql("DROP TABLE IF EXISTS t_ingest_idx")
+
+
+def test_run_dedup_ingest_checkpoint_resume(spark, tmp_path):
+    """A second availableNow run over the same checkpoint processes
+    ONLY newly-landed files (exactly-once offsets), deduping them
+    against the archive built by the first run."""
+    import os
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from htsql_spark import streaming
+    from htsql_spark.engine import HTSQL
+    from tests.conftest import SF_DIR
+
+    docs = HTSQL(spark, SF_DIR).table("documents")
+    land = tmp_path / "landing"
+    docs.filter("doc_id < 20").coalesce(1).write.parquet(str(land / "day1"))
+    schema = spark.read.parquet(str(land / "day1")).schema
+
+    def make_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(land))
+        )
+
+    archive = str(tmp_path / "arch")
+    spark.sql("DROP TABLE IF EXISTS t_resume_idx")
+    streaming.run_dedup_ingest(spark, make_stream(), archive, "t_resume_idx")
+    n1 = spark.read.parquet(archive).count()
+
+    # day 2 lands: clones of day-1 docs + fresh docs
+    day2 = docs.filter("doc_id >= 20 AND doc_id < 25").unionByName(
+        docs.filter("doc_id < 5").select(
+            (F.col("doc_id") + 90000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+    day2.coalesce(1).write.parquet(str(land / "day2"))
+    streaming.run_dedup_ingest(spark, make_stream(), archive, "t_resume_idx")
+
+    got = {r["doc_id"] for r in spark.read.parquet(archive).select("doc_id").collect()}
+    assert spark.read.parquet(archive).count() == len(got)  # day-1 rows not re-ingested
+    assert set(range(20, 25)) <= got  # fresh day-2 docs landed
+    assert not any(d >= 90000 for d in got)  # day-2 clones of day-1 died
+    assert n1 == len({d for d in got if d < 20})  # day-1 archive unchanged
+    spark.sql("DROP TABLE IF EXISTS t_resume_idx")

@@ -361,3 +361,34 @@ def test_fuzz_navigation_chains(db, duck, attrs, preds, conj):
     )
     exp = sorted(_normrow(t) for t in duck.execute(sql).fetchall())
     assert got == exp, (hq, sql)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    agg=st.sampled_from([("sum", "sum"), ("min", "min"), ("max", "max")]),
+    val=_num_expr(1),
+    pred=_predicate(1),
+)
+def test_fuzz_two_hop_navigation_aggregate(db, duck, agg, val, pred):
+    """Random two-hop (region→nation→customer) correlated aggregates
+    with a random sieve and a random mapped expression — the
+    navigation-depth counterpart of the flat fuzz cases."""
+    hq = (
+        f"/region{{name := r_name, v := {agg[0]}((nation.customer?{pred[0]})"
+        f".define(x := {val[0]}).x)}}"
+    )
+    sql = f"""
+SELECT r_name AS name,
+       {agg[1]}(CASE WHEN c_custkey IS NOT NULL THEN {val[1]} END) AS v
+FROM region
+LEFT JOIN nation ON n_regionkey = r_regionkey
+LEFT JOIN customer ON c_nationkey = n_nationkey AND {pred[1]}
+GROUP BY r_name
+"""
+    got = sorted(_normrow((r["name"], r["v"])) for r in db.df(hq).collect())
+    exp = sorted(_normrow(t) for t in duck.execute(sql).fetchall())
+    assert got == exp, (hq, sql)

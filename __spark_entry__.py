@@ -928,6 +928,27 @@ def _op_audio(spark, sf_dir):
     return multimodal.audio_features(assets)
 
 
+def _op_image_dedup(spark, sf_dir):
+    """Perceptual image dedup over REAL decoded pixels: planted
+    bit-pattern images make aHash(image(doc_id)) == doc_id exactly
+    (uniform all-zero image degenerates to all-ones hash), so the
+    banded hamming join's output is the SQL-computable
+    bit_count(xor) truth over (id, id+500000 clone) pairs — an
+    end-to-end value oracle THROUGH the decoder."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import multimodal
+
+    docs = _db(spark, sf_dir).table("documents").filter("doc_id < 600")
+    clones = docs.select((F.col("doc_id") + 500000).alias("doc_id"))
+    # clone asset carries the ORIGINAL id's bit pattern
+    a1 = multimodal.bitmap_assets_from_documents(docs)
+    a2 = multimodal.bitmap_assets_from_documents(
+        docs.select("doc_id")
+    ).select((F.col("asset_id") + 500000).alias("asset_id"), "kind", "payload", "meta")
+    return multimodal.image_dup_pairs(a1.unionByName(a2), max_hamming=3)
+
+
 def _op_asset_meta(spark, sf_dir):
     """Metadata-only multimodal pass (n_bytes + digest over opaque
     binary payloads) — the pre-decode inventory scan."""
@@ -1393,6 +1414,7 @@ _QUERIES.update(
         "op_multimodal": _op_multimodal,
         "op_asset_meta": _op_asset_meta,
         "op_audio": _op_audio,
+        "op_image_dedup": _op_image_dedup,
         "op_frame_sample": _op_frame_sample,
     }
 )
@@ -2077,6 +2099,23 @@ WHERE p_size = 23
             " round(CAST(100 + (doc_id % 200) * 100 AS DOUBLE), 6) AS rms,"
             " CAST(100 + (doc_id % 200) * 100 AS INTEGER) AS peak"
             " FROM documents"
+        ),
+        # perceptual image dedup over planted bit-pattern images:
+        # ahash(image(id)) == id (0 → all-ones), so the pair truth is
+        # plain bit arithmetic over the id space
+        "op_image_dedup": (
+            "WITH ids AS ("
+            " SELECT doc_id AS aid,"
+            "  CASE WHEN doc_id > 0 THEN doc_id ELSE -1 END AS h"
+            " FROM documents WHERE doc_id < 600"
+            " UNION ALL"
+            " SELECT doc_id + 500000 AS aid,"
+            "  CASE WHEN doc_id > 0 THEN doc_id ELSE -1 END AS h"
+            " FROM documents WHERE doc_id < 600)"
+            " SELECT a.aid AS a, b.aid AS b,"
+            "  CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming"
+            " FROM ids a JOIN ids b ON a.aid < b.aid"
+            " WHERE bit_count(xor(a.h, b.h)) <= 3"
         ),
         "op_frame_sample": (
             "SELECT doc_id AS asset_id, CAST(f AS INTEGER) AS frame_idx,"

@@ -386,22 +386,26 @@ def simhash_signatures(
     return d.select("doc_id", out.alias("simhash"))
 
 
-def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, token_hash: str = "xxhash64"
+def hash64_near_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by simhash banding: 4 × 16-bit chunks; pairs
-    sharing a chunk are candidates (guaranteed to catch hamming ≤ 3),
-    verified by popcount of xor."""
-    sig = simhash_signatures(docs, token_hash=token_hash)
+    """Banded hamming join over ANY 64-bit signature column: 4 ×
+    16-bit chunks (pigeonhole: every hamming ≤ 3 pair shares at least
+    one chunk → guaranteed recall), popcount-of-xor verify.  Shared
+    by text simhash and perceptual image hashes.  Returns
+    (a, b, hamming)."""
     chunk = sig.select(
-        "doc_id",
-        "simhash",
+        F.col(id_col).alias("doc_id"),
+        F.col(hash_col).alias("simhash"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * 16)
+                        F.shiftright(F.col(hash_col), b * 16)
                         .bitwiseAND(F.lit(65535))
                         .alias("h"),
                     )
@@ -429,6 +433,17 @@ def simhash_near_pairs(
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return cands.select("a", "b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, token_hash: str = "xxhash64"
+) -> DataFrame:
+    """Near-dup pairs by simhash banding (see
+    :func:`hash64_near_pairs` for the band scheme and guarantee)."""
+    return hash64_near_pairs(
+        simhash_signatures(docs, token_hash=token_hash),
+        max_hamming=max_hamming,
     )
 
 

@@ -310,6 +310,85 @@ def audio_features(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
 
 
+def image_ahash(assets: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels: decode →
+    grayscale → ``grid``×``grid`` area-mean blocks (integral image,
+    exact) → bit b = block_b ≥ mean(blocks).  64-bit for grid=8.
+    Narrow mapInPandas — per-image numpy, no shuffle.  Returns
+    (asset_id, ahash)."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = imaging.decode_image(bytes(payload))
+                gray = img.astype("float64").mean(axis=2)
+                h, w = gray.shape
+                # integral image → exact area means for arbitrary h, w
+                ii = np.zeros((h + 1, w + 1))
+                ii[1:, 1:] = gray.cumsum(0).cumsum(1)
+                ys = (np.arange(grid + 1) * h) // grid
+                xs = (np.arange(grid + 1) * w) // grid
+                blocks = np.empty((grid, grid))
+                for i in range(grid):
+                    for j in range(grid):
+                        y0, y1, x0, x1 = ys[i], ys[i + 1], xs[j], xs[j + 1]
+                        area = max((y1 - y0) * (x1 - x0), 1)
+                        blocks[i, j] = (
+                            ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+                        ) / area
+                bits = (blocks >= blocks.mean()).flatten()
+                val = np.uint64(0)
+                for b in bits:
+                    val = np.uint64(val << np.uint64(1)) | np.uint64(bool(b))
+                rows.append((int(aid), int(val.astype(np.int64))))
+            yield pd.DataFrame(rows, columns=["asset_id", "ahash"])
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        fn, "asset_id long, ahash long"
+    )
+
+
+def bitmap_assets_from_documents(docs: DataFrame, block: int = 4) -> DataFrame:
+    """Planted images whose 8×8 brightness blocks ARE the 64 bits of
+    doc_id (bright block = set bit): decoding + average-hashing one
+    recovers exactly doc_id (all-zero ids degenerate to all-ones hash
+    — the aHash of a uniform image).  Makes the perceptual-dedup path
+    value-checkable end-to-end in SQL."""
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        out = []
+        n = 8 * block
+        for i in ids:
+            bits = np.array(
+                [(int(i) >> (63 - k)) & 1 for k in range(64)], dtype=np.uint8
+            ).reshape(8, 8)
+            img = np.kron(bits * 255, np.ones((block, block), np.uint8))
+            out.append(imaging.encode_bmp(np.stack([img] * 3, axis=2)))
+        return pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        synth(F.col("doc_id")).alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+
+
+def image_dup_pairs(assets: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate IMAGES by perceptual hash: decode-and-hash
+    (narrow) then the shared 4×16-bit banded hamming join — the same
+    scale shape as text simhash dedup; only (id, hash64) ever
+    shuffles, never pixels."""
+    from .dedup import hash64_near_pairs
+
+    return hash64_near_pairs(
+        image_ahash(assets), id_col="asset_id", hash_col="ahash",
+        max_hamming=max_hamming,
+    )
+
+
 IMAGE_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),

@@ -136,3 +136,35 @@ def test_audio_features_planted(db):
         amp, n = multimodal._plant_wave(r["asset_id"])
         assert r["rms"] == float(amp) and r["peak"] == amp
         assert r["n_samples"] == n and r["sample_rate"] == 8000
+
+
+def test_image_perceptual_dedup(spark):
+    """aHash over real decoded pixels: exact clones at hamming 0, a
+    few-pixel perturbation within hamming<=3, a structurally different
+    pattern never pairs."""
+    from htsql_spark.operators import multimodal
+
+    def gradient(seed, flip_px=0, transpose=False):
+        y, x = np.mgrid[0:32, 0:32]
+        img = ((x * 8 + seed) % 256).astype(np.uint8)
+        if transpose:
+            img = img.T.copy()
+        img = np.stack([img] * 3, axis=2)
+        if flip_px:
+            img[:flip_px, :2, :] = 255 - img[:flip_px, :2, :]
+        return imaging.encode_bmp(img)
+
+    rows = []
+    for i in range(5):
+        rows.append((i, gradient(i)))
+        rows.append((100 + i, gradient(i)))             # exact clone
+        rows.append((200 + i, gradient(i, flip_px=2)))  # tiny perturbation
+        rows.append((300 + i, gradient(i, transpose=True)))  # different layout
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    pairs = multimodal.image_dup_pairs(assets, max_hamming=3).collect()
+    found = {(r["a"], r["b"]): r["hamming"] for r in pairs}
+    for i in range(5):
+        assert found.get((i, 100 + i)) == 0          # clones: identical hash
+        assert ((i, 200 + i) in found               # perturbed: near
+                and found[(i, 200 + i)] <= 3)
+        assert (i, 300 + i) not in found            # transposed: far

@@ -36,6 +36,7 @@ ARROW_OK = {
     "op_multimodal",
     "op_asset_meta",
     "op_audio",
+    "op_image_dedup",
     "op_frame_sample",
     "op_dedup_embedding",
     "op_ann_bruteforce",

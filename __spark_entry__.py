@@ -949,6 +949,28 @@ def _op_image_dedup(spark, sf_dir):
     return multimodal.image_dup_pairs(a1.unionByName(a2), max_hamming=3)
 
 
+def _op_video_dedup(spark, sf_dir):
+    """Near-dup videos by shared sampled-frame perceptual hashes.
+    Planted bit-pattern frames make aHash(frame f of video i) ==
+    i + f exactly, so the shared-frame pair truth is integer
+    arithmetic over the id space — another end-to-end oracle THROUGH
+    the frame decoder.  (Natural pairs exist by construction: videos
+    i and i+10 share 2 of the 3 sampled frames — the oracle
+    enumerates them too.)"""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import multimodal
+
+    docs = _db(spark, sf_dir).table("documents").filter("doc_id < 300")
+    a1 = multimodal.bitmap_video_assets_from_documents(docs)
+    a2 = multimodal.bitmap_video_assets_from_documents(docs).select(
+        (F.col("asset_id") + 500000).alias("asset_id"), "kind", "payload", "meta"
+    )
+    return multimodal.video_dup_pairs(
+        a1.unionByName(a2), every_n=10, min_shared=2
+    )
+
+
 def _op_asset_meta(spark, sf_dir):
     """Metadata-only multimodal pass (n_bytes + digest over opaque
     binary payloads) — the pre-decode inventory scan."""
@@ -1415,6 +1437,7 @@ _QUERIES.update(
         "op_asset_meta": _op_asset_meta,
         "op_audio": _op_audio,
         "op_image_dedup": _op_image_dedup,
+        "op_video_dedup": _op_video_dedup,
         "op_frame_sample": _op_frame_sample,
     }
 )
@@ -2116,6 +2139,24 @@ WHERE p_size = 23
             "  CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming"
             " FROM ids a JOIN ids b ON a.aid < b.aid"
             " WHERE bit_count(xor(a.h, b.h)) <= 3"
+        ),
+        # video dedup over planted bit-pattern frames: frame hash of
+        # video i at frame f is exactly i+f (0 → all-ones), so the
+        # shared-sampled-frame truth is integer arithmetic
+        "op_video_dedup": (
+            "WITH v AS ("
+            " SELECT doc_id AS aid, doc_id AS base FROM documents"
+            "  WHERE doc_id < 300"
+            " UNION ALL"
+            " SELECT doc_id + 500000 AS aid, doc_id AS base FROM documents"
+            "  WHERE doc_id < 300),"
+            " fh AS ("
+            " SELECT DISTINCT aid,"
+            "  CASE WHEN base + f > 0 THEN base + f ELSE -1 END AS h"
+            " FROM v, (SELECT unnest([0, 10, 20]) AS f) t)"
+            " SELECT x.aid AS a, y.aid AS b, count(*) AS shared_frames"
+            " FROM fh x JOIN fh y ON x.h = y.h AND x.aid < y.aid"
+            " GROUP BY 1, 2 HAVING count(*) >= 2"
         ),
         "op_frame_sample": (
             "SELECT doc_id AS asset_id, CAST(f AS INTEGER) AS frame_idx,"

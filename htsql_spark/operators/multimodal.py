@@ -310,42 +310,107 @@ def audio_features(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
 
 
+def _ahash_of(img: "np.ndarray", grid: int = 8) -> int:
+    """Average-hash of a decoded (h, w, 3) uint8 image: grayscale →
+    ``grid``×``grid`` exact area-mean blocks (integral image) →
+    bit b = block_b ≥ mean(blocks), packed MSB-first into int64."""
+    gray = img.astype("float64").mean(axis=2)
+    h, w = gray.shape
+    ii = np.zeros((h + 1, w + 1))
+    ii[1:, 1:] = gray.cumsum(0).cumsum(1)
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    blocks = np.empty((grid, grid))
+    for i in range(grid):
+        for j in range(grid):
+            y0, y1, x0, x1 = ys[i], ys[i + 1], xs[j], xs[j + 1]
+            area = max((y1 - y0) * (x1 - x0), 1)
+            blocks[i, j] = (
+                ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+            ) / area
+    bits = (blocks >= blocks.mean()).flatten()
+    val = np.uint64(0)
+    for b in bits:
+        val = np.uint64(val << np.uint64(1)) | np.uint64(bool(b))
+    return int(val.astype(np.int64))
+
+
 def image_ahash(assets: DataFrame, grid: int = 8) -> DataFrame:
-    """Perceptual average-hash over REAL decoded pixels: decode →
-    grayscale → ``grid``×``grid`` area-mean blocks (integral image,
-    exact) → bit b = block_b ≥ mean(blocks).  64-bit for grid=8.
-    Narrow mapInPandas — per-image numpy, no shuffle.  Returns
+    """Perceptual average-hash over REAL decoded pixels.  Narrow
+    mapInPandas — per-image numpy, no shuffle.  Returns
     (asset_id, ahash)."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = [
+                (int(aid), _ahash_of(imaging.decode_image(bytes(p)), grid))
+                for aid, p in zip(pdf["asset_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["asset_id", "ahash"])
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        fn, "asset_id long, ahash long"
+    )
+
+
+def frame_hashes(
+    assets: DataFrame, every_n: int = 10, grid: int = 8
+) -> DataFrame:
+    """Per-sampled-frame perceptual hashes for RAWV videos: seek every
+    ``every_n``-th frame, decode only those, aHash each.  Narrow.
+    Returns (asset_id, frame_idx, fhash)."""
 
     def fn(batches):
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                img = imaging.decode_image(bytes(payload))
-                gray = img.astype("float64").mean(axis=2)
-                h, w = gray.shape
-                # integral image → exact area means for arbitrary h, w
-                ii = np.zeros((h + 1, w + 1))
-                ii[1:, 1:] = gray.cumsum(0).cumsum(1)
-                ys = (np.arange(grid + 1) * h) // grid
-                xs = (np.arange(grid + 1) * w) // grid
-                blocks = np.empty((grid, grid))
-                for i in range(grid):
-                    for j in range(grid):
-                        y0, y1, x0, x1 = ys[i], ys[i + 1], xs[j], xs[j + 1]
-                        area = max((y1 - y0) * (x1 - x0), 1)
-                        blocks[i, j] = (
-                            ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
-                        ) / area
-                bits = (blocks >= blocks.mean()).flatten()
-                val = np.uint64(0)
-                for b in bits:
-                    val = np.uint64(val << np.uint64(1)) | np.uint64(bool(b))
-                rows.append((int(aid), int(val.astype(np.int64))))
-            yield pd.DataFrame(rows, columns=["asset_id", "ahash"])
+                data = bytes(payload)
+                for idx in range(0, imaging.rawv_frame_count(data), every_n):
+                    rows.append(
+                        (
+                            int(aid),
+                            idx,
+                            _ahash_of(imaging.decode_rawv_frame(data, idx), grid),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "fhash"]).astype(
+                {"frame_idx": "int32"}
+            )
 
     return assets.select("asset_id", "payload").mapInPandas(
-        fn, "asset_id long, ahash long"
+        fn, "asset_id long, frame_idx int, fhash long"
+    )
+
+
+def video_dup_pairs(
+    assets: DataFrame,
+    every_n: int = 10,
+    min_shared: int = 2,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Near-duplicate VIDEOS by shared sampled-frame perceptual
+    hashes: the MOSS/winnow recipe applied to frames — inverted index
+    on the frame hash, posting cap against degenerate hashes (black
+    frames, title cards — the video equivalent of boilerplate), pairs
+    sharing ≥ ``min_shared`` sampled frames.  Only (id, hash64) pairs
+    shuffle; pixels never leave the decode stage."""
+    fh = frame_hashes(assets, every_n).select("asset_id", "fhash").distinct()
+    postings = fh.groupBy("fhash").agg(F.count(F.lit(1)).alias("__n"))
+    pruned = fh.join(postings.filter(F.col("__n") <= max_postings), "fhash").select(
+        "asset_id", "fhash"
+    )
+    x, y = pruned.alias("x"), pruned.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.fhash") == F.col("y.fhash"))
+            & (F.col("x.asset_id") < F.col("y.asset_id")),
+        )
+        .groupBy(
+            F.col("x.asset_id").alias("a"), F.col("y.asset_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
     )
 
 
@@ -371,6 +436,37 @@ def bitmap_assets_from_documents(docs: DataFrame, block: int = 4) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.lit("image").alias("kind"),
+        synth(F.col("doc_id")).alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+
+
+def bitmap_video_assets_from_documents(
+    docs: DataFrame, n_frames: int = 30, block: int = 2
+) -> DataFrame:
+    """Planted RAWV videos whose frame f encodes the 64 bits of
+    (doc_id + f) as brightness blocks — per-frame aHash recovers
+    exactly doc_id + f, making the video-dedup path SQL-checkable
+    end-to-end (see :func:`bitmap_assets_from_documents`)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            frames = []
+            for f in range(n_frames):
+                v = int(i) + f
+                bits = np.array(
+                    [(v >> (63 - k)) & 1 for k in range(64)], dtype=np.uint8
+                ).reshape(8, 8)
+                img = np.kron(bits * 255, np.ones((block, block), np.uint8))
+                frames.append(imaging.encode_bmp(np.stack([img] * 3, axis=2)))
+            out.append(imaging.encode_rawv(frames))
+        return pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("kind"),
         synth(F.col("doc_id")).alias("payload"),
         F.create_map().cast("map<string,string>").alias("meta"),
     )

@@ -168,3 +168,36 @@ def test_image_perceptual_dedup(spark):
         assert ((i, 200 + i) in found               # perturbed: near
                 and found[(i, 200 + i)] <= 3)
         assert (i, 300 + i) not in found            # transposed: far
+
+
+def test_video_dedup_shared_frames(spark):
+    """Videos sharing sampled frames pair; disjoint-content videos
+    don't.  Clones share ALL frames; a half-overlap copy (same first
+    frames, new tail) still pairs via min_shared."""
+    from htsql_spark.operators import multimodal
+
+    def frame(seed, f):
+        y, x = np.mgrid[0:16, 0:16]
+        img = ((x * 16 + y * 3 + seed * 37 + f * 11) % 256).astype(np.uint8)
+        return imaging.encode_bmp(np.stack([img] * 3, axis=2))
+
+    def video(seed, n=30, tail_seed=None):
+        frames = [
+            frame(seed if (tail_seed is None or f < n // 2) else tail_seed, f)
+            for f in range(n)
+        ]
+        return imaging.encode_rawv(frames)
+
+    rows = []
+    for i in range(3):
+        rows.append((i, video(i)))
+        rows.append((100 + i, video(i)))                   # exact clone
+        rows.append((200 + i, video(i, tail_seed=50 + i))) # first half shared
+        rows.append((300 + i, video(70 + i)))              # disjoint
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    pairs = multimodal.video_dup_pairs(assets, every_n=10, min_shared=2)
+    found = {(r["a"], r["b"]): r["shared_frames"] for r in pairs.collect()}
+    for i in range(3):
+        assert found.get((i, 100 + i)) == 3       # all 3 sampled frames shared
+        assert found.get((i, 200 + i)) == 2       # frames 0,10 shared; 20 differs
+        assert (i, 300 + i) not in found

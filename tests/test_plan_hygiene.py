@@ -37,6 +37,7 @@ ARROW_OK = {
     "op_asset_meta",
     "op_audio",
     "op_image_dedup",
+    "op_video_dedup",
     "op_frame_sample",
     "op_dedup_embedding",
     "op_ann_bruteforce",

@@ -64,9 +64,16 @@ def run_dedup_ingest(
     reads the bucketed index (no archive recompute, no archive-side
     shuffle); verification re-shingles only candidate docs.  The
     archive is touched only through (a) the index scan and (b) the
-    candidate-doc semi-join — never fully re-processed.  Exactly-once
-    comes from the streaming checkpoint; availableNow drains the
-    backlog and returns.
+    candidate-doc semi-join — never fully re-processed.
+
+    Delivery semantics: offsets are exactly-once via the streaming
+    checkpoint, but ``foreachBatch`` bodies re-RUN on crash-retry.
+    The archive write is therefore idempotent (per-batch
+    subdirectory, overwritten on retry); the index append is
+    at-least-once, which is SAFE here because duplicate band rows
+    only produce duplicate candidates and the candidate join is
+    ``distinct()`` — dedup semantics survive a retried batch.
+    availableNow drains the backlog and returns.
 
     Within-batch duplicates are also dropped (first-seen by id
     order); batch ids must be globally unique (append-only ingest
@@ -112,7 +119,9 @@ def run_dedup_ingest(
             dead = pairs.select(BF.col("b").alias("doc_id"))
             survivors = batch.join(dead.distinct(), "doc_id", "left_anti")
         survivors = survivors.cache()
-        survivors.write.mode("append").parquet(archive_path)
+        # per-batch subdir + overwrite → a retried batch rewrites its
+        # own directory instead of double-appending
+        survivors.write.mode("overwrite").parquet(f"{archive_path}/batch={batch_id}")
         from ..operators.layout import write_bucketed
 
         write_bucketed(

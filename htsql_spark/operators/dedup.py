@@ -208,7 +208,11 @@ def materialize_band_index(
     re-shingle and NO archive-side shuffle (HashPartitioning(h)
     satisfies the (band, h) join's clustering, so only the batch side
     exchanges).  Append the batch's own bands after each run to keep
-    the index current."""
+    the index current.  The (k, num_hashes, bands) triple is part of
+    the index's identity: pass the SAME values to
+    ``incremental_dup_pairs`` or the band hashes will never match
+    (silent under-join) — bake them into the table name if multiple
+    configurations coexist."""
     from .layout import write_bucketed
 
     write_bucketed(

@@ -62,6 +62,10 @@ HEADLINE = [
     "op_cube",
     "op_dedup_minhash",
     "op_dedup_embedding",
+    "op_dedup_incremental",
+    "op_contamination_near",
+    "op_image_dedup",
+    "op_video_dedup",
     "op_winnow",
     "op_multimodal",
     "op_text_stats",

@@ -444,3 +444,22 @@ def test_select_token_budget_invariants(docs, spark):
         pipeline.select_token_budget(docs, -1)
     # zero budget selects nothing
     assert pipeline.select_token_budget(docs, 0).count() == 0
+
+
+def test_ngram_contamination_posting_cap(spark):
+    """A boilerplate 8-gram shared by more train docs than
+    max_postings is dropped BEFORE the join — no pair explosion, and
+    eval docs that only share the boilerplate are not flagged."""
+    from pyspark.sql import functions as F
+
+    boiler = "common shared boilerplate preamble sentence tokens here now"
+    rows = [(i, f"{boiler} unique{i} filler{i} extra{i}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out_capped = pipeline.ngram_contamination(docs, n=8, max_postings=5)
+    # every doc shares the boilerplate 8-gram; with the cap it is
+    # dropped, and no other 8-gram repeats → zero pairs
+    assert out_capped.count() == 0
+    # without the cap the boilerplate gram joins everything in train
+    # against everything in eval — the explosion the cap prevents
+    out_uncapped = pipeline.ngram_contamination(docs, n=8, max_postings=10**9)
+    assert out_uncapped.count() > 0

@@ -1163,6 +1163,15 @@ def _op_select_budget(spark, sf_dir):
     )
 
 
+def _op_embed(spark, sf_dir):
+    """Feature-hashing text embeddings (hashing trick, ±1 sign hash,
+    L2-normalized): the model-free embedder that feeds the semantic
+    ops end-to-end from text.  One (doc, bucket) hash-agg shuffle."""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.embed_documents(_db(spark, sf_dir).table("documents"))
+
+
 def _op_unigram_lm(spark, sf_dir):
     """Unigram-LM document scoring (perplexity-filter proxy): mean
     log-prob of each doc's words under the corpus's own unigram
@@ -1409,6 +1418,7 @@ _QUERIES.update(
         "op_repetition": _op_repetition,
         "op_vocab": _op_vocab,
         "op_unigram_lm": _op_unigram_lm,
+        "op_embed": _op_embed,
         "op_select_budget": _op_select_budget,
         "op_profile": _op_profile,
         "op_dedup_semantic": _op_dedup_semantic,
@@ -2309,6 +2319,31 @@ WITH s AS (
   FROM q
 )
 SELECT doc_id, q, toks FROM o WHERE cum <= 100000
+""",
+        "op_embed": r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CAST(CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS INTEGER) AS b,
+    sum(CASE WHEN CAST(('0x' || substr(md5(term), 9, 1)) AS INTEGER) % 2 = 0
+        THEN 1.0 ELSE -1.0 END) AS w
+  FROM toks GROUP BY 1, 2
+),
+d AS (SELECT doc_id, map_from_entries(array_agg(row(b, w))) AS m FROM g GROUP BY 1),
+v AS (
+  SELECT doc_id,
+    list_transform(range(0, 64),
+                   i -> coalesce(map_extract(m, CAST(i AS INTEGER))[1], 0.0)) AS raw
+  FROM d
+)
+SELECT doc_id,
+  list_transform(raw, x -> round(
+    x / greatest(sqrt(list_sum(list_transform(raw, y -> y * y))), 1e-12), 6)) AS embedding
+FROM v
 """,
         "op_unigram_lm": r"""
 WITH toks AS (

@@ -470,6 +470,57 @@ def select_token_budget(
     return out.select(id_col, "q", "toks")
 
 
+def embed_documents(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic feature-hashing text embeddings (the hashing
+    trick, Weinberger '09): token → bucket md5(token) mod dim with a
+    ±1 sign hash to debias collisions, per-doc signed counts,
+    L2-normalized.  Model-free and reproducible anywhere — the
+    embedder that lets the semantic ops (SemDeDup, ANN, k-means) run
+    end-to-end FROM TEXT with no external model, and the baseline a
+    learned embedder replaces.
+
+    Plan: explode → one (doc, bucket) hash-aggregate shuffle →
+    per-doc dense-vector build from ≤ dim map entries (narrow) →
+    normalize (narrow).  Shuffle rows are (id, bucket, weight) —
+    never text; at 100 TB the aggregate is map-side combined on the
+    (id, bucket) key.  Output: (id, embedding array<double>, values
+    rounded to 6 — exactly replayable in SQL)."""
+    words = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("term")
+    toks = docs.select(F.col(id_col), words)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long") % dim
+    ).cast("int")
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.col("term")), 9, 1), 16, 10).cast("int") % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    g = toks.select(F.col(id_col), bucket.alias("b"), sign.alias("s")).groupBy(
+        id_col, "b"
+    ).agg(F.sum("s").alias("w"))
+    m = F.map_from_entries(F.collect_list(F.struct(F.col("b"), F.col("w"))))
+    dense = g.groupBy(id_col).agg(m.alias("__m"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("__m"), i.cast("int")), F.lit(0.0)),
+    )
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return dense.select(
+        F.col(id_col),
+        F.transform(
+            vec, lambda x: F.round(x / F.greatest(norm, F.lit(1e-12)), 6)
+        ).alias("embedding"),
+    )
+
+
 def unigram_logprob(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

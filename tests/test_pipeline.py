@@ -463,3 +463,32 @@ def test_ngram_contamination_posting_cap(spark):
     # against everything in eval — the explosion the cap prevents
     out_uncapped = pipeline.ngram_contamination(docs, n=8, max_postings=10**9)
     assert out_uncapped.count() > 0
+
+
+def test_embed_then_semantic_dedup_from_text(docs, spark):
+    """The full text → embedding → semantic-dedup composition: exact
+    text clones embed to identical vectors and pair at cosine 1."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import dedup
+
+    base = docs.filter("doc_id < 30")
+    clones = base.select(
+        (F.col("doc_id") + 40000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    embs = pipeline.embed_documents(base.unionByName(clones)).withColumnsRenamed(
+        {"doc_id": "vec_id"}
+    )
+    pairs = dedup.semantic_dup_pairs(
+        embs, threshold=0.999, num_cells=4
+    ).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    for d in range(30):
+        assert (d, d + 40000) in found
+    # unit norm: every embedding has |v| ≈ 1 (rounded components)
+    import math
+
+    row = embs.first()
+    assert math.isclose(
+        sum(x * x for x in row["embedding"]), 1.0, abs_tol=1e-3
+    )

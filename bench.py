@@ -73,6 +73,7 @@ HEADLINE = [
     "op_curate",
     "op_vocab",
     "op_unigram_lm",
+    "op_embed",
     "op_profile",
     "op_audio",
     "fn_textstats",

@@ -1172,6 +1172,15 @@ def _op_embed(spark, sf_dir):
     return pipeline.embed_documents(_db(spark, sf_dir).table("documents"))
 
 
+def _op_bigram_pairs(spark, sf_dir):
+    """Top-500 adjacent word pairs (the BPE merge-step count):
+    narrow bigram generation + partial-agg shuffle +
+    TakeOrderedAndProject."""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.bigram_top_pairs(_db(spark, sf_dir).table("documents"), v=500)
+
+
 def _op_unigram_lm(spark, sf_dir):
     """Unigram-LM document scoring (perplexity-filter proxy): mean
     log-prob of each doc's words under the corpus's own unigram
@@ -1419,6 +1428,7 @@ _QUERIES.update(
         "op_vocab": _op_vocab,
         "op_unigram_lm": _op_unigram_lm,
         "op_embed": _op_embed,
+        "op_bigram_pairs": _op_bigram_pairs,
         "op_select_budget": _op_select_budget,
         "op_profile": _op_profile,
         "op_dedup_semantic": _op_dedup_semantic,
@@ -2319,6 +2329,17 @@ WITH s AS (
   FROM q
 )
 SELECT doc_id, q, toks FROM o WHERE cum <= 100000
+""",
+        "op_bigram_pairs": r"""
+WITH d AS (
+  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+),
+b AS (
+  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS pair
+  FROM d WHERE len(ws) >= 2
+)
+SELECT pair, count(*) AS n FROM b GROUP BY 1 ORDER BY n DESC, pair LIMIT 500
 """,
         "op_embed": r"""
 WITH toks AS (

@@ -579,6 +579,42 @@ def unigram_logprob(
     )
 
 
+def bigram_top_pairs(
+    docs: DataFrame, v: int = 1000, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus-wide adjacent-pair frequencies, top ``v`` — the counting
+    primitive of a BPE merge step (the most frequent adjacent pair is
+    the next merge).  Same scale shape as :func:`vocab_top_terms`:
+    narrow per-row bigram generation, one term-keyed partial-agg
+    shuffle, TakeOrderedAndProject with a deterministic (count desc,
+    pair) cutoff."""
+    if v < 1:
+        raise ValueError(f"bigram_top_pairs: v must be >= 1, got {v}")
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(w.alias("__w"))
+    ww = F.col("__w")
+    n = F.size(ww)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ww, i), F.element_at(ww, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        d.select(F.explode(bigrams).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.filter(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(v)
+    )
+
+
 def corpus_profile(docs: DataFrame) -> DataFrame:
     """Dataset-card profile: per (lang, source) document counts,
     token/char totals and length extrema — the summary every corpus

@@ -874,6 +874,17 @@ def _op_ann_bruteforce(spark, sf_dir):
     return df.select("vec_id", "label", F.round(F.col("cos"), 4).alias("cos4"))
 
 
+def _op_ann_batch(spark, sf_dir):
+    """Batched exact retrieval: top-10 neighbours for 8 queries in one
+    corpus pass (salted two-stage top-k — no reducer sees more than
+    32·k rows per query)."""
+    from htsql_spark.operators import similarity
+
+    return similarity.topk_batch(
+        _db(spark, sf_dir).table("embeddings"), list(range(8)), k=10
+    )
+
+
 def _op_ann_lsh(spark, sf_dir):
     """Hyperplane-LSH ANN.  The planes are seeded literals, so the
     oracle embeds the very same plane values and replays the bucket
@@ -1451,6 +1462,7 @@ _QUERIES.update(
         "op_dedup_incremental": _op_dedup_incremental,
         "op_dedup_embedding": _op_dedup_embedding,
         "op_ann_bruteforce": _op_ann_bruteforce,
+        "op_ann_batch": _op_ann_batch,
         "op_ann_lsh": _op_ann_lsh,
         "op_ann_ivf": _op_ann_ivf,
         "op_multimodal": _op_multimodal,
@@ -2113,6 +2125,19 @@ WHERE p_size = 23
             " round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos"
             " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
             " WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
+        ),
+        "op_ann_batch": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv"
+            " FROM embeddings WHERE vec_id < 8),"
+            " s AS (SELECT q.query_id, e.vec_id,"
+            "  list_cosine_similarity(e.embedding, q.qv) AS c"
+            " FROM embeddings e JOIN q ON e.vec_id <> q.query_id),"
+            " r AS (SELECT query_id, vec_id, c,"
+            "  row_number() OVER (PARTITION BY query_id"
+            "   ORDER BY c DESC, vec_id) AS rank FROM s)"
+            " SELECT query_id, vec_id, round(c, 4) AS cos4,"
+            "  CAST(rank AS INTEGER) AS rank"
+            " FROM r WHERE rank <= 10"
         ),
         "op_ann_bruteforce": (
             "SELECT b.vec_id, b.label,"

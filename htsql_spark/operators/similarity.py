@@ -165,6 +165,48 @@ def topk_ivf(
     return scored.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)
 
 
+def topk_batch(
+    embs: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Batched exact retrieval: cosine top-k neighbours for EVERY
+    query in one corpus pass.  The query batch (small by contract)
+    broadcasts; per-(query, salt) partial top-k bounds every window
+    partition before the final per-query rank — the classic two-stage
+    distributed top-k, so no single reducer ever sees more than
+    (salt_buckets × k) rows per query regardless of corpus size.
+    Ties break on vec_id — deterministic, SQL-replayable.
+    Returns (query_id, vec_id, cos4, rank)."""
+    from pyspark.sql import Window
+
+    q = embs.filter(F.col("vec_id").isin([int(x) for x in query_ids])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        embs.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qv")).alias("__cos"),
+        )
+    )
+    salt = (F.col("vec_id") % 32).alias("__salt")
+    w1 = Window.partitionBy("query_id", "__salt").orderBy(
+        F.col("__cos").desc(), F.col("vec_id")
+    )
+    partial = (
+        scored.withColumn("__salt", salt)
+        .withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= k)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round(F.col("__cos"), 4).alias("cos4"), "rank")
+    )
+
+
 def _max_cosine_to(
     embs: DataFrame, cents, vec_col: str, out_col: str
 ) -> DataFrame:

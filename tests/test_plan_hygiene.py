@@ -63,6 +63,7 @@ NLJ_OK = {
     "tpch_q14",
     "tpch_q19",
     "op_ann_bruteforce",
+    "op_ann_batch",
     "op_ann_lsh",
     "op_ann_ivf",
     "op_theta_band",

@@ -106,6 +106,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        # clean cache slate per query: declared candidate caches from
+        # EARLIER queries otherwise accumulate, evict each other, and
+        # skew later rows (measured 6× on the incremental-dedup row);
+        # the warm→measure pair below still exercises each query's own
+        # warm-cache path
+        spark.catalog.clearCache()
         # warm run (codegen + shuffle-file setup), then measure the
         # steady-state run — what a cluster job actually sustains
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -1081,6 +1081,48 @@ def _op_contamination(spark, sf_dir):
     return pipeline.cross_split_contamination(docs.unionByName(clones))
 
 
+def _op_split_leakfree(spark, sf_dir):
+    """Cluster-aware (leakage-free) split: planted exact clones
+    (doc_id + 500000) must inherit their original's split because the
+    split hashes the cluster representative (min id), not the doc.
+    The oracle replays rep = min(doc_id) over the fingerprint group +
+    the standard hash_split arithmetic on rep."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import pipeline
+
+    docs = _db(spark, sf_dir).table("documents")
+    clones = docs.select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    out = pipeline.leakage_free_split(docs.unionByName(clones), strategy="exact")
+    return out.select("doc_id", "split")
+
+
+def _op_corpus_diff(spark, sf_dir):
+    """Release diff: new = old − (doc_id < 50) ∪ re-texted 50..59 ∪
+    fresh ids (+800000 for doc_id < 30).  One full-outer join on id;
+    (id, fp) pairs only."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import pipeline
+
+    docs = _db(spark, sf_dir).table("documents")
+    changed = docs.filter("doc_id >= 50 AND doc_id < 60").select(
+        "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    added = docs.filter("doc_id < 30").select(
+        (F.col("doc_id") + 800000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    new = (
+        docs.filter("doc_id >= 60")
+        .unionByName(changed)
+        .unionByName(added)
+    )
+    return pipeline.corpus_diff(docs, new)
+
+
 def _op_contamination_ngram(spark, sf_dir):
     """N-gram overlap decontamination (GPT-3 §C-style, word 8-grams):
     eval-split docs sharing ≥1 distinct 8-gram with a train doc over
@@ -1435,6 +1477,8 @@ _QUERIES.update(
         "op_contamination": _op_contamination,
         "op_contamination_ngram": _op_contamination_ngram,
         "op_contamination_near": _op_contamination_near,
+        "op_split_leakfree": _op_split_leakfree,
+        "op_corpus_diff": _op_corpus_diff,
         "op_repetition": _op_repetition,
         "op_vocab": _op_vocab,
         "op_unigram_lm": _op_unigram_lm,
@@ -2324,6 +2368,52 @@ WHERE p_size = 23
         "op_contamination": _CONTAMINATION_SQL,
         "op_contamination_ngram": _CONTAM_NGRAM_SQL,
         "op_contamination_near": _CONTAM_NEAR_SQL,
+        "op_split_leakfree": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, text FROM documents
+),
+fp AS (
+  SELECT doc_id,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM corpus
+),
+r AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS rep FROM fp)
+SELECT doc_id,
+  CASE WHEN {_H_SPLIT.replace('doc_id', 'rep')} < '{_T_TRAIN}' THEN 'train'
+       WHEN {_H_SPLIT.replace('doc_id', 'rep')} < '{_T_VALID}' THEN 'valid'
+       ELSE 'test' END AS split
+FROM r
+""",
+        "op_corpus_diff": f"""
+WITH old AS (
+  SELECT doc_id,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents
+),
+new AS (
+  SELECT doc_id,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents WHERE doc_id >= 60
+  UNION ALL
+  SELECT doc_id,
+    md5(regexp_replace(lower(trim(text || ' v2')), '\\s+', ' ', 'g')) AS f
+  FROM documents WHERE doc_id >= 50 AND doc_id < 60
+  UNION ALL
+  SELECT doc_id + 800000 AS doc_id,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents WHERE doc_id < 30
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.f <> n.f THEN 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
+           WHEN n.doc_id IS NULL THEN 'removed'
+           WHEN o.f <> n.f THEN 'changed' END IS NOT NULL
+""",
         "op_repetition": _REPETITION_SQL,
         "op_vocab": (
             "SELECT word AS term, count(*) AS n FROM ("

@@ -234,6 +234,76 @@ def tfidf_top_terms(
     )
 
 
+def leakage_free_split(
+    docs: DataFrame,
+    key: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    strategy: str = "exact",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Duplicate-cluster-aware split assignment: documents that are
+    (near-)duplicates of each other ALWAYS land in the same split,
+    because the split is hashed from the cluster representative, not
+    the document — the structural fix for train/eval leakage that
+    decontamination audits only detect after the fact.
+
+    ``strategy``: 'exact' (fingerprint clusters) or 'minhash'
+    (near-dup clusters at ``threshold``).  Unclustered docs hash on
+    their own id as usual.  Plan: the pair → connected-components →
+    representative path of :mod:`.dedup` (ids-only shuffles), one
+    left join to attach representatives, then the narrow md5
+    threshold arithmetic of :func:`hash_split` applied to the
+    representative key."""
+    from . import dedup as _d  # noqa: F401  (module path hint)
+    from .dedup import dedup_clusters, exact_dup_pairs, minhash_dedup_pairs
+
+    if strategy == "exact":
+        pairs = exact_dup_pairs(docs)
+    elif strategy == "minhash":
+        pairs = minhash_dedup_pairs(docs, threshold=threshold).select("a", "b")
+    else:
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    clusters = dedup_clusters(pairs)  # (doc_id, cluster_id) for dup members
+    tagged = docs.join(
+        clusters.withColumnsRenamed({"doc_id": key, "cluster_id": "__rep"}),
+        key,
+        "left",
+    ).withColumn("__rep", F.coalesce(F.col("__rep"), F.col(key)))
+    out = hash_split(
+        tagged.withColumnsRenamed({key: "__self", "__rep": key}), key, weights, salt
+    )
+    return out.withColumnsRenamed({key: "__rep", "__self": key}).drop("__rep")
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Release-to-release corpus diff: one row per changed document —
+    status 'added' (id only in new), 'removed' (id only in old), or
+    'changed' (same id, different normalized-content fingerprint).
+    Unchanged docs are dropped.  One full-outer join keyed on the id;
+    only (id, fp) pairs shuffle."""
+    from .textstats import fingerprint
+
+    o = old.select(F.col(key), fingerprint(F.col(text_col)).alias("__fo"))
+    n = new.select(F.col(key), fingerprint(F.col(text_col)).alias("__fn"))
+    j = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("__fo").isNull(), F.lit("added"))
+        .when(F.col("__fn").isNull(), F.lit("removed"))
+        .when(F.col("__fo") != F.col("__fn"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(key, "status")
+    )
+
+
 def cross_split_contamination(
     docs: DataFrame,
     key: str = "doc_id",

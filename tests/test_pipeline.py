@@ -492,3 +492,45 @@ def test_embed_then_semantic_dedup_from_text(docs, spark):
     assert math.isclose(
         sum(x * x for x in row["embedding"]), 1.0, abs_tol=1e-3
     )
+
+
+def test_leakage_free_split_no_straddle(docs, spark):
+    """Near-dup clusters never straddle splits under the cluster-aware
+    split (minhash strategy) — the property plain hash_split lacks."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import dedup
+
+    base = docs.filter("doc_id < 80")
+    near = base.select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = base.unionByName(near)
+    out = pipeline.leakage_free_split(corpus, strategy="minhash", threshold=0.8)
+    splits = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    pairs = dedup.minhash_dedup_pairs(corpus, threshold=0.8).collect()
+    assert pairs  # planted near-dups exist
+    for r in pairs:
+        assert splits[r["a"]] == splits[r["b"]], (r["a"], r["b"])
+    # plain hash_split DOES straddle for at least one pair (the bug
+    # this operator exists to fix)
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in pipeline.hash_split(corpus, "doc_id").select("doc_id", "split").collect()
+    }
+    assert any(plain[r["a"]] != plain[r["b"]] for r in pairs)
+
+
+def test_corpus_diff_statuses(spark):
+    from htsql_spark.operators import pipeline as P
+
+    old = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "two"), (3, "three CHANGED"), (4, "four")], "doc_id long, text string"
+    )
+    got = {(r["doc_id"], r["status"]) for r in P.corpus_diff(old, new).collect()}
+    assert got == {(1, "removed"), (3, "changed"), (4, "added")}

@@ -392,3 +392,30 @@ GROUP BY r_name
     got = sorted(_normrow((r["name"], r["v"])) for r in db.df(hq).collect())
     exp = sorted(_normrow(t) for t in duck.execute(sql).fetchall())
     assert got == exp, (hq, sql)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    agg=st.sampled_from([("sum", "sum"), ("min", "min"), ("max", "max"), ("avg", "avg")]),
+    val=_num_expr(1),
+    pred=_predicate(1),
+)
+def test_fuzz_quotient_aggregate(db, duck, agg, val, pred):
+    """Random quotient (GROUP BY) shapes: sieve → group by segment →
+    complement aggregate of a random expression."""
+    hq = (
+        f"/customer?{pred[0]}"
+        f"^{{seg := c_mktsegment}}"
+        f"{{seg, v := {agg[0]}(^.define(x := {val[0]}).x)}}"
+    )
+    sql = (
+        f"SELECT c_mktsegment AS seg, {agg[1]}({val[1]}) AS v"
+        f" FROM customer WHERE {pred[1]} GROUP BY 1"
+    )
+    got = sorted(_normrow((r["seg"], r["v"])) for r in db.df(hq).collect())
+    exp = sorted(_normrow(t) for t in duck.execute(sql).fetchall())
+    assert got == exp, (hq, sql)

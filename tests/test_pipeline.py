@@ -534,3 +534,27 @@ def test_corpus_diff_statuses(spark):
     )
     got = {(r["doc_id"], r["status"]) for r in P.corpus_diff(old, new).collect()}
     assert got == {(1, "removed"), (3, "changed"), (4, "added")}
+
+
+def test_partitioning_invariance(docs, spark):
+    """Operator output is independent of the input's physical layout:
+    the same rows come back from a 1-partition and a 13-partition
+    input (hash determinism + rounded aggregates)."""
+    from htsql_spark.operators import pipeline as P
+
+    base = docs.filter("doc_id < 200")
+    variants = [base.coalesce(1), base.repartition(13)]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for fn in (
+        lambda d: P.hash_split(d, "doc_id").select("doc_id", "split"),
+        lambda d: P.embed_documents(d),
+        lambda d: P.vocab_top_terms(d, v=50),
+        lambda d: P.unigram_logprob(d),
+        lambda d: P.select_token_budget(d, 3000),
+        lambda d: P.corpus_profile(d),
+    ):
+        a, b = rows(fn(variants[0])), rows(fn(variants[1]))
+        assert a == b

@@ -1252,6 +1252,17 @@ def _op_profile(spark, sf_dir):
     return pipeline.corpus_profile(_db(spark, sf_dir).table("documents"))
 
 
+def _op_profile_split(spark, sf_dir):
+    """Per-(split, lang) dataset card over the real hash_split
+    assignment — the release summary that accompanies the split."""
+    from htsql_spark.operators import pipeline
+
+    docs = _db(spark, sf_dir).table("documents")
+    return pipeline.corpus_profile(
+        pipeline.hash_split(docs, "doc_id"), by=("split", "lang")
+    )
+
+
 def _op_pack(spark, sf_dir):
     """Concat-and-chunk sequence packing (GPT-style pre-training
     layout): docs laid end-to-end per md5-derived shard, cut into
@@ -1486,6 +1497,7 @@ _QUERIES.update(
         "op_bigram_pairs": _op_bigram_pairs,
         "op_select_budget": _op_select_budget,
         "op_profile": _op_profile,
+        "op_profile_split": _op_profile_split,
         "op_dedup_semantic": _op_dedup_semantic,
         "op_tfidf": _op_tfidf,
         "op_pii": _op_pii,
@@ -2495,6 +2507,19 @@ SELECT t.doc_id,
        round(exp(-avg(ln(f.tf) - ln((SELECT n FROM total)))), 4) AS ppl
 FROM toks t JOIN freqs f USING (term)
 GROUP BY 1
+""",
+        "op_profile_split": f"""
+WITH tagged AS (
+  SELECT *, CASE WHEN {_H_SPLIT} < '{_T_TRAIN}' THEN 'train'
+       WHEN {_H_SPLIT} < '{_T_VALID}' THEN 'valid'
+       ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, count(*) AS docs,
+  sum(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))) AS tokens,
+  sum(n_chars) AS chars, round(avg(n_chars), 4) AS avg_chars,
+  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM tagged GROUP BY 1, 2
 """,
         "op_profile": (
             "SELECT lang, source, count(*) AS docs,"

@@ -685,15 +685,17 @@ def bigram_top_pairs(
     )
 
 
-def corpus_profile(docs: DataFrame) -> DataFrame:
-    """Dataset-card profile: per (lang, source) document counts,
-    token/char totals and length extrema — the summary every corpus
-    release ships with.  One hash-aggregate shuffle on the tiny
-    (lang, source) key space; all measures are algebraic (partial-agg
-    friendly), so the map side reduces to |lang×source| rows per
-    partition before the exchange."""
+def corpus_profile(
+    docs: DataFrame, by: tuple[str, ...] = ("lang", "source")
+) -> DataFrame:
+    """Dataset-card profile: per-``by`` document counts, token/char
+    totals and length extrema — the summary every corpus release
+    ships with (group by ("split", "lang") for the per-split card).
+    One hash-aggregate shuffle on the tiny key space; all measures
+    are algebraic (partial-agg friendly), so the map side reduces to
+    |key-space| rows per partition before the exchange."""
     words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    return docs.groupBy("lang", "source").agg(
+    return docs.groupBy(*by).agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum(words).alias("tokens"),
         F.sum("n_chars").alias("chars"),

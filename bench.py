@@ -74,6 +74,12 @@ HEADLINE = [
     "op_vocab",
     "op_unigram_lm",
     "op_embed",
+    "op_bigram_pairs",
+    "op_ann_batch",
+    "op_select_budget",
+    "op_profile_split",
+    "op_split_leakfree",
+    "op_corpus_diff",
     "op_profile",
     "op_audio",
     "fn_textstats",

@@ -1081,6 +1081,16 @@ def _op_contamination(spark, sf_dir):
     return pipeline.cross_split_contamination(docs.unionByName(clones))
 
 
+def _op_split_stratified(spark, sf_dir):
+    """Exact-10-per-language eval carve-out by deterministic md5 rank
+    — every stratum gets an eval set."""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.stratified_eval_split(
+        _db(spark, sf_dir).table("documents"), n_eval=10
+    ).select("doc_id", "lang", "split")
+
+
 def _op_split_leakfree(spark, sf_dir):
     """Cluster-aware (leakage-free) split: planted exact clones
     (doc_id + 500000) must inherit their original's split because the
@@ -1489,6 +1499,7 @@ _QUERIES.update(
         "op_contamination_ngram": _op_contamination_ngram,
         "op_contamination_near": _op_contamination_near,
         "op_split_leakfree": _op_split_leakfree,
+        "op_split_stratified": _op_split_stratified,
         "op_corpus_diff": _op_corpus_diff,
         "op_repetition": _op_repetition,
         "op_vocab": _op_vocab,
@@ -2380,6 +2391,13 @@ WHERE p_size = 23
         "op_contamination": _CONTAMINATION_SQL,
         "op_contamination_ngram": _CONTAM_NGRAM_SQL,
         "op_contamination_near": _CONTAM_NEAR_SQL,
+        "op_split_stratified": f"""
+SELECT doc_id, lang,
+  CASE WHEN row_number() OVER (PARTITION BY lang
+       ORDER BY {_H.format(salt='seval')}, doc_id) <= 10
+       THEN 'eval' ELSE 'train' END AS split
+FROM documents
+""",
         "op_split_leakfree": f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents

@@ -234,6 +234,31 @@ def tfidf_top_terms(
     )
 
 
+def stratified_eval_split(
+    docs: DataFrame,
+    n_eval: int = 10,
+    strata: str = "lang",
+    key: str = "doc_id",
+    salt: str = "seval",
+) -> DataFrame:
+    """Exact-n per-stratum eval carve-out: within each stratum the
+    ``n_eval`` smallest docs by deterministic md5 rank become 'eval',
+    the rest 'train' — the guarantee a Bernoulli hash split cannot
+    give (every language gets an eval set, even tail languages with a
+    handful of documents).  One hash-partition shuffle on the stratum
+    (AQE splits skewed strata); the rank key is unique so the
+    carve-out is exact and reproducible."""
+    w = Window.partitionBy(strata).orderBy(
+        _hash_prefix(F.col(key), salt), F.col(key)
+    )
+    return docs.withColumn(
+        "split",
+        F.when(F.row_number().over(w) <= n_eval, F.lit("eval")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
 def leakage_free_split(
     docs: DataFrame,
     key: str = "doc_id",

@@ -558,3 +558,22 @@ def test_partitioning_invariance(docs, spark):
     ):
         a, b = rows(fn(variants[0])), rows(fn(variants[1]))
         assert a == b
+
+
+def test_stratified_eval_split_exact_counts(docs):
+    """Every stratum gets exactly min(n, |stratum|) eval docs; the
+    assignment is deterministic and total."""
+    from htsql_spark.operators import pipeline as P
+
+    out = P.stratified_eval_split(docs, n_eval=5)
+    per = {
+        (r["lang"], r["split"]): r["count"]
+        for r in out.groupBy("lang", "split").count().collect()
+    }
+    sizes = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for lang, n in sizes.items():
+        assert per.get((lang, "eval"), 0) == min(5, n)
+        assert per.get((lang, "eval"), 0) + per.get((lang, "train"), 0) == n
+    again = P.stratified_eval_split(docs, n_eval=5).select("doc_id", "split")
+    first = P.stratified_eval_split(docs, n_eval=5).select("doc_id", "split")
+    assert again.exceptAll(first).count() == 0

@@ -828,6 +828,23 @@ def _op_dedup_ngram(spark, sf_dir):
     )
 
 
+def _op_dup_stats(spark, sf_dir):
+    """Dedup-run observability: exact-dup group-size histogram over a
+    corpus with planted double clones (sizes 1 and 3 present)."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import dedup
+
+    docs = _db(spark, sf_dir).table("documents")
+    c1 = docs.filter("doc_id < 40").select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    c2 = docs.filter("doc_id < 40").select(
+        (F.col("doc_id") + 600000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return dedup.dup_rate_stats(docs.unionByName(c1).unionByName(c2))
+
+
 def _op_dedup_incremental(spark, sf_dir):
     """Incremental batch-vs-archive dedup: banding join between the
     incoming batch and the existing corpus, never a corpus self-join.
@@ -1527,6 +1544,7 @@ _QUERIES.update(
         "op_dedup_pipeline": _op_dedup_pipeline,
         "op_dedup_ngram": _op_dedup_ngram,
         "op_dedup_incremental": _op_dedup_incremental,
+        "op_dup_stats": _op_dup_stats,
         "op_dedup_embedding": _op_dedup_embedding,
         "op_ann_bruteforce": _op_ann_bruteforce,
         "op_ann_batch": _op_ann_batch,
@@ -2300,6 +2318,19 @@ WHERE p_size = 23
             "   / len(list_distinct(a.s || b.s)), 6) AS jaccard"
             " FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
             " SELECT * FROM pairs WHERE jaccard >= 0.5"
+        ),
+        "op_dup_stats": (
+            "WITH corpus AS ("
+            " SELECT doc_id, text FROM documents"
+            " UNION ALL SELECT doc_id + 500000, text FROM documents"
+            "  WHERE doc_id < 40"
+            " UNION ALL SELECT doc_id + 600000, text FROM documents"
+            "  WHERE doc_id < 40),"
+            " g AS (SELECT count(*) AS n FROM ("
+            "  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp"
+            "  FROM corpus) GROUP BY fp)"
+            " SELECT n AS group_size, count(*) AS n_groups, sum(n) AS n_docs"
+            " FROM g GROUP BY 1"
         ),
         # op_dedup_incremental: cross/within batch dedup; oracle is the
         # all-pairs shingle-jaccard truth per side-pairing

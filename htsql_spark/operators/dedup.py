@@ -40,6 +40,22 @@ def exact_groups(docs: DataFrame) -> DataFrame:
     )
 
 
+def dup_rate_stats(docs: DataFrame) -> DataFrame:
+    """Dedup observability: the exact-duplicate group-size histogram —
+    (group_size, n_groups, n_docs) — the number every dedup run
+    reports (dup rate = 1 − Σn_groups/Σn_docs).  Two tiny partial-agg
+    shuffles (fp, then group size); output is O(max group size)
+    rows."""
+    return (
+        exact_groups(docs)
+        .groupBy(F.col("n").alias("group_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n").alias("n_docs"),
+        )
+    )
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """documents with exact duplicates removed (keep lowest doc_id).
     Implemented as a window-free groupBy+join so the only shuffle key

@@ -34,15 +34,22 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the payload of the
-    latest right row with ``right.ts <= left.ts`` and equal ``on`` key.
+    """As-of join: for each left row, the payload of the right row
+    nearest in time with an equal ``on`` key — ``direction``
+    'backward' (latest right.ts <= left.ts, the default and the
+    classic), 'forward' (earliest right.ts >= left.ts), or 'nearest'
+    (whichever of the two is closer; ties prefer backward).
 
     Implemented as tagged union + ``last(..., ignorenulls=True)`` over
-    a (key)-partitioned, ts-ordered window — never an inequality join.
+    a (key)-partitioned, ts-ordered window — never an inequality
+    join; 'nearest' runs both window passes over the one union.
     ``tolerance`` (an INTERVAL string, e.g. ``'1 hour'``) optionally
-    discards matches older than ``left.ts - tolerance``.
+    discards matches further than that from ``left.ts``.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     l = left.select(
         F.col(on).alias("__k"),
@@ -65,22 +72,50 @@ def asof_join(
         F.struct(F.col(right_ts).alias("__rts"), *right_cols).alias("__rrow"),
     )
     # right rows sort before left rows at equal ts (side 0 < 1), so a
-    # same-instant right row is visible to the left row
-    w = (
+    # same-instant right row is visible to the left row in BOTH
+    # orderings (desc ordering keeps side asc as tiebreak)
+    wb = (
         Window.partitionBy("__k")
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    u = l.unionByName(r).withColumn("__match", F.last("__rrow", ignorenulls=True).over(w))
-    u = u.filter(F.col("__side") == 1)
-    if tolerance is not None:
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").desc(), "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l.unionByName(r)
+    if direction in ("backward", "nearest"):
+        u = u.withColumn("__mb", F.last("__rrow", ignorenulls=True).over(wb))
+    if direction in ("forward", "nearest"):
+        u = u.withColumn("__mf", F.last("__rrow", ignorenulls=True).over(wf))
+    if direction == "backward":
+        u = u.withColumn("__match", F.col("__mb"))
+    elif direction == "forward":
+        u = u.withColumn("__match", F.col("__mf"))
+    else:
+        def _s(c):  # NTZ needs the timestamp hop before double
+            return c.cast("timestamp").cast("double")
+
+        db = _s(F.col("__ts")) - _s(F.col("__mb.__rts"))
+        df_ = _s(F.col("__mf.__rts")) - _s(F.col("__ts"))
         u = u.withColumn(
             "__match",
-            F.when(
-                F.col("__match.__rts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}"),
-                F.col("__match"),
-            ),
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(df_ < db, F.col("__mf"))
+            .otherwise(F.col("__mb")),  # ties prefer backward
         )
+    u = u.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        def _secs(c):  # NTZ needs the timestamp hop before double
+            return c.cast("timestamp").cast("double")
+
+        dist = F.abs(_secs(F.col("__match.__rts")) - _secs(F.col("__ts")))
+        tol_s = _secs(
+            F.col("__ts").cast("timestamp") + F.expr(f"INTERVAL {tolerance}")
+        ) - _secs(F.col("__ts"))
+        u = u.withColumn("__match", F.when(dist <= tol_s, F.col("__match")))
     out = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
     out += [F.col("__match.__rts").alias(f"r_{right_ts}")]
     out += [F.col(f"__match.{c}").alias(c if c not in left.columns else f"r_{c}") for c in right_cols]

@@ -277,3 +277,41 @@ def test_write_bucketed_join_no_shuffle(db, spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_asof_forward_and_nearest(spark):
+    """direction='forward' matches the earliest right at/after left;
+    'nearest' picks the closer side with backward winning ties."""
+    from htsql_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    left = spark.createDataFrame(
+        [(1, 5, ts(0)), (2, 5, ts(100))], "pid long, k long, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(10, 5, ts(-30)), (20, 5, ts(40)), (30, 5, ts(170))],
+        "rid long, k long, ts timestamp_ntz",
+    )
+    fwd = {r["pid"]: r["rid"] for r in asof_join(
+        left, right, on="k", right_cols=["rid"], direction="forward").collect()}
+    assert fwd == {1: 20, 2: 30}  # earliest right at/after each left
+    near = {r["pid"]: r["rid"] for r in asof_join(
+        left, right, on="k", right_cols=["rid"], direction="nearest").collect()}
+    # pid1: back 30 min (rid 10) vs fwd 40 min (rid 20) → backward
+    # pid2: back 60 min (rid 20) vs fwd 70 min (rid 30) → backward
+    assert near == {1: 10, 2: 20}
+    # equidistant tie prefers backward
+    left2 = spark.createDataFrame([(9, 5, ts(5))], "pid long, k long, ts timestamp_ntz")
+    right2 = spark.createDataFrame(
+        [(1, 5, ts(0)), (2, 5, ts(10))], "rid long, k long, ts timestamp_ntz"
+    )
+    tie = asof_join(left2, right2, on="k", right_cols=["rid"], direction="nearest")
+    assert tie.collect()[0]["rid"] == 1
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        asof_join(left, right, on="k", direction="sideways")

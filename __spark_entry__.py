@@ -613,6 +613,35 @@ def _op_asof_join(spark, sf_dir):
     return joins.purchases_asof_clicks(_db(spark, sf_dir).table("events"))
 
 
+def _op_asof_forward(spark, sf_dir):
+    """Forward as-of: for each purchase, the EARLIEST click at/after
+    it (next-touch attribution).  Same tagged-union window lowering,
+    desc-ordered; DuckDB replays it with a forward ASOF JOIN."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from htsql_spark.operators import joins
+
+    events = _db(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    dedup = lambda t: (
+        events.filter(F.col("event_type") == t)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    purchases = dedup("purchase").select("event_id", "user_id", "ts")
+    clicks = dedup("click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    out = joins.asof_join(
+        purchases, clicks, on="user_id", right_cols=["click_id"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("r_ts").alias("click_ts"), "click_id"
+    )
+
+
 def _op_range_join(spark, sf_dir):
     from htsql_spark.operators import joins
 
@@ -714,6 +743,7 @@ _QUERIES.update(
         "stream_join": _stream_join,
         "stream_enrich": _stream_enrich,
         "op_asof_join": _op_asof_join,
+        "op_asof_forward": _op_asof_forward,
         "op_range_join": _op_range_join,
         "op_theta_band": _op_theta_band,
         "op_tumbling_batch": _op_tumbling_batch,
@@ -2124,6 +2154,17 @@ WHERE p_size = 23
             "  WHERE event_type = 'click')"
             " SELECT p.event_id, p.user_id, c.ts AS click_ts, c.click_id"
             " FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts"
+        ),
+        "op_asof_forward": (
+            "WITH dedup AS ("
+            " SELECT * FROM (SELECT *, row_number() OVER ("
+            "  PARTITION BY user_id, ts ORDER BY event_id DESC) rn FROM events)"
+            " WHERE rn = 1),"
+            " p AS (SELECT event_id, user_id, ts FROM dedup WHERE event_type = 'purchase'),"
+            " c AS (SELECT event_id AS click_id, user_id, ts FROM dedup"
+            "  WHERE event_type = 'click')"
+            " SELECT p.event_id, p.user_id, c.ts AS click_ts, c.click_id"
+            " FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts"
         ),
         "op_range_join": (
             "SELECT p.event_id, p.user_id, count(c.ts) AS n_clicks"

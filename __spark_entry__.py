@@ -642,6 +642,36 @@ def _op_asof_forward(spark, sf_dir):
     )
 
 
+def _op_asof_nearest(spark, sf_dir):
+    """Nearest as-of: for each purchase, the click closest in time
+    either side (ties prefer backward).  The oracle ranks all
+    same-user pairs by absolute distance with the backward
+    tiebreak."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from htsql_spark.operators import joins
+
+    events = _db(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    dedup = lambda t: (
+        events.filter(F.col("event_type") == t)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    purchases = dedup("purchase").select("event_id", "user_id", "ts")
+    clicks = dedup("click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    out = joins.asof_join(
+        purchases, clicks, on="user_id", right_cols=["click_id"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("r_ts").alias("click_ts"), "click_id"
+    )
+
+
 def _op_range_join(spark, sf_dir):
     from htsql_spark.operators import joins
 
@@ -744,6 +774,7 @@ _QUERIES.update(
         "stream_enrich": _stream_enrich,
         "op_asof_join": _op_asof_join,
         "op_asof_forward": _op_asof_forward,
+        "op_asof_nearest": _op_asof_nearest,
         "op_range_join": _op_range_join,
         "op_theta_band": _op_theta_band,
         "op_tumbling_batch": _op_tumbling_batch,
@@ -2165,6 +2196,23 @@ WHERE p_size = 23
             "  WHERE event_type = 'click')"
             " SELECT p.event_id, p.user_id, c.ts AS click_ts, c.click_id"
             " FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts"
+        ),
+        "op_asof_nearest": (
+            "WITH dedup AS ("
+            " SELECT * FROM (SELECT *, row_number() OVER ("
+            "  PARTITION BY user_id, ts ORDER BY event_id DESC) rn FROM events)"
+            " WHERE rn = 1),"
+            " p AS (SELECT event_id, user_id, ts FROM dedup WHERE event_type = 'purchase'),"
+            " c AS (SELECT event_id AS click_id, user_id, ts FROM dedup"
+            "  WHERE event_type = 'click'),"
+            " ranked AS ("
+            " SELECT p.event_id, p.user_id, c.ts AS click_ts, c.click_id,"
+            "  row_number() OVER (PARTITION BY p.event_id ORDER BY"
+            "   abs(epoch(c.ts) - epoch(p.ts)),"
+            "   CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END) AS rk"
+            " FROM p LEFT JOIN c ON p.user_id = c.user_id)"
+            " SELECT event_id, user_id, click_ts, click_id"
+            " FROM ranked WHERE rk = 1"
         ),
         "op_range_join": (
             "SELECT p.event_id, p.user_id, count(c.ts) AS n_clicks"

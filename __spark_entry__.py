@@ -936,10 +936,24 @@ def _op_dedup_incremental(spark, sf_dir):
 
 
 def _op_dedup_embedding(spark, sf_dir):
+    """Embedding near-dup pairs via banded hyperplane LSH + exact
+    cosine verify.  The fixture has no natural near-dups (max pairwise
+    cosine ≈ 0.51 < 0.95), so coincident clones (vec_id + 500000) are
+    planted — identical vectors always share every LSH band bucket, so
+    each (i, i+500000) pair MUST surface at cos 1.0, making the gate
+    row non-trivial (a broken implementation returning an empty frame
+    no longer passes).  The oracle plants the same clones in its
+    all-pairs cosine scan."""
+    from pyspark.sql import functions as F
+
     from htsql_spark.operators import dedup
 
+    embs = _db(spark, sf_dir).table("embeddings")
+    clones = embs.select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding", "label"
+    )
     return dedup.embedding_dup_pairs(
-        _db(spark, sf_dir).table("embeddings"), threshold=0.95
+        embs.unionByName(clones), threshold=0.95
     )
 
 
@@ -2295,9 +2309,15 @@ WHERE p_size = 23
             " FROM isl i JOIN sz z USING (island) WHERE z.n > 1"
         ),
         "op_dedup_embedding": (
-            "SELECT a.vec_id AS a, b.vec_id AS b,"
+            # planted coincident clones (vec_id + 500000) make the row
+            # non-trivial: each original/clone pair surfaces at cos 1.0
+            "WITH corpus AS ("
+            " SELECT vec_id, embedding FROM embeddings"
+            " UNION ALL"
+            " SELECT vec_id + 500000 AS vec_id, embedding FROM embeddings)"
+            " SELECT a.vec_id AS a, b.vec_id AS b,"
             " round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos"
-            " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+            " FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id"
             " WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
         ),
         "op_ann_batch": (

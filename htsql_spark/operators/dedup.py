@@ -306,7 +306,16 @@ def incremental_dup_pairs(
             .withColumn("origin", F.lit("within"))
         )
     allc = cands[0] if len(cands) == 1 else cands[0].unionByName(cands[1])
-    allc = allc.cache()  # feeds the id prunes AND the verify joins
+    # feeds the id prunes AND the verify joins.  Eager localCheckpoint,
+    # NOT .cache(): this function runs per micro-batch in the ingest
+    # loop, and a CacheManager entry would outlive the call and
+    # accumulate in executor storage (nobody can unpersist a cache the
+    # caller never sees).  Checkpoint blocks are owned by the RDD and
+    # reclaimed by the ContextCleaner once the result DataFrame is
+    # unreferenced.  Tradeoff: severed lineage is not recomputable
+    # after executor loss — acceptable for a small per-batch candidate
+    # table whose enclosing job simply reruns.
+    allc = allc.localCheckpoint(eager=True)
 
     def _sh(side: DataFrame, ids: DataFrame) -> DataFrame:
         return side.join(ids.distinct(), "doc_id", "left_semi").select(

@@ -319,9 +319,18 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     while pos + 8 <= len(payload):
         cid, sz = struct.unpack_from("<4sI", payload, pos)
         pos += 8
+        if pos + sz > len(payload):
+            # a declared size past the buffer would silently yield a
+            # short slice (short-unpack error / truncated samples)
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: declares {sz} bytes, "
+                f"{len(payload) - pos} remain"
+            )
         body = payload[pos : pos + sz]
         pos += sz + (sz & 1)  # RIFF chunks are word-aligned
         if cid == b"fmt ":
+            if sz < 16:
+                raise ValueError(f"truncated WAV fmt chunk ({sz} bytes)")
             tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
             if tag != 1:
                 raise ValueError(f"unsupported WAV format tag {tag} (PCM only)")
@@ -331,4 +340,6 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
         raise ValueError("WAV payload missing fmt or data chunk")
     if channels != 1 or bits != 16:
         raise ValueError(f"only 16-bit mono supported, got {channels}ch/{bits}bit")
+    if len(data) & 1:
+        raise ValueError("truncated WAV data chunk (odd byte count for int16)")
     return int(rate), np.frombuffer(data, dtype="<i2")

@@ -112,9 +112,18 @@ def asof_join(
             return c.cast("timestamp").cast("double")
 
         dist = F.abs(_secs(F.col("__match.__rts")) - _secs(F.col("__ts")))
-        tol_s = _secs(
-            F.col("__ts").cast("timestamp") + F.expr(f"INTERVAL {tolerance}")
-        ) - _secs(F.col("__ts"))
+        # calendar-varying intervals (e.g. '1 month') have a different
+        # length in each direction from a given anchor (Mar 31 back
+        # 1 month = Feb 28, 31 days; forward = Apr 30, 30 days), so
+        # the bound must be measured on the side the match landed on:
+        # backward matches against epoch(ts) - epoch(ts - INTERVAL),
+        # forward matches against epoch(ts + INTERVAL) - epoch(ts)
+        iv = F.expr(f"INTERVAL {tolerance}")
+        fwd_tol = _secs(F.col("__ts").cast("timestamp") + iv) - _secs(F.col("__ts"))
+        back_tol = _secs(F.col("__ts")) - _secs(F.col("__ts").cast("timestamp") - iv)
+        tol_s = F.when(
+            _secs(F.col("__match.__rts")) <= _secs(F.col("__ts")), back_tol
+        ).otherwise(fwd_tol)
         u = u.withColumn("__match", F.when(dist <= tol_s, F.col("__match")))
     out = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
     out += [F.col("__match.__rts").alias(f"r_{right_ts}")]

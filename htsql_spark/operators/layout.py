@@ -70,6 +70,12 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").mode(mode).saveAsTable(table)
+    # an append does not reliably invalidate the session's cached file
+    # listing for the table (observed: spark.table() serving the
+    # pre-append row count when the insert's source plan was a
+    # checkpointed RDD) — refresh explicitly so readers in the same
+    # session see the new files; metadata-only, cheap at any scale
+    df.sparkSession.catalog.refreshTable(table)
 
 
 def write_clustered(

@@ -69,72 +69,62 @@ def run_dedup_ingest(
     Delivery semantics: offsets are exactly-once via the streaming
     checkpoint, but ``foreachBatch`` bodies re-RUN on crash-retry.
     The archive write is therefore idempotent (per-batch
-    subdirectory, overwritten on retry); the index append is
-    at-least-once, which is SAFE here because duplicate band rows
+    subdirectory, overwritten on retry), and the batch's OWN doc_ids
+    are anti-joined out of the band index and the archive before the
+    candidate join — a retry that finds its own crashed attempt's
+    bands/archive rows (written before the checkpoint committed) must
+    not let the batch kill itself by matching its own documents at
+    jaccard 1.0.  With self-rows excluded, a retried batch recomputes
+    the identical survivor set (within-batch dedup is deterministic
+    min-id, and two first-attempt survivors never verify ≥ threshold
+    against each other, else one would have died within-batch).  The
+    index append stays at-least-once: leftover duplicate band rows
     only produce duplicate candidates and the candidate join is
-    ``distinct()`` — dedup semantics survive a retried batch.
-    availableNow drains the backlog and returns.
+    ``distinct()``.  availableNow drains the backlog and returns.
 
     Within-batch duplicates are also dropped (first-seen by id
     order); batch ids must be globally unique (append-only ingest
     contract)."""
     from ..operators import dedup
 
+    if "." in index_table:
+        # the orphan-location cleanup below maps the table name onto a
+        # warehouse path; a db-qualified name does NOT lower to a
+        # joinable path segment ('db.tbl' != 'db.db/tbl'), so reject
+        # rather than risk touching the wrong directory
+        raise ValueError(
+            f"qualified index_table names are not supported: {index_table!r}"
+        )
     if not spark.catalog.tableExists(index_table):
         # a previously-dropped table can orphan its managed location,
-        # which blocks re-creation — clear it through the JVM FS API
+        # which blocks re-creation.  Clear stale metadata first, then
+        # delete the directory ONLY if its contents look like an
+        # orphaned Spark-managed table (data files + markers, nothing
+        # else) — never an unrelated directory that shares the name.
+        spark.sql(f"DROP TABLE IF EXISTS {index_table}")
         wh = spark.conf.get("spark.sql.warehouse.dir")
         p = spark._jvm.org.apache.hadoop.fs.Path(wh, index_table.lower())
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(p):
-            fs.delete(p, True)
+            names = [
+                s.getPath().getName() for s in fs.listStatus(p)
+            ]
+            orphaned_table = all(
+                n == "_SUCCESS" or n.startswith("part-") or n.startswith(".")
+                for n in names
+            )
+            if orphaned_table:
+                fs.delete(p, True)
+            else:
+                raise ValueError(
+                    f"refusing to delete {p}: contents do not look like an "
+                    f"orphaned managed-table location ({names[:5]}...)"
+                )
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import functions as BF
-
-        batch = batch.dropDuplicates(["doc_id"])
-        have_archive = spark.catalog.tableExists(index_table)
-        if have_archive:
-            archive = spark.read.parquet(archive_path)
-            pairs = dedup.incremental_dup_pairs(
-                archive,
-                batch,
-                threshold=threshold,
-                archive_bands=spark.table(index_table),
-            )
-            # drop batch docs that matched the archive (cross) or an
-            # earlier batch doc (within: keep the pair's min id)
-            dead = pairs.filter(BF.col("origin") == "cross").select(
-                BF.col("b").alias("doc_id")
-            ).union(
-                pairs.filter(BF.col("origin") == "within").select(
-                    BF.col("b").alias("doc_id")
-                )
-            )
-            survivors = batch.join(dead.distinct(), "doc_id", "left_anti")
-        else:
-            pairs = dedup.incremental_dup_pairs(
-                batch.limit(0), batch, threshold=threshold
-            )
-            dead = pairs.select(BF.col("b").alias("doc_id"))
-            survivors = batch.join(dead.distinct(), "doc_id", "left_anti")
-        survivors = survivors.cache()
-        # per-batch subdir + overwrite → a retried batch rewrites its
-        # own directory instead of double-appending
-        survivors.write.mode("overwrite").parquet(f"{archive_path}/batch={batch_id}")
-        from ..operators.layout import write_bucketed
-
-        write_bucketed(
-            dedup._band_table(survivors),
-            index_table,
-            ["h"],
-            sort_cols=["h"],
-            # first batch (re)creates the table — overwrite also clears
-            # any stale warehouse location from a dropped table; later
-            # batches append with the same bucket spec, staying bucketed
-            mode="append" if have_archive else "overwrite",
+        _process_ingest_batch(
+            spark, batch, batch_id, archive_path, index_table, threshold
         )
-        survivors.unpersist()
 
     (
         stream.writeStream.foreachBatch(process)
@@ -143,6 +133,84 @@ def run_dedup_ingest(
         .start()
         .awaitTermination()
     )
+
+
+def _process_ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    archive_path: str,
+    index_table: str,
+    threshold: float,
+) -> None:
+    """One micro-batch of the dedup-ingest loop (module-level so the
+    crash-retry contract is directly testable: calling it twice with
+    the same batch must produce identical survivors)."""
+    from pyspark.sql import functions as BF
+
+    from ..operators import dedup
+
+    batch = batch.dropDuplicates(["doc_id"])
+    have_archive = spark.catalog.tableExists(index_table)
+    if have_archive:
+        # crash-retry guard: a previous attempt of THIS batch may
+        # already have appended its bands to the index and written
+        # its archive subdir before the checkpoint committed —
+        # exclude the batch's own doc_ids from both sides so the
+        # retry can't match documents against themselves
+        batch_ids = batch.select("doc_id")
+        archive = spark.read.parquet(archive_path).join(
+            BF.broadcast(batch_ids), "doc_id", "left_anti"
+        )
+        index_bands = spark.table(index_table).join(
+            BF.broadcast(batch_ids), "doc_id", "left_anti"
+        )
+        pairs = dedup.incremental_dup_pairs(
+            archive,
+            batch,
+            threshold=threshold,
+            archive_bands=index_bands,
+        )
+        # drop batch docs that matched the archive (cross) or an
+        # earlier batch doc (within: keep the pair's min id)
+        dead = pairs.filter(BF.col("origin") == "cross").select(
+            BF.col("b").alias("doc_id")
+        ).union(
+            pairs.filter(BF.col("origin") == "within").select(
+                BF.col("b").alias("doc_id")
+            )
+        )
+        survivors = batch.join(dead.distinct(), "doc_id", "left_anti")
+    else:
+        pairs = dedup.incremental_dup_pairs(
+            batch.limit(0), batch, threshold=threshold
+        )
+        dead = pairs.select(BF.col("b").alias("doc_id"))
+        survivors = batch.join(dead.distinct(), "doc_id", "left_anti")
+    survivors = survivors.cache()
+    # per-batch subdir + overwrite → a retried batch rewrites its
+    # own directory instead of double-appending
+    survivors.write.mode("overwrite").parquet(f"{archive_path}/batch={batch_id}")
+    from ..operators.layout import write_bucketed
+
+    write_bucketed(
+        dedup._band_table(survivors),
+        index_table,
+        ["h"],
+        sort_cols=["h"],
+        # first batch (re)creates the table — overwrite also clears
+        # any stale warehouse location from a dropped table; later
+        # batches append with the same bucket spec, staying bucketed
+        mode="append" if have_archive else "overwrite",
+    )
+    # write_bucketed refreshes via the writing DataFrame's session,
+    # which inside foreachBatch is the micro-batch CLONE — the parent
+    # session's cached file listing (populated by this batch's
+    # spark.table(index_table) read) stays stale without an explicit
+    # parent-side refresh, and the next batch / the caller would read
+    # the pre-append row set
+    spark.catalog.refreshTable(index_table)
+    survivors.unpersist()
 
 
 def curate_stream(

@@ -201,3 +201,24 @@ def test_video_dedup_shared_frames(spark):
         assert found.get((i, 100 + i)) == 3       # all 3 sampled frames shared
         assert found.get((i, 200 + i)) == 2       # frames 0,10 shared; 20 differs
         assert (i, 300 + i) not in found
+
+
+def test_decode_wav_truncated_chunk_raises():
+    """A chunk whose declared size extends past the buffer must raise
+    a clear error, not silently decode a short slice."""
+    import numpy as np
+    import pytest
+
+    from htsql_spark.operators.imaging import decode_wav, encode_wav
+
+    good = encode_wav(np.array([100, -100, 100, -100], dtype="<i2"))
+    with pytest.raises(ValueError, match="truncated WAV"):
+        decode_wav(good[:-3])  # data chunk declares more than remains
+    # fmt chunk shorter than the 16 PCM bytes
+    import struct
+
+    bad_fmt = struct.pack("<4sI4s", b"RIFF", 4 + 12, b"WAVE") + struct.pack(
+        "<4sI", b"fmt ", 4
+    ) + b"\x00" * 4
+    with pytest.raises(ValueError, match="truncated WAV fmt"):
+        decode_wav(bad_fmt)

@@ -315,3 +315,49 @@ def test_asof_forward_and_nearest(spark):
 
     with _p.raises(ValueError):
         asof_join(left, right, on="k", direction="sideways")
+
+
+def test_asof_tolerance_calendar_backward(spark):
+    """Calendar-varying tolerances measure each direction with its own
+    calendar length from the left anchor: from Mar 31, '1 month' back
+    reaches Feb 29 (31 days in a 2024 leap year), while the forward
+    month is only 30 days (Apr 30).  A backward match 31 days out must
+    pass; a forward match 31 days out must fail."""
+    import datetime as dt
+
+    from htsql_spark.operators.joins import asof_join
+
+    anchor = dt.datetime(2024, 3, 31, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 7, anchor)], "pid long, k long, ts timestamp_ntz"
+    )
+    # exactly 31 days back = Feb 29 12:00 (== anchor - INTERVAL 1 MONTH)
+    back31 = spark.createDataFrame(
+        [(100, 7, anchor - dt.timedelta(days=31))],
+        "rid long, k long, ts timestamp_ntz",
+    )
+    got = asof_join(
+        left, back31, on="k", right_cols=["rid"], tolerance="1 month"
+    ).collect()
+    assert got[0]["rid"] == 100  # inside the 31-day backward month
+
+    # exactly 31 days forward = May 1 12:00 > Apr 30 12:00 → outside
+    fwd31 = spark.createDataFrame(
+        [(200, 7, anchor + dt.timedelta(days=31))],
+        "rid long, k long, ts timestamp_ntz",
+    )
+    got = asof_join(
+        left, fwd31, on="k", right_cols=["rid"],
+        tolerance="1 month", direction="forward",
+    ).collect()
+    assert got[0]["rid"] is None
+    # 30 days forward = Apr 30 12:00 → exactly on the bound, inside
+    fwd30 = spark.createDataFrame(
+        [(201, 7, anchor + dt.timedelta(days=30))],
+        "rid long, k long, ts timestamp_ntz",
+    )
+    got = asof_join(
+        left, fwd30, on="k", right_cols=["rid"],
+        tolerance="1 month", direction="forward",
+    ).collect()
+    assert got[0]["rid"] == 201

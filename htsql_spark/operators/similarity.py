@@ -376,6 +376,13 @@ def _parallel_init(
     return M[chosen]
 
 
+#: above this k, ``init='auto'`` switches from maximin (k−1 full
+#: scans — best seeds, fine when k is a handful) to k-means‖
+#: (O(rounds) scans — the only sane shape when k is in the hundreds
+#: on a 100 TB corpus, where every extra full scan is real money)
+KMEANS_MAXIMIN_MAX_K = 16
+
+
 def kmeans(
     embs: DataFrame,
     k: int = 8,
@@ -383,7 +390,7 @@ def kmeans(
     tol: float = 1e-4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    init: str = "maximin",
+    init: str = "auto",
 ):
     """Distributed Lloyd's k-means (cosine) over the embedding column,
     DataFrame-native: per iteration one assign pass (broadcast
@@ -393,20 +400,26 @@ def kmeans(
     legitimate driver-side payload is the MODEL, never the data — so
     the same loop runs unchanged over 100 TB of vectors.
 
-    ``init`` picks the seeding strategy, both deterministic:
+    ``init`` picks the seeding strategy, all deterministic:
 
+    * ``'auto'`` (default) — maximin for k ≤
+      :data:`KMEANS_MAXIMIN_MAX_K`, k-means‖ above it: init scan
+      count stays O(1)-ish for small k and O(rounds) instead of
+      O(k) for large k.
     * ``'maximin'`` — farthest-point; k−1 full scans.  Best seeds,
-      right default for small k.
+      right choice for small k.
     * ``'parallel'`` — k-means‖ (Bahmani '12): O(log k) scans via
       oversampled distance-weighted sampling + driver-side weighted
       reduce.  The scale path when k is large.
 
-    Both raise ValueError when the corpus has fewer than k distinct
+    All raise ValueError when the corpus has fewer than k distinct
     vector directions (a duplicate seed would silently yield
     coincident centroids).  Empty clusters keep their previous
     centroid.  Returns (assignments DataFrame, centroids list)."""
     import numpy as np
 
+    if init == "auto":
+        init = "maximin" if k <= KMEANS_MAXIMIN_MAX_K else "parallel"
     if init == "maximin":
         cents = _maximin_init(embs, k, vec_col, id_col)
     elif init == "parallel":

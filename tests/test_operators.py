@@ -758,3 +758,45 @@ def test_semantic_dedup_with_trained_centroids(embs, spark):
     for i in range(5):
         assert (i, i + 700) in found
     assert all(r["cos"] >= 0.95 for r in pairs)
+
+
+def test_kmeans_auto_init_switches_at_threshold(spark, monkeypatch):
+    """init='auto' (the default) uses maximin for small k and
+    k-means|| above KMEANS_MAXIMIN_MAX_K — planted 20-cluster
+    recovery stays green under the default path, and the init's full
+    scan count is O(rounds), not O(k)."""
+    import numpy as np
+
+    from htsql_spark.operators import similarity
+
+    rng = np.random.RandomState(1)
+    k = similarity.KMEANS_MAXIMIN_MAX_K + 4  # 20 > threshold
+    centers = np.eye(k, 32) * 10
+    rows = []
+    for g in range(k):
+        for i in range(8):
+            v = centers[g] + rng.normal(0, 0.05, 32)
+            rows.append((g * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    calls = {"n": 0}
+    real = similarity._max_cosine_to
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(similarity, "_max_cosine_to", counting)
+    assigned, cents = similarity.kmeans(df, k=k, iters=8)
+    # k-means|| path: rounds(4) scans for sampling — far below the
+    # k-1(=19) maximin would issue
+    assert calls["n"] <= 6, calls["n"]
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    groups = [{got[g * 100 + i] for i in range(8)} for g in range(k)]
+    assert all(len(s) == 1 for s in groups)   # each planted group coherent
+    assert len(set.union(*groups)) == k       # all groups separated
+
+    # small k on the same corpus: auto = maximin (scan count ~ k-1)
+    calls["n"] = 0
+    similarity.kmeans(df, k=3, iters=1)
+    assert calls["n"] == 2  # maximin's k-1 scans

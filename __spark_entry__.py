@@ -1695,33 +1695,55 @@ _QUERIES.update(
 # gated before.  Union of r2+r3 windows: 85 of 109 queries
 # hard-verified by the external gate; everything outside any window
 # stays oracle-replayed by tests/test_entry.py every run.
+# ROUND-4 ROTATION (judge directive r3 #2): keep 8 flagships — the
+# language core rows plus op_dedup_embedding, whose gate row must now
+# prove the planted-clone fix (spark_rows > 0) — and fill the other
+# 42 slots with entries never hard-gated in r2 or r3.  Union after
+# this window: r2∪r3∪r4 hard-verifies 130 of 144 queries.  The 14
+# left outside any window are the 5 rows-only forms (op_kmeans,
+# op_winnow, op_winnow_pairs, op_dedup_simhash, op_simhash_pairs —
+# their md5 portable twins gate INSTEAD, value-proving the same
+# algorithms) and 9 simple scalar/aggregate families whose gate
+# representatives (fn_scalar/fn_text/fn_date/agg_stats) were green in
+# r2 (agg_sum_count, agg_minmax, fn_if, in_set, fn_null,
+# fn_datearith, fn_array, fn_textstats, events_nav); all 14 stay
+# oracle-replayed by tests/test_entry.py every run.
 _GATE_ORDER = [
-    # kept from r2: language flagships + once-red rows (selection/
-    # nav_singular/nav_plural — r2-gate-green — rotate out in favor
-    # of the three round-3 operators below, growing the r2∪r3 union)
-    "scan", "agg_flagship", "quotient",
-    # new this round: repetition quality, n-gram decontamination,
-    # SemDeDup — full value oracles
-    "op_repetition", "op_contamination_ngram", "op_dedup_semantic",
-    "nested_segment_flat", "topk_per_parent_flat",
-    "tpch_q1", "tpch_q2",
+    # kept flagships
+    "scan", "agg_flagship", "quotient", "tpch_q1",
     "op_curate", "op_dedup_pipeline", "op_dedup_embedding", "op_tfidf",
-    "stream_dedup",
-    # never-gated: the remaining TPC-H composition shapes
-    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
-    "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q14",
-    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
-    "tpch_q20", "tpch_q21", "tpch_q22",
-    # never-gated: join operators
-    "op_asof_join", "op_range_join", "op_theta_band",
-    # never-gated: OLAP extensions
-    "op_rollup", "op_grouping_sets", "op_set_intersect", "op_set_except",
-    # never-gated: sampling / mixing
-    "op_weighted_sample", "op_mix",
-    # never-gated: similarity search (lsh/ivf newly value-oracled)
-    "op_ann_bruteforce", "op_ann_lsh", "op_ann_ivf",
-    # never-gated: streaming windows (newly value-oracled) + session/join
-    "stream_tumbling", "stream_sliding", "stream_session", "stream_join",
+    # never-gated: aggregates + catalog-as-data
+    "agg_count_distinct", "agg_percentile", "meta_links",
+    # never-gated: nested outputs — newly value-oracled via canonical
+    # JSON serialization (r3 directive #3)
+    "nested_segment", "topk_per_parent", "op_window_topk",
+    # never-gated: streaming curation + batch-twin window
+    "stream_curate", "op_tumbling_batch",
+    # never-gated: as-of variants
+    "op_asof_forward", "op_asof_nearest",
+    # never-gated: clustering / quantization kernels
+    "op_centroids", "op_kmeans_assign", "op_kmeans_step", "op_quantize",
+    # never-gated: sampling / packing / selection
+    "op_sample_group", "op_pack", "op_select_budget",
+    # never-gated: decontamination tiers
+    "op_contamination", "op_contamination_near",
+    # never-gated: splits
+    "op_split_leakfree", "op_split_stratified",
+    # never-gated: corpus statistics / LM prep
+    "op_corpus_diff", "op_vocab", "op_unigram_lm", "op_embed",
+    "op_bigram_pairs", "op_profile", "op_profile_split",
+    # never-gated: fingerprinting portable twins (value-prove the
+    # xxhash64 production paths bit-for-bit via md5 replays)
+    "op_winnow_portable", "op_winnow_pairs_portable",
+    "op_simhash_portable", "op_simhash_pairs_portable",
+    # never-gated: dedup family remainder
+    "op_dedup_ngram", "op_dedup_incremental", "op_dup_stats",
+    # never-gated: batched ANN
+    "op_ann_batch",
+    # never-gated: multimodal (image/audio/video through REAL codecs —
+    # video now parses a real APNG container)
+    "op_multimodal", "op_asset_meta", "op_audio",
+    "op_image_dedup", "op_video_dedup", "op_frame_sample",
 ]
 assert len(_GATE_ORDER) == 50 and len(set(_GATE_ORDER)) == 50
 _QUERIES = {k: _QUERIES[k] for k in _GATE_ORDER} | {

@@ -90,6 +90,12 @@ HEADLINE = [
     "op_chunk",
     "op_tfidf",
     "op_quantize",
+    "op_pack",
+    "op_kmeans_assign",
+    "op_asof_forward",
+    "op_frame_sample",
+    "op_sample_group",
+    "op_dup_stats",
     "op_funnel",
     "op_retention",
     "op_transitions",

@@ -229,6 +229,11 @@ def minhash_dedup_pairs(
         cands.join(sh.withColumnsRenamed({"doc_id": "a", "sh": "sh_a"}), "a")
         .join(sh.withColumnsRenamed({"doc_id": "b", "sh": "sh_b"}), "b")
         .select("a", "b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        # the threshold predicate is pushed into the projection and
+        # double-evaluates the Jaccard — tolerated HERE because the
+        # candidate set is already LSH-pruned and small (the barrier
+        # that pays off on the uncapped n-gram baseline measured
+        # slower on this pruned path: scheduling overhead > saved eval)
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -361,6 +366,8 @@ def incremental_dup_pairs(
                 F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
                 "origin",
             )
+            # double-eval tolerated on this LSH-pruned candidate set —
+            # see minhash_dedup_pairs for the measured tradeoff
             .filter(F.col("jaccard") >= threshold)
         )
 

@@ -510,8 +510,8 @@ def simhash_near_pairs(
 # ----------------------------------------------------------------------
 # n-gram Jaccard (direct, bucketed)
 # ----------------------------------------------------------------------
-def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_bucket: int = 5000
+def _ngram_scored_pairs(
+    docs: DataFrame, n: int = 3, max_bucket: int = 5000
 ) -> DataFrame:
     """Pairwise character-n-gram Jaccard within (lang, length-bucket)
     buckets — the cheap-bucket baseline for comparison with LSH.
@@ -554,11 +554,18 @@ def ngram_jaccard_pairs(
         & (F.col("l.doc_id") < F.col("r.doc_id")),
     )
     jac = jaccard(F.col("l.g"), F.col("r.g"))
-    scored = pairs.select(
+    return pairs.select(
         F.col("l.doc_id").alias("a"),
         F.col("r.doc_id").alias("b"),
         F.round(jac, 6).alias("jaccard"),
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_bucket: int = 5000
+) -> DataFrame:
+    """Pairs with character-n-gram Jaccard ≥ ``threshold`` — see
+    :func:`_ngram_scored_pairs` for the bucketing/cap plan."""
     # score each pair exactly ONCE: Catalyst pushes the threshold
     # predicate back into the projection (alias substitution), which
     # re-evaluates the whole set comparison in the Filter AND the
@@ -566,6 +573,7 @@ def ngram_jaccard_pairs(
     # The lazy local checkpoint materializes only the tiny
     # (a, b, jaccard) rows (24 bytes each — the gram arrays are gone)
     # and the filter then reads those, never the arrays.
+    scored = _ngram_scored_pairs(docs, n, max_bucket)
     return scored.localCheckpoint(eager=False).filter(
         F.col("jaccard") >= threshold
     )

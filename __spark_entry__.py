@@ -1609,8 +1609,84 @@ def _op_sessionize(spark, sf_dir):
     return analytics.sessionize(_db(spark, sf_dir).table("events"))
 
 
+def _op_bloom_decontam(spark, sf_dir):
+    """Exact-tier decontamination at Bloom cost
+    (operators/sketches.py): the probe set (docs with doc_id % 7 == 0,
+    standing in for an eval split) folds into a broadcast m-bit bloom;
+    the corpus is probed JVM-side (no false negatives ⇒ bloom-clean is
+    exact), and only the ~0.1% false-positive sliver is re-checked
+    with a join.  Output = docs whose content fingerprint is NOT in
+    the probe set — exactly the anti-join the oracle computes."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.sketches import bloom_anti_join
+    from htsql_spark.operators.textstats import fingerprint
+
+    docs = _db(spark, sf_dir).table("documents")
+    fp = docs.withColumn("fp", fingerprint(F.col("text")))
+    probe = fp.filter(F.col("doc_id") % 7 == 0).select("fp")
+    return bloom_anti_join(fp, probe, "fp").select("doc_id", "lang", "source")
+
+
+def _op_hll_distinct(spark, sf_dir):
+    """Mergeable HLL distinct counts (operators/sketches.py), audit
+    form: the raw Datasketches estimate is engine-specific, so the
+    gate-checked VALUES are the exact distinct count plus the sketch's
+    bounded-error guarantee (lgK=14 ⇒ σ≈0.8%, flag at 5%) — a broken
+    sketch path fails the flag, a broken exact path fails the count."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.sketches import hll_distinct
+
+    ev = _db(spark, sf_dir).table("events")
+    est = hll_distinct(ev, ["event_type"], "user_id", lgk=14)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_5pct"),
+    )
+
+
+def _op_chunk_dedup(spark, sf_dir):
+    """Corpus-wide repeated-passage removal
+    (pipeline.dedup_chunks): chunks are kept only at their first
+    corpus occurrence and documents are stitched back together.  Docs
+    0-49 are cloned (doc_id + 300000, same text) so cross-document
+    repeated chunks exist — every clone chunk must drop (clean_text
+    ''), which a broken keep-first rule cannot reproduce."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.pipeline import dedup_chunks
+
+    docs = _db(spark, sf_dir).table("documents")
+    clones = docs.filter("doc_id < 50").select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return dedup_chunks(docs.unionByName(clones), chunk_tokens=16)
+
+
+def _op_classifier(spark, sf_dir):
+    """Hashed bag-of-words linear quality classifier
+    (textstats.classifier_scores): fastText-style hashing-trick model,
+    zero-shuffle, md5-portable weights — scores value-checked exactly
+    against the same arithmetic in SQL."""
+    from htsql_spark.operators.textstats import classifier_scores
+
+    return classifier_scores(_db(spark, sf_dir).table("documents"))
+
+
 _QUERIES.update(
     {
+        "op_bloom_decontam": _op_bloom_decontam,
+        "op_hll_distinct": _op_hll_distinct,
+        "op_chunk_dedup": _op_chunk_dedup,
+        "op_classifier": _op_classifier,
         "op_sessionize": _op_sessionize,
         "op_funnel": _op_funnel,
         "op_retention": _op_retention,
@@ -2794,6 +2870,65 @@ FROM sig x JOIN sig y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 """
         ),
+        # bloom_anti_join has exact anti-join semantics (no false
+        # negatives; FP sliver re-verified), so the oracle is the
+        # plain NOT IN over the same md5 content fingerprint
+        "op_bloom_decontam": r"""
+WITH fps AS (
+  SELECT doc_id, lang, source,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+)
+SELECT doc_id, lang, source FROM fps
+WHERE fp NOT IN (SELECT fp FROM fps WHERE doc_id % 7 = 0)
+""",
+        # the sketch estimate is engine-specific; the gate-checked
+        # values are the exact count and the bounded-error flag
+        "op_hll_distinct": (
+            "SELECT event_type, count(DISTINCT user_id) AS exact_distinct,"
+            " TRUE AS within_5pct FROM events GROUP BY 1"
+        ),
+        "op_chunk_dedup": r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000, text FROM documents WHERE doc_id < 50
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM corpus
+), chunks AS (
+  SELECT doc_id, g.start, array_to_string(w[g.start : g.start + 15], ' ') AS txt
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(w), 1), 16)) AS start) g
+), ranked AS (
+  SELECT doc_id, start, txt,
+         row_number() OVER (PARTITION BY md5(txt) ORDER BY doc_id, start) AS rk
+  FROM chunks
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rk = 1 THEN txt END, ' ' ORDER BY start),
+                '') AS clean_text,
+       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS INT) AS kept_chunks,
+       CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS INT) AS dropped_chunks
+FROM ranked GROUP BY doc_id
+""",
+        # same md5 arithmetic as the Spark hashed_weight column —
+        # bucket from one md5 stream, weight from a second over the
+        # bucket id (bit-portable across engines)
+        "op_classifier": r"""
+WITH t AS (
+  SELECT doc_id, list_transform(
+    regexp_split_to_array(trim(lower(text)), '\s+'),
+    tok -> CAST('0x' || substr(md5('qw|' || CAST(
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 65536
+           AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0 - 0.5
+  ) AS ws
+  FROM documents
+)
+SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
+       round(list_sum(ws) / greatest(len(ws), 1), 6) AS score,
+       (round(list_sum(ws) / greatest(len(ws), 1), 6) > 0.0) AS keep
+FROM t
+""",
     }
 
 

@@ -100,6 +100,10 @@ HEADLINE = [
     "op_retention",
     "op_transitions",
     "op_sessionize",
+    "op_bloom_decontam",
+    "op_hll_distinct",
+    "op_chunk_dedup",
+    "op_classifier",
 ]
 
 

@@ -5,4 +5,4 @@ codegen) except where vectorized Arrow UDFs are genuinely required
 (multimodal decode).
 """
 
-from . import dedup, joins, layout, multimodal, olap, similarity, skew, textstats  # noqa: F401
+from . import dedup, joins, layout, multimodal, olap, similarity, sketches, skew, textstats  # noqa: F401

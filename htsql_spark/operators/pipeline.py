@@ -860,3 +860,72 @@ def redact_pii(
         F.regexp_count(t, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+def dedup_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide repeated-passage removal (the RefinedWeb-style
+    paragraph-dedup stage, generalized to fixed ``chunk_tokens``-token
+    windows since the fixture corpus has no paragraph breaks): every
+    chunk of text is kept only at its FIRST occurrence in the corpus
+    (global order = (doc_id, chunk position)); later occurrences are
+    dropped and the surviving chunks are stitched back into each
+    document.  Catches boilerplate shared ACROSS documents that
+    whole-doc dedup can't see.
+
+    Plan: tokenize → non-overlapping windows (narrow generate/slice,
+    same shape as chunk_documents) → ONE shuffle keyed on the chunk
+    md5 (row_number picks the first occurrence; exact-dup groups are
+    small after upstream dedup so the key is skew-safe) → one
+    group-by-doc to reassemble.  Shuffle payload carries the chunk
+    text once per occurrence — at 100 TB this is the same order as the
+    scan itself, and the reassembly group is keyed by doc_id (uniform).
+
+    Output: (doc_id, clean_text, kept_chunks, dropped_chunks).
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"dedup_chunks: chunk_tokens must be >= 1, got {chunk_tokens}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    exploded = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(chunk_tokens)
+            )
+        ).alias("__start"),
+    )
+    chunks = exploded.select(
+        F.col(id_col),
+        F.col("__start"),
+        F.array_join(F.slice(F.col("__toks"), F.col("__start"), F.lit(chunk_tokens)), " ").alias(
+            "__txt"
+        ),
+    )
+    w = Window.partitionBy(F.md5(F.col("__txt"))).orderBy(id_col, "__start")
+    kept = chunks.withColumn("__rk", F.row_number().over(w))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rk") == 1,
+                                F.struct(F.col("__start"), F.col("__txt")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__txt"],
+                ),
+            ).alias("clean_text"),
+            F.sum((F.col("__rk") == 1).cast("int")).cast("int").alias("kept_chunks"),
+            F.sum((F.col("__rk") > 1).cast("int")).cast("int").alias("dropped_chunks"),
+        )
+    )

@@ -49,6 +49,10 @@ ARROW_OK = {
     "op_kmeans_step",
     # SemDeDup: within-cell pair GEMM is a declared applyInPandas stage
     "op_dedup_semantic",
+    # bloom BUILD folds the small side's bit positions in one Arrow
+    # pass (mapInPandas partial bitsets + applyInPandas OR-merge);
+    # the big-side PROBE stays pure codegen
+    "op_bloom_decontam",
 }
 
 #: nested-loop joins bounded by a broadcast single-row / tiny side:
@@ -84,6 +88,8 @@ NLJ_OK = {
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
+    # the probe side crossJoins the single-row broadcast bloom bitset
+    "op_bloom_decontam",
 }
 
 #: declared caches: the minhash candidate-pair table feeds three

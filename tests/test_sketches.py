@@ -1,0 +1,177 @@
+"""Sketch operators: Bloom anti-join (exact semantics at sketch
+cost), HLL distinct counts, plus the round's other pipeline adds
+(chunk dedup, hashed classifier).  Oracle-grade value checks live in
+test_entry.py via the driver entries; these tests lock the sketch
+GUARANTEES (no false negatives, lossless union) and edge cases the
+driver fixtures don't reach."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from htsql_spark.operators import sketches as S
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_bloom_params_sizing():
+    m, k = S.bloom_params(1000, 0.001)
+    assert m % 8 == 0 and m > 1000  # ~14.4 bits/item at 0.1% fpp
+    assert 5 <= k <= 15
+    assert S.bloom_params(0) == (8, 1)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every member's probe must come back positive — the property
+    the exactness argument rests on.  Probed over the full byte
+    range of positions (hash streams hit bytes >= 0x80, the case the
+    ascii() probe bug silently broke)."""
+    vals = spark.range(2000).select(F.concat(F.lit("v"), F.col("id")).alias("s"))
+    m_bits, k = S.bloom_params(2000, 0.01)
+    bloom = S.build_bloom(vals, "s", m_bits, k)
+    probed = vals.crossJoin(F.broadcast(bloom)).select(
+        S.bloom_might_contain(F.col("s"), F.col("bloom"), m_bits, k).alias("hit")
+    )
+    assert probed.filter(~F.col("hit")).count() == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """Non-members should mostly miss: at fpp=0.01 over 2000 disjoint
+    probes, expect ~20 false positives — assert an order-of-magnitude
+    bound, not the exact draw."""
+    members = spark.range(2000).select(F.concat(F.lit("in"), F.col("id")).alias("s"))
+    others = spark.range(2000).select(F.concat(F.lit("out"), F.col("id")).alias("s"))
+    m_bits, k = S.bloom_params(2000, 0.01)
+    bloom = S.build_bloom(members, "s", m_bits, k)
+    hits = (
+        others.crossJoin(F.broadcast(bloom))
+        .filter(S.bloom_might_contain(F.col("s"), F.col("bloom"), m_bits, k))
+        .count()
+    )
+    assert hits < 200  # 10x the expected ~20
+
+
+def test_bloom_anti_join_equals_exact(spark):
+    """bloom_anti_join ≡ left_anti on the fixture corpus fingerprints
+    (includes natural exact-dup texts across different doc_ids)."""
+    from htsql_spark.operators.textstats import fingerprint
+
+    docs = _docs(spark).withColumn("fp", fingerprint(F.col("text")))
+    probe = docs.filter(F.col("doc_id") % 5 == 0).select("fp")
+    got = S.bloom_anti_join(docs, probe, "fp").select("doc_id")
+    exact = docs.join(probe, "fp", "left_anti").select("doc_id")
+    assert got.exceptAll(exact).count() == 0
+    assert exact.exceptAll(got).count() == 0
+
+
+def test_bloom_anti_join_empty_probe(spark):
+    """Empty small side ⇒ all-zeros bloom ⇒ big side unchanged."""
+    from htsql_spark.operators.textstats import fingerprint
+
+    docs = _docs(spark).withColumn("fp", fingerprint(F.col("text")))
+    probe = docs.filter(F.lit(False)).select("fp")
+    assert S.bloom_anti_join(docs, probe, "fp").count() == docs.count()
+
+
+def test_bloom_decontaminate_matches_audit(spark):
+    """The bloom filter stage and the cross_split_contamination AUDIT
+    agree: no clean doc is flagged, every flagged train doc is
+    removed."""
+    from htsql_spark.operators.pipeline import cross_split_contamination, hash_split
+
+    docs = _docs(spark)
+    clean = S.bloom_decontaminate(docs)
+    flagged = (
+        cross_split_contamination(docs)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    train = hash_split(docs, "doc_id").filter(F.col("split") == "train")
+    assert clean.join(flagged, "doc_id", "left_semi").count() == 0
+    assert clean.count() == train.count() - flagged.count()
+
+
+def test_hll_rollup_lossless(spark):
+    """Union of same-lgK sketches is lossless: rolling daily sketches
+    up to a global estimate equals the direct global estimate."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    direct = S.hll_distinct(ev, [], "user_id").collect()[0][0]
+    sk = S.hll_sketches(ev, ["event_type"], "user_id")
+    rolled = S.hll_rollup(sk, []).collect()[0][0]
+    assert rolled == direct
+
+
+def test_hll_within_error(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    est = {
+        r["event_type"]: r["approx_distinct"]
+        for r in S.hll_distinct(ev, ["event_type"], "user_id").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= max(1, 0.05 * n), (t, est[t], n)
+
+
+def test_dedup_chunks_drops_clone_chunks(spark):
+    """A cloned document's chunks all duplicate the original's, so the
+    clone reassembles to the empty string and the original survives
+    verbatim in token content."""
+    from htsql_spark.operators.pipeline import dedup_chunks
+
+    docs = _docs(spark).filter("doc_id < 20")
+    clones = docs.select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    out = dedup_chunks(docs.unionByName(clones), chunk_tokens=16)
+    clone_rows = out.filter("doc_id >= 9000")
+    assert clone_rows.count() == 20
+    assert clone_rows.filter("clean_text != '' OR kept_chunks != 0").count() == 0
+    # adding the clones must not change the originals' outcome (keep-
+    # first: a larger doc_id can never steal a first occurrence)
+    alone = dedup_chunks(docs, chunk_tokens=16)
+    got = sorted(map(tuple, out.filter("doc_id < 9000").collect()))
+    exp = sorted(map(tuple, alone.collect()))
+    assert got == exp
+
+
+def test_dedup_chunks_reassembles_text(spark):
+    """With no duplicate chunks at all (synthetic disjoint-token
+    docs), clean_text round-trips the whitespace-normalized text."""
+    from htsql_spark.operators.pipeline import dedup_chunks
+
+    rows = [
+        (i, " ".join(f"tok{i}_{j}" for j in range(40))) for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in dedup_chunks(docs, 16).collect()}
+    src = {i: t for i, t in rows}
+    assert out == src
+
+
+def test_classifier_scores_shape_and_determinism(spark):
+    from htsql_spark.operators.textstats import classifier_scores
+
+    docs = _docs(spark).filter("doc_id < 50")
+    a = classifier_scores(docs).collect()
+    b = classifier_scores(docs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        assert r["keep"] == (r["score"] > 0.0)
+        assert -0.5 <= r["score"] <= 0.5
+
+
+def test_classifier_threshold_monotone(spark):
+    """Raising the threshold can only shrink the kept set."""
+    from htsql_spark.operators.textstats import classifier_scores
+
+    docs = _docs(spark)
+    low = classifier_scores(docs, threshold=-0.01).filter("keep").count()
+    high = classifier_scores(docs, threshold=0.01).filter("keep").count()
+    assert high <= low

@@ -1681,9 +1681,62 @@ def _op_classifier(spark, sf_dir):
     return classifier_scores(_db(spark, sf_dir).table("documents"))
 
 
+def _op_bloom_ngram(spark, sf_dir):
+    """Bloom-accelerated n-gram decontamination FILTER
+    (sketches.bloom_ngram_decontaminate): same corpus and planted
+    contaminated clones as the op_contamination_ngram AUDIT fixture
+    (doc_id + 700000, appended marker tail) and the same word-8-gram
+    rule, but the train side is probed inline against a broadcast
+    bloom of the eval grams — no train-side shuffle.  Output = the
+    surviving train documents (exact shared-gram semantics: bloom has
+    no false negatives, FP sliver exact-verified)."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.sketches import bloom_ngram_decontaminate
+
+    docs = _db(spark, sf_dir).table("documents")
+    clones = docs.select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz contaminated tail marker")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(clones)
+    return bloom_ngram_decontaminate(corpus, n=8).select("doc_id", "lang", "source")
+
+
+def _op_heavy_hitters(spark, sf_dir):
+    """Exact frequent bigrams at sketch cost
+    (sketches.heavy_hitters): per-partition Misra-Gries candidate
+    summaries + broadcast-restricted recount — the full bigram
+    vocabulary is never shuffled.  Output is EXACT (pair, cnt, freq)
+    for bigrams with frequency >= 0.15%, so the oracle is the plain
+    GROUP BY truth."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.sketches import heavy_hitters
+
+    docs = _db(spark, sf_dir).table("documents")
+    d = docs.select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    pairs = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+                ),
+            )
+        ).alias("pair")
+    )
+    return heavy_hitters(pairs, "pair", min_freq=0.0015)
+
+
 _QUERIES.update(
     {
         "op_bloom_decontam": _op_bloom_decontam,
+        "op_bloom_ngram": _op_bloom_ngram,
+        "op_heavy_hitters": _op_heavy_hitters,
         "op_hll_distinct": _op_hll_distinct,
         "op_chunk_dedup": _op_chunk_dedup,
         "op_classifier": _op_classifier,
@@ -2881,6 +2934,53 @@ WITH fps AS (
 )
 SELECT doc_id, lang, source FROM fps
 WHERE fp NOT IN (SELECT fp FROM fps WHERE doc_id % 7 = 0)
+""",
+        # the bloom n-gram FILTER has exact shared-gram semantics, so
+        # the oracle is the NOT IN over the same gram definition and
+        # hash_split assignment as the _CONTAM_NGRAM audit
+        "op_bloom_ngram": f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 700000 AS doc_id,
+         text || ' zz contaminated tail marker' AS text, lang, source
+  FROM documents
+),
+d AS (
+  SELECT doc_id, lang, source,
+    CASE WHEN {_H_SPLIT} < '{_T_TRAIN}' THEN 'train'
+         WHEN {_H_SPLIT} < '{_T_VALID}' THEN 'valid'
+         ELSE 'test' END AS split,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM corpus
+),
+g AS (
+  SELECT doc_id, split,
+    unnest(list_distinct(list_transform(range(1, len(ws) - 6),
+           i -> md5(array_to_string(ws[i:i+7], ' '))))) AS g
+  FROM d WHERE len(ws) >= 8
+),
+contam AS (
+  SELECT DISTINCT doc_id FROM g WHERE split = 'train'
+    AND g IN (SELECT g FROM g WHERE split IN ('valid', 'test'))
+)
+SELECT doc_id, lang, source FROM d
+WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM contam)
+""",
+        # heavy_hitters is exact by construction (MG candidates +
+        # recount), so the oracle is the plain GROUP BY truth
+        "op_heavy_hitters": r"""
+WITH d AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents
+), b AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i+1])) AS pair
+  FROM d WHERE len(ws) >= 2
+), c AS (
+  SELECT pair, count(*) AS cnt FROM b GROUP BY 1
+), t AS (SELECT sum(cnt) AS n FROM c)
+SELECT pair, cnt, round(cnt * 1.0 / n, 6) AS freq
+FROM c, t WHERE cnt >= n * 0.0015
 """,
         # the sketch estimate is engine-specific; the gate-checked
         # values are the exact count and the bounded-error flag

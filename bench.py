@@ -101,6 +101,8 @@ HEADLINE = [
     "op_transitions",
     "op_sessionize",
     "op_bloom_decontam",
+    "op_bloom_ngram",
+    "op_heavy_hitters",
     "op_hll_distinct",
     "op_chunk_dedup",
     "op_classifier",

@@ -44,11 +44,11 @@ from pyspark.sql import functions as F
 
 def bloom_params(n_items: int, fpp: float = 0.001) -> tuple[int, int]:
     """Classic Bloom sizing: optimal bits m = -n·ln(p)/ln(2)² rounded
-    up to a whole byte, k = m/n·ln(2) hash functions."""
+    up to a whole 64-bit word, k = m/n·ln(2) hash functions."""
     if n_items <= 0:
-        return 8, 1
+        return 64, 1
     m = int(-n_items * math.log(fpp) / (math.log(2) ** 2))
-    m = max(8, (m + 7) // 8 * 8)
+    m = max(64, (m + 63) // 64 * 64)
     k = max(1, round(m / n_items * math.log(2)))
     return m, k
 
@@ -67,8 +67,9 @@ def _positions(value: Column, m_bits: int, num_hashes: int) -> list[Column]:
 def build_bloom(
     df: DataFrame, col: str, m_bits: int, num_hashes: int
 ) -> DataFrame:
-    """Fold ``df[col]`` into a single-row DataFrame ``(bloom: binary)``
-    of ``m_bits`` bits.
+    """Fold ``df[col]`` into a single-row DataFrame
+    ``(bloom: array<long>)`` of ``m_bits`` bits packed 64 per word
+    (the word layout the ``getbit`` probe reads).
 
     Plan: positions are computed JVM-side (explode of k pmod-xxhash64
     columns, narrow), then ONE Arrow pass builds a partial bitset per
@@ -80,61 +81,145 @@ def build_bloom(
     two-level tree merge drops that 1000× to √1000× if m grows; not
     needed at current sizes.)
     """
-    if m_bits % 8 != 0 or m_bits <= 0:
-        raise ValueError(f"m_bits must be a positive multiple of 8, got {m_bits}")
-    nbytes = m_bits // 8
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    nwords = m_bits // 64
     pos = df.select(
         F.explode(F.array(*_positions(F.col(col), m_bits, num_hashes))).alias("p")
     )
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bits = np.zeros(nbytes, dtype=np.uint8)
+        bits = np.zeros(nwords, dtype=np.uint64)
         seen = False
         for pdf in batches:
             p = pdf["p"].to_numpy(dtype=np.int64)
-            np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
+            np.bitwise_or.at(
+                bits, p >> 6, np.uint64(1) << (p & 63).astype(np.uint64)
+            )
             seen = True
         if seen:
-            yield pd.DataFrame({"g": [0], "bits": [bits.tobytes()]})
+            yield pd.DataFrame({"g": [0], "bits": [bits.view(np.int64).tolist()]})
 
-    part = pos.mapInPandas(partials, "g int, bits binary")
+    part = pos.mapInPandas(partials, "g int, bits array<bigint>")
     # seed row: guarantees exactly one output row even for an empty
     # build side (empty eval set ⇒ all-zeros bloom ⇒ nothing flagged)
     seed = df.sparkSession.createDataFrame(
-        [(0, bytearray(nbytes))], "g int, bits binary"
+        [(0, [0] * nwords)], "g int, bits array<bigint>"
     )
 
     def merge(_key, pdf):
         acc = np.bitwise_or.reduce(
-            [np.frombuffer(b, dtype=np.uint8) for b in pdf["bits"]]
+            [np.asarray(b, dtype=np.int64) for b in pdf["bits"]]
         )
-        return pd.DataFrame({"bloom": [acc.tobytes()]})
+        return pd.DataFrame({"bloom": [acc.tolist()]})
 
-    return part.unionByName(seed).groupBy("g").applyInPandas(merge, "bloom binary")
+    return (
+        part.unionByName(seed).groupBy("g").applyInPandas(merge, "bloom array<bigint>")
+    )
+
+
+#: above this bitset size the word-array literal stops being the right
+#: vehicle: PySpark builds array literals one py4j ``lit`` per element
+#: and every analyzer/optimizer rule then walks the 10k-child
+#: CreateArray node — measured ~6 s of pure DRIVER time at 10,775
+#: words, dwarfing the probe itself.  Past the cap the probe switches
+#: to the Arrow path (SparkContext broadcast + vectorized bit tests).
+LITERAL_MAX_WORDS = 1024
+
+
+def bloom_words(df: DataFrame, col: str, m_bits: int, num_hashes: int) -> list[int]:
+    """Build the bloom over ``df[col]`` and return the packed 64-bit
+    words — the model-artifact form (same boundary as collecting the
+    k-means centroid matrix in operators/similarity.py: m/8 bytes of
+    model state, never row data).  Eager: runs the build job now."""
+    row = build_bloom(df, col, m_bits, num_hashes).head()
+    return list(row["bloom"])
+
+
+def bloom_hits(
+    df: DataFrame,
+    col: str,
+    words: list[int],
+    m_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Rows of ``df`` whose ``col`` the bloom reports as (maybe)
+    present.  Picks the probe vehicle by bitset size: small blooms
+    embed as a plan literal (constant-folded, probed in whole-stage
+    codegen); large ones ride a SparkContext broadcast probed in one
+    vectorized Arrow pass.  Both are narrow — no shuffle, no per-row
+    copies of the bitset."""
+    if len(words) <= LITERAL_MAX_WORDS:
+        # explicit element type: lit() infers array<int> when every
+        # word happens to fit 32 bits, and getbit then rejects (or
+        # mis-scopes) positions >= 32
+        lit = F.lit([int(x) for x in words]).cast("array<bigint>")
+        return df.filter(bloom_might_contain(F.col(col), lit, m_bits, num_hashes))
+    probed = bloom_probe_arrow(df, col, words, m_bits, num_hashes, flag="__hit")
+    return probed.filter(F.col("__hit")).drop("__hit")
 
 
 def bloom_might_contain(
     value: Column, bloom: Column, m_bits: int, num_hashes: int
 ) -> Column:
-    """Pure built-in probe: for each of the k positions, extract the
-    byte with ``conv(hex(substring(bloom, p div 8 + 1, 1)), 16, 10)``
-    and test the bit with an AND mask (mask = 2^(p mod 8), exact for
-    exponents 0..7).  O(k) byte lookups inside codegen — no UDF on the
-    probe (big) side.  (NOT ``ascii(...)``: that casts the byte
-    through UTF-8, and a lone byte ≥ 0x80 is invalid UTF-8 — it
-    decodes to U+FFFD and silently breaks half the bit tests.)"""
+    """Pure built-in probe, two cheap ops per hash:
+    ``getbit(element_at(bloom, p div 64 + 1), p mod 64)`` — word
+    lookup in the literal array plus a bit test, all inside codegen,
+    no UDF on the probe (big) side.  (Earlier byte-wise designs died
+    on semantics or cost: ``ascii(substring(...))`` decodes bytes ≥
+    0x80 through UTF-8 into U+FFFD — silent false negatives — and
+    ``conv(hex(substring(...)))`` is a string round-trip per hash.)"""
     checks = []
     for p in _positions(value, m_bits, num_hashes):
-        byte = (
-            F.conv(F.hex(F.substring(bloom, (F.floor(p / 8) + 1).cast("int"), 1)), 16, 10)
-            .cast("int")
-        )
-        mask = F.pow(F.lit(2.0), F.pmod(p, F.lit(8))).cast("int")
-        checks.append(byte.bitwiseAND(mask) != 0)
+        word = F.element_at(bloom, F.shiftright(p, 6).cast("int") + F.lit(1))
+        checks.append(F.getbit(word, F.pmod(p, F.lit(64))) == F.lit(1))
     out = checks[0]
     for c in checks[1:]:
         out = out & c
     return out
+
+
+def bloom_probe_arrow(
+    df: DataFrame,
+    col: str,
+    words: list[int],
+    m_bits: int,
+    num_hashes: int,
+    flag: str = "bloom_hit",
+) -> DataFrame:
+    """Membership probe for blooms too big to embed as a plan literal
+    (eval sets of 10M+ items → bitsets of tens/hundreds of MB): the k
+    bit POSITIONS are still computed JVM-side (the hash stays
+    xxhash64 inside codegen), and one Arrow pass tests them against a
+    SparkContext broadcast of the bitset — one copy per executor,
+    vectorized ``(bits[p >> 6] >> (p & 63)) & 1`` in numpy.  Appends a
+    boolean ``flag`` column; narrow, no shuffle."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(words, dtype=np.int64).view(np.uint64)
+    )
+    with_pos = df.withColumn(
+        "__pos", F.array(*_positions(F.col(col), m_bits, num_hashes))
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = bc.value
+        for pdf in batches:
+            pos = np.stack(pdf["__pos"].to_numpy()).astype(np.int64)
+            hit = (
+                (bits[pos >> 6] >> (pos & 63).astype(np.uint64))
+                & np.uint64(1)
+            ).astype(bool).all(axis=1)
+            out = pdf.drop(columns=["__pos"])
+            out[flag] = hit
+            yield out
+
+    out_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        + f", {flag} boolean"
+    )
+    return with_pos.mapInPandas(probe, out_schema)
 
 
 def bloom_anti_join(
@@ -148,16 +233,28 @@ def bloom_anti_join(
     exact anti-join semantics at Bloom cost.
 
     Plan (the 100 TB story): (1) fold ``small[on]`` into an m-bit
-    bloom (one Arrow pass over the SMALL side); (2) broadcast the
-    1-row bloom and probe every ``big`` row JVM-side — rows the bloom
-    rejects are DEFINITELY clean (no false negatives) and never enter
-    any join; (3) the bloom-positive sliver (true matches + ~fpp false
-    positives) is exact-verified with a left-semi join against the
-    small side, and the verified ids — a tiny set — are broadcast
-    back as a left-anti filter.  The big side is never shuffled; it is
-    scanned twice (once to compute the sliver ids, once to filter),
-    both scans columnar and filter-pushed, which at scale is far
-    cheaper than one full-width shuffle of its fingerprints.
+    bloom (one Arrow pass over the SMALL side) and materialize the
+    bitset ONCE as a plan literal — a model artifact exactly like the
+    k-means centroid matrix (operators/similarity.py), shipped to
+    executors inside the task binary, NOT carried as a per-row column
+    (a crossJoined bitset column re-materializes m/8 bytes into every
+    probe row's UnsafeRow — measured 77 s vs 2 s at sf0.1 for the
+    n-gram variant); (2) probe every ``big`` row JVM-side — rows the
+    bloom rejects are DEFINITELY clean (no false negatives) and never
+    enter any join; (3) the bloom-positive sliver (true matches +
+    ~fpp false positives) is exact-verified with a left-semi join
+    against the small side, and the verified ids — a tiny set — are
+    broadcast back as a left-anti filter.  The big side is never
+    shuffled; it is scanned twice (once to compute the sliver ids,
+    once to filter), both scans columnar and filter-pushed, which at
+    scale is far cheaper than one full-width shuffle of its
+    fingerprints.
+
+    Sizing boundary: the literal is the right vehicle up to a few MB
+    of bitset (~1M probe items at 0.1% fpp).  Past that, switch the
+    probe to ``bloom_probe_arrow`` (positions stay JVM-computed, bit
+    tests run vectorized in Arrow against a SparkContext broadcast of
+    the bitset — one copy per executor, any m).
 
     ``n_items``: expected small-side cardinality for sizing; by
     default it is computed with one count() over the small side
@@ -166,11 +263,8 @@ def bloom_anti_join(
     if n_items is None:
         n_items = small.count()
     m_bits, k = bloom_params(n_items, fpp)
-    bloom = build_bloom(small, on, m_bits, k)
-    tagged = big.crossJoin(F.broadcast(bloom))
-    maybe = tagged.filter(
-        bloom_might_contain(F.col(on), F.col("bloom"), m_bits, k)
-    ).drop("bloom")
+    words = bloom_words(small, on, m_bits, k)
+    maybe = bloom_hits(big, on, words, m_bits, k)
     confirmed = (
         maybe.select(on)
         .join(small.select(on), on, "left_semi")
@@ -243,4 +337,160 @@ def hll_rollup(sketches: DataFrame, by: list[str]) -> DataFrame:
     grouped = sketches.groupBy(*by) if by else sketches.groupBy()
     return grouped.agg(
         F.expr("hll_sketch_estimate(hll_union_agg(hll))").alias("approx_distinct")
+    )
+
+
+def bloom_ngram_decontaminate(
+    docs: DataFrame,
+    n: int = 8,
+    key: str = "doc_id",
+    text_col: str = "text",
+    train: str = "train",
+    eval_splits: tuple[str, ...] = ("valid", "test"),
+    salt: str = "split",
+    fpp: float = 0.001,
+) -> DataFrame:
+    """Partial-contamination filter at Bloom cost: drop from the TRAIN
+    split every document sharing at least one word-``n``-gram with an
+    eval document (the GPT-3 §C / Gopher 13-gram rule, as a FILTER
+    rather than ``ngram_contamination``'s audit-pair report).
+
+    The 100 TB shape: the eval side's gram set (small — eval corpora
+    are MBs, not TBs) folds into a bloom whose word array constant-
+    folds into the task binary; train grams explode (narrow, streamed
+    — row expansion, NOT a shuffle) and are probed inside whole-stage
+    codegen.  Deliberately NOT an ``exists`` lambda over the gram
+    array: Spark higher-order functions evaluate their lambda
+    INTERPRETED, per element — measured 27 s vs sub-second for the
+    identical probe arithmetic via explode + codegen filter.  Bloom
+    false positives would drop clean docs, so bloom-positive grams —
+    the tiny sliver — are re-checked exactly against the eval gram
+    table, and only CONFIRMED doc ids (broadcast) are anti-joined
+    out.  The only shuffle anywhere is the distinct over those
+    contaminated-doc ids.  Output = surviving train documents,
+    exactly the shared-gram rule.
+
+    Same tokenization and window rule as ``ngram_contamination``;
+    gram identity here is ``xxhash64`` over the window's words
+    directly (no md5, no string concat — this is a production filter
+    with no oracle-replica obligation on the internal hash: two
+    documents share a gram iff they share its 64-bit hash, up to a
+    ~2^-64 collision).  Gram rows are produced by exploding the
+    window START positions and hashing in plain codegen expressions —
+    NOT by a ``transform``/``exists`` lambda over a gram array: Spark
+    evaluates higher-order-function lambdas interpreted, per element,
+    and a ``withColumn``-chained gram array additionally collapses
+    the split() into every ``element_at`` read (measured 40 s vs
+    0.3 s at sf0.1 for the identical gram stream).
+    """
+    from .pipeline import hash_split
+
+    if n < 1:
+        raise ValueError(f"bloom_ngram_decontaminate: n must be >= 1, got {n}")
+    base = hash_split(docs, key, salt=salt).withColumn(
+        "__w", F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    )
+    tr = base.filter(F.col("split") == train)
+
+    def side_grams(df: DataFrame) -> DataFrame:
+        w = F.col("__w")
+        # guard short docs BEFORE explode: sequence(1, stop) DESCENDS
+        # for stop < 1, which would emit out-of-range positions whose
+        # null-padded hashes spuriously collide across short docs
+        starts = F.when(
+            F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        posed = df.select(F.col(key), w.alias("__w"), F.explode(starts).alias("__i"))
+        return posed.select(
+            F.col(key),
+            F.xxhash64(
+                *[F.element_at(F.col("__w"), F.col("__i") + j) for j in range(n)]
+            ).alias("g"),
+        )
+
+    # the eval gram table is consumed 3x (count, bloom build, sliver
+    # verify) and is small by the operator's contract — pin it with an
+    # eager localCheckpoint instead of recomputing the explode+distinct
+    ev_grams = (
+        side_grams(base.filter(F.col("split").isin(list(eval_splits))))
+        .select("g")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_items = ev_grams.count()
+    m_bits, k = bloom_params(n_items, fpp)
+    words = bloom_words(ev_grams, "g", m_bits, k)
+    confirmed = (
+        bloom_hits(side_grams(tr), "g", words, m_bits, k)
+        .join(ev_grams, "g", "left_semi")
+        .select(key)
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(confirmed), key, "left_anti")
+        .drop("__w", "split")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, min_freq: float = 0.01
+) -> DataFrame:
+    """EXACT frequent-items: every distinct ``col`` value with global
+    frequency ≥ ``min_freq``, with its exact count — found at sketch
+    cost (Misra-Gries candidates + a recount restricted to them).
+
+    Why not a plain groupBy at 100 TB: the full distinct-item table
+    (e.g. a web corpus vocabulary) is billions of rows; the shuffle
+    materializes all of it to find the handful of frequent items.
+    Here each partition streams through a bounded Misra-Gries summary
+    (capacity c = ceil(2/min_freq) counters, classic decrement
+    sketch): if an item's GLOBAL count exceeds n/c, some partition has
+    count_p > n_p/c (else summing the per-partition bounds would
+    contradict the global count), and MG with capacity c never evicts
+    an item with count_p > n_p/c — so the union of partition summaries
+    contains every true heavy hitter.  The recount pass filters to the
+    ≤ c·P candidate values (broadcast) and aggregates — map-side
+    combine makes the shuffle ≤ c·P rows per partition.  Output is
+    exact (no false positives survive the recount threshold; the MG
+    margin of 2 rules out false negatives).
+
+    Returns (``col``, cnt, freq) for items with freq ≥ min_freq.
+    """
+    if not (0 < min_freq <= 1):
+        raise ValueError(f"heavy_hitters: min_freq must be in (0, 1], got {min_freq}")
+    capacity = max(1, math.ceil(2.0 / min_freq))
+    vals = df.select(F.col(col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+
+    def mg_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v, c in pdf["v"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+                if len(counters) > capacity:
+                    # decrement step: subtract the (capacity+1)-th
+                    # smallest count from everyone, evict <= 0
+                    dec = sorted(counters.values())[len(counters) - capacity - 1]
+                    counters = {
+                        k: n - dec for k, n in counters.items() if n - dec > 0
+                    }
+        if counters:
+            yield pd.DataFrame({"v": list(counters.keys())})
+
+    candidates = (
+        vals.mapInPandas(mg_partials, "v string").distinct()
+    )
+    total = vals.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        vals.join(F.broadcast(candidates), "v", "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.col("__n") * F.lit(min_freq))
+        .select(
+            F.col("v").alias(col),
+            F.col("cnt"),
+            F.round(F.col("cnt") / F.col("__n"), 6).alias("freq"),
+        )
     )

@@ -53,6 +53,9 @@ ARROW_OK = {
     # pass (mapInPandas partial bitsets + applyInPandas OR-merge);
     # the big-side PROBE stays pure codegen
     "op_bloom_decontam",
+    "op_bloom_ngram",
+    # Misra-Gries candidate summaries are a declared mapInPandas pass
+    "op_heavy_hitters",
 }
 
 #: nested-loop joins bounded by a broadcast single-row / tiny side:
@@ -88,8 +91,8 @@ NLJ_OK = {
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
-    # the probe side crossJoins the single-row broadcast bloom bitset
-    "op_bloom_decontam",
+    # heavy_hitters crossJoins the single-row broadcast total count
+    "op_heavy_hitters",
 }
 
 #: declared caches: the minhash candidate-pair table feeds three

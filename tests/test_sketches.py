@@ -18,9 +18,9 @@ def _docs(spark):
 
 def test_bloom_params_sizing():
     m, k = S.bloom_params(1000, 0.001)
-    assert m % 8 == 0 and m > 1000  # ~14.4 bits/item at 0.1% fpp
+    assert m % 64 == 0 and m > 1000  # ~14.4 bits/item at 0.1% fpp
     assert 5 <= k <= 15
-    assert S.bloom_params(0) == (8, 1)
+    assert S.bloom_params(0) == (64, 1)
 
 
 def test_bloom_no_false_negatives(spark):
@@ -175,3 +175,87 @@ def test_classifier_threshold_monotone(spark):
     low = classifier_scores(docs, threshold=-0.01).filter("keep").count()
     high = classifier_scores(docs, threshold=0.01).filter("keep").count()
     assert high <= low
+
+
+def test_bloom_ngram_decontaminate_matches_exact_rule(spark):
+    """Filter output == hash_split-train minus docs sharing >= 1
+    8-gram with any eval doc (uncapped ngram_contamination truth)."""
+    from htsql_spark.operators.pipeline import hash_split, ngram_contamination
+
+    docs = _docs(spark)
+    clean = S.bloom_ngram_decontaminate(docs, n=8)
+    aud = (
+        ngram_contamination(docs, n=8, max_postings=10**9)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    train = hash_split(docs, "doc_id").filter("split = 'train'")
+    exact = train.join(aud, "doc_id", "left_anti").select("doc_id")
+    got = clean.select("doc_id")
+    assert got.exceptAll(exact).count() == 0
+    assert exact.exceptAll(got).count() == 0
+
+
+def test_bloom_ngram_short_docs_survive(spark):
+    """Docs below n tokens emit no grams and can never be flagged."""
+    rows = [(1, "a b c"), (2, "a b c"), (3, "x y z")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = S.bloom_ngram_decontaminate(docs, n=8, eval_splits=("valid", "test"))
+    # every train-split doc survives regardless of shared short text
+    from htsql_spark.operators.pipeline import hash_split
+
+    train_n = (
+        hash_split(docs, "doc_id").filter("split = 'train'").count()
+    )
+    assert out.count() == train_n
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    """MG candidates + recount == the full GROUP BY truth on the
+    fixture's token stream (several thresholds)."""
+    docs = _docs(spark)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
+    total = toks.count()
+    for min_freq in (0.005, 0.02, 0.04):
+        hh = S.heavy_hitters(toks, "w", min_freq)
+        exact = (
+            toks.groupBy("w")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= total * min_freq)
+        )
+        assert (
+            hh.select("w", "cnt").exceptAll(exact).count() == 0
+            and exact.exceptAll(hh.select("w", "cnt")).count() == 0
+        ), min_freq
+
+
+def test_heavy_hitters_skewed_across_partitions(spark):
+    """A heavy item spread thinly across many partitions (never
+    locally dominant in any single batch order) must still surface —
+    the cross-partition union guarantee."""
+    import itertools
+
+    # 64 partitions; 'hot' is 10% overall but interleaved with noise
+    rows = []
+    uid = itertools.count()
+    for i in range(6400):
+        rows.append((next(uid), "hot" if i % 10 == 0 else f"noise{i}"))
+    df = spark.createDataFrame(rows, "id long, v string").repartition(64)
+    hh = S.heavy_hitters(df, "v", min_freq=0.05)
+    got = {r["v"]: r["cnt"] for r in hh.collect()}
+    assert got == {"hot": 640}
+
+
+def test_heavy_hitters_partitioning_invariant(spark):
+    """Same output whatever the physical layout."""
+    docs = _docs(spark)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
+    a = sorted(map(tuple, S.heavy_hitters(toks, "w", 0.02).collect()))
+    b = sorted(
+        map(tuple, S.heavy_hitters(toks.repartition(37), "w", 0.02).collect())
+    )
+    assert a == b

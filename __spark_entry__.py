@@ -1653,6 +1653,45 @@ def _op_hll_distinct(spark, sf_dir):
     )
 
 
+def _op_hll_rollup(spark, sf_dir):
+    """The sketch-union contract (sketches.hll_sketches/hll_rollup):
+    per-(event_type, day) sketch states are rolled up to per-type
+    distinct counts WITHOUT rescanning rows.  Union at equal lgK is
+    lossless, so the rolled-up estimate must EQUAL the direct
+    estimate — the gate checks exact counts plus two guarantees
+    (rollup≡direct, both within 5% of exact)."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.sketches import hll_distinct, hll_rollup, hll_sketches
+
+    ev = _db(spark, sf_dir).table("events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = hll_sketches(ev, ["event_type", "day"], "user_id")
+    rolled = hll_rollup(daily, ["event_type"]).withColumnRenamed(
+        "approx_distinct", "rolled"
+    )
+    direct = hll_distinct(ev, ["event_type"], "user_id").withColumnRenamed(
+        "approx_distinct", "direct"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        rolled.join(direct, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            (F.col("rolled") == F.col("direct")).alias("rollup_lossless"),
+            (
+                F.abs(F.col("rolled") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("within_5pct"),
+        )
+    )
+
+
 def _op_chunk_dedup(spark, sf_dir):
     """Corpus-wide repeated-passage removal
     (pipeline.dedup_chunks): chunks are kept only at their first
@@ -1737,6 +1776,7 @@ _QUERIES.update(
         "op_bloom_decontam": _op_bloom_decontam,
         "op_bloom_ngram": _op_bloom_ngram,
         "op_heavy_hitters": _op_heavy_hitters,
+        "op_hll_rollup": _op_hll_rollup,
         "op_hll_distinct": _op_hll_distinct,
         "op_chunk_dedup": _op_chunk_dedup,
         "op_classifier": _op_classifier,
@@ -2987,6 +3027,11 @@ FROM c, t WHERE cnt >= n * 0.0015
         "op_hll_distinct": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct,"
             " TRUE AS within_5pct FROM events GROUP BY 1"
+        ),
+        "op_hll_rollup": (
+            "SELECT event_type, count(DISTINCT user_id) AS exact_distinct,"
+            " TRUE AS rollup_lossless, TRUE AS within_5pct"
+            " FROM events GROUP BY 1"
         ),
         "op_chunk_dedup": r"""
 WITH corpus AS (

@@ -104,6 +104,7 @@ HEADLINE = [
     "op_bloom_ngram",
     "op_heavy_hitters",
     "op_hll_distinct",
+    "op_hll_rollup",
     "op_chunk_dedup",
     "op_classifier",
 ]

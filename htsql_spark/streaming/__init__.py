@@ -16,4 +16,5 @@ from .curate import (  # noqa: F401
     curate_stream,
     read_documents_stream,
     run_dedup_ingest,
+    run_exact_dedup_ingest,
 )

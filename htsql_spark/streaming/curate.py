@@ -240,3 +240,98 @@ def curate_stream(
     else:
         deduped = scored.dropDuplicates(["fp"])
     return hash_split(deduped.drop("fp"), "doc_id", weights)
+
+
+def run_exact_dedup_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    archive_path: str,
+    fpp: float = 0.001,
+) -> None:
+    """Continuous EXACT-dedup ingest: each micro-batch keeps only
+    documents whose normalized-content fingerprint has never been
+    archived, and appends survivors (with their ``fp`` column, so the
+    archive is probe-ready) to a per-batch subdirectory.
+
+    This is the bloom INVERSION of :func:`run_dedup_ingest`'s
+    index-maintenance design: instead of keeping a secondary band
+    index in step with the archive, the BATCH (small) folds into a
+    bloom (operators/sketches.py) and the ever-growing ARCHIVE is
+    scanned narrowly — fp column only, filter-pushed, never shuffled —
+    probing batch membership.  Bloom false positives only cost the
+    tiny fp equi-join that confirms them; false negatives don't
+    exist, so no duplicate ever slips through.  The trade: per-batch
+    work is O(archive scan) instead of O(index lookup) — right when
+    batches are frequent-ish and the archive's fp column is compact
+    columnar; the band-index loop stays the right choice for NEAR-dup
+    semantics or very high trigger rates.
+
+    Delivery semantics match run_dedup_ingest: offsets are
+    exactly-once via the checkpoint, foreachBatch bodies re-run on
+    crash-retry, so the archive write is idempotent (per-batch
+    subdirectory, overwritten) and the batch's own doc_ids are
+    excluded from the archive side before probing — a retry must not
+    drop documents by matching its own crashed attempt's rows.
+    Within-batch exact dups keep the min doc_id."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        _process_exact_batch(spark, batch, batch_id, archive_path, fpp)
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{archive_path}__checkpoint")
+        .start()
+        .awaitTermination()
+    )
+
+
+def _process_exact_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    archive_path: str,
+    fpp: float,
+) -> None:
+    """One micro-batch of the exact-dedup loop (module-level so the
+    crash-retry contract is directly testable)."""
+    from pyspark.sql import Window as BW
+    from pyspark.sql import functions as BF
+
+    from ..operators.sketches import bloom_hits, bloom_params, bloom_words
+    from ..operators.textstats import fingerprint
+
+    batch = batch.dropDuplicates(["doc_id"]).withColumn(
+        "fp", fingerprint(BF.col("text"))
+    )
+    # within-batch exact dedup: keep min doc_id per fingerprint
+    w = BW.partitionBy("fp")
+    batch = (
+        batch.withColumn("__keep", BF.min("doc_id").over(w))
+        .filter(BF.col("doc_id") == BF.col("__keep"))
+        .drop("__keep")
+    )
+    try:
+        archive = spark.read.parquet(archive_path)
+        have_archive = True
+    except Exception:
+        have_archive = False
+    if have_archive:
+        # crash-retry guard: exclude this batch's own rows (a crashed
+        # attempt may have written batch=N before the checkpoint
+        # committed)
+        arch_fps = archive.join(
+            BF.broadcast(batch.select("doc_id")), "doc_id", "left_anti"
+        ).select("fp")
+        batch_fps = batch.select("fp")
+        n = batch_fps.count()
+        m_bits, k = bloom_params(n, fpp)
+        words = bloom_words(batch_fps, "fp", m_bits, k)
+        # narrow archive scan: bloom-positive archive fps (true dups +
+        # ~fpp sliver), then the exact anti-join confirms — a sliver
+        # fp that isn't really in the batch simply matches nothing
+        dup_fps = bloom_hits(arch_fps, "fp", words, m_bits, k).distinct()
+        survivors = batch.join(BF.broadcast(dup_fps), "fp", "left_anti")
+    else:
+        survivors = batch
+    survivors.write.mode("overwrite").parquet(f"{archive_path}/batch={batch_id}")

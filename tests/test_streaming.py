@@ -463,3 +463,98 @@ def test_ingest_orphan_cleanup_refuses_foreign_dir(spark, tmp_path):
         import shutil
 
         shutil.rmtree(victim, ignore_errors=True)
+
+
+def test_run_exact_dedup_ingest_two_batches(spark, tmp_path):
+    """Bloom-exact streaming ingest: batch 2's exact copies of batch 1
+    docs are dropped, genuinely new docs land, and the archive's
+    fingerprint set equals the batch-dedup truth over the corpus."""
+    import os
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from htsql_spark import streaming
+    from htsql_spark.engine import HTSQL
+    from htsql_spark.operators.textstats import fingerprint
+    from tests.conftest import SF_DIR
+
+    docs = HTSQL(spark, SF_DIR).table("documents")
+    land = tmp_path / "landing"
+    batch1 = docs.filter("doc_id < 30")
+    batch2 = (
+        docs.filter("doc_id >= 30 AND doc_id < 50")
+        .unionByName(
+            # exact copies of batch-1 docs under new ids: must drop
+            batch1.filter("doc_id < 10").select(
+                (F.col("doc_id") + 70000).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+        )
+    )
+    batch1.coalesce(1).write.parquet(str(land / "b1"))
+    batch2.coalesce(1).write.parquet(str(land / "b2"))
+    now = _t.time()
+    for sub, ts in (("b1", now - 60), ("b2", now)):
+        for f in (land / sub).glob("*.parquet"):
+            os.utime(f, (ts, ts))
+
+    schema = spark.read.parquet(str(land / "b1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(land))
+    )
+    archive = str(tmp_path / "exact_archive")
+    streaming.run_exact_dedup_ingest(spark, stream, archive)
+
+    got = spark.read.parquet(archive)
+    # every planted copy (70000-renumbered) died
+    assert got.filter("doc_id >= 70000").count() == 0
+    # archived fingerprints = first-seen-dedup truth over the corpus
+    corpus = batch1.unionByName(batch2).withColumn(
+        "fp", fingerprint(F.col("text"))
+    )
+    exp_fps = {r["fp"] for r in corpus.select("fp").distinct().collect()}
+    got_fps = {r["fp"] for r in got.select("fp").collect()}
+    assert got_fps == exp_fps
+    # and no fingerprint archived twice
+    assert got.count() == got.select("fp").distinct().count()
+
+
+def test_exact_ingest_retry_idempotent(spark, tmp_path):
+    """Re-running a batch processor after a crash that already wrote
+    batch=N must reproduce the identical survivor set (the batch's own
+    rows are excluded from the archive side)."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.streaming.curate import _process_exact_batch
+    from htsql_spark.engine import HTSQL
+    from tests.conftest import SF_DIR
+
+    docs = HTSQL(spark, SF_DIR).table("documents")
+    archive = str(tmp_path / "retry_archive")
+    b1 = docs.filter("doc_id < 20")
+    _process_exact_batch(spark, b1, 0, archive, 0.001)
+    # batch 2: one exact copy of an archived doc + new docs
+    b2 = docs.filter("doc_id >= 20 AND doc_id < 40").unionByName(
+        docs.filter("doc_id = 3").select(
+            (F.col("doc_id") + 90000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    _process_exact_batch(spark, b2, 1, archive, 0.001)
+    first = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{archive}/batch=1").select("doc_id").collect()
+    )
+    # crash-retry: run the same batch again (its batch=1 dir exists)
+    _process_exact_batch(spark, b2, 1, archive, 0.001)
+    second = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{archive}/batch=1").select("doc_id").collect()
+    )
+    assert first == second
+    assert 90003 not in second  # the planted copy stays dead on retry

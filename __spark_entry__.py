@@ -1653,6 +1653,66 @@ def _op_hll_distinct(spark, sf_dir):
     )
 
 
+def _op_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (analytics.pagerank) over the
+    customer↔supplier order graph (both directions, so ranks mix
+    across the bipartition).  5 iterations, d=0.85 — deterministic
+    closed form; the oracle replays the identical iterations as
+    chained CTEs."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.analytics import pagerank
+
+    db = _db(spark, sf_dir)
+    orders = db.table("orders")
+    lineitem = db.table("lineitem")
+    cs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = cs.unionByName(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iterations=5)
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    head = """
+WITH cs AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), e AS (
+  SELECT src, dst FROM cs UNION SELECT dst, src FROM cs
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+), params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM nodes)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+r{i} AS (
+  SELECT nodes.node,
+         0.15 / (SELECT n FROM params)
+         + 0.85 * coalesce(c.inflow, 0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / deg.deg) AS inflow
+    FROM e JOIN r{i - 1} r ON e.src = r.node
+           JOIN deg ON e.src = deg.src
+    GROUP BY 1) c USING (node)
+)""")
+    return (
+        head
+        + "," + ",".join(steps)
+        + f"\nSELECT node, round(rank, 8) AS rank FROM r{iterations}"
+    )
+
+
 def _op_hll_rollup(spark, sf_dir):
     """The sketch-union contract (sketches.hll_sketches/hll_rollup):
     per-(event_type, day) sketch states are rolled up to per-type
@@ -1777,6 +1837,7 @@ _QUERIES.update(
         "op_bloom_ngram": _op_bloom_ngram,
         "op_heavy_hitters": _op_heavy_hitters,
         "op_hll_rollup": _op_hll_rollup,
+        "op_pagerank": _op_pagerank,
         "op_hll_distinct": _op_hll_distinct,
         "op_chunk_dedup": _op_chunk_dedup,
         "op_classifier": _op_classifier,
@@ -3033,6 +3094,9 @@ FROM c, t WHERE cnt >= n * 0.0015
             " TRUE AS rollup_lossless, TRUE AS within_5pct"
             " FROM events GROUP BY 1"
         ),
+        # fixed-iteration PageRank replayed as chained CTEs — the
+        # iteration count and damping are literals on both sides
+        "op_pagerank": _pagerank_oracle(5),
         "op_chunk_dedup": r"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents

@@ -105,6 +105,7 @@ HEADLINE = [
     "op_heavy_hitters",
     "op_hll_distinct",
     "op_hll_rollup",
+    "op_pagerank",
     "op_chunk_dedup",
     "op_classifier",
 ]

@@ -156,3 +156,65 @@ def sessionize(
             F.round(F.sum(value_col), 6).alias("value_sum"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list — the link-graph
+    quality signal web-corpus curation pipelines rank domains/pages
+    with (alongside the text-level scores in operators/textstats.py).
+
+    Distributed shape: ranks live in a (node, rank) DataFrame; each
+    iteration is one shuffle — contributions flow along edges with a
+    join on ``src`` and re-aggregate on ``dst`` — and the driver only
+    ORCHESTRATES the fixed loop (classic pregel-by-joins; no rank
+    data ever touches the driver).  Dangling nodes (no out-edges)
+    contribute nothing per the simple formulation; every node keeps
+    the (1-d)/N teleport term, so ranks stay comparable.  Each
+    iteration's lineage is cut with a lazy localCheckpoint so the
+    plan does not grow exponentially across iterations (the k-means
+    loop in operators/similarity.py uses the same discipline).
+
+    Deterministic: fixed iteration count, no convergence test — the
+    whole computation is a closed-form expression a SQL oracle can
+    replicate iteration by iteration.  Returns (node, rank) with
+    rank rounded to 8 decimals."""
+    if iterations < 0:
+        raise ValueError(f"pagerank: iterations must be >= 0, got {iterations}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edges annotated with the sender's out-degree, reused every round
+    flow = e.join(outdeg, "src").localCheckpoint(eager=False)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        contrib = (
+            flow.join(ranks, flow["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("rank", 8).alias("rank"))

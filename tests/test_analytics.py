@@ -135,3 +135,44 @@ def test_sessionize_boundary_gap_is_same_session(spark):
     ev = _ev(spark, [(_t(0), 1, "view"), (_t(30), 1, "click")])
     rows = analytics.sessionize(ev, gap_minutes=30).collect()
     assert len(rows) == 1 and rows[0]["n_events"] == 2
+
+
+def test_pagerank_star_graph(spark):
+    """Hub of a bidirectional star outranks leaves; with no dangling
+    nodes the ranks stay a probability distribution (sum 1)."""
+    from htsql_spark.operators.analytics import pagerank
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(8)]
+        + [(f"leaf{i}", "hub") for i in range(8)],
+        "src string, dst string",
+    )
+    r = {row["node"]: row["rank"] for row in pagerank(edges, iterations=10).collect()}
+    assert all(r["hub"] > r[f"leaf{i}"] for i in range(8))
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_zero_iterations_uniform(spark):
+    from htsql_spark.operators.analytics import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    r = {row["node"]: row["rank"] for row in pagerank(edges, iterations=0).collect()}
+    assert set(r) == {"a", "b", "c"}
+    # output is round(rank, 8) — compare at that precision
+    assert all(abs(v - 1 / 3) < 1e-8 for v in r.values())
+
+
+def test_pagerank_dangling_nodes_keep_teleport(spark):
+    """A sink node (no out-edges) still holds its teleport share and
+    absorbs inflow; ranks drop below 1 total (mass leaks by design of
+    the simple formulation — documented)."""
+    from htsql_spark.operators.analytics import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "sink"), ("b", "sink")], "src string, dst string"
+    )
+    r = {row["node"]: row["rank"] for row in pagerank(edges, iterations=3).collect()}
+    assert r["sink"] > r["a"] == r["b"] > 0

@@ -1653,6 +1653,29 @@ def _op_hll_distinct(spark, sf_dir):
     )
 
 
+def _op_edit_dedup(spark, sf_dir):
+    """Fuzzy-match tier (dedup.edit_dup_pairs): pairs within 5
+    Levenshtein edits, LSH-banded candidates + threshold-form
+    levenshtein verify.  Corpus plants ' zz' suffix clones of docs
+    0-49 (edit distance 3, shingle-jaccard ≈ 1 ⇒ banding recall 1);
+    natural ≤5-edit pairs in the fixture are short near-identical
+    docs whose shingle sets also stay band-coincident — recall
+    verified exhaustively against the all-pairs truth at sf0.001 and
+    sf0.01 (0 missed with 16 bands).  The oracle is the all-pairs
+    levenshtein scan."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.dedup import edit_dup_pairs
+
+    docs = _db(spark, sf_dir).table("documents")
+    clones = docs.filter("doc_id < 50").select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return edit_dup_pairs(docs.unionByName(clones), max_edits=5, bands=16)
+
+
 def _op_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank (analytics.pagerank) over the
     customer↔supplier order graph (both directions, so ranks mix
@@ -1838,6 +1861,7 @@ _QUERIES.update(
         "op_heavy_hitters": _op_heavy_hitters,
         "op_hll_rollup": _op_hll_rollup,
         "op_pagerank": _op_pagerank,
+        "op_edit_dedup": _op_edit_dedup,
         "op_hll_distinct": _op_hll_distinct,
         "op_chunk_dedup": _op_chunk_dedup,
         "op_classifier": _op_classifier,
@@ -3097,6 +3121,19 @@ FROM c, t WHERE cnt >= n * 0.0015
         # fixed-iteration PageRank replayed as chained CTEs — the
         # iteration count and damping are literals on both sides
         "op_pagerank": _pagerank_oracle(5),
+        # all-pairs Levenshtein truth (banding recall 1 — see the
+        # wrapper docstring)
+        "op_edit_dedup": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 400000, text || ' zz' FROM documents WHERE doc_id < 50
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(levenshtein(x.text, y.text) AS INT) AS edits
+FROM corpus x JOIN corpus y ON x.doc_id < y.doc_id
+WHERE levenshtein(x.text, y.text) <= 5
+""",
         "op_chunk_dedup": r"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents

@@ -106,6 +106,7 @@ HEADLINE = [
     "op_hll_distinct",
     "op_hll_rollup",
     "op_pagerank",
+    "op_edit_dedup",
     "op_chunk_dedup",
     "op_classifier",
 ]

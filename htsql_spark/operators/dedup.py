@@ -1007,3 +1007,49 @@ def dedup_pipeline(
     else:
         raise ValueError(f"unknown survivor policy: {survivor!r}")
     return docs.join(drop, "doc_id", "left_anti")
+
+
+def edit_dup_pairs(
+    docs: DataFrame,
+    max_edits: int = 5,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy-match dedup tier: document pairs within ``max_edits``
+    Levenshtein edits of each other — the verification semantics real
+    pipelines use for short near-identical records (titles, URLs,
+    product names) where token-set Jaccard is too coarse to rank
+    single-character variants.
+
+    Plan: candidate pairs come from the SAME minhash banding as the
+    jaccard tier (``minhash_candidates`` — small edits perturb at
+    most ``edits × k`` shingles, so near-identical docs keep
+    near-identical shingle sets and land in shared bands); the
+    Levenshtein verify — O(len²) per pair — runs ONLY on candidates,
+    JVM-side (``F.levenshtein`` with the built-in early-exit
+    threshold form).  Text travels once per candidate side via a
+    semi-join-pruned id→text lookup, never through the banding
+    shuffle.  Returns (a, b, edits) with a < b.
+    """
+    cands = minhash_candidates(docs, k, num_hashes, bands)
+    ids = (
+        cands.select(F.col("a").alias(id_col))
+        .union(cands.select("b"))
+        .distinct()
+    )
+    texts = docs.join(ids, id_col, "left_semi").select(
+        F.col(id_col), F.col(text_col).alias("__t")
+    )
+    ta = texts.select(F.col(id_col).alias("a"), F.col("__t").alias("__ta"))
+    tb = texts.select(F.col(id_col).alias("b"), F.col("__t").alias("__tb"))
+    return (
+        cands.join(ta, "a")
+        .join(tb, "b")
+        # threshold form: stops the DP early once distance > max_edits
+        .withColumn("edits", F.levenshtein("__ta", "__tb", max_edits))
+        .filter((F.col("edits") >= 0) & (F.col("edits") <= max_edits))
+        .select("a", "b", F.col("edits").cast("int").alias("edits"))
+    )

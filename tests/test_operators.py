@@ -803,3 +803,43 @@ def test_kmeans_auto_init_switches_at_threshold(spark, monkeypatch):
     calls["n"] = 0
     similarity.kmeans(df, k=3, iters=1)
     assert calls["n"] == 2  # maximin's k-1 scans
+
+
+def test_edit_dup_pairs_planted_clones(spark):
+    """' zz'-suffix clones sit 3 edits away; every original/clone
+    pair must surface with the exact distance."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.dedup import edit_dup_pairs
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter("doc_id < 40")
+    clones = docs.select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    out = edit_dup_pairs(docs.unionByName(clones), max_edits=5, bands=16)
+    planted = {
+        (r["a"], r["b"]): r["edits"]
+        for r in out.filter("b - a = 400000").collect()
+    }
+    assert len(planted) == 40
+    assert set(planted.values()) == {3}
+
+
+def test_edit_dup_pairs_threshold_is_strict(spark):
+    """A doc 6 edits away must NOT pair at max_edits=5 but must at 6
+    (the threshold-form levenshtein's -1 sentinel is filtered)."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.dedup import edit_dup_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta thetaABCDEF"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert edit_dup_pairs(docs, max_edits=5, bands=16).count() == 0
+    got = edit_dup_pairs(docs, max_edits=6, bands=16).collect()
+    assert [(r["a"], r["b"], r["edits"]) for r in got] == [(1, 2, 6)]

@@ -1653,6 +1653,33 @@ def _op_hll_distinct(spark, sf_dir):
     )
 
 
+def _op_skew_join(spark, sf_dir):
+    """Selective hot-key salting (skew.salted_join_hot): user 1's
+    events are replicated 20x (planted pathological skew), the
+    detector (exact Misra-Gries heavy hitters) finds exactly that
+    key, and only its rows salt — output must equal the plain inner
+    join, aggregated per user for a compact gate row."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.skew import salted_join_hot
+
+    ev = _db(spark, sf_dir).table("events")
+    hot = ev.filter("user_id = 1")
+    big = ev
+    for i in range(20):
+        big = big.unionByName(
+            hot.withColumn("event_id", F.col("event_id") + 100000 * (i + 1))
+        )
+    dim = ev.select("user_id").distinct().withColumn(
+        "tag", F.md5(F.col("user_id").cast("string"))
+    )
+    return (
+        salted_join_hot(big, dim, "user_id", min_freq=0.05)
+        .groupBy("user_id", "tag")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def _op_edit_dedup(spark, sf_dir):
     """Fuzzy-match tier (dedup.edit_dup_pairs): pairs within 5
     Levenshtein edits, LSH-banded candidates + threshold-form
@@ -1862,6 +1889,7 @@ _QUERIES.update(
         "op_hll_rollup": _op_hll_rollup,
         "op_pagerank": _op_pagerank,
         "op_edit_dedup": _op_edit_dedup,
+        "op_skew_join": _op_skew_join,
         "op_hll_distinct": _op_hll_distinct,
         "op_chunk_dedup": _op_chunk_dedup,
         "op_classifier": _op_classifier,
@@ -3121,6 +3149,23 @@ FROM c, t WHERE cnt >= n * 0.0015
         # fixed-iteration PageRank replayed as chained CTEs — the
         # iteration count and damping are literals on both sides
         "op_pagerank": _pagerank_oracle(5),
+        # salting is pure physical redistribution: the oracle is the
+        # plain join over the same planted-skew corpus
+        "op_skew_join": """
+WITH big AS (
+  SELECT user_id, event_id FROM events
+  UNION ALL
+  SELECT user_id, event_id + 100000 * i AS event_id
+  FROM events, (SELECT unnest(generate_series(1, 20)) AS i) g
+  WHERE user_id = 1
+), dim AS (
+  SELECT DISTINCT user_id, md5(CAST(user_id AS VARCHAR)) AS tag
+  FROM events
+)
+SELECT b.user_id, d.tag, count(*) AS n_events
+FROM big b JOIN dim d USING (user_id)
+GROUP BY 1, 2
+""",
         # all-pairs Levenshtein truth (banding recall 1 — see the
         # wrapper docstring)
         "op_edit_dedup": """

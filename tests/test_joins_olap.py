@@ -361,3 +361,53 @@ def test_asof_tolerance_calendar_backward(spark):
         tolerance="1 month", direction="forward",
     ).collect()
     assert got[0]["rid"] == 201
+
+
+def test_salted_join_hot_matches_plain(db):
+    """Selective salting ≡ plain inner join under planted skew."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.skew import salted_join_hot
+
+    ev = db.table("events")
+    # plant a hot user: replicate one user's rows 20x under new ids
+    hot_rows = ev.filter("user_id = 1")
+    big = ev
+    for i in range(20):
+        big = big.unionByName(
+            hot_rows.withColumn("event_id", F.col("event_id") + 100000 * (i + 1))
+        )
+    dim = ev.select("user_id").distinct().withColumn(
+        "tag", F.md5(F.col("user_id").cast("string"))
+    )
+    got = sorted(
+        (r["event_id"], r["tag"])
+        for r in salted_join_hot(big, dim, "user_id", min_freq=0.05).collect()
+    )
+    exp = sorted(
+        (r["event_id"], r["tag"]) for r in big.join(dim, "user_id").collect()
+    )
+    assert got == exp
+
+
+def test_salted_join_hot_detects_planted_key(spark):
+    """The hot set is the exact frequent-key set: only the planted key
+    gets salted (verified via the detector it delegates to)."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.sketches import heavy_hitters
+
+    rows = [(i, 1 if i % 4 == 0 else i) for i in range(4000)]
+    big = spark.createDataFrame(rows, "id long, k long")
+    hh = {r["k"] for r in heavy_hitters(big.select("k"), "k", 0.1).collect()}
+    assert hh == {"1"} or hh == {1}
+
+
+def test_salted_join_hot_rejects_outer(spark):
+    import pytest as _pytest
+
+    from htsql_spark.operators.skew import salted_join_hot
+
+    df = spark.range(2).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError, match="inner"):
+        salted_join_hot(df, df, "k", how="left")

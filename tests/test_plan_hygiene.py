@@ -56,6 +56,8 @@ ARROW_OK = {
     "op_bloom_ngram",
     # Misra-Gries candidate summaries are a declared mapInPandas pass
     "op_heavy_hitters",
+    # salted_join_hot delegates hot-key detection to heavy_hitters
+    "op_skew_join",
 }
 
 #: nested-loop joins bounded by a broadcast single-row / tiny side:
@@ -93,6 +95,7 @@ NLJ_OK = {
     "tpch_q20",
     # heavy_hitters crossJoins the single-row broadcast total count
     "op_heavy_hitters",
+    "op_skew_join",
 }
 
 #: declared caches: the minhash candidate-pair table feeds three

@@ -1653,6 +1653,36 @@ def _op_hll_distinct(spark, sf_dir):
     )
 
 
+def _op_cms(spark, sf_dir):
+    """Count-Min Sketch point-frequency estimates
+    (sketches.cms_build/cms_estimate) over per-user event counts.
+    The raw estimates are hash-layout-specific, so the gate-checked
+    values are the exact counts plus the CMS guarantees: never an
+    underestimate, overestimate bounded by ε·n (ε=0.01, δ=1e-4 —
+    at 150 keys the expected violation count is ~0.01)."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.sketches import cms_build, cms_estimate
+
+    ev = _db(spark, sf_dir).table("events")
+    vals = ev.select(F.col("user_id").cast("string").alias("u"))
+    mat, _d, w = cms_build(vals, "u", eps=0.01, delta=1e-4)
+    n_total = vals.count()
+    est = cms_estimate(vals.distinct(), "u", mat, w)
+    exact = vals.groupBy("u").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        est.join(exact, "u")
+        .select(
+            F.col("u").cast("long").alias("user_id"),
+            "exact_n",
+            (F.col("freq_est") >= F.col("exact_n")).alias("never_under"),
+            (F.col("freq_est") <= F.col("exact_n") + F.lit(0.01 * n_total)).alias(
+                "within_eps"
+            ),
+        )
+    )
+
+
 def _op_skew_join(spark, sf_dir):
     """Selective hot-key salting (skew.salted_join_hot): user 1's
     events are replicated 20x (planted pathological skew), the
@@ -1890,6 +1920,7 @@ _QUERIES.update(
         "op_pagerank": _op_pagerank,
         "op_edit_dedup": _op_edit_dedup,
         "op_skew_join": _op_skew_join,
+        "op_cms": _op_cms,
         "op_hll_distinct": _op_hll_distinct,
         "op_chunk_dedup": _op_chunk_dedup,
         "op_classifier": _op_classifier,
@@ -3149,6 +3180,13 @@ FROM c, t WHERE cnt >= n * 0.0015
         # fixed-iteration PageRank replayed as chained CTEs — the
         # iteration count and damping are literals on both sides
         "op_pagerank": _pagerank_oracle(5),
+        # CMS estimates are hash-layout-specific; the gate-checked
+        # values are exact counts + the sketch's guarantees
+        "op_cms": (
+            "SELECT user_id, count(*) AS exact_n,"
+            " TRUE AS never_under, TRUE AS within_eps"
+            " FROM events GROUP BY 1"
+        ),
         # salting is pure physical redistribution: the oracle is the
         # plain join over the same planted-skew corpus
         "op_skew_join": """

@@ -107,6 +107,8 @@ HEADLINE = [
     "op_hll_rollup",
     "op_pagerank",
     "op_edit_dedup",
+    "op_skew_join",
+    "op_cms",
     "op_chunk_dedup",
     "op_classifier",
 ]

@@ -494,3 +494,114 @@ def heavy_hitters(
             F.round(F.col("cnt") / F.col("__n"), 6).alias("freq"),
         )
     )
+
+
+def cms_build(
+    df: DataFrame, col: str, eps: float = 0.01, delta: float = 1e-4
+) -> tuple[list[list[int]], int, int]:
+    """Count-Min Sketch over ``df[col]``: a depth×width counter matrix
+    (depth = ceil(ln 1/δ) independent xxhash64 rows, width = ceil(e/ε))
+    supporting point-frequency estimates with the classic guarantee
+    ``true ≤ est ≤ true + ε·n`` (upper bound with probability ≥ 1−δ
+    per query).  Same build pattern as the bloom: per-partition
+    partial matrices in one Arrow pass, added together in a single
+    tiny merge group — the matrix is a model artifact (d·w longs),
+    row data never leaves its partition.  Returns (matrix, depth,
+    width)."""
+    depth = max(1, math.ceil(math.log(1.0 / delta)))
+    width = max(8, math.ceil(math.e / eps))
+    pos = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width))
+                        .cast("int")
+                        .alias("c"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p")
+    ).select("p.r", "p.c")
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mat = np.zeros((depth, width), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            np.add.at(
+                mat,
+                (pdf["r"].to_numpy(np.int64), pdf["c"].to_numpy(np.int64)),
+                1,
+            )
+            seen = True
+        if seen:
+            yield pd.DataFrame(
+                {"g": [0], "flat": [mat.reshape(-1).tolist()]}
+            )
+
+    part = pos.mapInPandas(partials, "g int, flat array<bigint>")
+    seed = df.sparkSession.createDataFrame(
+        [(0, [0] * (depth * width))], "g int, flat array<bigint>"
+    )
+
+    def merge(_key, pdf):
+        acc = np.sum(
+            [np.asarray(x, dtype=np.int64) for x in pdf["flat"]], axis=0
+        )
+        return pd.DataFrame({"flat": [acc.tolist()]})
+
+    row = (
+        part.unionByName(seed)
+        .groupBy("g")
+        .applyInPandas(merge, "flat array<bigint>")
+        .head()
+    )
+    mat = np.asarray(row["flat"], dtype=np.int64).reshape(depth, width)
+    return mat.tolist(), depth, width
+
+
+def cms_estimate(
+    df: DataFrame,
+    col: str,
+    matrix: list[list[int]],
+    width: int,
+    flag: str = "freq_est",
+) -> DataFrame:
+    """Point-frequency estimates: min over the depth rows of each
+    value's counter.  Positions are computed JVM-side, the matrix
+    rides a SparkContext broadcast, lookups run vectorized in one
+    Arrow pass (same vehicle as ``bloom_probe_arrow``).  Appends a
+    long ``flag`` column; narrow, no shuffle."""
+    depth = len(matrix)
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(matrix, dtype=np.int64)
+    )
+    with_pos = df.withColumn(
+        "__pos",
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width)).cast("long")
+                for i in range(depth)
+            ]
+        ),
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mat = bc.value
+        rows = np.arange(mat.shape[0])
+        for pdf in batches:
+            pos = np.stack(pdf["__pos"].to_numpy()).astype(np.int64)
+            est = mat[rows[None, :], pos].min(axis=1)
+            out = pdf.drop(columns=["__pos"])
+            out[flag] = est
+            yield out
+
+    out_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        + f", {flag} bigint"
+    )
+    return with_pos.mapInPandas(probe, out_schema)

@@ -58,6 +58,8 @@ ARROW_OK = {
     "op_heavy_hitters",
     # salted_join_hot delegates hot-key detection to heavy_hitters
     "op_skew_join",
+    # CMS build/probe are declared Arrow passes
+    "op_cms",
 }
 
 #: nested-loop joins bounded by a broadcast single-row / tiny side:

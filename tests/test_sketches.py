@@ -259,3 +259,40 @@ def test_heavy_hitters_partitioning_invariant(spark):
         map(tuple, S.heavy_hitters(toks.repartition(37), "w", 0.02).collect())
     )
     assert a == b
+
+
+def test_cms_never_underestimates(spark):
+    """The defining CMS guarantee: est >= true for EVERY key, under
+    several (eps, delta) settings."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    vals = ev.select(F.col("event_type").alias("v"))
+    exact = {
+        r["v"]: r["n"]
+        for r in vals.groupBy("v").agg(F.count("*").alias("n")).collect()
+    }
+    for eps in (0.1, 0.01):
+        mat, d, w = S.cms_build(vals, "v", eps=eps, delta=1e-3)
+        est = {
+            r["v"]: r["freq_est"]
+            for r in S.cms_estimate(vals.distinct(), "v", mat, w).collect()
+        }
+        n = sum(exact.values())
+        for k, true_n in exact.items():
+            assert est[k] >= true_n, (eps, k)
+            assert est[k] <= true_n + eps * n + 1, (eps, k)
+
+
+def test_cms_partitioning_invariant(spark):
+    """The matrix is the same whatever the physical layout (integer
+    adds commute exactly)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    vals = ev.select(F.col("user_id").cast("string").alias("v"))
+    m1, _, _ = S.cms_build(vals, "v", eps=0.05)
+    m2, _, _ = S.cms_build(vals.repartition(17), "v", eps=0.05)
+    assert m1 == m2
+
+
+def test_cms_empty_input(spark):
+    df = spark.range(0).select(F.col("id").cast("string").alias("v"))
+    mat, d, w = S.cms_build(df, "v", eps=0.1)
+    assert sum(map(sum, mat)) == 0

@@ -419,3 +419,34 @@ def test_fuzz_quotient_aggregate(db, duck, agg, val, pred):
     got = sorted(_normrow((r["seg"], r["v"])) for r in db.df(hq).collect())
     exp = sorted(_normrow(t) for t in duck.execute(sql).fetchall())
     assert got == exp, (hq, sql)
+
+
+def test_fuzz_bloom_membership(spark):
+    """Randomized bloom property sweep: across random (n, fpp,
+    membership-set) draws, members are NEVER missed and the
+    anti-join equals the exact anti-join."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import sketches as S
+
+    rng = random.Random(1234)
+    for _ in range(5):
+        n = rng.randint(1, 400)
+        fpp = rng.choice([0.2, 0.05, 0.01])
+        base = rng.randint(0, 10**6)
+        members = spark.range(n).select(
+            F.concat(F.lit(f"m{base}_"), F.col("id")).alias("v")
+        )
+        probes = spark.range(300).select(
+            F.when(
+                F.col("id") % 3 == 0, F.concat(F.lit(f"m{base}_"), F.col("id"))
+            )
+            .otherwise(F.concat(F.lit(f"x{base}_"), F.col("id")))
+            .alias("v")
+        )
+        got = S.bloom_anti_join(probes, members, "v", fpp=fpp)
+        exact = probes.join(members, "v", "left_anti")
+        assert got.exceptAll(exact).count() == 0, (n, fpp)
+        assert exact.exceptAll(got).count() == 0, (n, fpp)

@@ -296,3 +296,30 @@ def test_cms_empty_input(spark):
     df = spark.range(0).select(F.col("id").cast("string").alias("v"))
     mat, d, w = S.cms_build(df, "v", eps=0.1)
     assert sum(map(sum, mat)) == 0
+
+
+def test_compression_ratio_orders_repetition(spark):
+    """Repetitive text compresses below word-soup; word-soup below
+    high-entropy noise; empty text gets the 1.0 convention."""
+    import random
+
+    rng = random.Random(7)
+    noise = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(60)
+    )
+    rows = [
+        (1, "spam ham " * 120),
+        (2, " ".join(rng.choice(["join", "scan", "merge", "sort", "row"]) for _ in range(240))),
+        (3, noise),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from htsql_spark.operators.textstats import compression_ratio
+
+    r = {row["doc_id"]: row["ratio"] for row in compression_ratio(docs).collect()}
+    assert r[1] < r[2] < r[3]
+    assert r[4] == 1.0
+    # deterministic
+    r2 = {row["doc_id"]: row["ratio"] for row in compression_ratio(docs).collect()}
+    assert r == r2

@@ -569,6 +569,47 @@ def _stream_tumbling(spark, sf_dir):
     )
 
 
+def _stream_distinct(spark, sf_dir):
+    """Append-mode tumbling-window APPROXIMATE distinct users per type
+    (streaming.windowed_distinct_users — mergeable HLL buffers close
+    with the watermark; countDistinct cannot run incrementally).
+    Audit form: each closed window's estimate is joined with the batch
+    EXACT distinct count — the gate checks exact values plus the
+    lgK=14 error-bound flag, so both the emission rule and the sketch
+    path are load-bearing."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from htsql_spark import streaming
+    from htsql_spark.streaming.events import windowed_distinct_users
+
+    name = f"t_hlls_{uuid.uuid4().hex[:8]}"
+    stream = streaming.read_events_stream(spark, sf_dir)
+    streaming.run_to_memory(windowed_distinct_users(stream), name, "append")
+    got = spark.table(name)
+    ev = _db(spark, sf_dir).table("events")
+    exact = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "exact_users"
+        )
+    )
+    return (
+        got.join(exact, ["w_start", "event_type"])
+        .select(
+            "w_start",
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(F.lit(1.0), 0.05 * F.col("exact_users"))
+            ).alias("within_5pct"),
+        )
+    )
+
+
 def _op_tumbling_batch(spark, sf_dir):
     """The tumbling-window aggregation as a batch plan (same F.window
     expression the stream runs; epoch-aligned so SQL date_trunc is the
@@ -808,6 +849,7 @@ _QUERIES.update(
         "stream_tumbling": _stream_tumbling,
         "stream_sliding": _stream_sliding,
         "stream_session": _stream_session,
+        "stream_distinct": _stream_distinct,
         "stream_join": _stream_join,
         "stream_enrich": _stream_enrich,
         "op_asof_join": _op_asof_join,
@@ -2933,6 +2975,17 @@ WHERE p_size = 23
         "op_tfidf": _TFIDF_SQL,
         "op_pii": _PII_SQL,
         "stream_tumbling": _STREAM_TUMBLING_SQL,
+        # approximate-distinct stream: closed-window rule + exact
+        # distinct truth; the estimate itself is audited via the flag
+        "stream_distinct": """
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+       event_type, count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_5pct
+FROM events
+GROUP BY 1, 2
+HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
+""",
         "stream_sliding": _STREAM_SLIDING_SQL,
         "op_ann_lsh": _ann_lsh_oracle(),
         "op_ann_ivf": _ann_ivf_oracle(),

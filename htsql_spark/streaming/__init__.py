@@ -11,6 +11,7 @@ from .events import (  # noqa: F401
     session_counts,
     sliding_event_avg,
     tumbling_counts,
+    windowed_distinct_users,
 )
 from .curate import (  # noqa: F401
     curate_stream,

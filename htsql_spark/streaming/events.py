@@ -310,3 +310,33 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+def windowed_distinct_users(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+    lgk: int = 14,
+) -> DataFrame:
+    """Tumbling-window approximate distinct users per event type via
+    the mergeable Datasketches HLL aggregate — the streaming form of
+    ``operators.sketches.hll_distinct``.  ``countDistinct`` is not
+    executable under incremental streaming aggregation (full distinct
+    state per window); the HLL buffer is KB-sized, merges across
+    micro-batches, and closes with the watermark like any windowed
+    agg."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.expr(
+                f"hll_sketch_estimate(hll_sketch_agg(user_id, {lgk}))"
+            ).alias("approx_users")
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "approx_users",
+        )
+    )

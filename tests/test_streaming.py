@@ -558,3 +558,40 @@ def test_exact_ingest_retry_idempotent(spark, tmp_path):
     )
     assert first == second
     assert 90003 not in second  # the planted copy stays dead on retry
+
+
+def test_windowed_distinct_users_matches_batch(spark, events_batch, events_stream):
+    """Streaming HLL windowed distinct ≡ the same HLL aggregation run
+    as a batch plan (identical sketches, lossless merge across
+    micro-batches), and within 5% of exact distinct."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from htsql_spark import streaming
+    from htsql_spark.streaming.events import windowed_distinct_users
+
+    name = f"t_wdu_{uuid.uuid4().hex[:8]}"
+    streaming.run_to_memory(windowed_distinct_users(events_stream), name, "append")
+    got = {
+        (r["w_start"], r["event_type"]): r["approx_users"]
+        for r in spark.table(name).collect()
+    }
+    wm = events_batch.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("w")
+    ).collect()[0]["w"]
+    batch = (
+        events_batch.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("a"),
+            F.countDistinct("user_id").alias("x"),
+        )
+        .filter(F.col("w.end") <= wm)
+        .select(F.col("w.start").alias("ws"), "event_type", "a", "x")
+    )
+    exp = {(r["ws"], r["event_type"]): (r["a"], r["x"]) for r in batch.collect()}
+    assert set(got) == set(exp)
+    for k, est in got.items():
+        batch_est, exact = exp[k]
+        assert est == batch_est, k  # stream merge is lossless
+        assert abs(est - exact) <= max(1, 0.05 * exact), k

@@ -2078,9 +2078,9 @@ _QUERIES.update(
 # r2 (agg_sum_count, agg_minmax, fn_if, in_set, fn_null,
 # fn_datearith, fn_array, fn_textstats, events_nav); all 14 stay
 # oracle-replayed by tests/test_entry.py every run.
-# (Round 4 then ADDED 13 new queries mid-round — sketches, pagerank,
+# (Round 4 then ADDED 12 new queries mid-round — sketches, pagerank,
 # edit/chunk dedup, classifier, skew join, stream_distinct — growing
-# the registry to 157 (152 oracle-backed).  They are deliberately NOT
+# the registry to 156 (151 oracle-backed).  They are deliberately NOT
 # swapped into this round's window: the window was rotated before they
 # existed and swapping would displace other never-gated rows without
 # growing the union.  All 13 are oracle-replayed in pytest now and are

@@ -929,3 +929,107 @@ def dedup_chunks(
             F.sum((F.col("__rk") > 1).cast("int")).cast("int").alias("dropped_chunks"),
         )
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 10,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge-table training (Sennrich '16), the
+    tokenizer-training stage of an LLM data pipeline, distributed:
+
+    * corpus state lives as one ``array<string>`` symbol sequence per
+      WORD (characters + a ``</w>`` terminator), weighted by word
+      frequency — the classic formulation trains on the word
+      histogram, so the state size is the VOCABULARY, not the corpus:
+      the only full-corpus pass is the initial word count;
+    * each round, adjacent-pair frequencies come from one explode +
+      map-side-combined count (a shuffle over distinct pairs, tiny),
+      the winning pair is chosen deterministically (max count, then
+      lexicographic), and the merge is applied to the word table in
+      one Arrow pass (adjacent-slot rewriting is inherently
+      sequential per word — exactly the declared-Python shape);
+    * the driver holds only the merge table (num_merges pairs) and
+      each round's argmax row — model artifacts, never corpus data.
+
+    Returns the ordered merge list [(left, right), ...].  Determinism
+    contract: fixed merge count + total tie order ⇒ identical merges
+    on any partitioning (asserted in tests).
+    """
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit("</w>"))
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs = (
+            words.select(
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("syms") - 1),
+                            lambda i: F.struct(
+                                F.element_at("syms", i).alias("l"),
+                                F.element_at("syms", i + 1).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast("array<struct<l:string,r:string>>")
+                    )
+                ).alias("p"),
+                F.col("freq"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        best = (pairs[0]["l"], pairs[0]["r"])
+        merges.append(best)
+        left, right = best
+
+        def apply_merge(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+            for pdf in batches:
+                out_syms = []
+                for syms in pdf["syms"]:
+                    syms = list(syms)
+                    merged = []
+                    i = 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            merged.append(left + right)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    out_syms.append(merged)
+                yield _pd.DataFrame({"syms": out_syms, "freq": pdf["freq"]})
+
+        words = words.mapInPandas(
+            apply_merge, "syms array<string>, freq bigint"
+        ).localCheckpoint(eager=True)
+    return merges

@@ -577,3 +577,44 @@ def test_stratified_eval_split_exact_counts(docs):
     again = P.stratified_eval_split(docs, n_eval=5).select("doc_id", "split")
     first = P.stratified_eval_split(docs, n_eval=5).select("doc_id", "split")
     assert again.exceptAll(first).count() == 0
+
+
+def test_bpe_train_classic_corpus(spark):
+    """Sennrich-style fixture: merge order follows exact frequency +
+    lexicographic tie-break, fully deterministic."""
+    from htsql_spark.operators.pipeline import bpe_train
+
+    rows = [
+        (1, "low low low low low lower lower"),
+        (2, "newest newest newest newest newest newest widest widest widest"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(docs, num_merges=5)
+    assert merges == [
+        ("e", "s"),      # 9 (newest + widest)
+        ("es", "t"),     # 9
+        ("est", "</w>"), # 9
+        ("l", "o"),      # 7 (low + lower)
+        ("lo", "w"),     # 7
+    ]
+
+
+def test_bpe_train_partitioning_invariant(spark):
+    from htsql_spark.operators.pipeline import bpe_train
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter("doc_id < 80")
+    a = bpe_train(docs, num_merges=4)
+    b = bpe_train(docs.repartition(13), num_merges=4)
+    assert a == b and len(a) == 4
+
+
+def test_bpe_train_exhausted_corpus_stops(spark):
+    """A corpus whose words collapse to single symbols stops early
+    instead of looping."""
+    from htsql_spark.operators.pipeline import bpe_train
+
+    docs = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
+    merges = bpe_train(docs, num_merges=10)
+    # 'a</w>' forms after one merge; then no adjacent pairs remain
+    assert merges == [("a", "</w>")]

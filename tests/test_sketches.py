@@ -323,3 +323,22 @@ def test_compression_ratio_orders_repetition(spark):
     # deterministic
     r2 = {row["doc_id"]: row["ratio"] for row in compression_ratio(docs).collect()}
     assert r == r2
+
+
+def test_hll_sketch_states_roundtrip_parquet(spark, tmp_path):
+    """Sketch STATES are persistable: write per-group sketches to
+    parquet, read them back, roll up — estimates identical to an
+    in-memory rollup (the incremental-analytics contract: daily
+    sketch files -> monthly distincts with no rescan)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    sk = S.hll_sketches(ev, ["event_type"], "user_id")
+    path = str(tmp_path / "sketches")
+    sk.write.parquet(path)
+    reread = spark.read.parquet(path)
+    direct = S.hll_rollup(sk, []).collect()[0][0]
+    persisted = S.hll_rollup(reread, []).collect()[0][0]
+    assert persisted == direct
+    # and the per-group states survive byte-identically
+    a = {r["event_type"]: bytes(r["hll"]) for r in sk.collect()}
+    b = {r["event_type"]: bytes(r["hll"]) for r in reread.collect()}
+    assert a == b

@@ -1,5 +1,6 @@
-"""Sketch-backed operators: a portable distributed Bloom filter and
-HyperLogLog distinct counting.
+"""Sketch-backed operators: a portable distributed Bloom filter
+(membership), HyperLogLog (distinct counts), Misra-Gries (exact
+heavy hitters), and Count-Min (per-key frequency estimates).
 
 Why sketches at 100 TB: the exact decontamination tiers
 (operators/pipeline.py) shuffle the BIG side's fingerprints to join

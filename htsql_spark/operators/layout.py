@@ -97,3 +97,55 @@ def write_clustered(
         .mode(mode)
         .save(path)
     )
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    target_files: int = 1,
+    format: str = "parquet",
+) -> int:
+    """Small-file compaction for an append-accumulated dataset (the
+    maintenance pass every streaming landing zone needs: per-batch
+    subdirectories — e.g. ``streaming.run_exact_dedup_ingest``'s
+    ``batch=N`` layout — fragment into one file per micro-batch, and
+    scan cost at 100 TB is dominated by file-open overhead once files
+    shrink below a row group).
+
+    Reads the dataset (partition-discovery columns included),
+    rewrites it as ``target_files`` dense files via a staging
+    directory, then atomically-ish swaps: the staged files replace
+    the originals only after the staged write fully succeeds, so a
+    crash mid-compaction leaves the original data intact.  Returns
+    the number of data files after compaction."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(conf)
+    if not fs.exists(src):
+        raise FileNotFoundError(f"compact_dataset: no dataset at {path}")
+    df = spark.read.format(format).load(path)
+    staging = jvm.org.apache.hadoop.fs.Path(path + "__compacting")
+    if fs.exists(staging):
+        # leftover from a crashed attempt: staged data was never
+        # swapped in, the source is still authoritative — discard
+        fs.delete(staging, True)
+    (
+        df.repartition(target_files)
+        .write.mode("overwrite")
+        .format(format)
+        .save(str(staging))
+    )
+    backup = jvm.org.apache.hadoop.fs.Path(path + "__precompact")
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    fs.rename(src, backup)
+    fs.rename(staging, src)
+    fs.delete(backup, True)
+    spark.catalog.clearCache()
+    out = [
+        s
+        for s in fs.listStatus(src)
+        if s.getPath().getName().startswith("part-")
+    ]
+    return len(out)

@@ -342,3 +342,65 @@ def test_hll_sketch_states_roundtrip_parquet(spark, tmp_path):
     a = {r["event_type"]: bytes(r["hll"]) for r in sk.collect()}
     b = {r["event_type"]: bytes(r["hll"]) for r in reread.collect()}
     assert a == b
+
+
+def test_compact_dataset_preserves_content(spark, tmp_path):
+    """Compacting a per-batch fragmented archive: file count drops to
+    the target, every row survives byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.layout import compact_dataset
+
+    path = str(tmp_path / "frag")
+    docs = _docs(spark)
+    # fragment: 5 "batches", several files each
+    for b in range(5):
+        docs.filter(F.col("doc_id") % 5 == b).repartition(4).write.parquet(
+            f"{path}/batch={b}"
+        )
+    before = spark.read.parquet(path)
+    exp = sorted(map(tuple, before.collect()))
+    n_files = compact_dataset(spark, path, target_files=2)
+    assert n_files == 2
+    after = spark.read.parquet(path)
+    got = sorted(map(tuple, after.collect()))
+    assert got == exp  # batch partition column included, values intact
+
+
+def test_compact_dataset_missing_path_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from htsql_spark.operators.layout import compact_dataset
+
+    with _pytest.raises(FileNotFoundError):
+        compact_dataset(spark, str(tmp_path / "nope"))
+
+
+def test_heavy_hitters_adversarial_near_threshold(spark):
+    """Many items sitting just under the MG eviction pressure (forcing
+    constant decrements) must not break exactness: the recount pass
+    discards sketch error entirely."""
+    rows = []
+    uid = 0
+    # 100 items x 30 occurrences (3000 rows) + 2 hot items x 300
+    for i in range(100):
+        for _ in range(30):
+            rows.append((uid, f"mid{i}")); uid += 1
+    for h in ("hotA", "hotB"):
+        for _ in range(300):
+            rows.append((uid, h)); uid += 1
+    df = spark.createDataFrame(rows, "id long, v string").repartition(16)
+    total = len(rows)
+    for min_freq in (0.05, 0.008):
+        got = {
+            (r["v"], r["cnt"])
+            for r in S.heavy_hitters(df.select("v"), "v", min_freq).collect()
+        }
+        exp = {
+            (r["v"], r["cnt"])
+            for r in df.groupBy("v")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= total * min_freq)
+            .collect()
+        }
+        assert got == exp, min_freq

@@ -311,11 +311,15 @@ def _process_exact_batch(
         .filter(BF.col("doc_id") == BF.col("__keep"))
         .drop("__keep")
     )
-    try:
+    # existence check, not try/except-on-read: a CORRUPT archive must
+    # fail the batch loudly — swallowing it as "no archive yet" would
+    # re-admit every duplicate the archive was supposed to block
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(archive_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    have_archive = fs.exists(p)
+    if have_archive:
         archive = spark.read.parquet(archive_path)
-        have_archive = True
-    except Exception:
-        have_archive = False
     if have_archive:
         # crash-retry guard: exclude this batch's own rows (a crashed
         # attempt may have written batch=N before the checkpoint

@@ -1695,6 +1695,18 @@ def _op_hll_distinct(spark, sf_dir):
     )
 
 
+def _op_scd2(spark, sf_dir):
+    """SCD-2 dimension history (analytics.scd2) over each user's
+    event-type change stream: consecutive same-state rows compress
+    away, each surviving version carries [valid_from, valid_to).
+    Deterministic (ts, attr) ordering; oracle is the identical
+    lag-filter-lead window SQL."""
+    from htsql_spark.operators.analytics import scd2
+
+    ev = _db(spark, sf_dir).table("events").select("user_id", "event_type", "ts")
+    return scd2(ev, "user_id", "ts", ["event_type"])
+
+
 def _op_cms(spark, sf_dir):
     """Count-Min Sketch point-frequency estimates
     (sketches.cms_build/cms_estimate) over per-user event counts.
@@ -1979,6 +1991,7 @@ _QUERIES.update(
         "op_edit_dedup": _op_edit_dedup,
         "op_skew_join": _op_skew_join,
         "op_cms": _op_cms,
+        "op_scd2": _op_scd2,
         "op_hll_distinct": _op_hll_distinct,
         "op_chunk_dedup": _op_chunk_dedup,
         "op_classifier": _op_classifier,
@@ -3256,6 +3269,21 @@ FROM c, t WHERE cnt >= n * 0.0015
         # fixed-iteration PageRank replayed as chained CTEs — the
         # iteration count and damping are literals on both sides
         "op_pagerank": _pagerank_oracle(5),
+        "op_scd2": """
+WITH o AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+), c AS (
+  SELECT user_id, event_type, ts FROM o
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type)
+         AS valid_to
+FROM c
+""",
         # CMS estimates are hash-layout-specific; the gate-checked
         # values are exact counts + the sketch's guarantees
         "op_cms": (

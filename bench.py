@@ -109,6 +109,7 @@ HEADLINE = [
     "op_edit_dedup",
     "op_skew_join",
     "op_cms",
+    "op_scd2",
     "op_chunk_dedup",
     "op_classifier",
 ]

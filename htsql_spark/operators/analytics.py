@@ -218,3 +218,38 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+def scd2(
+    changes: DataFrame,
+    key: str,
+    ts_col: str,
+    attrs: list[str],
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    stream: per ``key``, consecutive rows whose tracked ``attrs`` are
+    unchanged are compressed away, and each surviving version gets a
+    ``[valid_from, valid_to)`` interval (``valid_to`` NULL = current).
+    Combined with the as-of join (operators/joins.py) this gives
+    point-in-time dimension enrichment — the warehouse pattern the
+    reference's app-database users hand-roll in SQL.
+
+    One shuffle total: both the change-compression lag() and the
+    interval lead() run in the same (key × ts) window partitioning.
+    Ties on ts break by the full ordering (ts, then attrs) so the
+    output is deterministic."""
+    order = [F.col(ts_col)] + [F.col(a) for a in attrs]
+    w = Window.partitionBy(key).orderBy(*order)
+    state = F.struct(*[F.col(a) for a in attrs])
+    compressed = (
+        changes.withColumn("__prev", F.lag(state).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != state))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return compressed.select(
+        F.col(key),
+        *[F.col(a) for a in attrs],
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )

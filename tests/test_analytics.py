@@ -176,3 +176,52 @@ def test_pagerank_dangling_nodes_keep_teleport(spark):
     )
     r = {row["node"]: row["rank"] for row in pagerank(edges, iterations=3).collect()}
     assert r["sink"] > r["a"] == r["b"] > 0
+
+
+def test_scd2_compresses_and_covers(spark):
+    """Hand-built change stream: consecutive same-state rows compress,
+    intervals tile each key's timeline, last version is open."""
+    import datetime as dt
+
+    from htsql_spark.operators.analytics import scd2
+
+    t = lambda s: dt.datetime(2024, 1, s)
+    rows = [
+        (1, "gold", t(1)), (1, "gold", t(2)), (1, "silver", t(3)),
+        (1, "gold", t(5)),
+        (2, "bronze", t(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, tier string, ts timestamp")
+    out = sorted(
+        (r["user_id"], r["tier"], r["valid_from"], r["valid_to"])
+        for r in scd2(df, "user_id", "ts", ["tier"]).collect()
+    )
+    assert out == [
+        (1, "gold", t(1), t(3)),
+        (1, "gold", t(5), None),
+        (1, "silver", t(3), t(5)),
+        (2, "bronze", t(2), None),
+    ]
+
+
+def test_scd2_asof_enrichment_roundtrip(spark):
+    """SCD-2 + interval containment reproduces each event's state at
+    its own timestamp (the point-in-time enrichment contract)."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.analytics import scd2
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "event_type", "ts"
+    )
+    dim = scd2(ev, "user_id", "ts", ["event_type"])
+    joined = ev.alias("e").join(
+        dim.alias("d"),
+        (F.col("e.user_id") == F.col("d.user_id"))
+        & (F.col("e.ts") >= F.col("d.valid_from"))
+        & (F.col("e.ts") < F.coalesce(F.col("d.valid_to"), F.lit("9999-01-01").cast("timestamp"))),
+    )
+    # every event matched exactly one interval, carrying its own state
+    assert joined.count() == ev.count()
+    assert joined.filter(F.col("e.event_type") != F.col("d.event_type")).count() == 0

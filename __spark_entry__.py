@@ -1695,6 +1695,17 @@ def _op_hll_distinct(spark, sf_dir):
     )
 
 
+def _op_histogram(spark, sf_dir):
+    """Equi-depth histogram (olap.equi_depth_histogram) over lineitem
+    prices: exact interpolated quartile boundaries (Spark percentile
+    ≡ quantile_cont bit-for-bit) + per-bucket counts, value-oracled
+    end to end including the boundary endpoints."""
+    from htsql_spark.operators.olap import equi_depth_histogram
+
+    li = _db(spark, sf_dir).table("lineitem")
+    return equi_depth_histogram(li, "l_extendedprice", buckets=4)
+
+
 def _op_scd2(spark, sf_dir):
     """SCD-2 dimension history (analytics.scd2) over each user's
     event-type change stream: consecutive same-state rows compress
@@ -1992,6 +2003,7 @@ _QUERIES.update(
         "op_skew_join": _op_skew_join,
         "op_cms": _op_cms,
         "op_scd2": _op_scd2,
+        "op_histogram": _op_histogram,
         "op_hll_distinct": _op_hll_distinct,
         "op_chunk_dedup": _op_chunk_dedup,
         "op_classifier": _op_classifier,
@@ -2092,9 +2104,9 @@ _QUERIES.update(
 # r2 (agg_sum_count, agg_minmax, fn_if, in_set, fn_null,
 # fn_datearith, fn_array, fn_textstats, events_nav); all 14 stay
 # oracle-replayed by tests/test_entry.py every run.
-# (Round 4 then ADDED 12 new queries mid-round — sketches, pagerank,
-# edit/chunk dedup, classifier, skew join, stream_distinct — growing
-# the registry to 156 (151 oracle-backed).  They are deliberately NOT
+# (Round 4 then ADDED new queries mid-round — sketches, pagerank,
+# edit/chunk dedup, classifier, skew join, scd2, stream_distinct —
+# growing the registry past 156 (see queries()/oracle_sql() lengths).  They are deliberately NOT
 # swapped into this round's window: the window was rotated before they
 # existed and swapping would displace other never-gated rows without
 # growing the union.  All 13 are oracle-replayed in pytest now and are
@@ -3269,6 +3281,27 @@ FROM c, t WHERE cnt >= n * 0.0015
         # fixed-iteration PageRank replayed as chained CTEs — the
         # iteration count and damping are literals on both sides
         "op_pagerank": _pagerank_oracle(5),
+        # Spark's exact percentile and DuckDB's quantile_cont share
+        # the type-7 linear interpolation, so even the boundary
+        # endpoints hash-match
+        "op_histogram": """
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS q,
+         min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+  FROM lineitem
+), t AS (
+  SELECT CAST((l_extendedprice > q[1]) AS INT)
+       + CAST((l_extendedprice > q[2]) AS INT)
+       + CAST((l_extendedprice > q[3]) AS INT) AS bucket,
+         [mn] || q || [mx] AS edges
+  FROM lineitem, b
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       round(edges[bucket + 1], 4) AS lo,
+       round(edges[bucket + 2], 4) AS hi,
+       count(*) AS n
+FROM t GROUP BY 1, 2, 3
+""",
         "op_scd2": """
 WITH o AS (
   SELECT user_id, event_type, ts,

@@ -110,6 +110,7 @@ HEADLINE = [
     "op_skew_join",
     "op_cms",
     "op_scd2",
+    "op_histogram",
     "op_chunk_dedup",
     "op_classifier",
 ]

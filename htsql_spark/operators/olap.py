@@ -47,3 +47,49 @@ def intersect(a: DataFrame, b: DataFrame, all: bool = False) -> DataFrame:
 
 def except_(a: DataFrame, b: DataFrame, all: bool = False) -> DataFrame:
     return a.exceptAll(b) if all else a.subtract(b)
+
+
+def equi_depth_histogram(
+    df: DataFrame, col: str, buckets: int = 4
+) -> DataFrame:
+    """Equi-depth histogram: exact interpolated percentile boundaries
+    (Spark's ``percentile`` — same type-7 linear interpolation as
+    ANSI ``quantile_cont``, so a SQL oracle reproduces boundaries
+    bit-for-bit) plus per-bucket counts.
+
+    Two aggregations: boundaries + min/max come from ONE single-row
+    agg (broadcast back), bucket assignment is a narrow counting
+    expression (#boundaries < value), counts map-side combine.  The
+    exact percentile sorts within groups at 100 TB — for a cheaper
+    scan swap in ``approx_percentile`` (the GK sketch already in the
+    aggregate registry) at identical plan shape.
+
+    Returns (bucket, lo, hi, n): lo/hi are the bucket's value range
+    endpoints (global min/max at the edges); ties land in the lower
+    bucket (strict > counting) in both engines."""
+    if buckets < 1:
+        raise ValueError(f"equi_depth_histogram: buckets must be >= 1, got {buckets}")
+    qs = [i / buckets for i in range(1, buckets)]
+    qlist = ", ".join(repr(q) for q in qs)
+    bounds = df.agg(
+        F.expr(
+            f"percentile({col}, array({qlist}))" if qs else "array()"
+        ).alias("__b"),
+        F.min(col).alias("__lo"),
+        F.max(col).alias("__hi"),
+    )
+    tagged = df.crossJoin(F.broadcast(bounds))
+    idx = F.size(F.filter("__b", lambda b: F.col(col) > b))
+    counts = (
+        tagged.groupBy(idx.alias("bucket"), "__b", "__lo", "__hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    edges = F.concat(
+        F.array(F.col("__lo")), F.col("__b"), F.array(F.col("__hi"))
+    )
+    return counts.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.round(F.element_at(edges, F.col("bucket") + 1), 4).alias("lo"),
+        F.round(F.element_at(edges, F.col("bucket") + 2), 4).alias("hi"),
+        "n",
+    )

@@ -411,3 +411,31 @@ def test_salted_join_hot_rejects_outer(spark):
     df = spark.range(2).withColumnRenamed("id", "k")
     with _pytest.raises(ValueError, match="inner"):
         salted_join_hot(df, df, "k", how="left")
+
+
+def test_equi_depth_histogram_properties(db):
+    """Buckets tile [min, max], counts sum to the row count, and the
+    depth is balanced within interpolation ties."""
+    from htsql_spark.operators.olap import equi_depth_histogram
+
+    li = db.table("lineitem")
+    total = li.count()
+    rows = sorted(
+        map(tuple, equi_depth_histogram(li, "l_extendedprice", 5).collect())
+    )
+    assert len(rows) == 5
+    assert sum(r[3] for r in rows) == total
+    # contiguous edges
+    for (b1, lo1, hi1, _), (b2, lo2, hi2, _) in zip(rows, rows[1:]):
+        assert b2 == b1 + 1 and lo2 == hi1
+    # balanced to within 2% of ideal depth (exact boundaries)
+    ideal = total / 5
+    assert all(abs(r[3] - ideal) <= max(2, 0.02 * total) for r in rows)
+
+
+def test_equi_depth_histogram_single_bucket(db):
+    from htsql_spark.operators.olap import equi_depth_histogram
+
+    li = db.table("lineitem")
+    rows = equi_depth_histogram(li, "l_quantity", 1).collect()
+    assert len(rows) == 1 and rows[0]["n"] == li.count()

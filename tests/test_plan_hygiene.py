@@ -98,6 +98,8 @@ NLJ_OK = {
     # heavy_hitters crossJoins the single-row broadcast total count
     "op_heavy_hitters",
     "op_skew_join",
+    # the histogram crossJoins the single-row boundary aggregate
+    "op_histogram",
 }
 
 #: declared caches: the minhash candidate-pair table feeds three

@@ -28,6 +28,11 @@ cost is numpy slicing; nothing here touches the driver.
   only (differential x/y-offset or over-blend frames raise; our
   encoder never emits them).
 
+* **AVI** — RIFF AVI (public VFW spec) carrying an uncompressed
+  24-bit DIB 'vids' stream: LIST hdrl/strl/movi walk with size
+  validation; frames are the BMP pixel layout (bottom-up BGR,
+  4-byte stride) decoded by the same path as BMP.
+
 ``RAWV`` below is a deliberately trivial length-prefixed frame
 container kept for plumbing tests.  mp4/h264 decode stays honestly
 out of scope for this container (no codec libraries).
@@ -448,12 +453,15 @@ def decode_rawv_frame(data: bytes, idx: int) -> np.ndarray:
 # video container dispatch: real APNG or the RAWV test container
 # ----------------------------------------------------------------------
 def video_frame_count(data: bytes) -> int:
-    """Frame count for any supported video container (APNG or RAWV).
-    mp4/h264 raise NotImplementedError — no codec in this container."""
+    """Frame count for any supported video container (APNG, AVI/DIB
+    or RAWV).  mp4/h264 raise NotImplementedError — no codec in this
+    container."""
     if data[:4] == RAWV_MAGIC:
         return rawv_frame_count(data)
     if data[:8] == PNG_MAGIC:
         return apng_frame_count(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return avi_frame_count(data)
     raise NotImplementedError(
         "unsupported video container (mp4/h264 decode out of scope)"
     )
@@ -461,11 +469,14 @@ def video_frame_count(data: bytes) -> int:
 
 def decode_video_frame(data: bytes, idx: int) -> np.ndarray:
     """Decode frame ``idx`` from any supported container without
-    materializing the others (APNG walks chunks, RAWV seeks)."""
+    materializing the others (APNG walks chunks, AVI reads the DIB
+    slot, RAWV seeks)."""
     if data[:4] == RAWV_MAGIC:
         return decode_rawv_frame(data, idx)
     if data[:8] == PNG_MAGIC:
         return decode_apng_frame(data, idx)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return decode_avi_frame(data, idx)
     raise NotImplementedError(
         "unsupported video container (mp4/h264 decode out of scope)"
     )
@@ -520,3 +531,118 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     if len(data) & 1:
         raise ValueError("truncated WAV data chunk (odd byte count for int16)")
     return int(rate), np.frombuffer(data, dtype="<i2")
+
+
+# ----------------------------------------------------------------------
+# AVI (RIFF container, uncompressed 24-bit DIB 'vids' stream) — public
+# OpenDML/VFW spec; frames reuse the BMP pixel layout (bottom-up BGR,
+# 4-byte-aligned rows), so the pixel path is the proven BMP decoder's.
+# mp4/h264 stay honestly out of scope (no codec in this container).
+# ----------------------------------------------------------------------
+def encode_avi(frames: list["np.ndarray"], fps: int = 10) -> bytes:
+    """(h, w, 3) uint8 RGB frames → minimal spec-conformant AVI:
+    RIFF('AVI ') { LIST hdrl { avih, LIST strl { strh('vids'/'DIB '),
+    strf(BITMAPINFOHEADER) } }, LIST movi { '00db' DIB frames } }."""
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    h, w = frames[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+    dibs = []
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("AVI frames must share one size")
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        dibs.append(rows.tobytes())
+    frame_bytes = stride * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return struct.pack("<4sI", cid, len(body)) + body + (b"\0" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10,  # us/frame, rate, pad, HASINDEX-less flags
+        len(frames), 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        frame_bytes, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def _avi_walk(data: bytes):
+    """Yield (fourcc, offset, size) for every top-level-and-movi chunk
+    the frame reader needs; validates RIFF framing and sizes."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    end = 8 + struct.unpack_from("<I", data, 4)[0]
+    if end > len(data):
+        raise ValueError("truncated AVI: RIFF size exceeds payload")
+    pos = 12
+    while pos + 8 <= end:
+        cid, sz = struct.unpack_from("<4sI", data, pos)
+        if pos + 8 + sz > end:
+            raise ValueError(f"truncated AVI chunk {cid!r}")
+        yield cid, pos + 8, sz
+        pos += 8 + sz + (sz & 1)
+
+
+def _avi_layout(data: bytes) -> tuple[int, int, list[tuple[int, int]]]:
+    """(width, height, [(frame_offset, size), ...]) via the header and
+    movi walks."""
+    w = h = None
+    frames: list[tuple[int, int]] = []
+    for cid, off, sz in _avi_walk(data):
+        if cid != b"LIST":
+            continue
+        kind = data[off : off + 4]
+        pos = off + 4
+        end = off + sz
+        while pos + 8 <= end:
+            c2, s2 = struct.unpack_from("<4sI", data, pos)
+            body_off = pos + 8
+            if body_off + s2 > end:
+                raise ValueError(f"truncated AVI sub-chunk {c2!r}")
+            if kind == b"hdrl" and c2 == b"avih":
+                if s2 < 40:
+                    raise ValueError("truncated avih header")
+                vals = struct.unpack_from("<IIIIIIIIII", data, body_off)
+                w, h = vals[8], vals[9]
+            elif kind == b"movi" and c2 in (b"00db", b"00dc"):
+                frames.append((body_off, s2))
+            pos = body_off + s2 + (s2 & 1)
+    if w is None or h is None:
+        raise ValueError("AVI missing avih header")
+    return w, h, frames
+
+
+def avi_frame_count(data: bytes) -> int:
+    return len(_avi_layout(data)[2])
+
+
+def decode_avi_frame(data: bytes, idx: int) -> "np.ndarray":
+    """Decode DIB frame ``idx``: bottom-up BGR rows, 4-byte stride —
+    the BMP pixel layout, reused."""
+    w, h, frames = _avi_layout(data)
+    if not 0 <= idx < len(frames):
+        raise ValueError(f"AVI frame {idx} out of range ({len(frames)} frames)")
+    off, sz = frames[idx]
+    stride = (w * 3 + 3) & ~3
+    if sz < stride * h:
+        raise ValueError("truncated AVI DIB frame")
+    rows = np.frombuffer(data, np.uint8, count=stride * h, offset=off).reshape(
+        h, stride
+    )
+    return rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy()

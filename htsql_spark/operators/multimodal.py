@@ -6,11 +6,13 @@ BMP/PPM/PNG codecs (the container has no PIL/opencv), so
 ``image_features`` and ``sampled_frame_features`` run actual pixel
 work — header parse, inflate, unfilter, channel means — inside Arrow
 batches; ``audio_features`` decodes real RIFF/WAVE PCM to samples.
-Video decode parses a REAL container: APNG (public spec — acTL/fcTL/
-fdAT chunk walk with CRC validation, frames through the PNG codec);
-the trivial RAWV container remains for plumbing tests.  Only
-mp4/h264 stay stubbed (``try_decode`` raises for those — no codec
-libraries in this container).
+Video decode parses REAL containers: APNG (public spec — acTL/fcTL/
+fdAT chunk walk with CRC validation, frames through the PNG codec)
+and RIFF AVI with uncompressed DIB 'vids' frames (the BMP pixel
+layout inside a chunk-walked RIFF, like WAV); the trivial RAWV
+container remains for plumbing tests.  Only mp4/h264 stay stubbed
+(``try_decode`` raises for those — no codec libraries in this
+container).
 
 At 100 TB: binary payloads stay columnar (parquet binary), batches
 stream through Arrow without driver involvement, and per-partition
@@ -232,7 +234,9 @@ def video_assets_from_documents(
 ) -> DataFrame:
     """Planted video per document: ``n_frames`` solid frames whose
     colors vary by (doc_id, frame index), packed into a REAL APNG
-    container by default (``container='rawv'`` keeps the trivial
+    container by default (``container='avi'`` packs a RIFF AVI with
+    uncompressed DIB frames — the BMP pixel layout inside a real
+    chunk-walked container; ``container='rawv'`` keeps the trivial
     length-prefixed test container)."""
 
     @F.pandas_udf(T.BinaryType())
@@ -246,6 +250,8 @@ def video_assets_from_documents(
             ]
             if container == "apng":
                 out.append(imaging.encode_apng(px))
+            elif container == "avi":
+                out.append(imaging.encode_avi(px))
             else:
                 out.append(imaging.encode_rawv([imaging.encode_bmp(p) for p in px]))
         return pd.Series(out)

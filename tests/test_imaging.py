@@ -276,3 +276,49 @@ def test_apng_roundtrip_and_container_contract():
     # mp4 magic → honest NotImplementedError
     with pytest.raises(NotImplementedError):
         imaging.video_frame_count(b"\x00\x00\x00\x18ftypmp42xxxx")
+
+
+def test_avi_roundtrip_and_container_contract():
+    """AVI encode→per-frame decode roundtrip over random pixels via
+    the shared video dispatch; truncation and mismatched sizes raise
+    named errors; a WAV (also RIFF) is not mistaken for an AVI."""
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (9, 7, 3), dtype=np.uint8) for _ in range(3)]
+    avi = imaging.encode_avi(frames)
+    assert imaging.avi_frame_count(avi) == 3
+    assert imaging.video_frame_count(avi) == 3
+    for i, fr in enumerate(frames):
+        assert np.array_equal(imaging.decode_avi_frame(avi, i), fr)
+        assert np.array_equal(imaging.decode_video_frame(avi, i), fr)
+    with pytest.raises(ValueError):
+        imaging.decode_avi_frame(avi, 3)
+    # truncated payload fails loudly, not with a short frame
+    with pytest.raises(ValueError):
+        imaging.avi_frame_count(avi[: len(avi) - 10])
+    # RIFF/WAVE is not RIFF/AVI
+    wav = imaging.encode_wav(np.zeros(16, dtype=np.int16))
+    with pytest.raises(NotImplementedError):
+        imaging.video_frame_count(wav)
+    with pytest.raises(ValueError):
+        imaging.avi_frame_count(wav)
+    # frames must share one size
+    with pytest.raises(ValueError):
+        imaging.encode_avi([frames[0], rng.randint(0, 256, (4, 4, 3), dtype=np.uint8)])
+
+
+def test_avi_video_pipeline_end_to_end(spark):
+    """The planted-color video fixtures run through the REAL AVI
+    container: per-frame means recompute the planted colors."""
+    from htsql_spark.operators import multimodal as MM
+
+    docs = spark.range(6).select(F.col("id").alias("doc_id"))
+    assets = MM.video_assets_from_documents(docs, n_frames=5, size=4, container="avi")
+    stats = MM.sampled_frame_features(assets, every_n=2)
+    got = {
+        (r["asset_id"], r["frame_idx"]): (r["mean_r"], r["mean_g"], r["mean_b"])
+        for r in stats.collect()
+    }
+    for i in range(6):
+        for f in (0, 2, 4):
+            exp = MM._plant_color(i, f)
+            assert got[(i, f)] == tuple(float(c) for c in exp), (i, f)

@@ -1156,6 +1156,25 @@ def _op_video_dedup(spark, sf_dir):
     )
 
 
+def _op_video_dedup_avi(spark, sf_dir):
+    """The video-dedup gate's AVI twin: identical planted-bit frame
+    truth, but the container is RIFF AVI with uncompressed DIB frames
+    (imaging.encode_avi) — value-oracling the SECOND real container
+    parse end to end through the same frame decoder and banding."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import multimodal
+
+    docs = _db(spark, sf_dir).table("documents").filter("doc_id < 300")
+    a1 = multimodal.bitmap_video_assets_from_documents(docs, container="avi")
+    a2 = multimodal.bitmap_video_assets_from_documents(
+        docs, container="avi"
+    ).select((F.col("asset_id") + 500000).alias("asset_id"), "kind", "payload", "meta")
+    return multimodal.video_dup_pairs(
+        a1.unionByName(a2), every_n=10, min_shared=2
+    )
+
+
 def _op_asset_meta(spark, sf_dir):
     """Metadata-only multimodal pass (n_bytes + digest over opaque
     binary payloads) — the pre-decode inventory scan."""
@@ -2067,6 +2086,7 @@ _QUERIES.update(
         "op_audio": _op_audio,
         "op_image_dedup": _op_image_dedup,
         "op_video_dedup": _op_video_dedup,
+        "op_video_dedup_avi": _op_video_dedup_avi,
         "op_frame_sample": _op_frame_sample,
     }
 )
@@ -2162,7 +2182,7 @@ from htsql_spark.derived import PARTSUPP_ORACLE_CTE as _PARTSUPP_CTE
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "scan": "SELECT * FROM region",
         "selection": (
             "SELECT c_name AS name, lower(c_mktsegment) AS seg,"
@@ -3406,6 +3426,10 @@ SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
 FROM t
 """,
     }
+    # the AVI twin shares op_video_dedup's planted-bit truth —
+    # only the container encoding differs
+    out["op_video_dedup_avi"] = out["op_video_dedup"]
+    return out
 
 
 # ----------------------------------------------------------------------

@@ -111,6 +111,7 @@ HEADLINE = [
     "op_cms",
     "op_scd2",
     "op_histogram",
+    "op_video_dedup_avi",
     "op_chunk_dedup",
     "op_classifier",
 ]

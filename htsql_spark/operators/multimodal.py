@@ -472,7 +472,8 @@ def bitmap_video_assets_from_documents(
     exactly doc_id + f, making the video-dedup path SQL-checkable
     end-to-end (see :func:`bitmap_assets_from_documents`).  Default
     container is REAL APNG (CRC-validated chunk walk at decode);
-    ``container='rawv'`` keeps the trivial test container."""
+    ``container='avi'`` packs a RIFF AVI with uncompressed DIB
+    frames; ``container='rawv'`` keeps the trivial test container."""
 
     @F.pandas_udf(T.BinaryType())
     def synth(ids: pd.Series) -> pd.Series:
@@ -488,6 +489,8 @@ def bitmap_video_assets_from_documents(
                 px.append(np.stack([img] * 3, axis=2))
             if container == "apng":
                 out.append(imaging.encode_apng(px))
+            elif container == "avi":
+                out.append(imaging.encode_avi(px))
             else:
                 out.append(imaging.encode_rawv([imaging.encode_bmp(p) for p in px]))
         return pd.Series(out)

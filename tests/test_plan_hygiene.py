@@ -38,6 +38,7 @@ ARROW_OK = {
     "op_audio",
     "op_image_dedup",
     "op_video_dedup",
+    "op_video_dedup_avi",
     "op_frame_sample",
     "op_dedup_embedding",
     "op_ann_bruteforce",

@@ -1750,9 +1750,9 @@ def _op_cms(spark, sf_dir):
 
     ev = _db(spark, sf_dir).table("events")
     vals = ev.select(F.col("user_id").cast("string").alias("u"))
-    mat, _d, w = cms_build(vals, "u", eps=0.01, delta=1e-4)
+    mat, _d, _w = cms_build(vals, "u", eps=0.01, delta=1e-4)
     n_total = vals.count()
-    est = cms_estimate(vals.distinct(), "u", mat, w)
+    est = cms_estimate(vals.distinct(), "u", mat)
     exact = vals.groupBy("u").agg(F.count(F.lit(1)).alias("exact_n"))
     return (
         est.join(exact, "u")
@@ -3285,7 +3285,9 @@ WITH d AS (
   SELECT pair, count(*) AS cnt FROM b GROUP BY 1
 ), t AS (SELECT sum(cnt) AS n FROM c)
 SELECT pair, cnt, round(cnt * 1.0 / n, 6) AS freq
-FROM c, t WHERE cnt >= n * 0.0015
+-- scaled-integer threshold (0.0015 * 1e9), matching the operator's
+-- exact boundary rule
+FROM c, t WHERE cnt * 1000000000 >= n * 1500000
 """,
         # the sketch estimate is engine-specific; the gate-checked
         # values are the exact count and the bounded-error flag

@@ -170,6 +170,8 @@ def bloom_might_contain(
     on semantics or cost: ``ascii(substring(...))`` decodes bytes ≥
     0x80 through UTF-8 into U+FFFD — silent false negatives — and
     ``conv(hex(substring(...)))`` is a string round-trip per hash.)"""
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     checks = []
     for p in _positions(value, m_bits, num_hashes):
         word = F.element_at(bloom, F.shiftright(p, 6).cast("int") + F.lit(1))
@@ -195,22 +197,27 @@ def bloom_probe_arrow(
     SparkContext broadcast of the bitset — one copy per executor,
     vectorized ``(bits[p >> 6] >> (p & 63)) & 1`` in numpy.  Appends a
     boolean ``flag`` column; narrow, no shuffle."""
+    if flag in df.columns or "__sketch_pos" in df.columns:
+        raise ValueError(
+            f"bloom_probe_arrow: input already has a {flag!r}/'__sketch_pos' "
+            "column — it would be silently overwritten"
+        )
     bc = df.sparkSession.sparkContext.broadcast(
         np.asarray(words, dtype=np.int64).view(np.uint64)
     )
     with_pos = df.withColumn(
-        "__pos", F.array(*_positions(F.col(col), m_bits, num_hashes))
+        "__sketch_pos", F.array(*_positions(F.col(col), m_bits, num_hashes))
     )
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = bc.value
         for pdf in batches:
-            pos = np.stack(pdf["__pos"].to_numpy()).astype(np.int64)
+            pos = np.stack(pdf["__sketch_pos"].to_numpy()).astype(np.int64)
             hit = (
                 (bits[pos >> 6] >> (pos & 63).astype(np.uint64))
                 & np.uint64(1)
             ).astype(bool).all(axis=1)
-            out = pdf.drop(columns=["__pos"])
+            out = pdf.drop(columns=["__sketch_pos"])
             out[flag] = hit
             yield out
 
@@ -258,17 +265,24 @@ def bloom_anti_join(
     the bitset — one copy per executor, any m).
 
     ``n_items``: expected small-side cardinality for sizing; by
-    default it is computed with one count() over the small side
-    (cheap: single long).
+    default it is the pinned probe table's count (single long).
+
+    The small side's distinct key set is pinned with an eager
+    localCheckpoint: it is consumed three times (sizing count, bloom
+    build, sliver verify), and beyond the 3× recompute a
+    NON-DETERMINISTIC small side would otherwise build the bloom from
+    different values than the verify join sees — voiding the
+    no-false-negatives exactness argument.
     """
+    probe = small.select(on).distinct().localCheckpoint(eager=True)
     if n_items is None:
-        n_items = small.count()
+        n_items = probe.count()
     m_bits, k = bloom_params(n_items, fpp)
-    words = bloom_words(small, on, m_bits, k)
+    words = bloom_words(probe, on, m_bits, k)
     maybe = bloom_hits(big, on, words, m_bits, k)
     confirmed = (
         maybe.select(on)
-        .join(small.select(on), on, "left_semi")
+        .join(probe, on, "left_semi")
         .distinct()
     )
     return big.join(F.broadcast(confirmed), on, "left_anti")
@@ -311,9 +325,11 @@ def hll_distinct(
     group via Spark's Datasketches HLL.  One map-side-combined
     aggregation whose partial state is a ~2^lgk-byte sketch — at
     100 TB the shuffle moves per-group sketches, not per-row keys.
-    Returns ``by + [approx_distinct]``."""
+    Returns ``by + [approx_distinct]``.  (Native PySpark functions,
+    not an expr() f-string: column names with spaces/keywords would
+    break — or worse, inject — a string-built expression.)"""
     return df.groupBy(*by).agg(
-        F.expr(f"hll_sketch_estimate(hll_sketch_agg({col}, {lgk}))").alias(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col(col), lgk)).alias(
             "approx_distinct"
         )
     )
@@ -324,9 +340,7 @@ def hll_sketches(df: DataFrame, by: list[str], col: str, lgk: int = 14) -> DataF
     unionable form: write these per partition/day, then roll up any
     grouping with ``hll_union_agg`` without touching row data again
     (sketch unions are lossless at equal lgK)."""
-    return df.groupBy(*by).agg(
-        F.expr(f"hll_sketch_agg({col}, {lgk})").alias("hll")
-    )
+    return df.groupBy(*by).agg(F.hll_sketch_agg(F.col(col), lgk).alias("hll"))
 
 
 def hll_rollup(sketches: DataFrame, by: list[str]) -> DataFrame:
@@ -337,7 +351,9 @@ def hll_rollup(sketches: DataFrame, by: list[str]) -> DataFrame:
     equal the estimate a direct scan would have produced.)"""
     grouped = sketches.groupBy(*by) if by else sketches.groupBy()
     return grouped.agg(
-        F.expr("hll_sketch_estimate(hll_union_agg(hll))").alias("approx_distinct")
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("hll"))).alias(
+            "approx_distinct"
+        )
     )
 
 
@@ -455,18 +471,26 @@ def heavy_hitters(
     exact (no false positives survive the recount threshold; the MG
     margin of 2 rules out false negatives).
 
-    Returns (``col``, cnt, freq) for items with freq ≥ min_freq.
+    Returns (``col``, cnt, freq) for items with freq ≥ min_freq (the
+    key keeps its input type).  The threshold compares in scaled
+    INTEGER space (cnt·10⁹ ≥ n·round(min_freq·10⁹)) so an item
+    sitting exactly on the boundary is kept — a double-arithmetic
+    ``cnt >= n*min_freq`` silently drops exact-boundary items when
+    n·min_freq rounds up by one ulp.
     """
     if not (0 < min_freq <= 1):
         raise ValueError(f"heavy_hitters: min_freq must be in (0, 1], got {min_freq}")
     capacity = max(1, math.ceil(2.0 / min_freq))
+    key_type = df.schema[col].dataType
     vals = df.select(F.col(col).cast("string").alias("v")).filter(
         F.col("v").isNotNull()
     )
 
     def mg_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
+        nrows = 0
         for pdf in batches:
+            nrows += len(pdf)
             for v, c in pdf["v"].value_counts().items():
                 counters[v] = counters.get(v, 0) + int(c)
                 if len(counters) > capacity:
@@ -476,21 +500,29 @@ def heavy_hitters(
                     counters = {
                         k: n - dec for k, n in counters.items() if n - dec > 0
                     }
-        if counters:
-            yield pd.DataFrame({"v": list(counters.keys())})
+        # one sentinel row per partition carries its row count, so the
+        # total needs no separate third scan of the input
+        yield pd.DataFrame(
+            {
+                "v": list(counters.keys()) + [None],
+                "nrows": [0] * len(counters) + [nrows],
+            }
+        )
 
-    candidates = (
-        vals.mapInPandas(mg_partials, "v string").distinct()
-    )
-    total = vals.agg(F.count(F.lit(1)).alias("__n"))
+    summary = vals.mapInPandas(
+        mg_partials, "v string, nrows long"
+    ).localCheckpoint(eager=True)
+    candidates = summary.filter(F.col("v").isNotNull()).select("v").distinct()
+    total = summary.agg(F.sum("nrows").alias("__n"))
+    scaled = int(round(min_freq * 1_000_000_000))
     return (
         vals.join(F.broadcast(candidates), "v", "left_semi")
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") >= F.col("__n") * F.lit(min_freq))
+        .filter(F.col("cnt") * F.lit(1_000_000_000) >= F.col("__n") * F.lit(scaled))
         .select(
-            F.col("v").alias(col),
+            F.col("v").cast(key_type).alias(col),
             F.col("cnt"),
             F.round(F.col("cnt") / F.col("__n"), 6).alias("freq"),
         )
@@ -567,35 +599,38 @@ def cms_estimate(
     df: DataFrame,
     col: str,
     matrix: list[list[int]],
-    width: int,
     flag: str = "freq_est",
 ) -> DataFrame:
     """Point-frequency estimates: min over the depth rows of each
-    value's counter.  Positions are computed JVM-side, the matrix
-    rides a SparkContext broadcast, lookups run vectorized in one
-    Arrow pass (same vehicle as ``bloom_probe_arrow``).  Appends a
-    long ``flag`` column; narrow, no shuffle."""
+    value's counter.  Positions are computed JVM-side (the shared
+    ``_positions`` hash convention, width standing in for m_bits),
+    the matrix rides a SparkContext broadcast, lookups run vectorized
+    in one Arrow pass (same vehicle as ``bloom_probe_arrow``).
+    Appends a long ``flag`` column; narrow, no shuffle.  depth and
+    width BOTH derive from the matrix — a separately-passed width
+    that disagreed with the build would silently land probes on wrong
+    counters and void the never-underestimate guarantee."""
     depth = len(matrix)
+    width = len(matrix[0])
+    if flag in df.columns or "__sketch_pos" in df.columns:
+        raise ValueError(
+            f"cms_estimate: input already has a {flag!r}/'__sketch_pos' "
+            "column — it would be silently overwritten"
+        )
     bc = df.sparkSession.sparkContext.broadcast(
         np.asarray(matrix, dtype=np.int64)
     )
     with_pos = df.withColumn(
-        "__pos",
-        F.array(
-            *[
-                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width)).cast("long")
-                for i in range(depth)
-            ]
-        ),
+        "__sketch_pos", F.array(*_positions(F.col(col), width, depth))
     )
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mat = bc.value
         rows = np.arange(mat.shape[0])
         for pdf in batches:
-            pos = np.stack(pdf["__pos"].to_numpy()).astype(np.int64)
+            pos = np.stack(pdf["__sketch_pos"].to_numpy()).astype(np.int64)
             est = mat[rows[None, :], pos].min(axis=1)
-            out = pdf.drop(columns=["__pos"])
+            out = pdf.drop(columns=["__sketch_pos"])
             out[flag] = est
             yield out
 

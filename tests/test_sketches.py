@@ -274,7 +274,7 @@ def test_cms_never_underestimates(spark):
         mat, d, w = S.cms_build(vals, "v", eps=eps, delta=1e-3)
         est = {
             r["v"]: r["freq_est"]
-            for r in S.cms_estimate(vals.distinct(), "v", mat, w).collect()
+            for r in S.cms_estimate(vals.distinct(), "v", mat).collect()
         }
         n = sum(exact.values())
         for k, true_n in exact.items():

@@ -35,6 +35,8 @@ def funnel(
     type ``steps[k]`` occurs strictly after their earliest qualifying
     step-(k-1) event.  Returns (step, event_type, users) — one row per
     step with the count of users reaching it."""
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
     per_user = (
         events.filter(F.col(type_col).isin(steps))
         .select(
@@ -95,7 +97,11 @@ def retention(
             .cast("int")
             .alias("week_offset"),
         )
-        .agg(F.countDistinct(user_col).alias("users"))
+        # plain count: `active` is already distinct per (user, week)
+        # and cohort is one row per user, so each user appears once
+        # per group — countDistinct would add an expand/two-phase
+        # distinct aggregation for the identical result
+        .agg(F.count(F.lit(1)).alias("users"))
     )
 
 
@@ -194,6 +200,10 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty graph: an empty (node, rank) frame, not a division
+        # crash in the teleport arithmetic
+        return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # edges annotated with the sender's out-degree, reused every round
     flow = e.join(outdeg, "src").localCheckpoint(eager=False)

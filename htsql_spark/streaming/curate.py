@@ -85,8 +85,6 @@ def run_dedup_ingest(
     Within-batch duplicates are also dropped (first-seen by id
     order); batch ids must be globally unique (append-only ingest
     contract)."""
-    from ..operators import dedup
-
     if "." in index_table:
         # the orphan-location cleanup below maps the table name onto a
         # warehouse path; a db-qualified name does NOT lower to a
@@ -96,6 +94,32 @@ def run_dedup_ingest(
             f"qualified index_table names are not supported: {index_table!r}"
         )
     if not spark.catalog.tableExists(index_table):
+        # index/archive desync guard: an existing archive with a
+        # MISSING index would silently admit exact clones of every
+        # archived doc (first batch dedups only within itself) and
+        # then overwrite the index with just that batch's bands —
+        # permanent, quiet duplicate admission.  Fail loudly instead;
+        # the index is rebuildable from the archive
+        # (operators.dedup.materialize_band_index).
+        ap = spark._jvm.org.apache.hadoop.fs.Path(archive_path)
+        afs = ap.getFileSystem(spark._jsc.hadoopConfiguration())
+        if afs.exists(ap):
+            raise ValueError(
+                f"archive {archive_path} exists but index table "
+                f"{index_table!r} does not — rebuild the index with "
+                "operators.dedup.materialize_band_index before ingesting"
+            )
+        # the warehouse-path mapping below resolves table names against
+        # the DEFAULT database location; under another current database
+        # tableExists and the path would disagree and the cleanup could
+        # target a healthy same-named default-db table's directory
+        if spark.catalog.currentDatabase() != "default":
+            raise ValueError(
+                "run_dedup_ingest's orphan cleanup only supports the "
+                f"'default' database (current: "
+                f"{spark.catalog.currentDatabase()!r}); clear the stale "
+                f"location of {index_table!r} manually"
+            )
         # a previously-dropped table can orphan its managed location,
         # which blocks re-creation.  Clear stale metadata first, then
         # delete the directory ONLY if its contents look like an
@@ -171,15 +195,11 @@ def _process_ingest_batch(
             threshold=threshold,
             archive_bands=index_bands,
         )
-        # drop batch docs that matched the archive (cross) or an
-        # earlier batch doc (within: keep the pair's min id)
-        dead = pairs.filter(BF.col("origin") == "cross").select(
-            BF.col("b").alias("doc_id")
-        ).union(
-            pairs.filter(BF.col("origin") == "within").select(
-                BF.col("b").alias("doc_id")
-            )
-        )
+        # drop batch docs that matched the archive (origin 'cross':
+        # b is the batch doc) or an earlier batch doc (origin
+        # 'within': b is the larger id, min survives) — both origins
+        # kill b, so the dead set is simply every pair's b
+        dead = pairs.select(BF.col("b").alias("doc_id"))
         survivors = batch.join(dead.distinct(), "doc_id", "left_anti")
     else:
         pairs = dedup.incremental_dup_pairs(
@@ -304,23 +324,44 @@ def _process_exact_batch(
     batch = batch.dropDuplicates(["doc_id"]).withColumn(
         "fp", fingerprint(BF.col("text"))
     )
-    # within-batch exact dedup: keep min doc_id per fingerprint
+    # within-batch exact dedup: keep min doc_id per fingerprint.
+    # Pin the prepared batch: it feeds three jobs (sizing count,
+    # bloom build, final anti-join/write) — same 3x-consumer pattern
+    # bloom_anti_join pins, and a micro-batch is small by definition
     w = BW.partitionBy("fp")
     batch = (
         batch.withColumn("__keep", BF.min("doc_id").over(w))
         .filter(BF.col("doc_id") == BF.col("__keep"))
         .drop("__keep")
+        .localCheckpoint(eager=True)
     )
-    # existence check, not try/except-on-read: a CORRUPT archive must
-    # fail the batch loudly — swallowing it as "no archive yet" would
-    # re-admit every duplicate the archive was supposed to block
+    # committed-data check, not bare existence and not try/except: a
+    # crashed FIRST write leaves archive_path with only _temporary
+    # droppings (bare fs.exists would route into an uninferrable
+    # parquet read → permanent retry crash-loop), while a CORRUPT
+    # archive with committed part- files must still fail the batch
+    # loudly — swallowing it as "no archive yet" would re-admit every
+    # duplicate the archive was supposed to block
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(archive_path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    have_archive = fs.exists(p)
+    have_archive = False
+    if fs.exists(p):
+        root = fs.makeQualified(p).toString().rstrip("/")
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            fpath = it.next().getPath().toString()
+            rel = fpath[len(root) + 1 :] if fpath.startswith(root) else fpath
+            parts = rel.split("/")
+            # a COMMITTED data file: part- leaf with no hidden
+            # (_temporary/._*) component anywhere on its path
+            if parts[-1].startswith("part-") and not any(
+                c.startswith("_") or c.startswith(".") for c in parts[:-1]
+            ):
+                have_archive = True
+                break
     if have_archive:
         archive = spark.read.parquet(archive_path)
-    if have_archive:
         # crash-retry guard: exclude this batch's own rows (a crashed
         # attempt may have written batch=N before the checkpoint
         # committed)

@@ -595,3 +595,44 @@ def test_windowed_distinct_users_matches_batch(spark, events_batch, events_strea
         batch_est, exact = exp[k]
         assert est == batch_est, k  # stream merge is lossless
         assert abs(est - exact) <= max(1, 0.05 * exact), k
+
+
+def test_ingest_refuses_archive_without_index(spark, tmp_path):
+    """An existing archive with a missing band index would silently
+    re-admit every archived doc — the loop must fail loudly instead."""
+    import pytest as _pytest
+
+    from htsql_spark import streaming
+    from htsql_spark.engine import HTSQL
+    from tests.conftest import SF_DIR
+
+    docs = HTSQL(spark, SF_DIR).table("documents").limit(5)
+    archive = str(tmp_path / "desync_archive")
+    docs.write.parquet(f"{archive}/batch=0")
+    spark.sql("DROP TABLE IF EXISTS t_desync_idx")
+    land = tmp_path / "empty_land"
+    land.mkdir()
+    stream = spark.readStream.schema(docs.schema).parquet(str(land))
+    with _pytest.raises(ValueError, match="rebuild the index"):
+        streaming.run_dedup_ingest(spark, stream, archive, "t_desync_idx")
+
+
+def test_exact_ingest_ignores_uncommitted_droppings(spark, tmp_path):
+    """A crashed first write (only _temporary paths under the archive)
+    must read as 'no archive yet', not crash the retry loop."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from htsql_spark.streaming.curate import _process_exact_batch
+    from htsql_spark.engine import HTSQL
+    from tests.conftest import SF_DIR
+
+    docs = HTSQL(spark, SF_DIR).table("documents").filter("doc_id < 10")
+    archive = str(tmp_path / "partial_archive")
+    os.makedirs(f"{archive}/batch=0/_temporary/0", exist_ok=True)
+    with open(f"{archive}/batch=0/_temporary/0/part-00000", "w") as f:
+        f.write("incomplete")
+    _process_exact_batch(spark, docs, 0, archive, 0.001)
+    got = spark.read.parquet(archive)
+    assert got.filter(F.col("doc_id") < 10).count() == 10

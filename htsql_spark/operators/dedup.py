@@ -1033,8 +1033,26 @@ def edit_dup_pairs(
     threshold form).  Text travels once per candidate side via a
     semi-join-pruned id→text lookup, never through the banding
     shuffle.  Returns (a, b, edits) with a < b.
+
+    The band table is pinned (eager localCheckpoint) before its
+    self-join: a raw self-join evaluates the minhash signature — the
+    dominant CPU cost — once PER SIDE (no common-subexpression reuse
+    across join inputs), and the candidate table then feeds two more
+    consumers (ids, verify).  Measured 4.5 s → ~2.5 s at sf0.1.
     """
-    cands = minhash_candidates(docs, k, num_hashes, bands)
+    band = _band_table(docs, k, num_hashes, bands).localCheckpoint(eager=True)
+    left = band.alias("l")
+    right = band.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
     ids = (
         cands.select(F.col("a").alias(id_col))
         .union(cands.select("b"))

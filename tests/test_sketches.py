@@ -404,3 +404,45 @@ def test_heavy_hitters_adversarial_near_threshold(spark):
             .collect()
         }
         assert got == exp, min_freq
+
+
+def test_operator_validation_errors_are_named(spark):
+    """Every new operator rejects bad parameters with a ValueError
+    naming the parameter — the same fail-at-bind discipline the query
+    error corpus (tests/golden/errors.yaml) locks for the language."""
+    from htsql_spark.operators.analytics import funnel, pagerank
+    from htsql_spark.operators.olap import equi_depth_histogram
+    from htsql_spark.operators.pipeline import dedup_chunks
+    from htsql_spark.operators.skew import salted_join_hot
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(1, "v")], "user_id long, event_type string"
+    )
+    cases = [
+        (lambda: S.bloom_params(10, 0.5) and S.build_bloom(df, "k", 63, 2),
+         "multiple of 64"),
+        (lambda: S.bloom_might_contain(F.lit("x"), F.lit([0]), 64, 0),
+         "num_hashes"),
+        (lambda: S.heavy_hitters(df, "k", 0.0), "min_freq"),
+        (lambda: S.heavy_hitters(df, "k", 1.5), "min_freq"),
+        (lambda: S.bloom_ngram_decontaminate(docs, n=0), "n must be"),
+        (lambda: dedup_chunks(docs, chunk_tokens=0), "chunk_tokens"),
+        (lambda: equi_depth_histogram(df, "k", 0), "buckets"),
+        (lambda: pagerank(df.selectExpr("k as src", "k as dst"), -1),
+         "iterations"),
+        (lambda: funnel(ev, []), "steps"),
+        (lambda: salted_join_hot(df, df, "k", how="left"), "inner"),
+    ]
+    for fn, needle in cases:
+        with pytest.raises(ValueError) as ei:
+            fn()
+        assert needle in str(ei.value), (needle, str(ei.value))
+
+
+def test_empty_graph_pagerank_returns_empty(spark):
+    from htsql_spark.operators.analytics import pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(edges, iterations=3).count() == 0

@@ -1423,10 +1423,30 @@ def _op_select_budget(spark, sf_dir):
 def _op_embed(spark, sf_dir):
     """Feature-hashing text embeddings (hashing trick, ±1 sign hash,
     L2-normalized): the model-free embedder that feeds the semantic
-    ops end-to-end from text.  One (doc, bucket) hash-agg shuffle."""
+    ops end-to-end from text.  One (doc, bucket) hash-agg shuffle.
+
+    The vector is emitted as a canonical comma-joined string of
+    fixed-6-decimal values (same device as _nested_segment_json): the
+    driver canon cannot sort/hash a raw array<double> column
+    (CORRECTNESS_r04 `unhashable type: 'list'`), and decimal(9,6)
+    strings are byte-identical across Spark and DuckDB — so the full
+    vector is value-hashed end-to-end."""
+    from pyspark.sql import functions as F
+
     from htsql_spark.operators import pipeline
 
-    return pipeline.embed_documents(_db(spark, sf_dir).table("documents"))
+    emb = pipeline.embed_documents(_db(spark, sf_dir).table("documents"))
+    # +0.0 collapses IEEE -0.0 before the decimal cast on both sides
+    return emb.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "embedding",
+                lambda x: (x + F.lit(0.0)).cast("decimal(9,6)").cast("string"),
+            ),
+        ).alias("embedding_csv"),
+    )
 
 
 def _op_bigram_pairs(spark, sf_dir):
@@ -2131,42 +2151,48 @@ _QUERIES.update(
 # existed and swapping would displace other never-gated rows without
 # growing the union.  All 13 are oracle-replayed in pytest now and are
 # first in line for the round-5 rotation.)
+# ROUND-5 ROTATION (judge directive r4 #3): keep 8 flagships; re-gate
+# the 5 rows that were red in r4 (oracle-representation fixes: four
+# HUGEINT→BIGINT casts, op_embed canonical-string vector) so
+# CORRECTNESS_r05 proves the fix at the driver itself; pull in ALL 26
+# entries never green-gated in r1–r4 — led by the 15 round-4 operators
+# (sketches, pagerank, edit/chunk dedup, classifier, skew join, scd2,
+# histogram, stream_distinct) plus the 5 rows-only forms
+# (op_winnow/op_winnow_pairs/op_dedup_simhash/op_simhash_pairs/
+# op_kmeans — their md5 portable twins value-gate the same algorithms;
+# these rows add the weaker rows-only record the driver keeps for
+# them); fill the remaining 16 slots with high-value re-verification
+# (TPC-H composition shapes, streaming, as-of, dedup/ANN production
+# paths, and the rows touched by this round's perf work).  Union after
+# this window: r2∪…∪r5 covers ALL 159 queries.
 _GATE_ORDER = [
     # kept flagships
     "scan", "agg_flagship", "quotient", "tpch_q1",
     "op_curate", "op_dedup_pipeline", "op_dedup_embedding", "op_tfidf",
-    # never-gated: aggregates + catalog-as-data
-    "agg_count_distinct", "agg_percentile", "meta_links",
-    # never-gated: nested outputs — newly value-oracled via canonical
-    # JSON serialization (r3 directive #3)
-    "nested_segment", "topk_per_parent", "op_window_topk",
-    # never-gated: streaming curation + batch-twin window
-    "stream_curate", "op_tumbling_batch",
-    # never-gated: as-of variants
-    "op_asof_forward", "op_asof_nearest",
-    # never-gated: clustering / quantization kernels
-    "op_centroids", "op_kmeans_assign", "op_kmeans_step", "op_quantize",
-    # never-gated: sampling / packing / selection
-    "op_sample_group", "op_pack", "op_select_budget",
-    # never-gated: decontamination tiers
-    "op_contamination", "op_contamination_near",
-    # never-gated: splits
-    "op_split_leakfree", "op_split_stratified",
-    # never-gated: corpus statistics / LM prep
-    "op_corpus_diff", "op_vocab", "op_unigram_lm", "op_embed",
-    "op_bigram_pairs", "op_profile", "op_profile_split",
-    # never-gated: fingerprinting portable twins (value-prove the
-    # xxhash64 production paths bit-for-bit via md5 replays)
-    "op_winnow_portable", "op_winnow_pairs_portable",
-    "op_simhash_portable", "op_simhash_pairs_portable",
-    # never-gated: dedup family remainder
-    "op_dedup_ngram", "op_dedup_incremental", "op_dup_stats",
-    # never-gated: batched ANN
-    "op_ann_batch",
-    # never-gated: multimodal (image/audio/video through REAL codecs —
-    # video now parses a real APNG container)
-    "op_multimodal", "op_asset_meta", "op_audio",
-    "op_image_dedup", "op_video_dedup", "op_frame_sample",
+    # re-gated r4 reds (oracle representation fixed this round)
+    "op_profile", "op_profile_split", "op_dup_stats",
+    "op_simhash_portable", "op_embed",
+    # never-gated: round-4 sketch family
+    "op_bloom_decontam", "op_bloom_ngram", "op_cms",
+    "op_heavy_hitters", "op_hll_distinct", "op_hll_rollup",
+    # never-gated: round-4 graph / history / OLAP
+    "op_pagerank", "op_scd2", "op_histogram",
+    # never-gated: round-4 dedup + skew + streaming
+    "op_edit_dedup", "op_chunk_dedup", "op_skew_join",
+    "op_classifier", "stream_distinct", "op_video_dedup_avi",
+    # never-gated: scalar family + rows-only production forms
+    "fn_textstats",
+    "op_winnow", "op_winnow_pairs", "op_dedup_simhash",
+    "op_simhash_pairs", "op_kmeans",
+    # re-verification: TPC-H composition shapes
+    "tpch_q3", "tpch_q9", "tpch_q17", "tpch_q21",
+    # re-verification: streaming + as-of + nested JSON
+    "stream_curate", "op_asof_join", "nested_segment", "op_window_topk",
+    # re-verification: dedup/ANN production paths (incl. rows touched
+    # by this round's perf work) + multimodal + catalog-as-data
+    "op_dedup_minhash", "op_dedup_semantic", "op_dedup_incremental",
+    "op_contamination_near", "op_ann_batch", "op_image_dedup",
+    "op_frame_sample", "meta_links",
 ]
 assert len(_GATE_ORDER) == 50 and len(set(_GATE_ORDER)) == 50
 _QUERIES = {k: _QUERIES[k] for k in _GATE_ORDER} | {
@@ -2946,7 +2972,11 @@ WHERE p_size = 23
             " g AS (SELECT count(*) AS n FROM ("
             "  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp"
             "  FROM corpus) GROUP BY fp)"
-            " SELECT n AS group_size, count(*) AS n_groups, sum(n) AS n_docs"
+            " SELECT n AS group_size, count(*) AS n_groups,"
+            # CAST: DuckDB sum(BIGINT) returns HUGEINT, which lands in
+            # pandas as float64 and breaks the driver's value hash
+            # against Spark's int64 (CORRECTNESS_r04 hash-FAIL).
+            " CAST(sum(n) AS BIGINT) AS n_docs"
             " FROM g GROUP BY 1"
         ),
         # op_dedup_incremental: cross/within batch dedup; oracle is the
@@ -3164,11 +3194,21 @@ v AS (
     list_transform(range(0, 64),
                    i -> coalesce(map_extract(m, CAST(i AS INTEGER))[1], 0.0)) AS raw
   FROM d
+),
+n AS (
+  SELECT doc_id,
+    list_transform(raw, x -> round(
+      x / greatest(sqrt(list_sum(list_transform(raw, y -> y * y))), 1e-12), 6)) AS embedding
+  FROM v
 )
+-- canonical string form: the driver canon can't hash array columns,
+-- and DECIMAL(9,6) strings are byte-identical across engines
 SELECT doc_id,
-  list_transform(raw, x -> round(
-    x / greatest(sqrt(list_sum(list_transform(raw, y -> y * y))), 1e-12), 6)) AS embedding
-FROM v
+  array_to_string(
+    list_transform(embedding,
+                   x -> CAST(CAST(x + 0.0 AS DECIMAL(9,6)) AS VARCHAR)),
+    ',') AS embedding_csv
+FROM n
 """,
         "op_unigram_lm": r"""
 WITH toks AS (
@@ -3193,16 +3233,18 @@ WITH tagged AS (
   FROM documents
 )
 SELECT split, lang, count(*) AS docs,
-  sum(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))) AS tokens,
-  sum(n_chars) AS chars, round(avg(n_chars), 4) AS avg_chars,
+  CAST(sum(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))) AS BIGINT) AS tokens,
+  CAST(sum(n_chars) AS BIGINT) AS chars, round(avg(n_chars), 4) AS avg_chars,
   min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM tagged GROUP BY 1, 2
 """,
         "op_profile": (
             "SELECT lang, source, count(*) AS docs,"
-            " sum(len(string_split(trim(regexp_replace(text, '\\s+', ' ',"
-            " 'g')), ' '))) AS tokens,"
-            " sum(n_chars) AS chars, round(avg(n_chars), 4) AS avg_chars,"
+            # CAST: DuckDB sum(int) -> HUGEINT -> pandas float64 breaks
+            # the driver hash vs Spark int64 (CORRECTNESS_r04).
+            " CAST(sum(len(string_split(trim(regexp_replace(text, '\\s+', ' ',"
+            " 'g')), ' '))) AS BIGINT) AS tokens,"
+            " CAST(sum(n_chars) AS BIGINT) AS chars, round(avg(n_chars), 4) AS avg_chars,"
             " min(n_chars) AS min_chars, max(n_chars) AS max_chars"
             " FROM documents GROUP BY 1, 2"
         ),
@@ -3536,7 +3578,11 @@ bits AS (
   GROUP BY doc_id, b.i
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+       -- CAST: DuckDB sum() emits HUGEINT -> pandas float64, which
+       -- cannot represent 60-bit signatures exactly (CORRECTNESS_r04
+       -- hash-FAIL); BIGINT round-trips losslessly.
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 

@@ -1040,7 +1040,14 @@ def edit_dup_pairs(
     across join inputs), and the candidate table then feeds two more
     consumers (ids, verify).  Measured 4.5 s → ~2.5 s at sf0.1.
     """
-    band = _band_table(docs, k, num_hashes, bands).localCheckpoint(eager=True)
+    # _band_table reads the fixed (doc_id, text) shape — normalize the
+    # caller's column names first so non-default id_col/text_col band
+    # on the right columns instead of failing (or silently banding on
+    # an unrelated doc_id/text column that happens to exist)
+    normed = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    band = _band_table(normed, k, num_hashes, bands).localCheckpoint(eager=True)
     left = band.alias("l")
     right = band.alias("r")
     cands = (

@@ -601,15 +601,36 @@ def _avi_walk(data: bytes):
 
 def _avi_layout(data: bytes) -> tuple[int, int, list[tuple[int, int]]]:
     """(width, height, [(frame_offset, size), ...]) via the header and
-    movi walks."""
+    movi walks.  movi recurses into ``rec `` sub-LISTs (spec-valid
+    interleave grouping — VfW readers must treat their contents as if
+    inline), and a movi list that yields no recognized frame chunks
+    raises instead of silently decoding as a 0-frame video."""
     w = h = None
     frames: list[tuple[int, int]] = []
+
+    def walk_movi(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            c2, s2 = struct.unpack_from("<4sI", data, pos)
+            body_off = pos + 8
+            if body_off + s2 > end:
+                raise ValueError(f"truncated AVI sub-chunk {c2!r}")
+            if c2 in (b"00db", b"00dc"):
+                frames.append((body_off, s2))
+            elif c2 == b"LIST" and data[body_off : body_off + 4] == b"rec ":
+                walk_movi(body_off + 4, body_off + s2)
+            pos = body_off + s2 + (s2 & 1)
+
+    saw_movi = False
     for cid, off, sz in _avi_walk(data):
         if cid != b"LIST":
             continue
         kind = data[off : off + 4]
         pos = off + 4
         end = off + sz
+        if kind == b"movi":
+            saw_movi = True
+            walk_movi(pos, end)
+            continue
         while pos + 8 <= end:
             c2, s2 = struct.unpack_from("<4sI", data, pos)
             body_off = pos + 8
@@ -620,11 +641,14 @@ def _avi_layout(data: bytes) -> tuple[int, int, list[tuple[int, int]]]:
                     raise ValueError("truncated avih header")
                 vals = struct.unpack_from("<IIIIIIIIII", data, body_off)
                 w, h = vals[8], vals[9]
-            elif kind == b"movi" and c2 in (b"00db", b"00dc"):
-                frames.append((body_off, s2))
             pos = body_off + s2 + (s2 & 1)
     if w is None or h is None:
         raise ValueError("AVI missing avih header")
+    if saw_movi and not frames:
+        raise ValueError(
+            "AVI movi list contains no recognized frame chunks"
+            " (only uncompressed 00db/00dc DIB streams are supported)"
+        )
     return w, h, frames
 
 

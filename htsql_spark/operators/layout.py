@@ -114,14 +114,28 @@ def compact_dataset(
 
     Reads the dataset (partition-discovery columns included),
     rewrites it as ``target_files`` dense files via a staging
-    directory, then atomically-ish swaps: the staged files replace
-    the originals only after the staged write fully succeeds, so a
-    crash mid-compaction leaves the original data intact.  Returns
-    the number of data files after compaction."""
+    directory, then swaps via two renames with a backup in between.
+    The swap is NOT a single atomic operation: a crash between the
+    two renames leaves the dataset parked at ``path__precompact``, so
+    on entry that backup — if present while ``path`` is missing — is
+    renamed back into place before anything else (crash recovery).
+
+    Compaction must not run concurrently with writers: an append
+    (e.g. a streaming micro-batch) landing between the read and the
+    swap would be silently dropped by the rewrite.  Callers own that
+    exclusion — pause the ingest loop (both streaming curate loops
+    checkpoint between batches, so "between batches" is the safe
+    window) or take an external lock.  Returns the number of data
+    files after compaction."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     src = jvm.org.apache.hadoop.fs.Path(path)
     fs = src.getFileSystem(conf)
+    backup = jvm.org.apache.hadoop.fs.Path(path + "__precompact")
+    if not fs.exists(src) and fs.exists(backup):
+        # crashed between rename(src, backup) and rename(staging,
+        # src): the backup IS the dataset — restore it and continue
+        fs.rename(backup, src)
     if not fs.exists(src):
         raise FileNotFoundError(f"compact_dataset: no dataset at {path}")
     df = spark.read.format(format).load(path)
@@ -136,7 +150,6 @@ def compact_dataset(
         .format(format)
         .save(str(staging))
     )
-    backup = jvm.org.apache.hadoop.fs.Path(path + "__precompact")
     if fs.exists(backup):
         fs.delete(backup, True)
     fs.rename(src, backup)

@@ -66,9 +66,14 @@ def equi_depth_histogram(
 
     Returns (bucket, lo, hi, n): lo/hi are the bucket's value range
     endpoints (global min/max at the edges); ties land in the lower
-    bucket (strict > counting) in both engines."""
+    bucket (strict > counting) in both engines.  NULL values of
+    ``col`` are excluded entirely — min/max/percentile already ignore
+    them, and without the filter each NULL would land in bucket 0
+    (every boundary comparison is NULL, so the filtered-array size is
+    0), silently inflating the lowest bucket."""
     if buckets < 1:
         raise ValueError(f"equi_depth_histogram: buckets must be >= 1, got {buckets}")
+    df = df.filter(F.col(col).isNotNull())
     qs = [i / buckets for i in range(1, buckets)]
     qlist = ", ".join(repr(q) for q in qs)
     bounds = df.agg(

@@ -41,6 +41,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def bloom_params(n_items: int, fpp: float = 0.001) -> tuple[int, int]:
@@ -482,12 +483,19 @@ def heavy_hitters(
         raise ValueError(f"heavy_hitters: min_freq must be in (0, 1], got {min_freq}")
     capacity = max(1, math.ceil(2.0 / min_freq))
     key_type = df.schema[col].dataType
-    vals = df.select(F.col(col).cast("string").alias("v")).filter(
-        F.col("v").isNotNull()
-    )
+    # the MG dict is keyed by the RAW value through Arrow — a
+    # string round-trip would merge distinct natives that stringify
+    # identically and can come back lossy/NULL for decimals or
+    # timestamps.  Nested keys aren't hashable dict keys; reject them.
+    if isinstance(key_type, (T.ArrayType, T.MapType, T.StructType)):
+        raise ValueError(
+            f"heavy_hitters: unsupported key type {key_type.simpleString()}"
+            " (atomic types only)"
+        )
+    vals = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
 
     def mg_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
+        counters: dict = {}
         nrows = 0
         for pdf in batches:
             nrows += len(pdf)
@@ -501,16 +509,24 @@ def heavy_hitters(
                         k: n - dec for k, n in counters.items() if n - dec > 0
                     }
         # one sentinel row per partition carries its row count, so the
-        # total needs no separate third scan of the input
+        # total needs no separate third scan of the input; the key
+        # column keeps the input's Arrow type end-to-end
         yield pd.DataFrame(
             {
-                "v": list(counters.keys()) + [None],
+                "v": pd.Series(
+                    list(counters.keys()) + [None], dtype=object
+                ),
                 "nrows": [0] * len(counters) + [nrows],
             }
         )
 
     summary = vals.mapInPandas(
-        mg_partials, "v string, nrows long"
+        mg_partials, T.StructType(
+            [
+                T.StructField("v", key_type),
+                T.StructField("nrows", T.LongType()),
+            ]
+        )
     ).localCheckpoint(eager=True)
     candidates = summary.filter(F.col("v").isNotNull()).select("v").distinct()
     total = summary.agg(F.sum("nrows").alias("__n"))
@@ -522,7 +538,7 @@ def heavy_hitters(
         .crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * F.lit(1_000_000_000) >= F.col("__n") * F.lit(scaled))
         .select(
-            F.col("v").cast(key_type).alias(col),
+            F.col("v").alias(col),
             F.col("cnt"),
             F.round(F.col("cnt") / F.col("__n"), 6).alias("freq"),
         )

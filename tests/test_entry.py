@@ -45,6 +45,37 @@ def test_every_oracle_has_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def _assert_driver_representable(name, sdf, odf):
+    """The driver gate hashes the *pandas representation* of both
+    sides, so value equality alone is not enough (CORRECTNESS_r04:
+    DuckDB HUGEINT landing as float64 hashed differently from Spark's
+    int64 even though 206 == 206.0, and a raw array<double> column
+    crashed the canonicalizer's sort).  Assert away exactly those two
+    failure classes for every oracle pair so the sf0.001 replay
+    predicts the driver hash."""
+    import numpy as np
+
+    for c in odf.columns:
+        sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
+        num = {"i", "u", "f"}
+        if sk in num and ok in num:
+            assert (sk == "f") == (ok == "f"), (
+                f"{name}.{c}: spark dtype {sdf[c].dtype} vs oracle "
+                f"{odf[c].dtype} — int/float representation mismatch "
+                "breaks the driver value hash (wrap the oracle "
+                "aggregate in CAST(... AS BIGINT) or align the types)"
+            )
+        for frame, side in ((sdf, "spark"), (odf, "oracle")):
+            col = frame[c].dropna()
+            if len(col):
+                v = col.iloc[0]
+                assert not isinstance(v, (list, dict, set, np.ndarray)), (
+                    f"{name}.{c} ({side}): {type(v).__name__}-valued "
+                    "column is unhashable by the driver canonicalizer — "
+                    "serialize it (to_json / concat_ws) on both sides"
+                )
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     df = QUERIES[name](spark, SF_DIR)
@@ -52,7 +83,10 @@ def test_query_matches_oracle(spark, duck, name):
     res = duck.execute(ORACLES[name])
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
+    # .df() is what the driver hashes — assert its representation too
+    odf = duck.execute(ORACLES[name]).df()
     assert list(sdf.columns) == ocols, f"columns {list(sdf.columns)} != {ocols}"
+    _assert_driver_representable(name, sdf, odf)
     got = _rows([tuple(r) for r in sdf.itertuples(index=False)])
     exp = _rows(orows)
     assert len(got) == len(exp), f"row count {len(got)} != {len(exp)}"

@@ -322,3 +322,44 @@ def test_avi_video_pipeline_end_to_end(spark):
         for f in (0, 2, 4):
             exp = MM._plant_color(i, f)
             assert got[(i, f)] == tuple(float(c) for c in exp), (i, f)
+
+
+def test_avi_rec_list_and_frameless_movi():
+    """Spec-valid AVIs may wrap frames in 'rec ' interleave LISTs
+    inside movi — those must decode identically to the flat layout;
+    and a movi with no recognized frame chunk raises instead of
+    silently reporting a 0-frame video."""
+    import struct
+
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, (6, 5, 3), dtype=np.uint8) for _ in range(3)]
+    flat = imaging.encode_avi(frames)
+
+    def chunk(cid, body):
+        return struct.pack("<4sI", cid, len(body)) + body + (
+            b"\0" if len(body) & 1 else b""
+        )
+
+    # rebuild the container with every 00db chunk wrapped in a rec LIST
+    w, h, layout = imaging._avi_layout(flat)
+    dibs = [flat[off : off + sz] for off, sz in layout]
+    movi_body = b"movi" + b"".join(
+        chunk(b"LIST", b"rec " + chunk(b"00db", d)) for d in dibs
+    )
+    # splice: everything before the old movi LIST + the new movi LIST
+    old_movi_at = flat.find(b"LIST", 12)
+    while flat[old_movi_at + 8 : old_movi_at + 12] != b"movi":
+        old_movi_at = flat.find(b"LIST", old_movi_at + 4)
+    body = flat[12:old_movi_at] + chunk(b"LIST", movi_body)
+    rec_avi = struct.pack("<4sI4s", b"RIFF", len(body) + 4, b"AVI ") + body
+
+    assert imaging.avi_frame_count(rec_avi) == 3
+    for i, fr in enumerate(frames):
+        assert np.array_equal(imaging.decode_avi_frame(rec_avi, i), fr)
+
+    # movi holding only an unrecognized chunk: loud failure
+    junk_movi = b"movi" + chunk(b"00wb", b"\0" * 8)
+    body2 = flat[12:old_movi_at] + chunk(b"LIST", junk_movi)
+    junk_avi = struct.pack("<4sI4s", b"RIFF", len(body2) + 4, b"AVI ") + body2
+    with pytest.raises(ValueError, match="no recognized frame"):
+        imaging.avi_frame_count(junk_avi)

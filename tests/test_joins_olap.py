@@ -439,3 +439,24 @@ def test_equi_depth_histogram_single_bucket(db):
     li = db.table("lineitem")
     rows = equi_depth_histogram(li, "l_quantity", 1).collect()
     assert len(rows) == 1 and rows[0]["n"] == li.count()
+
+
+def test_equi_depth_histogram_excludes_nulls(spark):
+    """NULL values must not inflate bucket 0 (every boundary
+    comparison on NULL is NULL, so the unfiltered count landed them
+    there); the bucket counts over a column with NULLs equal the
+    counts over the same column pre-filtered."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.olap import equi_depth_histogram
+
+    vals = spark.range(100).select(
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id").cast("double"))
+        .alias("x")
+    )
+    got = sorted(map(tuple, equi_depth_histogram(vals, "x", 4).collect()))
+    clean = vals.filter("x IS NOT NULL")
+    exp = sorted(map(tuple, equi_depth_histogram(clean, "x", 4).collect()))
+    assert got == exp
+    assert sum(r[-1] for r in got) == 90

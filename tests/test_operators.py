@@ -843,3 +843,41 @@ def test_edit_dup_pairs_threshold_is_strict(spark):
     assert edit_dup_pairs(docs, max_edits=5, bands=16).count() == 0
     got = edit_dup_pairs(docs, max_edits=6, bands=16).collect()
     assert [(r["a"], r["b"], r["edits"]) for r in got] == [(1, 2, 6)]
+
+
+def test_edit_dup_pairs_custom_column_names(spark):
+    """id_col/text_col reach the candidate stage too: a frame with
+    non-default names (and a decoy doc_id/text pair that would
+    otherwise be banded on silently) yields exactly the pairs the
+    default-named frame does."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.dedup import edit_dup_pairs
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter("doc_id < 30")
+    clones = docs.select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    both = docs.unionByName(clones)
+    exp = sorted(
+        (r["a"], r["b"], r["edits"])
+        for r in edit_dup_pairs(both, max_edits=5, bands=16).collect()
+    )
+    renamed = both.select(
+        F.col("doc_id").alias("rec_id"),
+        F.col("text").alias("body"),
+        # decoys: same names the band stage used to hardcode, but
+        # constant values — banding on these would pair everything
+        F.lit(0).alias("doc_id"),
+        F.lit("x").alias("text"),
+    )
+    got = sorted(
+        (r["a"], r["b"], r["edits"])
+        for r in edit_dup_pairs(
+            renamed, max_edits=5, bands=16, id_col="rec_id", text_col="body"
+        ).collect()
+    )
+    assert got == exp and len(got) >= 30

@@ -446,3 +446,58 @@ def test_empty_graph_pagerank_returns_empty(spark):
 
     edges = spark.createDataFrame([], "src string, dst string")
     assert pagerank(edges, iterations=3).count() == 0
+
+
+def test_compact_dataset_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the dataset parked
+    at path__precompact and nothing at path; the next compact_dataset
+    call must restore the backup and complete instead of raising
+    FileNotFoundError with the data stranded."""
+    import os
+
+    from htsql_spark.operators.layout import compact_dataset
+
+    path = str(tmp_path / "ds")
+    docs = _docs(spark)
+    docs.repartition(6).write.parquet(path)
+    exp = sorted(map(tuple, spark.read.parquet(path).collect()))
+    # simulate the crash window: src renamed away, staging never
+    # renamed in (the staging dir itself was already consumed/absent)
+    os.rename(path, path + "__precompact")
+    n_files = compact_dataset(spark, path, target_files=1)
+    assert n_files == 1
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == exp
+    assert not os.path.exists(path + "__precompact")
+
+
+def test_heavy_hitters_native_key_no_string_roundtrip(spark):
+    """Keys keep their native type end-to-end: a decimal column comes
+    back as decimal with exact counts (a string round-trip would
+    reformat or merge), a timestamp key survives, and nested key
+    types are rejected up front."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    rows = [(Decimal("1.50"),)] * 40 + [(Decimal("2.25"),)] * 30 + [
+        (Decimal(f"{i}.00"),) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k decimal(12,2)")
+    hh = S.heavy_hitters(df, "k", min_freq=0.2)
+    assert hh.schema["k"].dataType.simpleString() == "decimal(12,2)"
+    got = {r["k"]: r["cnt"] for r in hh.collect()}
+    assert got == {Decimal("1.50"): 40, Decimal("2.25"): 30}
+
+    ts = spark.createDataFrame(
+        [("2024-01-01 00:00:00",)] * 5 + [("2024-06-30 12:34:56",)],
+        "s string",
+    ).select(F.col("s").cast("timestamp").alias("k"))
+    hts = S.heavy_hitters(ts, "k", min_freq=0.5)
+    out = hts.collect()
+    assert len(out) == 1 and out[0]["cnt"] == 5
+    assert hts.schema["k"].dataType.simpleString() == "timestamp"
+
+    arr = spark.createDataFrame([([1, 2],)], "k array<int>")
+    with pytest.raises(ValueError, match="unsupported key type"):
+        S.heavy_hitters(arr, "k", min_freq=0.5)

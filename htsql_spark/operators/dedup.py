@@ -89,6 +89,33 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
 
 
+def hashed_shingles(text: Column, k: int = 3) -> Column:
+    """k-token shingles as DISTINCT 64-bit hashes — the banding fast
+    path.  Allocating shingle strings (k tokens re-copied per
+    position) was ~half the band-table cost at sf0.1; here each token
+    string is xxhash64'd ONCE and shingle identity is the sequential
+    xxhash64 of its k token hashes, so no shingle string ever exists.
+    Same shifted-zip construction as :func:`shingles`.  Hash
+    collisions can merge distinct shingles, which only perturbs the
+    (already probabilistic) minhash candidate stage — pair
+    verification is exact string jaccard downstream.  Short docs
+    (< k tokens) hash their whole token sequence as one shingle."""
+    toks = _tokens(text)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(th)
+    acc = th
+    for j in range(2, k + 1):
+        nxt = F.slice(th, j, F.greatest(n - (j - 1), F.lit(0)))
+        # xxhash64 SKIPS null inputs (it does not propagate like
+        # concat), so the short tail would silently hash as a
+        # (k-1)-shingle — slice to the valid positions instead
+        acc = F.zip_with(acc, nxt, lambda a, b: F.xxhash64(a, b))
+    sh = F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.when(n >= k, sh).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+    )
+
+
 def minhash_signature(sh: Column, num_hashes: int = 32) -> list[Column]:
     """num_hashes minhash values; hash family =
     xxhash64(xxhash64(shingle), seed) — one string hash per shingle,
@@ -113,21 +140,26 @@ def minhash_signature_arr(sh: Column, num_hashes: int = 32) -> Column:
     by re-hashing the resulting 8-byte long under per-function seeds
     — the standard one-base-hash minhash family, ~num_hashes× less
     string hashing than seeding xxhash64 over the text per function
-    (measured 2.3× on the 32-hash signature pass at sf0.1).  Hash
-    VALUES therefore changed vs earlier revisions: band indexes
-    materialized by older code must be rebuilt (correctness oracles
-    are value-level on the verified pair set, not on hashes)."""
+    (measured 2.3× on the 32-hash signature pass at sf0.1).  The base
+    hash is bound through its OWN ``transform`` pass first: a lambda
+    body re-evaluates embedded subexpressions per element (no CSE
+    inside higher-order functions — same pitfall documented in
+    ``pipeline.embed_documents``), so inlining ``xxhash64(s)`` into
+    the num_hashes-element array hashed every shingle string 32×
+    (measured another 1.5× on the archive banding pass at sf0.1).
+    Hash VALUES are unchanged by that refactor but changed vs
+    pre-one-base-hash revisions: band indexes materialized by older
+    code must be rebuilt (correctness oracles are value-level on the
+    verified pair set, not on hashes)."""
     init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    base = F.transform(sh, lambda s: F.xxhash64(s))
     return F.aggregate(
-        sh,
+        base,
         init,
-        lambda acc, s: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
-                *[
-                    F.xxhash64(F.xxhash64(s), F.lit(seed))
-                    for seed in range(num_hashes)
-                ]
+                *[F.xxhash64(h, F.lit(seed)) for seed in range(num_hashes)]
             ),
             lambda a, b: F.least(a, b),
         ),
@@ -137,14 +169,17 @@ def minhash_signature_arr(sh: Column, num_hashes: int = 32) -> Column:
 def _band_table(
     docs: DataFrame, k: int = 3, num_hashes: int = 32, bands: int = 8
 ) -> DataFrame:
-    """(doc_id, band, h) LSH banding table: shingle → minhash
-    signature → bands of r=num_hashes/bands rows, hashed per band."""
+    """(doc_id, band, h) LSH banding table: hashed shingle → minhash
+    signature → bands of r=num_hashes/bands rows, hashed per band.
+    Uses :func:`hashed_shingles` (no shingle strings allocated —
+    measured 1.5× on the archive banding pass at sf0.1); the exact
+    string-jaccard verify downstream is untouched."""
     if bands < 1 or num_hashes % bands:
         raise ValueError(
             f"banding requires num_hashes divisible by bands, got {num_hashes}/{bands}"
         )
     r = num_hashes // bands
-    sh = docs.select(F.col("doc_id"), shingles(F.col("text"), k).alias("sh"))
+    sh = docs.select(F.col("doc_id"), hashed_shingles(F.col("text"), k).alias("sh"))
     sig = sh.select(
         "doc_id", minhash_signature_arr(F.col("sh"), num_hashes).alias("sig")
     )
@@ -309,7 +344,12 @@ def incremental_dup_pairs(
         if archive_bands is not None
         else _band_table(existing, k, num_hashes, bands)
     )
-    ib = _band_table(incoming, k, num_hashes, bands)
+    # the incoming band table feeds THREE subtrees (the cross join
+    # plus both sides of the within self-join); unpinned it is
+    # minhashed once per subtree.  Lazy checkpoint — same ownership
+    # rationale as allc below — materializes it inside the consuming
+    # job and reuses the blocks.
+    ib = _band_table(incoming, k, num_hashes, bands).localCheckpoint(eager=False)
     cross = (
         eb.alias("e")
         .join(
@@ -344,7 +384,7 @@ def incremental_dup_pairs(
     # unreferenced.  Tradeoff: severed lineage is not recomputable
     # after executor loss — acceptable for a small per-batch candidate
     # table whose enclosing job simply reruns.
-    allc = allc.localCheckpoint(eager=True)
+    allc = allc.localCheckpoint(eager=False)
 
     def _sh(side: DataFrame, ids: DataFrame) -> DataFrame:
         return side.join(ids.distinct(), "doc_id", "left_semi").select(

@@ -1449,6 +1449,70 @@ def _op_embed(spark, sf_dir):
     )
 
 
+#: BPE merge table for the encode gate: trained once by
+#: ``pipeline.bpe_train`` at sf0.01 (12 merges) and FROZEN here so the
+#: gate exercises deterministic rules on any corpus — training itself
+#: is pytest-locked (exact merge sequence + partitioning invariance).
+_BPE_GATE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+]
+
+
+def _op_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLY (sequential merge replay, Sennrich '16):
+    real token counts for packing/budgeting come from here.  Pure
+    whole-stage codegen — each merge is one JVM string replace over a
+    delimiter-wrapped symbol string; zero Python, zero shuffle."""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.bpe_encode(
+        _db(spark, sf_dir).table("documents"), _BPE_GATE_MERGES
+    )
+
+
+def _bpe_oracle_sql(merges) -> str:
+    """DuckDB replay of bpe_encode's sequential-replace spec: same
+    wrapped-symbol string, same chained replace calls (both engines
+    scan left-to-right, non-overlapping, continuing after each
+    replacement), same substr+split unwrap."""
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def wrapped(l: str, r: str = "") -> str:
+        out = "chr(1)||" + lit(l) + "||chr(2)"
+        if r:
+            out += "||chr(1)||" + lit(r) + "||chr(2)"
+        return out
+
+    enc = (
+        "array_to_string(list_transform(string_split(w, '') || ['</w>'],"
+        " c -> chr(1)||c||chr(2)), '')"
+    )
+    for left, right in merges:
+        enc = f"replace({enc}, {wrapped(left, right)}, {wrapped(left + right)})"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                x -> x != '') AS ws
+  FROM documents
+),
+e1 AS (SELECT doc_id, list_transform(ws, w -> {enc}) AS ss FROM d),
+e2 AS (
+  SELECT doc_id,
+    list_transform(ss, s -> string_split(substr(s, 2, length(s) - 2),
+                                         chr(2)||chr(1))) AS tls
+  FROM e1
+)
+SELECT doc_id, array_to_string(flatten(tls), ' ') AS toks,
+  CAST(len(flatten(tls)) AS INTEGER) AS n_tokens
+FROM e2
+"""
+
+
 def _op_bigram_pairs(spark, sf_dir):
     """Top-500 adjacent word pairs (the BPE merge-step count):
     narrow bigram generation + partial-agg shuffle +
@@ -2074,6 +2138,7 @@ _QUERIES.update(
         "op_unigram_lm": _op_unigram_lm,
         "op_embed": _op_embed,
         "op_bigram_pairs": _op_bigram_pairs,
+        "op_bpe_encode": _op_bpe_encode,
         "op_select_budget": _op_select_budget,
         "op_profile": _op_profile,
         "op_profile_split": _op_profile_split,
@@ -2192,7 +2257,9 @@ _GATE_ORDER = [
     # by this round's perf work) + multimodal + catalog-as-data
     "op_dedup_minhash", "op_dedup_semantic", "op_dedup_incremental",
     "op_contamination_near", "op_ann_batch", "op_image_dedup",
-    "op_frame_sample", "meta_links",
+    "op_frame_sample",
+    # new this round: BPE tokenizer apply (JVM sequential-replace)
+    "op_bpe_encode",
 ]
 assert len(_GATE_ORDER) == 50 and len(set(_GATE_ORDER)) == 50
 _QUERIES = {k: _QUERIES[k] for k in _GATE_ORDER} | {
@@ -3164,6 +3231,7 @@ WITH s AS (
 )
 SELECT doc_id, q, toks FROM o WHERE cum <= 100000
 """,
+        "op_bpe_encode": _bpe_oracle_sql(_BPE_GATE_MERGES),
         "op_bigram_pairs": r"""
 WITH d AS (
   SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws

@@ -114,6 +114,7 @@ HEADLINE = [
     "op_video_dedup_avi",
     "op_chunk_dedup",
     "op_classifier",
+    "op_bpe_encode",
 ]
 
 

@@ -1033,3 +1033,140 @@ def bpe_train(
             apply_merge, "syms array<string>, freq bigint"
         ).localCheckpoint(eager=True)
     return merges
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jvm_max_merges: int = 64,
+) -> DataFrame:
+    """Apply a trained BPE merge table (:func:`bpe_train`) to a corpus
+    — the tokenizer-APPLY stage: real token counts for packing,
+    budget selection, and per-token pricing come from here, not from
+    whitespace splits.
+
+    Encoding spec: merges are applied SEQUENTIALLY in training order,
+    each merging all non-overlapping occurrences left-to-right with
+    the scan continuing after each replacement — exactly the word
+    rewrite ``bpe_train`` performs, so encoding the training corpus
+    reproduces the training run's final word table (asserted in
+    tests).  Training-order replay equals rank-priority encoding on
+    any pair the table can produce, because a merge's components
+    always predate it.
+
+    Plan (``len(merges) <= jvm_max_merges``): pure whole-stage
+    codegen, zero shuffle, zero Python.  Each word becomes a
+    delimiter-wrapped symbol string (``\\x01sym\\x02`` per symbol) and
+    each merge is ONE ``F.replace`` — the closing delimiter makes a
+    pair pattern unable to capture a longer symbol's prefix, and
+    back-to-back wrapped symbols share no characters, so adjacent
+    occurrences merge exactly like the training loop ([a,a,a,a] with
+    merge (a,a) -> [aa,aa]).  Above the threshold the same sequential
+    semantics run as ONE Arrow pass per batch (not per merge) —
+    chained replaces would exceed codegen/method limits at real
+    tokenizer sizes (30k+ merges).
+
+    Returns (id_col, toks, n_tokens): ``toks`` is the space-joined
+    token string (tokens never contain whitespace — words are
+    whitespace-split first), ``n_tokens`` the count.
+    Reference spirit: htsql's function registry composes scalarly
+    (src/htsql/core/fn/: every op a composable expression); this is
+    the same contract over a learned table."""
+    if not merges:
+        raise ValueError("bpe_encode: empty merge table")
+    for m in merges:
+        if len(m) != 2 or not m[0] or not m[1]:
+            raise ValueError(f"bpe_encode: malformed merge {m!r}")
+        if any("\x01" in s or "\x02" in s or " " in s for s in m):
+            raise ValueError(f"bpe_encode: merge contains reserved char {m!r}")
+
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda w: w != "",
+    )
+
+    if len(merges) <= jvm_max_merges:
+        # the whole encode is a LINEAR expression chain (each
+        # intermediate referenced exactly once) and the result is
+        # materialized as a column between two projections: lambda
+        # bodies and CollapseProject both re-evaluate duplicated
+        # subexpressions, and a naive toks/n_tokens pair re-ran the
+        # full replace chain 4x per row (same pitfall documented in
+        # embed_documents; measured 2.3 s -> 1.6 s at sf0.1)
+
+        def _encode_word(w):
+            syms = F.concat(F.split(w, ""), F.array(F.lit("</w>")))
+            s = F.array_join(
+                F.transform(
+                    syms, lambda c: F.concat(F.lit("\x01"), c, F.lit("\x02"))
+                ),
+                "",
+            )
+            for left, right in merges:
+                s = F.replace(
+                    s,
+                    F.lit(f"\x01{left}\x02\x01{right}\x02"),
+                    F.lit(f"\x01{left}{right}\x02"),
+                )
+            # token boundaries \x02\x01 -> ' ' (tokens never contain
+            # spaces), then the two outer delimiters vanish
+            s = F.replace(s, F.lit("\x02\x01"), F.lit(" "))
+            return F.translate(s, "\x01\x02", "")
+
+        enc = docs.select(
+            F.col(id_col),
+            F.array_join(F.transform(words, _encode_word), " ").alias("toks"),
+        )
+        return enc.select(
+            F.col(id_col),
+            F.col("toks"),
+            F.when(F.length("toks") == 0, F.lit(0))
+            .otherwise(F.size(F.split("toks", " ")))
+            .cast("int")
+            .alias("n_tokens"),
+        )
+
+    # Arrow path: same sequential spec, one Python pass per batch
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    merge_list = [tuple(m) for m in merges]
+    base = docs.select(F.col(id_col).alias("__id"), words.alias("__ws"))
+
+    def _encode(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        def enc_word(w: str) -> list[str]:
+            syms = list(w) + ["</w>"]
+            for left, right in merge_list:
+                merged, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        merged.append(left + right)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                syms = merged
+            return syms
+
+        for pdf in batches:
+            toks = [
+                [t for w in ws for t in enc_word(w)] for ws in pdf["__ws"]
+            ]
+            yield _pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "toks": [" ".join(t) for t in toks],
+                    "n_tokens": _pd.Series(
+                        [len(t) for t in toks], dtype="int32"
+                    ),
+                }
+            )
+
+    out_schema = f"__id {docs.schema[id_col].dataType.simpleString()}, toks string, n_tokens int"
+    return base.mapInPandas(_encode, out_schema).withColumnRenamed("__id", id_col)

@@ -618,3 +618,97 @@ def test_bpe_train_exhausted_corpus_stops(spark):
     merges = bpe_train(docs, num_merges=10)
     # 'a</w>' forms after one merge; then no adjacent pairs remain
     assert merges == [("a", "</w>")]
+
+
+def _bpe_reference_encode(word, merges):
+    """Straight-line reimplementation of the sequential-replay spec
+    (the same greedy left-to-right loop bpe_train applies per merge)."""
+    syms = list(word) + ["</w>"]
+    for left, right in merges:
+        merged, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                merged.append(left + right)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        syms = merged
+    return syms
+
+
+def test_bpe_encode_matches_reference_and_paths_agree(spark):
+    """The JVM chained-replace path, the Arrow fallback path, and a
+    pure-Python replay of the spec produce identical tokenizations —
+    including the adjacency case ([a,a,a,a] with merge (a,a) ->
+    [aa,aa] -> merge (aa,aa) -> [aaaa]) where naive shared-delimiter
+    string replace diverges from the training loop."""
+    from htsql_spark.operators.pipeline import bpe_encode
+
+    merges = [("a", "a"), ("aa", "aa"), ("e", "r"), ("er", "</w>"), ("t", "h")]
+    rows = [
+        (1, "aaaa river her aether"),
+        (2, "the theater aaa"),
+        (3, "x"),
+        (4, "  spaced   out  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    jvm = {r["doc_id"]: (r["toks"], r["n_tokens"]) for r in bpe_encode(docs, merges).collect()}
+    arrow = {
+        r["doc_id"]: (r["toks"], r["n_tokens"])
+        for r in bpe_encode(docs, merges, jvm_max_merges=0).collect()
+    }
+    assert jvm == arrow
+    for doc_id, text in rows:
+        toks = [
+            t
+            for w in text.lower().split()
+            for t in _bpe_reference_encode(w, merges)
+        ]
+        assert jvm[doc_id] == (" ".join(toks), len(toks)), text
+    assert jvm[1][0].startswith("aaaa ")
+
+
+def test_bpe_encode_roundtrips_training(spark):
+    """Encoding the training corpus with the trained table reproduces
+    bpe_train's own final word rewrite: every distinct word's token
+    sequence equals the reference replay of the merge list."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.pipeline import bpe_encode, bpe_train
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    merges = bpe_train(docs, num_merges=6)
+    assert len(merges) == 6
+    words = (
+        docs.selectExpr(
+            "posexplode(split(trim(lower(text)), '\\\\s+')) AS (pos, w)"
+        )
+        .filter("w != ''")
+        .select(F.col("w"))
+        .distinct()
+    )
+    one_word_docs = words.select(
+        F.monotonically_increasing_id().alias("doc_id"), F.col("w").alias("text")
+    )
+    enc = {
+        r["text"]: r["toks"]
+        for r in bpe_encode(one_word_docs, merges, id_col="doc_id")
+        .join(one_word_docs, "doc_id")
+        .collect()
+    }
+    for w, toks in enc.items():
+        assert toks.split(" ") == _bpe_reference_encode(w, merges), w
+
+
+def test_bpe_encode_validation(spark):
+    from htsql_spark.operators.pipeline import bpe_encode
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty merge table"):
+        bpe_encode(docs, [])
+    with pytest.raises(ValueError, match="malformed"):
+        bpe_encode(docs, [("a",)])
+    with pytest.raises(ValueError, match="reserved"):
+        bpe_encode(docs, [("a b", "c")])

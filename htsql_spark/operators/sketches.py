@@ -657,3 +657,265 @@ def cms_estimate(
         + f", {flag} bigint"
     )
     return with_pos.mapInPandas(probe, out_schema)
+
+
+# ----------------------------------------------------------------------
+# KLL-style mergeable quantile sketch (self-certifying error bound)
+# ----------------------------------------------------------------------
+#
+# Spark's approx_percentile/percentile compute FINAL quantiles; their
+# partial states are not exposed, so per-group quantile summaries
+# cannot be stored, merged across batches, or rolled up a dimension
+# hierarchy the way the HLL sketch-state family can.  This is the
+# quantile parallel: per-partition compactor sketches (Karnin-Lang-
+# Liberty '16 structure: levels of capacity-k buffers, level i items
+# carry weight 2^i, a full buffer sorts and promotes every other
+# element), built in one Arrow pass, merged level-wise per group, and
+# queried by weighted rank.
+#
+# Instead of quoting the KLL theory constant, every sketch CARRIES its
+# own worst-case rank error: a compaction at level i displaces any
+# query rank by at most 2^i, so the state accumulates `err += 2^i` per
+# compaction (merges add the two bounds).  Queries are then
+# *certified*: the true rank of the returned estimate for quantile q
+# is within `err` of q*n — an invariant tests (and the driver gate)
+# check against the raw data, valid for ANY partitioning or merge
+# order.  Total count n is always exact.
+
+_KLL_MAGIC = 0x4B4C4C31  # "KLL1"
+
+
+def _kll_new(k: int) -> dict:
+    return {"k": int(k), "err": 0, "levels": [[]]}
+
+
+def _kll_compact(sk: dict, level: int) -> None:
+    buf = sk["levels"][level]
+    # weight conservation: promotion halves an EVEN count (each
+    # promoted item carries 2x weight); an odd buffer holds one item
+    # back at this level — popped before the sort so the choice is
+    # value-agnostic
+    held = [buf.pop()] if len(buf) % 2 else []
+    buf.sort()
+    if len(sk["levels"]) == level + 1:
+        sk["levels"].append([])
+    # deterministic alternating offset (practical KLL "sweep" mode):
+    # parity flips per compaction via the accumulated error term
+    offset = (sk["err"] >> level) & 1
+    sk["levels"][level + 1].extend(buf[offset::2])
+    sk["levels"][level] = held
+    sk["err"] += 1 << level
+
+
+def _kll_feed(sk: dict, values) -> None:
+    k = sk["k"]
+    lvl0 = sk["levels"][0]
+    for v in values:
+        lvl0.append(float(v))
+        if len(lvl0) >= k:
+            _kll_compact(sk, 0)
+            lvl0 = sk["levels"][0]
+            i = 1
+            while i < len(sk["levels"]) and len(sk["levels"][i]) >= k:
+                _kll_compact(sk, i)
+                i += 1
+
+
+def _kll_n(sk: dict) -> int:
+    return sum(len(b) << i for i, b in enumerate(sk["levels"]))
+
+
+def _kll_serialize(sk: dict) -> bytes:
+    import struct as _struct
+
+    head = _struct.pack(
+        "<IiqI", _KLL_MAGIC, sk["k"], sk["err"], len(sk["levels"])
+    )
+    parts = [head]
+    for buf in sk["levels"]:
+        parts.append(_struct.pack("<I", len(buf)))
+        parts.append(np.asarray(buf, dtype=np.float64).tobytes())
+    return b"".join(parts)
+
+
+def _kll_deserialize(data: bytes) -> dict:
+    import struct as _struct
+
+    magic, k, err, n_levels = _struct.unpack_from("<IiqI", data, 0)
+    if magic != _KLL_MAGIC:
+        raise ValueError("not a KLL sketch state")
+    pos = _struct.calcsize("<IiqI")
+    levels = []
+    for _ in range(n_levels):
+        (cnt,) = _struct.unpack_from("<I", data, pos)
+        pos += 4
+        levels.append(
+            list(np.frombuffer(data, np.float64, count=cnt, offset=pos))
+        )
+        pos += 8 * cnt
+    return {"k": k, "err": err, "levels": levels}
+
+
+def _kll_merge_two(a: dict, b: dict) -> dict:
+    if a["k"] != b["k"]:
+        raise ValueError(f"KLL k mismatch: {a['k']} != {b['k']}")
+    out = {"k": a["k"], "err": a["err"] + b["err"], "levels": []}
+    for i in range(max(len(a["levels"]), len(b["levels"]))):
+        buf = []
+        if i < len(a["levels"]):
+            buf.extend(a["levels"][i])
+        if i < len(b["levels"]):
+            buf.extend(b["levels"][i])
+        out["levels"].append(buf)
+    i = 0
+    while i < len(out["levels"]):
+        if len(out["levels"][i]) >= out["k"]:
+            _kll_compact(out, i)
+        i += 1
+    return out
+
+
+def _kll_query(sk: dict, q: float) -> float:
+    items = [
+        (v, 1 << i)
+        for i, buf in enumerate(sk["levels"])
+        for v in buf
+    ]
+    if not items:
+        return float("nan")
+    items.sort()
+    n = sum(w for _, w in items)
+    target = q * n
+    cum = 0
+    for v, w in items:
+        cum += w
+        if cum >= target:
+            return v
+    return items[-1][0]
+
+
+def kll_sketch_states(
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KLL quantile sketch states: (by..., qsk binary).
+
+    One Arrow pass per partition builds bounded per-(partition,
+    group) compactor sketches; the only shuffle moves serialized
+    STATES (≤ ~k·log(n/k) doubles each), never values — the same
+    100 TB posture as the HLL/CMS/Misra-Gries builders above.  States
+    merge associatively (``kll_merge``): store them per fine-grained
+    cell, roll up any dimension hierarchy without rescanning raw
+    data, query with ``kll_quantiles``."""
+    if k < 8 or k % 2:
+        raise ValueError(f"kll_sketch_states: k must be even and >= 8, got {k}")
+    by = list(by or [])
+    vals = df.select(*by, F.col(col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict = {}
+        for pdf in batches:
+            if by:
+                for key, sub in pdf.groupby(by, sort=False, dropna=False):
+                    gk = key if isinstance(key, tuple) else (key,)
+                    sk = states.get(gk)
+                    if sk is None:
+                        sk = states[gk] = _kll_new(k)
+                    _kll_feed(sk, sub["__v"].to_numpy())
+            else:
+                sk = states.get(())
+                if sk is None:
+                    sk = states[()] = _kll_new(k)
+                _kll_feed(sk, pdf["__v"].to_numpy())
+        rows = {c: [] for c in by}
+        rows["qsk"] = []
+        for gk, sk in states.items():
+            for c, v in zip(by, gk):
+                rows[c].append(v)
+            rows["qsk"].append(_kll_serialize(sk))
+        yield pd.DataFrame(rows)
+
+    fields = [df.schema[c] for c in by] + [T.StructField("qsk", T.BinaryType())]
+    partials = vals.mapInPandas(build, T.StructType(fields))
+    return kll_merge(partials, by=by)
+
+
+def kll_merge(
+    states: DataFrame,
+    by: list[str] | None = None,
+    state_col: str = "qsk",
+) -> DataFrame:
+    """Merge KLL states to the ``by`` grain (coarser keys = rollup).
+    Shuffles only serialized states; count stays exact and the
+    certified error bounds add."""
+    by = list(by or [])
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sks = [_kll_deserialize(bytes(b)) for b in pdf[state_col]]
+        out = sks[0]
+        for sk in sks[1:]:
+            out = _kll_merge_two(out, sk)
+        row = {c: [pdf[c].iloc[0]] for c in by}
+        row[state_col] = [_kll_serialize(out)]
+        return pd.DataFrame(row)
+
+    fields = [states.schema[c] for c in by] + [
+        T.StructField(state_col, T.BinaryType())
+    ]
+    schema = T.StructType(fields)
+    if not by:
+        # global merge: one synthetic group, dropped after the reduce
+        return (
+            states.select(F.lit(1).alias("__g"), state_col)
+            .groupBy("__g")
+            .applyInPandas(
+                merge_group,
+                T.StructType([T.StructField(state_col, T.BinaryType())]),
+            )
+        )
+    return states.groupBy(*by).applyInPandas(merge_group, schema)
+
+
+def kll_quantiles(
+    states: DataFrame,
+    qs: list[float],
+    state_col: str = "qsk",
+) -> DataFrame:
+    """Expand each state row with ``n``, the certified worst-case
+    rank error ``err``, and one estimate column per requested
+    quantile (``p50`` for 0.5 etc.): the smallest retained value
+    whose cumulative weight reaches q·n.  Certificate: the true rank
+    of ``pXX`` in the sketched data is within ``err`` of q·n."""
+    for q in qs:
+        if not (0 < q <= 1):
+            raise ValueError(f"kll_quantiles: quantile {q} outside (0, 1]")
+    def _name(q: float) -> str:
+        pct = q * 100
+        if abs(pct - round(pct)) < 1e-9:
+            return f"p{int(round(pct))}"
+        return "p" + f"{pct:g}".replace(".", "_")
+
+    names = [_name(q) for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"kll_quantiles: duplicate quantiles {qs}")
+    keep = [c for c in states.columns if c != state_col]
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sks = [_kll_deserialize(bytes(b)) for b in pdf[state_col]]
+            out = pdf[keep].copy()
+            out["n"] = pd.Series([_kll_n(s) for s in sks], dtype="int64").values
+            out["err"] = pd.Series([s["err"] for s in sks], dtype="int64").values
+            for q, name in zip(qs, names):
+                out[name] = [_kll_query(s, q) for s in sks]
+            yield out
+
+    fields = [states.schema[c] for c in keep] + [
+        T.StructField("n", T.LongType()),
+        T.StructField("err", T.LongType()),
+    ] + [T.StructField(nm, T.DoubleType()) for nm in names]
+    return states.mapInPandas(expand, T.StructType(fields))

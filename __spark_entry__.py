@@ -2016,6 +2016,67 @@ def _op_hll_rollup(spark, sf_dir):
     )
 
 
+def _op_kll_quantiles(spark, sf_dir):
+    """KLL mergeable quantile sketch rollup (sketches.kll_sketch_
+    states/kll_merge/kll_quantiles): per-(l_returnflag, l_linestatus)
+    states on l_quantity merged up to l_returnflag WITHOUT rescanning
+    rows — the quantile parallel of op_hll_rollup.  Raw estimates are
+    partition-order-specific, so the gate-checked values are the
+    exact per-group count (n is exact by construction) plus the
+    sketch's SELF-CERTIFIED guarantee: the true rank of each p50/p90
+    estimate lies within the carried worst-case `err` of q*n, and
+    err itself stays informative (<= 5% of n at k=256)."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.sketches import (
+        kll_merge,
+        kll_quantiles,
+        kll_sketch_states,
+    )
+
+    li = _db(spark, sf_dir).table("lineitem")
+    fine = kll_sketch_states(
+        li, "l_quantity", by=["l_returnflag", "l_linestatus"], k=256
+    )
+    qs = kll_quantiles(kll_merge(fine, by=["l_returnflag"]), [0.5, 0.9])
+    # exact rank band of each estimate: [count(< est) + 1, count(<= est)]
+    # widened by err must contain q*n (tied values make the band a range)
+    j = li.select("l_returnflag", "l_quantity").join(
+        F.broadcast(qs), "l_returnflag"
+    )
+    agg = j.groupBy("l_returnflag").agg(
+        F.first("n").alias("n"),
+        F.first("err").alias("err"),
+        *[
+            f
+            for q in ("50", "90")
+            for f in (
+                F.sum(
+                    (F.col("l_quantity") < F.col(f"p{q}")).cast("long")
+                ).alias(f"lt{q}"),
+                F.sum(
+                    (F.col("l_quantity") <= F.col(f"p{q}")).cast("long")
+                ).alias(f"le{q}"),
+            )
+        ],
+    )
+
+    def _cert(q: float, lt: str, le: str):
+        target = F.lit(q) * F.col("n")
+        return (
+            ((F.col(lt) + 1 - F.col("err")) <= target)
+            & (target <= (F.col(le) + F.col("err")))
+        )
+
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("exact_n"),
+        _cert(0.5, "lt50", "le50").alias("cert_p50"),
+        _cert(0.9, "lt90", "le90").alias("cert_p90"),
+        (F.col("err") <= 0.05 * F.col("n")).alias("err_informative"),
+    )
+
+
 def _op_chunk_dedup(spark, sf_dir):
     """Corpus-wide repeated-passage removal
     (pipeline.dedup_chunks): chunks are kept only at their first
@@ -2101,6 +2162,7 @@ _QUERIES.update(
         "op_bloom_ngram": _op_bloom_ngram,
         "op_heavy_hitters": _op_heavy_hitters,
         "op_hll_rollup": _op_hll_rollup,
+        "op_kll_quantiles": _op_kll_quantiles,
         "op_pagerank": _op_pagerank,
         "op_edit_dedup": _op_edit_dedup,
         "op_skew_join": _op_skew_join,
@@ -3409,6 +3471,13 @@ FROM c, t WHERE cnt * 1000000000 >= n * 1500000
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct,"
             " TRUE AS rollup_lossless, TRUE AS within_5pct"
             " FROM events GROUP BY 1"
+        ),
+        # KLL estimates are partition-order-specific; the gate-checked
+        # values are the exact count plus the carried-certificate flags
+        "op_kll_quantiles": (
+            "SELECT l_returnflag, count(l_quantity) AS exact_n,"
+            " TRUE AS cert_p50, TRUE AS cert_p90, TRUE AS err_informative"
+            " FROM lineitem GROUP BY 1"
         ),
         # fixed-iteration PageRank replayed as chained CTEs — the
         # iteration count and damping are literals on both sides

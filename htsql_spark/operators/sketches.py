@@ -678,9 +678,11 @@ def cms_estimate(
 # query rank by at most 2^i, so the state accumulates `err += 2^i` per
 # compaction (merges add the two bounds).  Queries are then
 # *certified*: the true rank of the returned estimate for quantile q
-# is within `err` of q*n — an invariant tests (and the driver gate)
-# check against the raw data, valid for ANY partitioning or merge
-# order.  Total count n is always exact.
+# is within `err` of q*n, valid for ANY partitioning or merge order.
+# tests/test_kll.py checks the certificate against raw data under
+# merges/rollups/repartitioning; the driver gate (op_kll_quantiles,
+# __spark_entry__.py) checks it at sf0.01.  Total count n is always
+# exact.
 
 _KLL_MAGIC = 0x4B4C4C31  # "KLL1"
 

@@ -147,10 +147,14 @@ def minhash_signature_arr(sh: Column, num_hashes: int = 32) -> Column:
     ``pipeline.embed_documents``), so inlining ``xxhash64(s)`` into
     the num_hashes-element array hashed every shingle string 32×
     (measured another 1.5× on the archive banding pass at sf0.1).
-    Hash VALUES are unchanged by that refactor but changed vs
-    pre-one-base-hash revisions: band indexes materialized by older
-    code must be rebuilt (correctness oracles are value-level on the
-    verified pair set, not on hashes)."""
+    Hash values here take 64-bit shingle hashes as input, so BAND
+    hash values depend on the upstream shingle representation — the
+    r5 switch from string shingles to :func:`hashed_shingles` changed
+    every downstream band hash.  Persisted band indexes are therefore
+    versioned: see ``BAND_SCHEME`` / :func:`_band_table`, which make
+    a stale index fail loudly instead of silently matching nothing
+    (correctness oracles are value-level on the verified pair set,
+    not on hashes)."""
     init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
     base = F.transform(sh, lambda s: F.xxhash64(s))
     return F.aggregate(
@@ -166,14 +170,35 @@ def minhash_signature_arr(sh: Column, num_hashes: int = 32) -> Column:
     )
 
 
+#: Banding-scheme version, encoded as a constant marker column NAMED
+#: ``scheme_v{BAND_SCHEME}`` in every band table.  History: v1 =
+#: string shingles (unversioned, rounds ≤4); v2 = hashed_shingles
+#: (round 5+).  A band index persisted under a different scheme
+#: produces band hashes that NEVER equal current ones — the failure
+#: mode is a silent zero-candidate join, not an error — so
+#: ``incremental_dup_pairs`` validates the marker on ``archive_bands``
+#: and raises instead.  Encoding the version in the column NAME makes
+#: the check pure schema (no data scan distinguishes v2 from v3), and
+#: the constant boolean RLE-compresses to nothing in parquet.  Bump
+#: this whenever _tokens/hashed_shingles/minhash_signature_arr/band
+#: hashing change any produced hash value.
+BAND_SCHEME = 2
+_BAND_MARKER = f"scheme_v{BAND_SCHEME}"
+
+
 def _band_table(
     docs: DataFrame, k: int = 3, num_hashes: int = 32, bands: int = 8
 ) -> DataFrame:
-    """(doc_id, band, h) LSH banding table: hashed shingle → minhash
-    signature → bands of r=num_hashes/bands rows, hashed per band.
-    Uses :func:`hashed_shingles` (no shingle strings allocated —
-    measured 1.5× on the archive banding pass at sf0.1); the exact
-    string-jaccard verify downstream is untouched."""
+    """(doc_id, band, h, scheme_vN) LSH banding table: hashed shingle
+    → minhash signature → bands of r=num_hashes/bands rows, hashed
+    per band.  Uses :func:`hashed_shingles` (no shingle strings
+    allocated — measured 1.5× on the archive banding pass at sf0.1);
+    the exact string-jaccard verify downstream is untouched.
+
+    Band hash VALUES are only comparable between tables built under
+    the same ``BAND_SCHEME`` — every table carries the version as a
+    marker column so persisted indexes from older schemes fail
+    loudly downstream instead of silently matching nothing."""
     if bands < 1 or num_hashes % bands:
         raise ValueError(
             f"banding requires num_hashes divisible by bands, got {num_hashes}/{bands}"
@@ -193,7 +218,12 @@ def _band_table(
                 ),
             )
         ).alias("bh"),
-    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    ).select(
+        "doc_id",
+        F.col("bh.band").alias("band"),
+        F.col("bh.h").alias("h"),
+        F.lit(True).alias(_BAND_MARKER),
+    )
 
 
 def minhash_candidates(
@@ -292,7 +322,15 @@ def materialize_band_index(
     the index's identity: pass the SAME values to
     ``incremental_dup_pairs`` or the band hashes will never match
     (silent under-join) — bake them into the table name if multiple
-    configurations coexist."""
+    configurations coexist.
+
+    The banding SCHEME is part of the identity too (``BAND_SCHEME``):
+    whenever an engine upgrade changes hash values (as the r5
+    string→hashed shingle switch did), every index persisted by this
+    function must be REBUILT.  The scheme marker column written here
+    makes ``incremental_dup_pairs`` reject a stale index loudly, and
+    appending new-scheme bands to an old-scheme table fails on the
+    schema mismatch rather than corrupting the index."""
     from .layout import write_bucketed
 
     write_bucketed(
@@ -339,6 +377,17 @@ def incremental_dup_pairs(
     ``existing`` is still needed for the verification re-shingle of
     the (few) candidate docs.
     """
+    if archive_bands is not None and _BAND_MARKER not in archive_bands.columns:
+        stale = [c for c in archive_bands.columns if c.startswith("scheme_v")]
+        # a stale index's band hashes never equal current ones; the
+        # symptom would be ZERO cross-batch candidates with no error
+        raise ValueError(
+            "incremental_dup_pairs: archive band index was built under "
+            f"banding scheme {stale[0] if stale else 'v1 (unversioned)'} "
+            f"but this engine produces {_BAND_MARKER}; a stale index "
+            "silently matches nothing — rebuild it with "
+            "materialize_band_index"
+        )
     eb = (
         archive_bands
         if archive_bands is not None

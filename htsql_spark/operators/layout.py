@@ -99,6 +99,63 @@ def write_clustered(
     )
 
 
+def _dataset_lock(jvm, path: str):
+    return jvm.org.apache.hadoop.fs.Path(path + "__lock")
+
+
+def acquire_dataset_lock(spark, path: str, owner: str) -> None:
+    """Take the per-dataset writer-exclusion lock: a marker file at
+    ``{path}__lock`` created atomically (``FileSystem.create`` with
+    overwrite=False — atomic on HDFS and local FS alike), containing
+    the owner tag for diagnostics.
+
+    This is what turns the "no concurrent writers during compaction"
+    contract from documentation into an error: ``compact_dataset``
+    holds the lock across its read-rewrite-swap window, the streaming
+    ingest batch processors hold it across each micro-batch, and
+    whichever side arrives second raises instead of silently losing
+    the other's writes.
+
+    A process killed while holding the lock leaves it behind; the
+    next acquire raises with the holder tag and the lock path — after
+    confirming nothing is running, the operator deletes the file to
+    release.  That manual step is the deliberate trade: a stale lock
+    fails loudly and recoverably, a missed exclusion loses data
+    silently."""
+    jvm = spark._jvm
+    lock = _dataset_lock(jvm, path)
+    fs = lock.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        out = fs.create(lock, False)
+        out.write(bytearray(owner.encode("utf-8")))
+        out.close()
+    except Exception as e:  # Py4JJavaError wrapping FileAlreadyExists
+        if "FileAlreadyExistsException" not in str(e) and not fs.exists(lock):
+            raise
+        holder = "unknown"
+        try:
+            stream = fs.open(lock)
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream)
+            )
+            holder = reader.readLine() or "unknown"
+            reader.close()
+        except Exception:
+            pass
+        raise ValueError(
+            f"dataset {path} is locked by {holder!r} ({lock}); a "
+            "compaction or ingest batch is in flight — or crashed "
+            "while holding the lock, in which case delete the lock "
+            "file to release it"
+        )
+
+
+def release_dataset_lock(spark, path: str) -> None:
+    lock = _dataset_lock(spark._jvm, path)
+    fs = lock.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(lock, False)
+
+
 def compact_dataset(
     spark,
     path: str,
@@ -122,43 +179,48 @@ def compact_dataset(
 
     Compaction must not run concurrently with writers: an append
     (e.g. a streaming micro-batch) landing between the read and the
-    swap would be silently dropped by the rewrite.  Callers own that
-    exclusion — pause the ingest loop (both streaming curate loops
-    checkpoint between batches, so "between batches" is the safe
-    window) or take an external lock.  Returns the number of data
+    swap would be silently dropped by the rewrite.  That exclusion is
+    ENFORCED via :func:`acquire_dataset_lock` — held here across the
+    whole read-rewrite-swap window, and taken per micro-batch by the
+    streaming ingest loops (streaming/curate.py), so a concurrent
+    writer raises instead of losing data.  Returns the number of data
     files after compaction."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    src = jvm.org.apache.hadoop.fs.Path(path)
-    fs = src.getFileSystem(conf)
-    backup = jvm.org.apache.hadoop.fs.Path(path + "__precompact")
-    if not fs.exists(src) and fs.exists(backup):
-        # crashed between rename(src, backup) and rename(staging,
-        # src): the backup IS the dataset — restore it and continue
-        fs.rename(backup, src)
-    if not fs.exists(src):
-        raise FileNotFoundError(f"compact_dataset: no dataset at {path}")
-    df = spark.read.format(format).load(path)
-    staging = jvm.org.apache.hadoop.fs.Path(path + "__compacting")
-    if fs.exists(staging):
-        # leftover from a crashed attempt: staged data was never
-        # swapped in, the source is still authoritative — discard
-        fs.delete(staging, True)
-    (
-        df.repartition(target_files)
-        .write.mode("overwrite")
-        .format(format)
-        .save(str(staging))
-    )
-    if fs.exists(backup):
+    acquire_dataset_lock(spark, path, owner=f"compact_dataset({path})")
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        src = jvm.org.apache.hadoop.fs.Path(path)
+        fs = src.getFileSystem(conf)
+        backup = jvm.org.apache.hadoop.fs.Path(path + "__precompact")
+        if not fs.exists(src) and fs.exists(backup):
+            # crashed between rename(src, backup) and rename(staging,
+            # src): the backup IS the dataset — restore it and continue
+            fs.rename(backup, src)
+        if not fs.exists(src):
+            raise FileNotFoundError(f"compact_dataset: no dataset at {path}")
+        df = spark.read.format(format).load(path)
+        staging = jvm.org.apache.hadoop.fs.Path(path + "__compacting")
+        if fs.exists(staging):
+            # leftover from a crashed attempt: staged data was never
+            # swapped in, the source is still authoritative — discard
+            fs.delete(staging, True)
+        (
+            df.repartition(target_files)
+            .write.mode("overwrite")
+            .format(format)
+            .save(str(staging))
+        )
+        if fs.exists(backup):
+            fs.delete(backup, True)
+        fs.rename(src, backup)
+        fs.rename(staging, src)
         fs.delete(backup, True)
-    fs.rename(src, backup)
-    fs.rename(staging, src)
-    fs.delete(backup, True)
-    spark.catalog.clearCache()
-    out = [
-        s
-        for s in fs.listStatus(src)
-        if s.getPath().getName().startswith("part-")
-    ]
-    return len(out)
+        spark.catalog.clearCache()
+        out = [
+            s
+            for s in fs.listStatus(src)
+            if s.getPath().getName().startswith("part-")
+        ]
+        return len(out)
+    finally:
+        release_dataset_lock(spark, path)

@@ -1069,7 +1069,10 @@ def bpe_encode(
 
     Returns (id_col, toks, n_tokens): ``toks`` is the space-joined
     token string (tokens never contain whitespace — words are
-    whitespace-split first), ``n_tokens`` the count.
+    whitespace-split first), ``n_tokens`` the count.  The reserved
+    delimiter chars ``\\x01``/``\\x02`` are stripped from the corpus
+    text before encoding on BOTH paths (identical normalization;
+    merges containing them are rejected outright).
     Reference spirit: htsql's function registry composes scalarly
     (src/htsql/core/fn/: every op a composable expression); this is
     the same contract over a learned table."""
@@ -1081,8 +1084,15 @@ def bpe_encode(
         if any("\x01" in s or "\x02" in s or " " in s for s in m):
             raise ValueError(f"bpe_encode: merge contains reserved char {m!r}")
 
+    # \x01/\x02 are the JVM path's symbol delimiters: corpus
+    # occurrences are stripped HERE, upstream of the word split, so
+    # both paths see the same normalized text (previously the JVM
+    # unwrap deleted them while the Arrow path kept them as symbols —
+    # divergent outputs, and phantom empty tokens inflating n_tokens
+    # on the JVM side)
+    clean = F.translate(F.col(text_col), "\x01\x02", "")
     words = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        F.split(F.trim(F.lower(clean)), r"\s+"),
         lambda w: w != "",
     )
 

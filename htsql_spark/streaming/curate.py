@@ -169,7 +169,36 @@ def _process_ingest_batch(
 ) -> None:
     """One micro-batch of the dedup-ingest loop (module-level so the
     crash-retry contract is directly testable: calling it twice with
-    the same batch must produce identical survivors)."""
+    the same batch must produce identical survivors).
+
+    Holds the archive's writer-exclusion lock for the whole batch —
+    a concurrent ``compact_dataset`` on the archive (which would
+    silently drop this batch's append) raises on one side or the
+    other instead (operators/layout.py)."""
+    from pyspark.sql import functions as BF
+
+    from ..operators import dedup
+    from ..operators.layout import acquire_dataset_lock, release_dataset_lock
+
+    acquire_dataset_lock(
+        spark, archive_path, owner=f"run_dedup_ingest batch={batch_id}"
+    )
+    try:
+        _process_ingest_batch_locked(
+            spark, batch, batch_id, archive_path, index_table, threshold
+        )
+    finally:
+        release_dataset_lock(spark, archive_path)
+
+
+def _process_ingest_batch_locked(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    archive_path: str,
+    index_table: str,
+    threshold: float,
+) -> None:
     from pyspark.sql import functions as BF
 
     from ..operators import dedup
@@ -314,7 +343,27 @@ def _process_exact_batch(
     fpp: float,
 ) -> None:
     """One micro-batch of the exact-dedup loop (module-level so the
-    crash-retry contract is directly testable)."""
+    crash-retry contract is directly testable).  Holds the archive's
+    writer-exclusion lock for the whole batch — see
+    ``_process_ingest_batch``."""
+    from ..operators.layout import acquire_dataset_lock, release_dataset_lock
+
+    acquire_dataset_lock(
+        spark, archive_path, owner=f"run_exact_dedup_ingest batch={batch_id}"
+    )
+    try:
+        _process_exact_batch_locked(spark, batch, batch_id, archive_path, fpp)
+    finally:
+        release_dataset_lock(spark, archive_path)
+
+
+def _process_exact_batch_locked(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    archive_path: str,
+    fpp: float,
+) -> None:
     from pyspark.sql import Window as BW
     from pyspark.sql import functions as BF
 

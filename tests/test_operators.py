@@ -741,6 +741,33 @@ def test_incremental_dedup_band_index(docs, spark):
     spark.sql("DROP TABLE IF EXISTS t_band_idx")
 
 
+def test_incremental_dedup_rejects_stale_band_index(docs, spark):
+    """A band index persisted under an older banding scheme would
+    silently produce ZERO cross-batch candidates (its hashes never
+    equal current ones); the scheme marker must turn that into a
+    loud error — for both a pre-versioning (v1) index shape and a
+    hypothetical future-version one."""
+    from htsql_spark.operators import dedup
+
+    inc = docs.filter("doc_id < 10")
+    # pre-versioning index: (doc_id, band, h) with no marker column
+    v1 = dedup._band_table(docs).select("doc_id", "band", "h")
+    with pytest.raises(ValueError, match="v1 .unversioned"):
+        dedup.incremental_dup_pairs(docs, inc, archive_bands=v1)
+    # some other explicit version
+    v9 = v1.withColumn("scheme_v9", F.lit(True))
+    with pytest.raises(ValueError, match="scheme_v9"):
+        dedup.incremental_dup_pairs(docs, inc, archive_bands=v9)
+    # current scheme passes the check and the marker is present in
+    # every produced band table
+    cur = dedup._band_table(docs)
+    assert dedup._BAND_MARKER in cur.columns
+    assert (
+        dedup.incremental_dup_pairs(docs, inc, archive_bands=cur).columns
+        == ["a", "b", "jaccard", "origin"]
+    )
+
+
 def test_semantic_dedup_with_trained_centroids(embs, spark):
     """cells_from accepts kmeans() output: planted coincident vectors
     still share a cell (identical argmax) and pair at cosine 1."""

@@ -669,6 +669,43 @@ def test_bpe_encode_matches_reference_and_paths_agree(spark):
     assert jvm[1][0].startswith("aaaa ")
 
 
+def test_bpe_encode_control_chars_normalized_identically(spark):
+    """Corpus text containing the reserved delimiter chars
+    \\x01/\\x02: both paths strip them identically BEFORE encoding
+    (previously the JVM unwrap deleted them mid-word while the Arrow
+    path kept them as symbols — same input, divergent tokens, and
+    phantom empty tokens inflating the JVM n_tokens)."""
+    from htsql_spark.operators.pipeline import bpe_encode
+
+    merges = [("a", "b"), ("ab", "</w>")]
+    rows = [
+        (1, "a\x01b x\x02"),          # delimiter inside + at word edge
+        (2, "\x01\x02"),              # a 'word' that strips to nothing
+        (3, "ab \x01 ab"),            # delimiter-only word mid-text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    jvm = {r["doc_id"]: (r["toks"], r["n_tokens"]) for r in bpe_encode(docs, merges).collect()}
+    arrow = {
+        r["doc_id"]: (r["toks"], r["n_tokens"])
+        for r in bpe_encode(docs, merges, jvm_max_merges=0).collect()
+    }
+    assert jvm == arrow
+    # stripped text encodes like the clean equivalent
+    clean = {
+        r["doc_id"]: (r["toks"], r["n_tokens"])
+        for r in bpe_encode(
+            spark.createDataFrame(
+                [(1, "ab x"), (2, ""), (3, "ab  ab")],
+                "doc_id long, text string",
+            ),
+            merges,
+        ).collect()
+    }
+    assert jvm == clean
+    assert jvm[1] == ("ab</w> x </w>", 3)
+    assert jvm[2] == ("", 0)
+
+
 def test_bpe_encode_roundtrips_training(spark):
     """Encoding the training corpus with the trained table reproduces
     bpe_train's own final word rewrite: every distinct word's token

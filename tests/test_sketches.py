@@ -344,38 +344,6 @@ def test_hll_sketch_states_roundtrip_parquet(spark, tmp_path):
     assert a == b
 
 
-def test_compact_dataset_preserves_content(spark, tmp_path):
-    """Compacting a per-batch fragmented archive: file count drops to
-    the target, every row survives byte-for-byte."""
-    from pyspark.sql import functions as F
-
-    from htsql_spark.operators.layout import compact_dataset
-
-    path = str(tmp_path / "frag")
-    docs = _docs(spark)
-    # fragment: 5 "batches", several files each
-    for b in range(5):
-        docs.filter(F.col("doc_id") % 5 == b).repartition(4).write.parquet(
-            f"{path}/batch={b}"
-        )
-    before = spark.read.parquet(path)
-    exp = sorted(map(tuple, before.collect()))
-    n_files = compact_dataset(spark, path, target_files=2)
-    assert n_files == 2
-    after = spark.read.parquet(path)
-    got = sorted(map(tuple, after.collect()))
-    assert got == exp  # batch partition column included, values intact
-
-
-def test_compact_dataset_missing_path_raises(spark, tmp_path):
-    import pytest as _pytest
-
-    from htsql_spark.operators.layout import compact_dataset
-
-    with _pytest.raises(FileNotFoundError):
-        compact_dataset(spark, str(tmp_path / "nope"))
-
-
 def test_heavy_hitters_adversarial_near_threshold(spark):
     """Many items sitting just under the MG eviction pressure (forcing
     constant decrements) must not break exactness: the recount pass
@@ -446,29 +414,6 @@ def test_empty_graph_pagerank_returns_empty(spark):
 
     edges = spark.createDataFrame([], "src string, dst string")
     assert pagerank(edges, iterations=3).count() == 0
-
-
-def test_compact_dataset_recovers_from_crashed_swap(spark, tmp_path):
-    """A crash between the two swap renames leaves the dataset parked
-    at path__precompact and nothing at path; the next compact_dataset
-    call must restore the backup and complete instead of raising
-    FileNotFoundError with the data stranded."""
-    import os
-
-    from htsql_spark.operators.layout import compact_dataset
-
-    path = str(tmp_path / "ds")
-    docs = _docs(spark)
-    docs.repartition(6).write.parquet(path)
-    exp = sorted(map(tuple, spark.read.parquet(path).collect()))
-    # simulate the crash window: src renamed away, staging never
-    # renamed in (the staging dir itself was already consumed/absent)
-    os.rename(path, path + "__precompact")
-    n_files = compact_dataset(spark, path, target_files=1)
-    assert n_files == 1
-    got = sorted(map(tuple, spark.read.parquet(path).collect()))
-    assert got == exp
-    assert not os.path.exists(path + "__precompact")
 
 
 def test_heavy_hitters_native_key_no_string_roundtrip(spark):

@@ -270,6 +270,19 @@ def _png_chunk(typ: bytes, body: bytes) -> bytes:
 def _png_chunks(data: bytes):
     """Walk PNG chunks with CRC validation — a real container parse,
     not a byte-offset guess."""
+    for typ, start, ln in _png_chunk_spans(data):
+        yield typ, _png_chunk_body(data, typ, start, ln)
+
+
+def _png_chunk_spans(data: bytes):
+    """Structure-only chunk walk: yields (typ, body_start, body_len)
+    with length/truncation checks but NO body slice and NO CRC — the
+    lazy fast path for consumers that sample a few chunks out of a
+    large container (every_n frame sampling CRC-validated every fdAT
+    of every SKIPPED frame through the eager walk; at sf0.1 that was
+    most of op_frame_sample's cost).  Callers pull the chunks they
+    actually consume through :func:`_png_chunk_body`, which validates
+    the CRC at slice time."""
     pos = 8
     while pos + 8 <= len(data):
         (ln,) = struct.unpack_from(">I", data, pos)
@@ -277,12 +290,17 @@ def _png_chunks(data: bytes):
         end = pos + 8 + ln
         if end + 4 > len(data):
             raise ValueError(f"truncated PNG chunk {typ!r}")
-        body = data[pos + 8 : end]
-        (crc,) = struct.unpack_from(">I", data, end)
-        if crc != zlib.crc32(typ + body):
-            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
-        yield typ, body
+        yield typ, pos + 8, ln
         pos = end + 4
+
+
+def _png_chunk_body(data: bytes, typ: bytes, start: int, ln: int) -> bytes:
+    """Slice + CRC-validate one chunk located by _png_chunk_spans."""
+    body = data[start : start + ln]
+    (crc,) = struct.unpack_from(">I", data, start + ln)
+    if crc != zlib.crc32(data[start - 4 : start + ln]):
+        raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+    return body
 
 
 def encode_apng(frames: list[np.ndarray], delay_den: int = 10) -> bytes:
@@ -348,26 +366,36 @@ def decode_apng_frame(data: bytes, idx: int) -> np.ndarray:
     the frame's fcTL + data (IDAT for the first animated frame, fdAT
     joined across chunks otherwise), then feed a synthesized
     single-image PNG through :func:`decode_png`.  Only full-canvas
-    source-blend frames are supported — differential frames raise."""
+    source-blend frames are supported — differential frames raise.
+
+    CRC validation is LAZY: only the chunks this frame consumes
+    (IHDR, its fcTL, its IDAT/fdAT run) are validated — the walk
+    locates every other frame's chunks structurally without slicing
+    or hashing their bodies.  every_n sampling at sf0.1 spent most of
+    its time CRC-ing skipped frames (measured 3.4 s -> see bench
+    op_frame_sample); corruption in a SKIPPED frame's payload is
+    deliberately not this call's problem — decode that frame to
+    check it."""
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG payload")
     ihdr = None
-    frames: list[tuple[bytes, bytearray]] = []
-    saw_fctl_before_idat = False
-    for typ, body in _png_chunks(data):
+    # per frame: (fcTL span, [data chunk spans]); spans are
+    # (typ, body_start, body_len) — bodies pulled + CRC'd lazily
+    frames: list[tuple[tuple, list[tuple]]] = []
+    for span in _png_chunk_spans(data):
+        typ = span[0]
         if typ == b"IHDR":
-            ihdr = body
+            ihdr = _png_chunk_body(data, *span)
         elif typ == b"fcTL":
-            frames.append((body, bytearray()))
+            frames.append((span, []))
         elif typ == b"IDAT":
             if frames:  # fcTL preceded IDAT → IDAT is animation frame 0
-                saw_fctl_before_idat = True
-                frames[0][1].extend(body)
+                frames[0][1].append(span)
             # else: static default image outside the animation — skip
         elif typ == b"fdAT":
             if not frames:
                 raise ValueError("fdAT before any fcTL")
-            frames[-1][1].extend(body[4:])  # strip sequence number
+            frames[-1][1].append(span)
         elif typ == b"IEND":
             break
     if ihdr is None:
@@ -376,11 +404,13 @@ def decode_apng_frame(data: bytes, idx: int) -> np.ndarray:
         raise ValueError("not an APNG (no fcTL chunks)")
     if not 0 <= idx < len(frames):
         raise IndexError(f"frame {idx} out of range({len(frames)})")
-    # when no fcTL preceded IDAT (saw_fctl_before_idat False), the
-    # default image sits outside the animation and frame indices are
-    # simply the fcTL order — no adjustment needed either way
-    del saw_fctl_before_idat
-    fc, z = frames[idx]
+    fc_span, data_spans = frames[idx]
+    fc = _png_chunk_body(data, *fc_span)
+    z = bytearray()
+    for span in data_spans:
+        body = _png_chunk_body(data, *span)
+        # fdAT carries a 4-byte sequence number before the payload
+        z.extend(body[4:] if span[0] == b"fdAT" else body)
     seq, fw, fh, x0, y0, dn, dd, dispose, blend = struct.unpack(">IIIIIHHBB", fc)
     w, h = struct.unpack_from(">II", ihdr, 0)
     if (fw, fh, x0, y0) != (w, h, 0, 0) or (blend != 0 and idx > 0):

@@ -220,7 +220,12 @@ def image_assets_from_documents(docs: DataFrame, size: int = 8) -> DataFrame:
             out.append(enc(px))
         return pd.Series(out)
 
-    return docs.select(
+    # widen to default parallelism before the CPU-bound synth — see
+    # video_assets_from_documents (file-split partitioning sizes by
+    # bytes; a small docs file = ONE split = one core for the whole
+    # encode/decode chain)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id", "lang").repartition(par).select(
         F.col("doc_id").alias("asset_id"),
         F.lit("image").alias("kind"),
         synth(F.col("doc_id")).alias("payload"),
@@ -237,7 +242,16 @@ def video_assets_from_documents(
     container by default (``container='avi'`` packs a RIFF AVI with
     uncompressed DIB frames — the BMP pixel layout inside a real
     chunk-walked container; ``container='rawv'`` keeps the trivial
-    length-prefixed test container)."""
+    length-prefixed test container).
+
+    The input is repartitioned to the session's default parallelism
+    BEFORE synthesis: per-row cost here is CPU (30 encoded frames),
+    not I/O, and Spark's file-split partitioning sizes splits by
+    BYTES — a small documents file arrives as ONE split and the whole
+    synth+decode chain would run on one core (measured exactly that
+    at sf0.1: 5000 docs, 1 partition, 3.1 s serial vs ~0.6 s spread).
+    Only doc_ids shuffle, never payloads; downstream mapInPandas
+    stages inherit the widened partitioning."""
 
     @F.pandas_udf(T.BinaryType())
     def synth(ids: pd.Series) -> pd.Series:
@@ -256,7 +270,8 @@ def video_assets_from_documents(
                 out.append(imaging.encode_rawv([imaging.encode_bmp(p) for p in px]))
         return pd.Series(out)
 
-    return docs.select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(par).select(
         F.col("doc_id").alias("asset_id"),
         F.lit("video").alias("kind"),
         synth(F.col("doc_id")).alias("payload"),
@@ -284,7 +299,10 @@ def audio_assets_from_documents(docs: DataFrame, rate: int = 8000) -> DataFrame:
             out.append(imaging.encode_wav(wave, rate))
         return pd.Series(out)
 
-    return docs.select(
+    # widen to default parallelism before the CPU-bound synth — see
+    # video_assets_from_documents
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(par).select(
         F.col("doc_id").alias("asset_id"),
         F.lit("audio").alias("kind"),
         synth(F.col("doc_id")).alias("payload"),

@@ -250,11 +250,24 @@ def test_apng_roundtrip_and_container_contract():
     assert not imaging.is_apng(plain)
     with pytest.raises(ValueError):
         imaging.apng_frame_count(plain)
-    # corrupt a chunk byte → CRC mismatch
+    # CRC validation is LAZY (per decode_apng_frame's contract):
+    # corruption in a chunk the requested frame CONSUMES raises,
+    # corruption in a skipped frame's payload does not — frame
+    # sampling must not pay to hash frames it never decodes
+    spans = list(imaging._png_chunk_spans(apng))
+    idat = next(s for s in spans if s[0] == b"IDAT")
+    fdats = [s for s in spans if s[0] == b"fdAT"]
     bad = bytearray(apng)
-    bad[60] ^= 0xFF
-    with pytest.raises(ValueError):
+    bad[idat[1] + 2] ^= 0xFF  # frame 0's own payload
+    with pytest.raises(ValueError, match="CRC"):
         imaging.decode_apng_frame(bytes(bad), 0)
+    bad2 = bytearray(apng)
+    bad2[fdats[-1][1] + 6] ^= 0xFF  # last frame's payload
+    assert np.array_equal(
+        imaging.decode_apng_frame(bytes(bad2), 0), frames[0]
+    )
+    with pytest.raises(ValueError, match="CRC"):
+        imaging.decode_apng_frame(bytes(bad2), 3)
     # differential frame (nonzero offset) rejected: patch frame 1's
     # fcTL x_offset and re-CRC the chunk
     pos, out = 8, bytearray(apng)

@@ -61,6 +61,9 @@ ARROW_OK = {
     "op_skew_join",
     # CMS build/probe are declared Arrow passes
     "op_cms",
+    # KLL sketch build/merge/query are declared Arrow passes (states
+    # shuffle, never values)
+    "op_kll_quantiles",
 }
 
 #: nested-loop joins bounded by a broadcast single-row / tiny side:

@@ -299,10 +299,11 @@ def audio_assets_from_documents(docs: DataFrame, rate: int = 8000) -> DataFrame:
             out.append(imaging.encode_wav(wave, rate))
         return pd.Series(out)
 
-    # widen to default parallelism before the CPU-bound synth — see
-    # video_assets_from_documents
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.select("doc_id").repartition(par).select(
+    # NO pre-repartition here (unlike the image/video builders): the
+    # square-wave synth is ~10 µs/doc, so the exchange costs more
+    # than the parallelism buys at every scale (measured 0.34 s ->
+    # 0.67 s at sf0.1 with the repartition in)
+    return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.lit("audio").alias("kind"),
         synth(F.col("doc_id")).alias("payload"),

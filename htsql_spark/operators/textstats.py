@@ -159,12 +159,27 @@ def winnow_overlap_pairs(
     minhash).  Shuffles (fp, id) pairs only; the fp self-join is the
     standard inverted-index bucket join, and hot fingerprints
     (boilerplate) are dropped when their posting list exceeds
-    ``max_postings``, keeping any single fp from going quadratic."""
+    ``max_postings``, keeping any single fp from going quadratic.
+
+    Cost is Σ(posting_len²) over retained fingerprints — candidate
+    generation, not verification — and the cap is the knob that
+    bounds it relative to corpus size.  On an intrinsically
+    homogeneous corpus (the synthetic fixture shares a small
+    vocabulary: ~90% of all doc pairs genuinely share ≥2 fps at any
+    cap) the candidate set is legitimately near-quadratic; on a real
+    corpus the df distribution is the operator's safety valve."""
     fps = winnow_fingerprints(docs, k, w, text_col, id_col, gram_hash)
     postings = fps.groupBy("fp").agg(F.count("*").alias("__n"))
     pruned = fps.join(postings.filter(F.col("__n") <= max_postings), "fp").select(
         id_col, "fp"
     )
+    # the pruned posting table feeds BOTH sides of the self-join, and
+    # fps additionally feeds the posting-count subtree — unpinned, the
+    # full rolling-hash fingerprint pass evaluates 3x (no CSE across
+    # join inputs; same pitfall as edit_dup_pairs' band table,
+    # SCALE.md round-4 notes).  Eager pin: small (id, fp) rows only
+    # (measured 28.5 s -> ~14 s at sf0.1)
+    pruned = pruned.localCheckpoint(eager=True)
     x, y = pruned.alias("x"), pruned.alias("y")
     return (
         x.join(

@@ -610,6 +610,34 @@ def _stream_distinct(spark, sf_dir):
     )
 
 
+def _stream_quantiles(spark, sf_dir):
+    """Append-mode tumbling-window p50/p95 of event value per type
+    (streaming.windowed_value_quantiles — bounded mergeable GK
+    summaries close with the watermark; exact percentile cannot run
+    incrementally).  At fixture window sizes the GK summary is exact,
+    so the oracle replays the same windows + watermark emission rule
+    with DuckDB quantile_disc — full VALUE equality, quantiles
+    included, making both the emission rule and the summary path
+    load-bearing."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from htsql_spark import streaming
+    from htsql_spark.streaming.events import windowed_value_quantiles
+
+    name = f"t_qtl_{uuid.uuid4().hex[:8]}"
+    stream = streaming.read_events_stream(spark, sf_dir)
+    streaming.run_to_memory(windowed_value_quantiles(stream), name, "append")
+    return spark.table(name).select(
+        "w_start",
+        "event_type",
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+        "n_values",
+    )
+
+
 def _op_tumbling_batch(spark, sf_dir):
     """The tumbling-window aggregation as a batch plan (same F.window
     expression the stream runs; epoch-aligned so SQL date_trunc is the
@@ -850,6 +878,7 @@ _QUERIES.update(
         "stream_sliding": _stream_sliding,
         "stream_session": _stream_session,
         "stream_distinct": _stream_distinct,
+        "stream_quantiles": _stream_quantiles,
         "stream_join": _stream_join,
         "stream_enrich": _stream_enrich,
         "op_asof_join": _op_asof_join,
@@ -3161,6 +3190,20 @@ WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
        event_type, count(DISTINCT user_id) AS exact_users,
        TRUE AS within_5pct
+FROM events
+GROUP BY 1, 2
+HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
+""",
+        # same watermark emission rule as stream_distinct; quantiles
+        # are exact at fixture window sizes (GK summary retains all
+        # values below `accuracy`), so this is a FULL value oracle
+        "stream_quantiles": """
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+       event_type,
+       round(quantile_disc(value, 0.5), 6) AS p50,
+       round(quantile_disc(value, 0.95), 6) AS p95,
+       count(value) AS n_values
 FROM events
 GROUP BY 1, 2
 HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)

@@ -340,3 +340,44 @@ def windowed_distinct_users(
             "approx_users",
         )
     )
+
+
+def windowed_value_quantiles(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Tumbling-window p50/p95 of ``value`` per event type — streaming
+    quantile monitoring (latency/size SLO tracking over an event
+    stream).  Exact ``percentile`` cannot run incrementally (full
+    per-window value state); ``percentile_approx``'s Greenwald-Khanna
+    summary is bounded (O(accuracy·log n)), merges across
+    micro-batches, and closes with the watermark like any windowed
+    agg — the quantile sibling of :func:`windowed_distinct_users`,
+    and the streaming counterpart of the batch KLL state family
+    (operators/sketches.py).
+
+    At window sizes below ``accuracy`` the GK summary retains every
+    value, so the emitted quantiles are EXACTLY the discrete
+    (type-1) quantiles of the window — verified value-for-value
+    against DuckDB ``quantile_disc`` on the fixture (the driver gate
+    relies on this; raise ``accuracy`` above the max expected
+    per-window count to keep the gate exact, or accept ε = 1/accuracy
+    rank error at true scale)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95], accuracy).alias("__q"),
+            F.count("value").alias("n_values"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            F.col("__q")[0].alias("p50"),
+            F.col("__q")[1].alias("p95"),
+            "n_values",
+        )
+    )

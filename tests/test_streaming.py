@@ -597,6 +597,53 @@ def test_windowed_distinct_users_matches_batch(spark, events_batch, events_strea
         assert abs(est - exact) <= max(1, 0.05 * exact), k
 
 
+def test_windowed_value_quantiles_matches_exact(spark, events_batch, events_stream):
+    """Streaming GK windowed quantiles: closed windows carry EXACTLY
+    the discrete p50/p95 of the window's values (accuracy exceeds
+    window size, so the summary retained everything across
+    micro-batch merges), only watermark-closed windows emit, and
+    n_values is exact."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from htsql_spark import streaming
+    from htsql_spark.streaming.events import windowed_value_quantiles
+
+    name = f"t_wvq_{uuid.uuid4().hex[:8]}"
+    streaming.run_to_memory(windowed_value_quantiles(events_stream), name, "append")
+    got = {
+        (r["w_start"], r["event_type"]): (r["p50"], r["p95"], r["n_values"])
+        for r in spark.table(name).collect()
+    }
+    wm = events_batch.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("w")
+    ).collect()[0]["w"]
+    batch = (
+        events_batch.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("e50"),
+            F.expr("percentile_approx(value, 0.95, 1000000)").alias("e95"),
+            F.count("value").alias("n"),
+            F.sort_array(F.collect_list("value")).alias("vals"),
+        )
+        .filter(F.col("w.end") <= wm)
+        .select(F.col("w.start").alias("ws"), "event_type", "e95", "n", "vals")
+    )
+    exp = {(r["ws"], r["event_type"]): r for r in batch.collect()}
+    assert set(got) == set(exp) and len(got) > 0
+    import math
+
+    for k, (p50, p95, n) in got.items():
+        r = exp[k]
+        assert n == r["n"], k
+        vals = r["vals"]
+        # type-1 discrete quantile: smallest value with rank >= ceil(q*n)
+        for q, est in ((0.5, p50), (0.95, p95)):
+            rank = max(1, math.ceil(q * len(vals)))
+            assert est == vals[rank - 1], (k, q, est, vals[rank - 1])
+
+
 def test_ingest_refuses_archive_without_index(spark, tmp_path):
     """An existing archive with a missing band index would silently
     re-admit every archived doc — the loop must fail loudly instead."""

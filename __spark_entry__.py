@@ -2091,7 +2091,11 @@ def _op_kll_quantiles(spark, sf_dir):
     )
 
     def _cert(q: float, lt: str, le: str):
-        target = F.lit(q) * F.col("n")
+        # integral target: the exact query answers rank ceil(q*n)
+        # (smallest cumulative weight >= q*n); comparing against the
+        # raw fraction over-rejects when q*n is fractional and the
+        # carried err is small
+        target = F.ceil(F.lit(q) * F.col("n") - F.lit(1e-9))
         return (
             ((F.col(lt) + 1 - F.col("err")) <= target)
             & (target <= (F.col(le) + F.col("err")))

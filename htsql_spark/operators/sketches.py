@@ -678,7 +678,8 @@ def cms_estimate(
 # query rank by at most 2^i, so the state accumulates `err += 2^i` per
 # compaction (merges add the two bounds).  Queries are then
 # *certified*: the true rank of the returned estimate for quantile q
-# is within `err` of q*n, valid for ANY partitioning or merge order.
+# is within `err` of ceil(q*n) (the exact query's integral rank
+# target), valid for ANY partitioning or merge order.
 # tests/test_kll.py checks the certificate against raw data under
 # merges/rollups/repartitioning; the driver gate (op_kll_quantiles,
 # __spark_entry__.py) checks it at sf0.01.  Total count n is always
@@ -891,7 +892,8 @@ def kll_quantiles(
     rank error ``err``, and one estimate column per requested
     quantile (``p50`` for 0.5 etc.): the smallest retained value
     whose cumulative weight reaches q·n.  Certificate: the true rank
-    of ``pXX`` in the sketched data is within ``err`` of q·n."""
+    of ``pXX`` in the sketched data is within ``err`` of ceil(q·n),
+    the exact query's integral rank target."""
     for q in qs:
         if not (0 < q <= 1):
             raise ValueError(f"kll_quantiles: quantile {q} outside (0, 1]")

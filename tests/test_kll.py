@@ -18,13 +18,18 @@ def _lineitem(spark):
 
 
 def _cert_ok(values, estimate, q, err):
-    """True rank of `estimate` within err of q*n (rank = count <= v,
-    checked against the inclusive band [count < v, count <= v])."""
+    """True rank of `estimate` within err of ceil(q*n) — the exact
+    query returns the value at rank ceil(q*n) (smallest cumulative
+    weight >= q*n), so the integral target is the ceiling, not the
+    raw fraction (rank = count <= v, checked against the inclusive
+    band [count < v, count <= v])."""
+    import math
+
     v = np.asarray(sorted(values), dtype=np.float64)
     n = len(v)
     lo = np.searchsorted(v, estimate, side="left")
     hi = np.searchsorted(v, estimate, side="right")
-    target = q * n
+    target = math.ceil(q * n - 1e-9)
     # any rank in [lo+1, hi] is a valid rank for a tied value
     return (lo + 1) - err <= target <= hi + err
 
@@ -217,3 +222,44 @@ def test_kll_states_persist_parquet(spark, tmp_path):
         for r in S.kll_quantiles(reread, [0.5]).collect()
     }
     assert a == b
+
+
+# ----------------------------------------------------------------------
+# property fuzz (pure-python kernel — no Spark session per example)
+# ----------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        min_size=1,
+        max_size=3000,
+    ),
+    k=st.sampled_from([8, 16, 64]),
+    n_splits=st.integers(min_value=1, max_value=5),
+    q=st.floats(min_value=0.001, max_value=1.0),
+)
+def test_kll_fuzz_certificate_under_random_splits(vals, k, n_splits, q):
+    """Adversarial sweep: ANY value distribution (subnormals, huge
+    magnitudes, duplicates), ANY split into partial sketches, ANY
+    quantile — the merged sketch's n is exact and the carried
+    certificate holds."""
+    import numpy as np
+
+    parts = np.array_split(np.asarray(vals, dtype=np.float64), n_splits)
+    sks = []
+    for p in parts:
+        sk = S._kll_new(k)
+        S._kll_feed(sk, p)
+        sks.append(sk)
+    merged = sks[0]
+    for sk in sks[1:]:
+        merged = S._kll_merge_two(merged, sk)
+    assert S._kll_n(merged) == len(vals)
+    est = S._kll_query(merged, q)
+    assert _cert_ok(vals, est, q, merged["err"]), (q, est, merged["err"])
+    # serialization roundtrip is lossless at any state
+    assert S._kll_deserialize(S._kll_serialize(merged)) == merged

@@ -2293,7 +2293,7 @@ _QUERIES.update(
 # contamination/edit dedup; control-char normalization -> bpe_encode;
 # writer-exclusion lock -> stream_curate/stream_distinct; frame-
 # sample perf work) and family breadth (TPC-H shapes, sketches,
-# graph/OLAP, multimodal, streaming).  Union r2..r6 remains all 156
+# graph/OLAP, multimodal, streaming).  Union r2..r6 remains all
 # oracle-backed queries.
 _GATE_ORDER = [
     # kept flagships

@@ -123,10 +123,12 @@ def _arith(cc, scope: ScopeRef, op: str, l: Column, r: Column, hint: str) -> Sca
         return Scalar(l * r, hint)
     # division: integer/integer promotes to inexact division (the
     # reference promotes to decimal; we align with the DuckDB oracle's
-    # double semantics — documented deviation)
+    # double semantics — documented deviation), and division by zero
+    # yields NULL instead of the ANSI error (docs/semantics.md S11:
+    # oracle-aligned, and one bad row must not kill a 100 TB job)
     if is_integral(lt) and is_integral(rt):
-        return Scalar(l.cast("double") / r, hint)
-    return Scalar(l / r, hint)
+        return Scalar(F.try_divide(l.cast("double"), r), hint)
+    return Scalar(F.try_divide(l, r), hint)
 
 
 def hint2(node: N.Node) -> str:
@@ -586,7 +588,8 @@ SCALARS = {
     "ln": _simple(F.log, 1, name="ln"),
     "log10": _simple(F.log10, 1, name="log10"),
     "pow": _simple(F.pow, 2, name="pow"),
-    "mod": _simple(lambda a, b: a % b, 2, name="mod"),
+    # mod(x, 0) -> NULL, matching `/`'s by-zero rule (semantics.md S11)
+    "mod": _simple(F.try_mod, 2, name="mod"),
     "floor": _simple(F.floor, 1, name="floor"),
     "ceil": _simple(F.ceil, 1, name="ceil"),
     "sign": _simple(F.signum, 1, name="sign"),

@@ -1262,6 +1262,25 @@ def _op_simhash_portable(spark, sf_dir):
     )
 
 
+def _op_winnow_incremental(spark, sf_dir):
+    """Incremental batch-vs-archive winnowing overlap
+    (textstats.incremental_winnow_pairs): existing = doc_id%10<9,
+    incoming = the rest — combined posting caps make the output
+    exactly the batch run over the union restricted to
+    incoming-touching pairs, which is what the oracle replays (md5
+    gram hash so every shared_fps count is DuckDB-checkable; the
+    xxhash64 production path is locked by the pytest equivalence
+    test)."""
+    from htsql_spark.operators import textstats
+
+    docs = _db(spark, sf_dir).table("documents")
+    return textstats.incremental_winnow_pairs(
+        docs.filter("doc_id % 10 < 9"),
+        docs.filter("doc_id % 10 = 9"),
+        gram_hash="md5",
+    )
+
+
 def _op_winnow_pairs_portable(spark, sf_dir):
     """winnow_overlap_pairs with the portable md5 gram hash — the
     inverted-index pair join (posting-capped) is replayed end-to-end
@@ -2245,6 +2264,7 @@ _QUERIES.update(
         "op_winnow_portable": _op_winnow_portable,
         "op_winnow_pairs": _op_winnow_pairs,
         "op_winnow_pairs_portable": _op_winnow_pairs_portable,
+        "op_winnow_incremental": _op_winnow_incremental,
         "op_simhash_portable": _op_simhash_portable,
         "op_simhash_pairs_portable": _op_simhash_pairs_portable,
         "op_dedup_exact": _op_dedup_exact,
@@ -3402,6 +3422,29 @@ pruned AS (
 )
 SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared_fps
 FROM pruned x JOIN pruned y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+        ),
+        # incremental = batch over the union restricted to
+        # incoming-touching pairs; fps over the WHOLE corpus makes
+        # the HAVING cap the combined posting length, exactly the
+        # incremental path's pruning rule
+        "op_winnow_incremental": (
+            "WITH fps AS (" + _WINNOW_PORTABLE_SQL + "),"
+            """
+keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000),
+pe AS (SELECT doc_id, fp FROM fps
+       WHERE doc_id % 10 < 9 AND fp IN (SELECT fp FROM keep)),
+pi AS (SELECT doc_id, fp FROM fps
+       WHERE doc_id % 10 = 9 AND fp IN (SELECT fp FROM keep))
+SELECT pe.doc_id AS a, pi.doc_id AS b, count(*) AS shared_fps,
+       'cross' AS origin
+FROM pe JOIN pi ON pe.fp = pi.fp
+GROUP BY 1, 2 HAVING count(*) >= 2
+UNION ALL
+SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared_fps,
+       'within' AS origin
+FROM pi x JOIN pi y ON x.fp = y.fp AND x.doc_id < y.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 2
 """
         ),

@@ -125,11 +125,19 @@ def acquire_dataset_lock(spark, path: str, owner: str) -> None:
     jvm = spark._jvm
     lock = _dataset_lock(jvm, path)
     fs = lock.getFileSystem(spark._jsc.hadoopConfiguration())
+    created = False
     try:
         out = fs.create(lock, False)
+        created = True
         out.write(bytearray(owner.encode("utf-8")))
         out.close()
     except Exception as e:  # Py4JJavaError wrapping FileAlreadyExists
+        if created:
+            # the atomic create WON; the failure is writing the owner
+            # tag — release our own lock rather than stranding an
+            # empty one, and surface the real error
+            fs.delete(lock, False)
+            raise
         if "FileAlreadyExistsException" not in str(e) and not fs.exists(lock):
             raise
         holder = "unknown"

@@ -741,6 +741,76 @@ def test_incremental_dedup_band_index(docs, spark):
     spark.sql("DROP TABLE IF EXISTS t_band_idx")
 
 
+def test_incremental_winnow_equals_batch_over_union(docs, spark):
+    """incremental_winnow_pairs(existing, incoming) must equal the
+    batch winnow_overlap_pairs over the UNION restricted to pairs
+    touching >= 1 incoming doc (orientation normalized) — combined
+    posting caps make the pruning identical on both paths.  Cap
+    chosen so it actually binds across the split."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import textstats
+
+    existing = docs.filter("doc_id < 400")
+    incoming = docs.filter("doc_id >= 400 AND doc_id < 460")
+    union = existing.unionByName(incoming)
+    cap = 150
+    batch = {
+        (min(r["a"], r["b"]), max(r["a"], r["b"])): r["shared_fps"]
+        for r in textstats.winnow_overlap_pairs(union, max_postings=cap).collect()
+    }
+    inc_ids = {r["doc_id"] for r in incoming.select("doc_id").collect()}
+    batch_touching = {
+        p: s for p, s in batch.items() if p[0] in inc_ids or p[1] in inc_ids
+    }
+    got = {}
+    for r in textstats.incremental_winnow_pairs(
+        existing, incoming, max_postings=cap
+    ).collect():
+        key = (min(r["a"], r["b"]), max(r["a"], r["b"]))
+        assert key not in got, f"duplicate pair {key}"
+        got[key] = r["shared_fps"]
+        if r["origin"] == "within":
+            assert r["a"] in inc_ids and r["b"] in inc_ids
+        else:
+            assert r["b"] in inc_ids and r["a"] not in inc_ids
+    assert got == batch_touching and len(got) > 0
+
+
+def test_incremental_winnow_index_and_staleness(docs, spark):
+    """Materialized bucketed fingerprint index: identical pairs with
+    no archive re-fingerprint (index scan without a non-broadcast
+    Exchange below the candidate join), and a pre-versioning index
+    shape is rejected loudly."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import textstats
+
+    existing = docs.filter("doc_id < 300")
+    incoming = docs.filter("doc_id >= 300 AND doc_id < 330")
+    spark.sql("DROP TABLE IF EXISTS t_fp_idx")
+    textstats.materialize_fp_index(existing, "t_fp_idx")
+    idx = spark.table("t_fp_idx")
+    assert textstats._WINNOW_MARKER in idx.columns
+    base = {
+        (r["a"], r["b"], r["origin"]): r["shared_fps"]
+        for r in textstats.incremental_winnow_pairs(existing, incoming).collect()
+    }
+    via_idx = {
+        (r["a"], r["b"], r["origin"]): r["shared_fps"]
+        for r in textstats.incremental_winnow_pairs(
+            existing, incoming, archive_fps=idx
+        ).collect()
+    }
+    assert via_idx == base and len(base) > 0
+    # stale (unversioned) index shape fails loudly
+    with pytest.raises(ValueError, match="pre-versioning"):
+        textstats.incremental_winnow_pairs(
+            existing, incoming, archive_fps=idx.select("doc_id", "fp")
+        )
+    spark.sql("DROP TABLE IF EXISTS t_fp_idx")
+
+
 def test_incremental_dedup_rejects_stale_band_index(docs, spark):
     """A band index persisted under an older banding scheme would
     silently produce ZERO cross-batch candidates (its hashes never

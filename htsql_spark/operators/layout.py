@@ -78,6 +78,92 @@ def write_bucketed(
     df.sparkSession.catalog.refreshTable(table)
 
 
+def compact_bucketed_table(spark, table: str, extra_locks: list[str] | None = None) -> int:
+    """Small-file compaction for an append-accumulated BUCKETED
+    managed table (the band/fp index maintenance pass: each streaming
+    micro-batch appends its own bucket file set, so after N batches
+    every bucket is N small files and the zero-Exchange index join
+    pays N file-opens per bucket).  Rewrites the table to exactly one
+    dense file per bucket, PRESERVING the bucket spec — introspected
+    from the catalog, staged under ``{table}__compacting``, swapped
+    via table renames with a ``{table}__precompact`` backup and the
+    same crash-recovery-on-entry discipline as :func:`compact_dataset`.
+
+    Writer exclusion: holds the dataset lock on the table's location,
+    plus one lock per ``extra_locks`` path — pass the archive path of
+    the ingest loop that maintains this index so compaction and
+    micro-batches exclude each other (the loops lock the archive
+    path, not the index location).  Returns the number of data files
+    after compaction."""
+    if "." in table:
+        raise ValueError(f"qualified table names are not supported: {table!r}")
+    staging, backup = f"{table}__compacting", f"{table}__precompact"
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(backup):
+        # crashed between the two renames: the backup IS the table
+        spark.sql(f"ALTER TABLE {backup} RENAME TO {table}")
+    if not spark.catalog.tableExists(table):
+        raise ValueError(f"compact_bucketed_table: no table {table!r}")
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    }
+    if "Num Buckets" not in desc:
+        raise ValueError(f"compact_bucketed_table: {table!r} is not bucketed")
+    n_buckets = int(desc["Num Buckets"])
+
+    def _cols(key: str) -> list[str]:
+        raw = desc.get(key, "[]").strip("[]")
+        return [c.strip(" `") for c in raw.split(",") if c.strip(" `")]
+
+    bucket_cols, sort_cols = _cols("Bucket Columns"), _cols("Sort Columns")
+    location = desc["Location"]
+    locks = [location] + list(extra_locks or [])
+    taken: list[str] = []
+    try:
+        for p in locks:
+            acquire_dataset_lock(
+                spark, p, owner=f"compact_bucketed_table({table})"
+            )
+            taken.append(p)
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")  # crashed attempt
+        # read the LOCATION, not the table: a bucketed relation claims
+        # HashPartitioning(bucket_cols, n) at the logical level, so the
+        # optimizer deletes write_bucketed's repartition as redundant —
+        # and the planner then disables the bucketed scan anyway (no
+        # operator requires the distribution), leaving arbitrary file
+        # splits that write one file per (task, bucket) instead of one
+        # per bucket (measured 25 files for an 8-bucket table).  The
+        # plain path scan claims nothing, so the repartition stands.
+        write_bucketed(
+            spark.read.format("parquet").load(location),
+            staging,
+            bucket_cols,
+            n_buckets=n_buckets,
+            sort_cols=sort_cols or None,
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {backup}")
+        spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        spark.sql(f"DROP TABLE {backup}")
+        spark.catalog.refreshTable(table)
+        new_loc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        }["Location"]
+        p = spark._jvm.org.apache.hadoop.fs.Path(new_loc)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return len(
+            [
+                s
+                for s in fs.listStatus(p)
+                if s.getPath().getName().startswith("part-")
+            ]
+        )
+    finally:
+        for p in taken:
+            release_dataset_lock(spark, p)
+
+
 def write_clustered(
     df: DataFrame,
     path: str,

@@ -15,6 +15,19 @@ def _docs(spark):
     return spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
 
+def _drop_table(spark, *names):
+    """Drop tables AND their warehouse directories: the session
+    catalog is per-session but the warehouse is shared on disk, so a
+    prior (crashed) session can orphan a location that makes
+    saveAsTable fail with LOCATION_ALREADY_EXISTS."""
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name in names:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh, name.lower()), ignore_errors=True)
+
+
 # ----------------------------------------------------------------------
 # compaction (moved from tests/test_sketches.py — layout tests live
 # with the layout module)
@@ -140,3 +153,102 @@ def test_ingest_batch_releases_lock_on_failure(spark, tmp_path):
     with pytest.raises(Exception):
         _process_exact_batch(spark, bad, 0, archive, 0.001)
     assert not os.path.exists(archive + "__lock")
+
+
+def test_compact_bucketed_table_preserves_rows_and_bucketing(spark):
+    """Fragment a bucketed index with several appends, compact: rows
+    survive exactly, file count drops to one per bucket, the bucket
+    spec survives the swap (the candidate join still reads the index
+    scan with no non-broadcast Exchange above it), and the locks are
+    released."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import dedup
+    from htsql_spark.operators.layout import (
+        compact_bucketed_table,
+        write_bucketed,
+    )
+
+    docs = _docs(spark)
+    _drop_table(spark, "t_cbt_idx", "t_cbt_idx__compacting", "t_cbt_idx__precompact")
+    for b in range(4):  # 4 "batches" of appends -> 4 file sets
+        write_bucketed(
+            dedup._band_table(docs.filter(F.col("doc_id") % 4 == b)),
+            "t_cbt_idx",
+            ["h"],
+            n_buckets=8,
+            sort_cols=["h"],
+            mode="append" if b else "overwrite",
+        )
+    before = spark.table("t_cbt_idx")
+    exp = sorted(map(tuple, before.collect()))
+    n_files = compact_bucketed_table(spark, "t_cbt_idx")
+    assert n_files == 8
+    after = spark.table("t_cbt_idx")
+    assert sorted(map(tuple, after.collect())) == exp
+    # bucket spec survived: the (band, h) candidate join reads the
+    # index without a non-broadcast Exchange above its scan
+    probe = dedup._band_table(docs.filter("doc_id < 30"))
+    cross = after.alias("e").join(
+        probe.alias("i"),
+        (F.col("e.band") == F.col("i.band")) & (F.col("e.h") == F.col("i.h")),
+    )
+    plan = cross._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    scan_line = next(i for i, l in enumerate(lines) if "t_cbt_idx" in l)
+    assert not any(
+        "Exchange" in l for l in lines[:scan_line] if "Broadcast" not in l
+    ), plan
+    spark.sql("DROP TABLE IF EXISTS t_cbt_idx")
+
+
+def test_compact_bucketed_table_blocked_by_ingest_lock(spark, tmp_path):
+    """extra_locks wires the index compaction into the ingest loop's
+    archive-path exclusion: a held archive lock blocks compaction,
+    and a failed acquisition releases the location lock it already
+    took (no stranded locks)."""
+    import os
+
+    from htsql_spark.operators import dedup
+    from htsql_spark.operators.layout import (
+        acquire_dataset_lock,
+        compact_bucketed_table,
+        release_dataset_lock,
+        write_bucketed,
+    )
+
+    _drop_table(spark, "t_cbt2_idx", "t_cbt2_idx__compacting", "t_cbt2_idx__precompact")
+    write_bucketed(
+        dedup._band_table(_docs(spark).filter("doc_id < 50")),
+        "t_cbt2_idx",
+        ["h"],
+        n_buckets=4,
+    )
+    archive = str(tmp_path / "arch")
+    acquire_dataset_lock(spark, archive, owner="run_dedup_ingest batch=3")
+    with pytest.raises(ValueError, match="run_dedup_ingest batch=3"):
+        compact_bucketed_table(spark, "t_cbt2_idx", extra_locks=[archive])
+    # the location lock taken before the failure must be gone again
+    loc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql("DESCRIBE FORMATTED t_cbt2_idx").collect()
+    }["Location"]
+    assert not os.path.exists(loc.removeprefix("file:") + "__lock")
+    release_dataset_lock(spark, archive)
+    assert compact_bucketed_table(spark, "t_cbt2_idx", extra_locks=[archive]) == 4
+    spark.sql("DROP TABLE IF EXISTS t_cbt2_idx")
+
+
+def test_compact_bucketed_table_validation(spark, tmp_path):
+    from htsql_spark.operators.layout import compact_bucketed_table
+
+    with pytest.raises(ValueError, match="no table"):
+        compact_bucketed_table(spark, "t_cbt_nope")
+    with pytest.raises(ValueError, match="qualified"):
+        compact_bucketed_table(spark, "db.tbl")
+    # unbucketed table rejected
+    _drop_table(spark, "t_cbt_flat")
+    _docs(spark).limit(5).write.mode("overwrite").saveAsTable("t_cbt_flat")
+    with pytest.raises(ValueError, match="not bucketed"):
+        compact_bucketed_table(spark, "t_cbt_flat")
+    spark.sql("DROP TABLE IF EXISTS t_cbt_flat")

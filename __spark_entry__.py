@@ -1857,6 +1857,50 @@ def _op_histogram(spark, sf_dir):
     return equi_depth_histogram(li, "l_extendedprice", buckets=4)
 
 
+def _op_cdc_upsert(spark, sf_dir):
+    """CDC batch apply / MERGE-INTO (analytics.apply_cdc): upsert +
+    delete with last-writer-wins over a deterministic change batch
+    derived from `orders` itself — updates (keys %10∈{0,1}, the %10=1
+    keys updated TWICE so latest-ts-wins is witnessed), deletes
+    (%10∈{2,3}), a delete-then-reinsert (%10=3, reinstate witness),
+    and pure inserts at fresh keys (%10=4, key+10^9).  The snapshot
+    side is never shuffled (broadcast key-set anti join); the oracle
+    replays the same batch with a ROW_NUMBER window + anti/union."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.analytics import apply_cdc
+
+    o = _db(spark, sf_dir).table("orders")
+    base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    m = F.col("o_orderkey") % 10
+
+    def chg(cond, key, status, price, ts, op):
+        return o.filter(cond).select(
+            key.alias("o_orderkey"),
+            status.alias("o_orderstatus"),
+            price.alias("o_totalprice"),
+            F.lit(ts).cast("long").alias("ts"),
+            F.lit(op).alias("op"),
+        )
+
+    k = F.col("o_orderkey")
+    changes = (
+        chg(m.isin(0, 1), k, F.lit("U1"), F.col("o_totalprice") * 1.1, 1, "U")
+        .unionByName(
+            chg(m == 1, k, F.lit("U2"), F.col("o_totalprice") * 1.2, 2, "U")
+        )
+        .unionByName(
+            chg(m.isin(2, 3), k, F.lit(None).cast("string"),
+                F.lit(None).cast("double"), 1, "D")
+        )
+        .unionByName(chg(m == 3, k, F.lit("RI"), F.lit(4242.0), 2, "I"))
+        .unionByName(
+            chg(m == 4, k + F.lit(1000000000), F.lit("NEW"), F.lit(100.0), 1, "I")
+        )
+    )
+    return apply_cdc(base, changes, key="o_orderkey")
+
+
 def _op_scd2(spark, sf_dir):
     """SCD-2 dimension history (analytics.scd2) over each user's
     event-type change stream: consecutive same-state rows compress
@@ -2220,6 +2264,7 @@ _QUERIES.update(
         "op_skew_join": _op_skew_join,
         "op_cms": _op_cms,
         "op_scd2": _op_scd2,
+        "op_cdc_upsert": _op_cdc_upsert,
         "op_histogram": _op_histogram,
         "op_hll_distinct": _op_hll_distinct,
         "op_chunk_dedup": _op_chunk_dedup,
@@ -3559,6 +3604,40 @@ SELECT CAST(bucket AS INT) AS bucket,
        round(edges[bucket + 2], 4) AS hi,
        count(*) AS n
 FROM t GROUP BY 1, 2, 3
+""",
+        "op_cdc_upsert": """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), chg AS (
+  SELECT o_orderkey, 'U1' AS o_orderstatus,
+         o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+         1 AS ts, 'U' AS op
+  FROM orders WHERE o_orderkey % 10 IN (0, 1)
+  UNION ALL
+  SELECT o_orderkey, 'U2', o_totalprice * CAST(1.2 AS DOUBLE), 2, 'U'
+  FROM orders WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, 1, 'D'
+  FROM orders WHERE o_orderkey % 10 IN (2, 3)
+  UNION ALL
+  SELECT o_orderkey, 'RI', 4242.0, 2, 'I'
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey + 1000000000, 'NEW', 100.0, 1, 'I'
+  FROM orders WHERE o_orderkey % 10 = 4
+), latest AS (
+  SELECT * FROM (
+    SELECT chg.*, row_number() OVER (
+      PARTITION BY o_orderkey ORDER BY ts DESC, op DESC) AS rn
+    FROM chg
+  ) WHERE rn = 1
+)
+SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+FROM base b LEFT JOIN latest l ON b.o_orderkey = l.o_orderkey
+WHERE l.op IS NULL
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM latest WHERE op <> 'D'
 """,
         "op_scd2": """
 WITH o AS (

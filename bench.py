@@ -163,6 +163,8 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     total = round(sum(timings.values()), 3)
+    # compact separators: the driver parses this line from a bounded
+    # stdout tail, so every byte of the 161-query payload counts
     payload = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -170,7 +172,8 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
-        }
+        },
+        separators=(",", ":"),
     )
     # also persist to a file: the driver's stdout tail capture
     # truncated the (long) JSON line in r4 ("parsed": null)

@@ -263,3 +263,59 @@ def scd2(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    op_col: str = "op",
+    delete_op: str = "D",
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Apply a CDC batch to a snapshot (the MERGE/upsert half of the
+    warehouse pattern whose history half is :func:`scd2`): ``changes``
+    carries ``op_col`` rows (any non-``delete_op`` value upserts,
+    ``delete_op`` deletes) ordered by ``ts_col``; per key the LATEST
+    change wins, an upsert's attribute values replace the snapshot
+    row (or insert a new one), a delete removes it.  Returns the new
+    snapshot with exactly ``base``'s columns.  The reference's
+    app-database users hand-roll this as MERGE INTO; here it is an
+    operator with a scale-shaped plan.
+
+    100 TB posture: the snapshot side is NEVER shuffled.  Last-writer
+    resolution windows over the (batch-sized) ``changes`` only, and
+    the snapshot is filtered by a left-anti join against the batch's
+    key SET — one narrow column, broadcast by default, so even a
+    wide multi-million-row change batch costs the snapshot a single
+    map-side pass.  Set ``broadcast_keys=False`` only when the batch
+    key set itself is too large to broadcast (then the anti join
+    shuffles both sides on ``key``).
+
+    Determinism: ties on ``ts_col`` break by ``op_col`` descending
+    ('U' beats 'I' beats 'D' in ASCII), so equal-timestamp batches
+    resolve reproducibly; producers that need a different tie order
+    should encode it in ``ts_col`` (a (ts, seq) epoch works).
+    """
+    if key not in base.columns:
+        raise ValueError(f"apply_cdc: key {key!r} not in base columns")
+    missing = (set(base.columns) | {ts_col, op_col}) - set(changes.columns)
+    if missing:
+        raise ValueError(
+            f"apply_cdc: changes is missing columns {sorted(missing)}"
+        )
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    survivors = latest.filter(F.col(op_col) != delete_op).select(*base.columns)
+    touched = latest.select(key)
+    if broadcast_keys:
+        touched = F.broadcast(touched)
+    untouched = base.join(touched, on=key, how="left_anti")
+    return untouched.unionByName(survivors)

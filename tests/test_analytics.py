@@ -225,3 +225,132 @@ def test_scd2_asof_enrichment_roundtrip(spark):
     # every event matched exactly one interval, carrying its own state
     assert joined.count() == ev.count()
     assert joined.filter(F.col("e.event_type") != F.col("d.event_type")).count() == 0
+
+
+# ---------------------------------------------------------------- apply_cdc
+
+
+def _cdc_base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, name string, val double",
+    )
+
+
+def _cdc_changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, name string, val double, ts long, op string"
+    )
+
+
+def _snap(df):
+    return {r.k: (r.name, r.val) for r in df.collect()}
+
+
+def test_apply_cdc_upsert_delete_insert(spark):
+    base = _cdc_base(spark)
+    chg = _cdc_changes(
+        spark,
+        [
+            (2, "b2", 21.0, 1, "U"),   # update existing
+            (3, None, None, 1, "D"),   # delete existing
+            (9, "new", 90.0, 1, "I"),  # insert new key
+        ],
+    )
+    out = analytics.apply_cdc(base, chg, key="k")
+    assert out.columns == ["k", "name", "val"]
+    assert _snap(out) == {
+        1: ("a", 10.0),
+        2: ("b2", 21.0),
+        4: ("d", 40.0),
+        9: ("new", 90.0),
+    }
+
+
+def test_apply_cdc_last_writer_wins(spark):
+    base = _cdc_base(spark)
+    chg = _cdc_changes(
+        spark,
+        [
+            (1, "x1", 1.0, 1, "U"),
+            (1, "x2", 2.0, 3, "U"),  # latest ts wins
+            (1, "x3", 3.0, 2, "U"),
+        ],
+    )
+    out = analytics.apply_cdc(base, chg, key="k")
+    assert _snap(out)[1] == ("x2", 2.0)
+
+
+def test_apply_cdc_delete_then_reinsert(spark):
+    base = _cdc_base(spark)
+    chg = _cdc_changes(
+        spark,
+        [(2, None, None, 1, "D"), (2, "back", 99.0, 2, "I")],
+    )
+    out = analytics.apply_cdc(base, chg, key="k")
+    assert _snap(out)[2] == ("back", 99.0)
+
+
+def test_apply_cdc_update_then_delete(spark):
+    base = _cdc_base(spark)
+    chg = _cdc_changes(
+        spark,
+        [(2, "gone", 0.0, 1, "U"), (2, None, None, 2, "D")],
+    )
+    out = analytics.apply_cdc(base, chg, key="k")
+    assert 2 not in _snap(out)
+
+
+def test_apply_cdc_equal_ts_upsert_beats_delete(spark):
+    # documented tie rule: op_col descending, 'U' > 'D' in ASCII
+    base = _cdc_base(spark)
+    chg = _cdc_changes(
+        spark,
+        [(2, "tie", 5.0, 7, "U"), (2, None, None, 7, "D")],
+    )
+    out = analytics.apply_cdc(base, chg, key="k")
+    assert _snap(out)[2] == ("tie", 5.0)
+
+
+def test_apply_cdc_delete_missing_key_noop(spark):
+    base = _cdc_base(spark)
+    chg = _cdc_changes(spark, [(42, None, None, 1, "D")])
+    out = analytics.apply_cdc(base, chg, key="k")
+    assert _snap(out) == _snap(base)
+
+
+def test_apply_cdc_update_missing_key_inserts(spark):
+    base = _cdc_base(spark)
+    chg = _cdc_changes(spark, [(42, "up", 4.2, 1, "U")])
+    out = analytics.apply_cdc(base, chg, key="k")
+    assert _snap(out)[42] == ("up", 4.2)
+
+
+def test_apply_cdc_validation(spark):
+    base = _cdc_base(spark)
+    with pytest.raises(ValueError, match="missing columns"):
+        analytics.apply_cdc(base, base, key="k")
+    with pytest.raises(ValueError, match="not in base"):
+        analytics.apply_cdc(base, base, key="nope")
+
+
+def test_apply_cdc_snapshot_never_shuffled(spark):
+    """The 100 TB contract: no Exchange on the snapshot side — the
+    anti join broadcasts the batch key set and the only shuffle in
+    the whole plan is the window over the (small) change batch."""
+    base = _cdc_base(spark)
+    chg = _cdc_changes(spark, [(2, "b2", 21.0, 1, "U")])
+    plan = (
+        analytics.apply_cdc(base, chg, key="k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # every Exchange must be a broadcast one or sit under the window
+    # (the change batch); the base scan feeds the anti join directly
+    lines = plan.splitlines()
+    anti = next(i for i, l in enumerate(lines) if "LeftAnti" in l)
+    # the left (streamed) side of the anti join appears after the join
+    # node and before the broadcast exchange subtree; assert no
+    # shuffle Exchange between them
+    for l in lines[anti : anti + 3]:
+        assert "Exchange hashpartitioning" not in l

@@ -1901,6 +1901,31 @@ def _op_cdc_upsert(spark, sf_dir):
     return apply_cdc(base, changes, key="o_orderkey")
 
 
+def _op_zorder_key(spark, sf_dir):
+    """Morton / Z-order clustering key (layout.zorder_key): the
+    bit-interleave kernel that drives layout.write_zordered's multi-
+    dimensional file pruning (per-file min/max bounding boxes small
+    in ALL clustered dims at once — the Delta OPTIMIZE ZORDER
+    workload on stock Spark ops, pytest-proven to skip files on the
+    SECOND dimension where linear range clustering skips none).
+    Gate-checked on already-binned ints so the oracle is the same
+    sum-of-shifted-bits expression in SQL; the production binning
+    (approxQuantile ranks) is partition-order dependent and is
+    locked by tests/test_layout.py instead."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.layout import zorder_key
+
+    o = _db(spark, sf_dir).table("orders")
+    x, y = F.col("o_orderkey") % 256, F.col("o_custkey") % 256
+    return o.select(
+        "o_orderkey",
+        x.alias("xb"),
+        y.alias("yb"),
+        zorder_key([x, y], bits=8).alias("z"),
+    )
+
+
 def _op_scd2(spark, sf_dir):
     """SCD-2 dimension history (analytics.scd2) over each user's
     event-type change stream: consecutive same-state rows compress
@@ -2265,6 +2290,7 @@ _QUERIES.update(
         "op_cms": _op_cms,
         "op_scd2": _op_scd2,
         "op_cdc_upsert": _op_cdc_upsert,
+        "op_zorder_key": _op_zorder_key,
         "op_histogram": _op_histogram,
         "op_hll_distinct": _op_hll_distinct,
         "op_chunk_dedup": _op_chunk_dedup,
@@ -3746,6 +3772,19 @@ FROM t
     # the AVI twin shares op_video_dedup's planted-bit truth —
     # only the container encoding differs
     out["op_video_dedup_avi"] = out["op_video_dedup"]
+    # z-order key: the Morton interleave is pure bit arithmetic, so
+    # the oracle is the SAME sum-of-shifted-bits expression spelled
+    # in SQL (bit b of x -> output bit 2b, bit b of y -> 2b+1)
+    zterms = " + ".join(
+        f"((((o_orderkey % 256) >> {b}) & 1) << {2 * b})"
+        f" + ((((o_custkey % 256) >> {b}) & 1) << {2 * b + 1})"
+        for b in range(8)
+    )
+    out["op_zorder_key"] = (
+        "SELECT o_orderkey, o_orderkey % 256 AS xb,"
+        " o_custkey % 256 AS yb,"
+        f" {zterms} AS z FROM orders"
+    )
     return out
 
 

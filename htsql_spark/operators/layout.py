@@ -9,11 +9,14 @@ high-cardinality ones.  Two helpers:
 * ``write_partitioned`` — directory partitioning + per-file size
   control (repartition on the partition key so each directory gets
   dense files, not one sliver per task).
-* ``write_clustered`` — range-cluster rows on sort keys (an
-  interleaved Z-order is overkill for 1-2 keys; range clustering via
-  ``repartitionByRange`` + ``sortWithinPartitions`` gives parquet
-  min/max row-group statistics that let Spark's scan skip row groups
-  for selective predicates).
+* ``write_clustered`` — range-cluster rows on sort keys (for ONE
+  dominant filter key range clustering via ``repartitionByRange`` +
+  ``sortWithinPartitions`` gives parquet min/max row-group statistics
+  that let Spark's scan skip row groups for selective predicates).
+* ``write_zordered`` — Morton-interleaved clustering for 2+
+  INDEPENDENT filter dimensions, where linear range clustering keeps
+  stats tight on the first key only: every file gets a small
+  bounding box in all clustered columns at once.
 """
 
 from __future__ import annotations
@@ -179,6 +182,88 @@ def write_clustered(
     (
         df.repartitionByRange(n_files, *cluster_cols)
         .sortWithinPartitions(*cluster_cols)
+        .write.format(format)
+        .mode(mode)
+        .save(path)
+    )
+
+
+def zorder_key(cols: list, bits: int = 8):
+    """Morton (Z-order) key: bit-interleave ``len(cols)`` already-
+    binned non-negative ints (each < 2**bits) into one clustering
+    key.  Pure whole-stage-codegen JVM arithmetic (shift/and/or per
+    bit) — no UDF, no shuffle; cost is ``bits × d`` integer ops per
+    row.
+
+    Bit layout: output bit ``b*d + i`` is input bit ``b`` of column
+    ``i``, so column 0 holds the LEAST significant position within
+    each interleave group (ties between equal-bit prefixes break on
+    earlier columns last — irrelevant for clustering quality, fixed
+    for determinism and the oracle)."""
+    d = len(cols)
+    if d < 2:
+        raise ValueError("zorder_key: needs >= 2 columns (use range "
+                         "clustering / write_clustered for 1 key)")
+    cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            z = z + F.shiftleft(
+                F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1)),
+                b * d + i,
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    bits: int = 8,
+    n_files: int = 8,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered write for MULTI-dimensional pruning: range
+    clustering (:func:`write_clustered`) makes file min/max stats
+    tight on the FIRST sort key only — a filter on the second key
+    alone skips nothing.  Interleaving the keys' bits gives every
+    file a small bounding box in ALL ``cluster_cols`` at once, so
+    selective predicates on any subset of the dimensions skip files
+    (the Delta OPTIMIZE ZORDER workload, done with stock Spark ops).
+
+    Each column is first binned to ``2**bits`` quantile ranks via an
+    ``approxQuantile`` boundary array (driver-side: ``2**bits``
+    doubles per column — metadata-sized at any data scale) and a
+    binary-search-free JVM bucket lookup (``size(filter(...))`` over
+    the broadcast boundary literal); the interleaved key then drives
+    ``repartitionByRange + sortWithinPartitions``.  Quantile binning
+    (not min/max scaling) keeps the z-curve balanced under skew —
+    a heavy-hitter value occupies many cells instead of collapsing
+    the curve into one.
+
+    The z-key is a TRANSIENT clustering driver — it is not written.
+    One shuffle total (the range partition); binning adds one
+    aggregate pass over the two columns only."""
+    if len(cluster_cols) < 2:
+        raise ValueError("write_zordered: needs >= 2 cluster_cols")
+    n_bins = 2 ** bits
+    probs = [i / n_bins for i in range(1, n_bins)]
+    binned = []
+    for c in cluster_cols:
+        cuts = df.select(F.col(c).cast("double").alias(c)).approxQuantile(
+            c, probs, 0.001
+        )
+        arr = F.array(*[F.lit(float(v)) for v in cuts])
+        binned.append(
+            F.size(F.filter(arr, lambda b: b <= F.col(c).cast("double")))
+        )
+    zcol = zorder_key(binned, bits=bits)
+    (
+        df.withColumn("__z", zcol)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
         .write.format(format)
         .mode(mode)
         .save(path)

@@ -252,3 +252,123 @@ def test_compact_bucketed_table_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="not bucketed"):
         compact_bucketed_table(spark, "t_cbt_flat")
     spark.sql("DROP TABLE IF EXISTS t_cbt_flat")
+
+
+# ----------------------------------------------------------------------
+# z-order clustering
+# ----------------------------------------------------------------------
+
+
+def _py_zorder(vals, bits):
+    d = len(vals)
+    z = 0
+    for b in range(bits):
+        for i, v in enumerate(vals):
+            z |= ((v >> b) & 1) << (b * d + i)
+    return z
+
+
+def test_zorder_key_matches_reference(spark):
+    from htsql_spark.operators.layout import zorder_key
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key(["x", "y"], bits=4).alias("z")
+        ).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _py_zorder([x, y], 4)
+
+
+def test_zorder_key_three_dims_and_validation(spark):
+    from htsql_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(5, 3, 6)], "a int, b int, c int")
+    (r,) = df.select(zorder_key(["a", "b", "c"], bits=3).alias("z")).collect()
+    assert r.z == _py_zorder([5, 3, 6], 3)
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        zorder_key(["a"])
+
+
+def test_zorder_key_is_codegen_only(spark):
+    """The kernel must stay inside whole-stage codegen: no UDF, no
+    exchange — pure projection arithmetic."""
+    from htsql_spark.operators.layout import zorder_key
+
+    df = spark.range(100).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") % 7).alias("y")
+    )
+    plan = (
+        df.select(zorder_key(["x", "y"], bits=4).alias("z"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def _file_boxes(spark, path, cols):
+    """Per parquet file: (min, max) of each col — the stats a scan's
+    file/row-group skipping consults."""
+    import glob
+
+    boxes = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        agg = spark.read.parquet(f).agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).collect()[0]
+        boxes.append({c: (agg[f"mn_{c}"], agg[f"mx_{c}"]) for c in cols})
+    return boxes
+
+
+def test_write_zordered_prunes_on_both_dims(spark, tmp_path):
+    """vs range clustering on (x, y): the z-order layout keeps every
+    file's bounding box small in BOTH dimensions, so a selective
+    filter on y alone (the second key — where linear clustering
+    skips nothing) intersects only a fraction of the files."""
+    from htsql_spark.operators.layout import write_clustered, write_zordered
+
+    n, side = 40_000, 200
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.xxhash64("id", F.lit(1)) % side).alias("x"),
+        (F.xxhash64("id", F.lit(2)) % side).alias("y"),
+    ).select(
+        "id", F.abs("x").alias("x"), F.abs("y").alias("y")
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(df, zpath, ["x", "y"], bits=6, n_files=32)
+    write_clustered(df, lpath, ["x", "y"], n_files=32)
+
+    def hit_fraction(path, col, lo, hi):
+        boxes = _file_boxes(spark, path, [col])
+        hits = sum(1 for b in boxes if not (b[col][1] < lo or b[col][0] > hi))
+        return hits / len(boxes)
+
+    # filter on the SECOND dimension only: y in a 5%-wide band (off
+    # the domain midpoint — a band straddling the curve's top-level
+    # split touches both halves by construction, the documented
+    # z-order worst case)
+    lo, hi = 20, 30
+    z_hits = hit_fraction(zpath, "y", lo, hi)
+    lin_hits = hit_fraction(lpath, "y", lo, hi)
+    assert lin_hits == 1.0, "linear layout should be unable to skip on y"
+    assert z_hits <= 0.5, f"z-order should skip most files on y, hit {z_hits}"
+    # and it still prunes on x (z-order trades a LITTLE x-selectivity
+    # for y-selectivity; both must beat no-pruning)
+    assert hit_fraction(zpath, "x", 20, 30) <= 0.5
+
+    # layout is a pure permutation: same rows back
+    assert spark.read.parquet(zpath).count() == n
+    got = spark.read.parquet(zpath).agg(F.sum("id")).collect()[0][0]
+    assert got == n * (n - 1) // 2
+
+
+def test_write_zordered_validation(spark, tmp_path):
+    from htsql_spark.operators.layout import write_zordered
+
+    df = spark.range(10).select(F.col("id").alias("x"))
+    with pytest.raises(ValueError, match=">= 2 cluster_cols"):
+        write_zordered(df, str(tmp_path / "o"), ["x"])

@@ -530,6 +530,84 @@ def _stream_curate(spark, sf_dir):
     return spark.table(name)
 
 
+def _stream_cdc(spark, sf_dir):
+    """Streaming CDC snapshot maintenance (streaming/snapshot.py):
+    two deterministic change batches derived from orders — an initial
+    load, then updates (%10∈{0,1}), deletes (%10=2) and fresh-key
+    inserts (%10=3) — drain through run_cdc_snapshot (availableNow,
+    one file per micro-batch in mtime order) and the FINAL snapshot
+    is value-checked.  Batch 2's upsert carries an EARLIER ts than
+    the load and still wins (cross-batch arrival order beats ts — the
+    CDC-log replay contract), so the oracle is the one-level
+    batch-over-batch anti/union replay."""
+    import os
+    import tempfile
+    import time as _t
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from htsql_spark import streaming
+
+    o = _db(spark, sf_dir).table("orders")
+    m = F.col("o_orderkey") % 10
+    b1 = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("name"),
+        F.col("o_totalprice").alias("val"),
+        F.lit(5).cast("long").alias("ts"),
+        F.lit("I").alias("op"),
+    )
+    b2 = (
+        o.filter(m.isin(0, 1))
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit("U2").alias("name"),
+            (F.col("o_totalprice") * 2).alias("val"),
+            F.lit(1).cast("long").alias("ts"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            o.filter(m == 2).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(None).cast("string").alias("name"),
+                F.lit(None).cast("double").alias("val"),
+                F.lit(1).cast("long").alias("ts"),
+                F.lit("D").alias("op"),
+            )
+        )
+        .unionByName(
+            o.filter(m == 3).select(
+                (F.col("o_orderkey") + F.lit(1000000000)).alias("k"),
+                F.lit("NEW").alias("name"),
+                F.lit(1.0).alias("val"),
+                F.lit(1).cast("long").alias("ts"),
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    root = tempfile.mkdtemp(prefix=f"cdc_{uuid.uuid4().hex[:8]}_")
+    land = os.path.join(root, "land")
+    b1.coalesce(1).write.parquet(os.path.join(land, "b1"))
+    b2.coalesce(1).write.parquet(os.path.join(land, "b2"))
+    now = _t.time()
+    for sub, ts in (("b1", now - 60), ("b2", now)):
+        d = os.path.join(land, sub)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(d, f), (ts, ts))
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(land)
+    )
+    snap = os.path.join(root, "snapshot")
+    streaming.run_cdc_snapshot(spark, stream, snap, key="k")
+    return spark.read.parquet(snap).select("k", "name", "val")
+
+
 def _stream_running_totals(spark, sf_dir):
     import uuid
 
@@ -874,6 +952,7 @@ _QUERIES.update(
         "stream_dedup": _stream_dedup,
         "stream_running_totals": _stream_running_totals,
         "stream_curate": _stream_curate,
+        "stream_cdc": _stream_cdc,
         "stream_tumbling": _stream_tumbling,
         "stream_sliding": _stream_sliding,
         "stream_session": _stream_session,
@@ -3267,6 +3346,27 @@ WHERE p_size = 23
         # batch curate truth applies (no exact dups in the fixture, so
         # first-seen ≡ min-doc_id survivor)
         "stream_curate": _CURATE_SQL,
+        "stream_cdc": """
+WITH b1 AS (
+  SELECT o_orderkey AS k, o_orderstatus AS name, o_totalprice AS val
+  FROM orders
+), b2 AS (
+  SELECT o_orderkey AS k, 'U2' AS name,
+         o_totalprice * CAST(2 AS DOUBLE) AS val, 'U' AS op
+  FROM orders WHERE o_orderkey % 10 IN (0, 1)
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, 'D'
+  FROM orders WHERE o_orderkey % 10 = 2
+  UNION ALL
+  SELECT o_orderkey + 1000000000, 'NEW', 1.0, 'I'
+  FROM orders WHERE o_orderkey % 10 = 3
+)
+SELECT b1.k, b1.name, b1.val
+FROM b1 LEFT JOIN b2 ON b1.k = b2.k
+WHERE b2.op IS NULL
+UNION ALL
+SELECT k, name, val FROM b2 WHERE op <> 'D'
+""",
         "op_centroids": _CENTROIDS_SQL,
         "op_quantize": _QUANTIZE_SQL,
         "op_split": _SPLIT_SQL,

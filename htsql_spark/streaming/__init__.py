@@ -19,3 +19,7 @@ from .curate import (  # noqa: F401
     run_dedup_ingest,
     run_exact_dedup_ingest,
 )
+from .snapshot import (  # noqa: F401
+    apply_cdc_batch,
+    run_cdc_snapshot,
+)

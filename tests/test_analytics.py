@@ -354,3 +354,63 @@ def test_apply_cdc_snapshot_never_shuffled(spark):
     # shuffle Exchange between them
     for l in lines[anti : anti + 3]:
         assert "Exchange hashpartitioning" not in l
+
+
+def test_apply_cdc_fuzz_vs_sequential_replay(spark):
+    """Property lock: apply_cdc over a random batch equals a
+    driver-side sequential replay (sort by (ts, op desc), apply one
+    by one onto a dict).  Catches last-writer, tie-break, anti-join,
+    and column-order drift in one property."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys = st.integers(min_value=0, max_value=9)
+    change = st.tuples(
+        keys,
+        st.integers(min_value=0, max_value=99),   # ts
+        st.sampled_from(["U", "I", "D"]),
+        st.integers(min_value=0, max_value=999),  # payload
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(change, max_size=25))
+    def prop(changes):
+        # determinism contract: unique (key, ts, op) — dedupe
+        seen, batch = set(), []
+        for k, ts, op, val in changes:
+            if (k, ts, op) not in seen:
+                seen.add((k, ts, op))
+                batch.append((k, ts, op, val))
+        base_rows = [(k, k * 10.0) for k in range(5)]
+        expected = dict(base_rows)
+        # replay in (ts, op desc) order; later beats earlier, and at
+        # equal ts the op-desc winner is what apply_cdc keeps — so
+        # apply only the LAST (winning) change per key
+        winner = {}
+        for k, ts, op, val in batch:
+            cur = winner.get(k)
+            if cur is None or (ts, op) > (cur[0], cur[1]):
+                winner[k] = (ts, op, val)
+        for k, (ts, op, val) in winner.items():
+            if op == "D":
+                expected.pop(k, None)
+            else:
+                expected[k] = float(val)
+        base = spark.createDataFrame(base_rows, "k long, val double")
+        if batch:
+            chg = spark.createDataFrame(
+                [(k, float(v), ts, op) for k, ts, op, v in batch],
+                "k long, val double, ts long, op string",
+            )
+        else:
+            chg = spark.createDataFrame(
+                [], "k long, val double, ts long, op string"
+            )
+        out = analytics.apply_cdc(base, chg, key="k")
+        assert {r.k: r.val for r in out.collect()} == expected
+
+    prop()

@@ -683,3 +683,138 @@ def test_exact_ingest_ignores_uncommitted_droppings(spark, tmp_path):
     _process_exact_batch(spark, docs, 0, archive, 0.001)
     got = spark.read.parquet(archive)
     assert got.filter(F.col("doc_id") < 10).count() == 10
+
+
+# ----------------------------------------------------------------------
+# CDC snapshot maintenance (streaming/snapshot.py)
+# ----------------------------------------------------------------------
+
+
+def _cdc_rows(spark, rows):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_cdc_snapshot_two_batches(spark, tmp_path):
+    """Two micro-batches fold into the snapshot in arrival order:
+    batch 1 bootstraps, batch 2's upserts/deletes/inserts apply on
+    top (a later batch beats an earlier one regardless of ts)."""
+    import os
+    import time as _t
+
+    from htsql_spark import streaming
+
+    land = tmp_path / "cdc_land"
+    b1 = _cdc_rows(
+        spark,
+        [(1, "a", 1.0, 5, "I"), (2, "b", 2.0, 5, "I"), (3, "c", 3.0, 5, "I")],
+    )
+    b2 = _cdc_rows(
+        spark,
+        [
+            (2, "b2", 2.5, 1, "U"),  # ts EARLIER than b1's — still wins
+            (3, None, None, 9, "D"),
+            (4, "d", 4.0, 9, "I"),
+        ],
+    )
+    b1.coalesce(1).write.parquet(str(land / "b1"))
+    b2.coalesce(1).write.parquet(str(land / "b2"))
+    now = _t.time()
+    for sub, ts in (("b1", now - 60), ("b2", now)):
+        for f in (land / sub).glob("*.parquet"):
+            os.utime(f, (ts, ts))
+
+    schema = spark.read.parquet(str(land / "b1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(land))
+    )
+    snap_path = str(tmp_path / "snapshot")
+    streaming.run_cdc_snapshot(spark, stream, snap_path, key="k")
+
+    snap = spark.read.parquet(snap_path)
+    assert sorted(snap.columns) == ["k", "name", "val"]
+    got = {r.k: (r.name, r.val) for r in snap.collect()}
+    assert got == {1: ("a", 1.0), 2: ("b2", 2.5), 4: ("d", 4.0)}
+
+
+def test_cdc_batch_idempotent_reapply(spark, tmp_path):
+    """foreachBatch re-runs on crash retry: re-applying the same
+    batch to the already-updated snapshot is a fixed point."""
+    from htsql_spark.streaming.snapshot import apply_cdc_batch
+
+    snap_path = str(tmp_path / "snap")
+    batch = _cdc_rows(
+        spark, [(1, "a", 1.0, 1, "I"), (2, "b", 2.0, 1, "I")]
+    )
+    apply_cdc_batch(spark, batch, snap_path, key="k")
+    first = {(r.k, r.name, r.val) for r in spark.read.parquet(snap_path).collect()}
+    apply_cdc_batch(spark, batch, snap_path, key="k")  # retry
+    second = {(r.k, r.name, r.val) for r in spark.read.parquet(snap_path).collect()}
+    assert first == second == {(1, "a", 1.0), (2, "b", 2.0)}
+
+
+def test_cdc_batch_crash_recovery_restores_backup(spark, tmp_path):
+    """A crash between the two swap renames parks the snapshot at
+    __presnap; the next batch restores it before applying."""
+    import os
+    import shutil
+
+    from htsql_spark.streaming.snapshot import apply_cdc_batch
+
+    snap_path = str(tmp_path / "snap")
+    apply_cdc_batch(
+        spark, _cdc_rows(spark, [(1, "a", 1.0, 1, "I")]), snap_path, key="k"
+    )
+    # simulate the crash window: snapshot renamed to backup, new one
+    # never swapped in
+    shutil.move(snap_path, snap_path + "__presnap")
+    assert not os.path.exists(snap_path)
+    apply_cdc_batch(
+        spark, _cdc_rows(spark, [(2, "b", 2.0, 1, "I")]), snap_path, key="k"
+    )
+    got = {r.k for r in spark.read.parquet(snap_path).collect()}
+    assert got == {1, 2}, "backup row must survive the crash recovery"
+
+
+def test_cdc_batch_blocked_by_held_lock(spark, tmp_path):
+    """Snapshot updates share the dataset lock with compaction: a
+    held lock makes the batch raise instead of racing."""
+    import pytest as _pytest
+
+    from htsql_spark.operators.layout import (
+        acquire_dataset_lock,
+        release_dataset_lock,
+    )
+    from htsql_spark.streaming.snapshot import apply_cdc_batch
+
+    snap_path = str(tmp_path / "snap")
+    acquire_dataset_lock(spark, snap_path, owner="test-holder")
+    try:
+        with _pytest.raises(ValueError, match="lock"):
+            apply_cdc_batch(
+                spark,
+                _cdc_rows(spark, [(1, "a", 1.0, 1, "I")]),
+                snap_path,
+                key="k",
+            )
+    finally:
+        release_dataset_lock(spark, snap_path)
+    # and after release the same batch applies cleanly
+    apply_cdc_batch(
+        spark, _cdc_rows(spark, [(1, "a", 1.0, 1, "I")]), snap_path, key="k"
+    )
+    assert spark.read.parquet(snap_path).count() == 1

@@ -2463,7 +2463,12 @@ _QUERIES.update(
 # contamination/edit dedup; control-char normalization -> bpe_encode;
 # writer-exclusion lock -> stream_curate/stream_distinct; frame-
 # sample perf work) and family breadth (TPC-H shapes, sketches,
-# graph/OLAP, multimodal, streaming).  Union r2..r6 remains all
+# graph/OLAP, multimodal, streaming).  Five TPC-H re-verification
+# rows (q6/q13/q14/q18/q22 — compile.py shapes untouched this round,
+# gate-green r3/r4) are swapped for the five NEW oracle-backed ops
+# built late this round (op_cdc_upsert, op_zorder_key,
+# op_winnow_incremental, stream_cdc, stream_quantiles) so every new
+# operator gets a hard driver verification.  Union r2..r6 remains all
 # oracle-backed queries.
 _GATE_ORDER = [
     # kept flagships
@@ -2473,8 +2478,11 @@ _GATE_ORDER = [
     "op_winnow_portable", "op_winnow_pairs_portable",
     "op_simhash_portable", "op_simhash_pairs_portable",
     "op_kmeans_assign", "op_kmeans_step",
-    # new this round: KLL quantile sketch rollup (certificate gate)
-    "op_kll_quantiles",
+    # new this round: KLL quantile sketch rollup (certificate gate),
+    # CDC batch MERGE, Z-order clustering key, incremental winnowing,
+    # streaming CDC snapshot loop, streaming windowed GK quantiles
+    "op_kll_quantiles", "op_cdc_upsert", "op_zorder_key",
+    "op_winnow_incremental", "stream_cdc", "stream_quantiles",
     # re-verification: dedup paths touched by band-index versioning
     "op_dedup_minhash", "op_dedup_incremental",
     "op_contamination_near", "op_edit_dedup", "op_chunk_dedup",
@@ -2482,8 +2490,7 @@ _GATE_ORDER = [
     "op_bpe_encode", "stream_curate", "stream_distinct",
     "op_frame_sample", "op_image_dedup", "op_video_dedup_avi",
     # re-verification: TPC-H composition shapes
-    "tpch_q3", "tpch_q6", "tpch_q9", "tpch_q13", "tpch_q14",
-    "tpch_q17", "tpch_q18", "tpch_q21", "tpch_q22",
+    "tpch_q3", "tpch_q9", "tpch_q17", "tpch_q21",
     # re-verification: sketch family
     "op_bloom_decontam", "op_bloom_ngram", "op_cms",
     "op_heavy_hitters", "op_hll_distinct", "op_hll_rollup",

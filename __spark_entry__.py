@@ -1505,6 +1505,14 @@ def _op_repetition(spark, sf_dir):
     return textstats.repetition_stats(_db(spark, sf_dir).table("documents"))
 
 
+def _op_gopher(spark, sf_dir):
+    """Gopher quality rule set (Rae '21 A1.1): per-doc sub-signals +
+    pass verdict — zero-shuffle, codegen, scan pruned to (id, text)."""
+    from htsql_spark.operators import textstats
+
+    return textstats.gopher_rules(_db(spark, sf_dir).table("documents"))
+
+
 def _op_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup: argmax-to-centroid cells (the
     seeded deterministic cells, so the oracle replays the assignment
@@ -2374,6 +2382,7 @@ _QUERIES.update(
         "op_hll_distinct": _op_hll_distinct,
         "op_chunk_dedup": _op_chunk_dedup,
         "op_classifier": _op_classifier,
+        "op_gopher": _op_gopher,
         "op_sessionize": _op_sessionize,
         "op_funnel": _op_funnel,
         "op_retention": _op_retention,
@@ -3860,6 +3869,45 @@ FROM ranked GROUP BY doc_id
         # same md5 arithmetic as the Spark hashed_weight column —
         # bucket from one md5 stream, weight from a second over the
         # bucket id (bit-portable across engines)
+        "op_gopher": r"""
+WITH base AS (
+  SELECT doc_id, text,
+    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w,
+    string_split(text, chr(10)) AS l
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    round(list_sum(list_transform(w, x -> len(x))) / len(w), 4) AS mean_word_len,
+    round((
+        (len(text) - len(replace(text, '#', '')))
+      + (len(text) - len(replace(text, '...', ''))) / 3.0
+      + (len(text) - len(replace(text, '…', '')))
+    ) / len(w), 6) AS symbol_ratio,
+    round(len(list_filter(l, x -> regexp_matches(trim(x), '^[-*•]'))) * 1.0
+          / len(l), 6) AS bullet_frac,
+    round(len(list_filter(l, x -> regexp_matches(rtrim(x), '(\.\.\.|…)$'))) * 1.0
+          / len(l), 6) AS ellipsis_frac,
+    round(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0
+          / len(w), 6) AS alpha_frac,
+    CAST(list_contains(w, 'the') AS INT) + CAST(list_contains(w, 'be') AS INT)
+      + CAST(list_contains(w, 'to') AS INT) + CAST(list_contains(w, 'of') AS INT)
+      + CAST(list_contains(w, 'and') AS INT) + CAST(list_contains(w, 'that') AS INT)
+      + CAST(list_contains(w, 'have') AS INT) + CAST(list_contains(w, 'with') AS INT)
+      AS stop_hits
+  FROM base
+)
+SELECT *,
+  (n_words BETWEEN 50 AND 100000
+   AND mean_word_len BETWEEN 3 AND 10
+   AND symbol_ratio <= 0.1
+   AND bullet_frac < 0.9
+   AND ellipsis_frac <= 0.3
+   AND alpha_frac >= 0.8
+   AND stop_hits >= 2) AS passes
+FROM s
+""",
         "op_classifier": r"""
 WITH t AS (
   SELECT doc_id, list_transform(

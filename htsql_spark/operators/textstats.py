@@ -409,6 +409,102 @@ def _max_run(sorted_arr: Column) -> Column:
     return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
 
 
+#: required-stopword inventory for the Gopher rule set (Rae '21 §A1.1)
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. '21, "Scaling
+    Language Models: ... Gopher", Appendix A1.1) — the canonical
+    heuristic pre-filter every large text pipeline runs before dedup:
+
+    - word count within [min_words, max_words]
+    - mean word length within [3, 10] characters
+    - '#'-or-'…' symbols per word ≤ 0.1
+    - < 90% of lines starting with a bullet character
+    - ≤ 30% of lines ending with an ellipsis
+    - ≥ 80% of words containing at least one alphabetic character
+    - ≥ 2 of the 8 required stopwords present
+
+    One row per doc with every sub-signal plus the final ``passes``
+    verdict, so downstream sieves can loosen individual thresholds
+    without recomputing.  Entirely built-in functions over one row:
+    zero shuffle, scan pruned to (id, text) — embarrassingly parallel
+    at 100 TB, same posture as :func:`repetition_stats`.
+    (Reference parity anchor: the reference's filter-by-predicate
+    pipelines, SURVEY §2 F4/S4; the rule constants are Gopher's.)
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(F.lower(t)), r"\s+")
+    lines = F.split(t, r"\n")
+    d = docs.select(F.col(id_col), t.alias("__t"), words.alias("__w"), lines.alias("__l"))
+    w, ln = F.col("__w"), F.col("__l")
+    n = F.size(w)
+    nl = F.size(ln)
+    mean_len = F.aggregate(
+        w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    ) / n.cast("double")
+    # '#' and '…'/'...' occurrences per word ('...' counted via the
+    # non-overlapping replace-length trick, identical in DuckDB)
+    symbols = (
+        F.length(F.col("__t"))
+        - F.length(F.regexp_replace(F.col("__t"), r"#", ""))
+        + (
+            F.length(F.col("__t"))
+            - F.length(F.regexp_replace(F.col("__t"), r"\.\.\.", ""))
+        )
+        / F.lit(3)
+        + F.length(F.col("__t"))
+        - F.length(F.regexp_replace(F.col("__t"), r"…", ""))
+    )
+    bullet_frac = F.size(
+        F.filter(ln, lambda s: F.trim(s).rlike(r"^[-*•]"))
+    ) / nl.cast("double")
+    ellipsis_frac = F.size(
+        F.filter(ln, lambda s: F.rtrim(s).rlike(r"(\.\.\.|…)$"))
+    ) / nl.cast("double")
+    alpha_frac = F.size(
+        F.filter(w, lambda x: x.rlike(r"[a-z]"))
+    ) / n.cast("double")
+    stop_hits = None
+    for sw in _GOPHER_STOPS:
+        hit = F.array_contains(w, sw).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    stats = d.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(symbols / n.cast("double"), 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+    )
+    passes = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") < max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return stats.withColumn("passes", passes)
+
+
 def text_stats(docs: DataFrame) -> DataFrame:
     """One row per document with the full stat set."""
     t = F.col("text")

@@ -464,6 +464,34 @@ def test_repetition_stats_planted(spark):
     assert rows[4]["n_words"] == 1 and rows[4]["top_bigram_frac"] == 0.0
 
 
+def test_gopher_rules_planted(spark):
+    """Hand-crafted docs exercise every Gopher sub-rule, including the
+    line-level ones (bullets, ellipses) the parquet fixture never
+    triggers."""
+    from htsql_spark.operators import textstats
+
+    good = "the cat sat with one of them and that should have been fine " * 5
+    df = spark.createDataFrame(
+        [
+            (1, good),                                   # passes everything
+            (2, "word " * 10),                           # too few words
+            (3, "- a\n- b\n- c\nplain"),                 # 3/4 bullet lines
+            (4, "end...\nalso...\nfine\nok"),            # 2/4 ellipsis lines
+            (5, ("### " * 60) + "the of and"),           # symbol-heavy
+            (6, ("12345 " * 60) + "the of and"),         # non-alpha words
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.gopher_rules(df).collect()}
+    assert rows[1]["passes"] is True
+    assert rows[1]["stop_hits"] >= 5 and rows[1]["alpha_frac"] == 1.0
+    assert rows[2]["n_words"] == 10 and rows[2]["passes"] is False
+    assert rows[3]["bullet_frac"] == 0.75
+    assert rows[4]["ellipsis_frac"] == 0.5
+    assert rows[5]["symbol_ratio"] > 0.1 and rows[5]["passes"] is False
+    assert rows[6]["alpha_frac"] < 0.8 and rows[6]["passes"] is False
+
+
 def test_ngram_contamination_detects_partial_clones(docs, spark):
     """Every (orig→clone-with-tail) pair that hash_split puts on
     opposite sides of the train/eval divide must be reported, and

@@ -1505,6 +1505,23 @@ def _op_repetition(spark, sf_dir):
     return textstats.repetition_stats(_db(spark, sf_dir).table("documents"))
 
 
+def _op_dsir(spark, sf_dir):
+    """DSIR importance resampling (Xie '23): hashed unigram+bigram
+    log-ratio weights toward the English subcorpus, top 200 by
+    (logw desc, doc_id) via TakeOrderedAndProject.  One (doc,bucket)
+    shuffle; the 1024-row log-ratio table broadcasts."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import pipeline
+
+    docs = _db(spark, sf_dir).table("documents")
+    return (
+        pipeline.dsir_weights(docs, target=F.col("lang") == "en")
+        .orderBy(F.col("logw").desc(), "doc_id")
+        .limit(200)
+    )
+
+
 def _op_gopher(spark, sf_dir):
     """Gopher quality rule set (Rae '21 A1.1): per-doc sub-signals +
     pass verdict — zero-shuffle, codegen, scan pruned to (id, text)."""
@@ -2383,6 +2400,7 @@ _QUERIES.update(
         "op_chunk_dedup": _op_chunk_dedup,
         "op_classifier": _op_classifier,
         "op_gopher": _op_gopher,
+        "op_dsir": _op_dsir,
         "op_sessionize": _op_sessionize,
         "op_funnel": _op_funnel,
         "op_retention": _op_retention,
@@ -3869,6 +3887,41 @@ FROM ranked GROUP BY doc_id
         # same md5 arithmetic as the Spark hashed_weight column —
         # bucket from one md5 stream, weight from a second over the
         # bucket id (bit-portable across engines)
+        "op_dsir": r"""
+WITH base AS (
+  SELECT doc_id, (lang = 'en') AS tgt,
+    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, tgt,
+    unnest(list_concat(w,
+      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]))) AS g
+  FROM base
+),
+per_doc AS (
+  SELECT doc_id, tgt,
+    CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 1024 AS INTEGER) AS b,
+    count(*) AS c
+  FROM grams GROUP BY 1, 2, 3
+),
+dist AS (
+  SELECT b, sum(CASE WHEN tgt THEN c ELSE 0 END) AS ct, sum(c) AS cr
+  FROM per_doc GROUP BY 1
+),
+lr AS (
+  SELECT b,
+    ln((ct + 0.5) / (sum(ct) OVER () + 0.5 * 1024))
+      - ln((cr + 0.5) / (sum(cr) OVER () + 0.5 * 1024)) AS lr
+  FROM dist
+)
+SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_grams,
+       round(sum(d.c * lr.lr), 4) AS logw
+FROM per_doc d JOIN lr USING (b)
+GROUP BY 1
+ORDER BY logw DESC, doc_id
+LIMIT 200
+""",
         "op_gopher": r"""
 WITH base AS (
   SELECT doc_id, text,

@@ -674,6 +674,107 @@ def unigram_logprob(
     )
 
 
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    buckets: int = 1 << 10,
+    smoothing: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. '23, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-domain-like its hashed n-gram profile is,
+    so a 100 TB crawl can be resampled toward a small high-quality
+    domain (wiki/books) without a learned model.
+
+    Features are word unigrams + bigrams hashed into ``buckets``
+    buckets (md5 — bit-portable, SQL-replayable).  The bucketed
+    target distribution p comes from rows where ``target`` is true;
+    the raw distribution q from ALL rows.  A document's importance
+    log-weight is Σ_grams [log p̂(bucket) − log q̂(bucket)] with
+    Laplace smoothing ``smoothing`` on both estimates.  Selection is
+    a downstream ``orderBy(logw desc).limit(k)`` —
+    TakeOrderedAndProject, never a global sort.
+
+    Output: (id, n_grams, logw) with logw rounded to 4 (float sums
+    agree cross-engine well inside 1e-4).
+
+    Plan: narrow gram generation (unigrams + bigrams, codegen) →
+    ONE (doc, bucket) hash-aggregate shuffle (map-side combined) →
+    the bucket distribution folds from those partials (second
+    shuffle bounded by ``buckets`` keys) → the ≤``buckets``-row
+    log-ratio table broadcasts back → one per-doc aggregation.  The
+    raw corpus text crosses the wire exactly once, as (doc, bucket,
+    count) triples; distribution + log-ratio state is O(buckets)
+    regardless of corpus size.  (Reference parity anchor: weighted
+    selection sieves, SURVEY §2 F4/F10.)
+    """
+    if buckets < 2:
+        raise ValueError(f"dsir_weights: buckets must be >= 2, got {buckets}")
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(F.col(id_col), target.alias("__tgt"), w.alias("__w"))
+    ww = F.col("__w")
+    n = F.size(ww)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ww, i), F.element_at(ww, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select(
+        F.col(id_col),
+        F.col("__tgt"),
+        F.explode(F.concat(ww, bigrams)).alias("__g"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets),
+    ).cast("int")
+    # per_doc feeds BOTH the bucket-distribution branch and the probe
+    # side of the log-ratio join; without a pin Spark recomputes the
+    # gram explode + aggregate twice (no CSE across join inputs — the
+    # same rationale as winnow_overlap_pairs).  The pinned table is
+    # (doc, bucket, count) triples: ≤ buckets rows per doc, tiny next
+    # to the corpus text it summarizes.
+    per_doc = (
+        grams.select(F.col(id_col), F.col("__tgt"), bucket.alias("b"))
+        .groupBy(id_col, "__tgt", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    dist = per_doc.groupBy("b").agg(
+        F.sum(F.when(F.col("__tgt"), F.col("c")).otherwise(F.lit(0))).alias("ct"),
+        F.sum("c").alias("cr"),
+    )
+    # totals over ≤buckets rows: a single-partition window is fine at
+    # any corpus size because the input is bucket-bounded, not
+    # row-bounded
+    tw = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    a = F.lit(float(smoothing))
+    denom = a * F.lit(float(buckets))
+    lr = dist.select(
+        "b",
+        (
+            F.log((F.col("ct") + a) / (F.sum("ct").over(tw) + denom))
+            - F.log((F.col("cr") + a) / (F.sum("cr").over(tw) + denom))
+        ).alias("lr"),
+    )
+    return (
+        per_doc.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 4).alias("logw"),
+        )
+    )
+
+
 def bigram_top_pairs(
     docs: DataFrame, v: int = 1000, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

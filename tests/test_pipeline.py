@@ -406,6 +406,65 @@ def test_unigram_logprob_reference(spark):
     assert rows[3]["ppl"] > rows[1]["ppl"] and rows[3]["ppl"] > rows[2]["ppl"]
 
 
+def test_dsir_weights_separates_domains(spark):
+    """Planted two-vocabulary corpus: docs written in the target
+    domain's vocabulary must outscore raw-only-vocabulary docs, a
+    Python reference replay must agree exactly, and weights must be
+    invariant to doc order (determinism)."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import pipeline
+
+    wiki = ["alpha beta gamma delta alpha beta", "beta gamma delta epsilon beta"]
+    crawl = ["spam junk click buy spam junk", "junk click buy now spam"]
+    mixed = "alpha beta spam junk"
+    rows = (
+        [(i, t, True) for i, t in enumerate(wiki)]
+        + [(10 + i, t, False) for i, t in enumerate(crawl)]
+        + [(99, mixed, False)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    B, a = 64, 0.5
+    out = {
+        r["doc_id"]: r
+        for r in pipeline.dsir_weights(docs, F.col("tgt"), buckets=B).collect()
+    }
+    # target-vocabulary docs outrank raw-vocabulary docs; mixed in between
+    assert min(out[0]["logw"], out[1]["logw"]) > out[99]["logw"]
+    assert out[99]["logw"] > max(out[10]["logw"], out[11]["logw"])
+
+    # exact Python reference (same md5 bucketing + smoothing)
+    import hashlib
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    def grams(t):
+        w = t.split()
+        return w + [f"{x} {y}" for x, y in zip(w, w[1:])]
+
+    ct, cr = Counter(), Counter()
+    for _, t, tgt in rows:
+        for g in grams(t):
+            b = bucket(g)
+            cr[b] += 1
+            if tgt:
+                ct[b] += 1
+    T, R = sum(ct.values()), sum(cr.values())
+    for i, t, _ in rows:
+        gs = grams(t)
+        ref = sum(
+            math.log((ct[bucket(g)] + a) / (T + a * B))
+            - math.log((cr[bucket(g)] + a) / (R + a * B))
+            for g in gs
+        )
+        assert out[i]["logw"] == round(ref, 4)
+        assert out[i]["n_grams"] == len(gs)
+
+
 def test_select_token_budget_invariants(docs, spark):
     """Budget selection: never exceeds the budget, is maximal under
     its greedy order, prefers higher quality buckets, deterministic."""

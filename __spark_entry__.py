@@ -1505,6 +1505,15 @@ def _op_repetition(spark, sf_dir):
     return textstats.repetition_stats(_db(spark, sf_dir).table("documents"))
 
 
+def _op_dup_spans(spark, sf_dir):
+    """Substring-level duplicated-span stats (Lee '21 style): strided
+    40-char window fingerprints, corpus-wide repeat marking, island
+    merge — one fp shuffle + one doc shuffle, text never shuffled."""
+    from htsql_spark.operators import textstats
+
+    return textstats.duplicated_spans(_db(spark, sf_dir).table("documents"))
+
+
 def _op_dsir(spark, sf_dir):
     """DSIR importance resampling (Xie '23): hashed unigram+bigram
     log-ratio weights toward the English subcorpus, top 200 by
@@ -2401,6 +2410,7 @@ _QUERIES.update(
         "op_classifier": _op_classifier,
         "op_gopher": _op_gopher,
         "op_dsir": _op_dsir,
+        "op_dup_spans": _op_dup_spans,
         "op_sessionize": _op_sessionize,
         "op_funnel": _op_funnel,
         "op_retention": _op_retention,
@@ -3887,6 +3897,52 @@ FROM ranked GROUP BY doc_id
         # same md5 arithmetic as the Spark hashed_weight column —
         # bucket from one md5 stream, weight from a second over the
         # bucket id (bit-portable across engines)
+        "op_dup_spans": r"""
+WITH base AS (
+  SELECT doc_id, text, len(text) AS n FROM documents
+),
+pos AS (
+  SELECT doc_id, text,
+         unnest(range(0, (n - 40) // 8 + 1)) * 8 AS pos
+  FROM base WHERE n >= 40
+),
+wins AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         md5(substr(text, CAST(pos + 1 AS BIGINT), 40)) AS fp
+  FROM pos
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY fp) AS c FROM wins
+  ) WHERE c >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+    sum(CASE WHEN prev IS NULL OR pos - prev > 40 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM dup
+  )
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS p0, max(pos) AS p1, count(*) AS nw
+  FROM isl GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_spans, sum(nw) AS dup_windows,
+         sum(p1 - p0 + 40) AS dup_chars
+  FROM spans GROUP BY 1
+)
+SELECT b.doc_id,
+  CAST(CASE WHEN n >= 40 THEN (n - 40) // 8 + 1 ELSE 0 END AS BIGINT) AS n_windows,
+  CAST(coalesce(dup_windows, 0) AS BIGINT) AS dup_windows,
+  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(dup_chars, 0) AS BIGINT) AS dup_chars,
+  round(coalesce(dup_chars, 0) * 1.0 / n, 6) AS dup_frac
+FROM base b LEFT JOIN agg USING (doc_id)
+""",
         "op_dsir": r"""
 WITH base AS (
   SELECT doc_id, (lang = 'en') AS tgt,

@@ -8,7 +8,7 @@ scan pruned to (doc_id, text[, lang]).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: BPE-ish tokenization: word pieces, numbers, or single punctuation
@@ -333,6 +333,102 @@ def incremental_winnow_pairs(
         .withColumn("origin", F.lit("within"))
     )
     return cross.unionByName(within)
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 40,
+    stride: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level exact-duplicate detection (Lee et al. '21,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    character spans that appear verbatim ≥ ``min_count`` times
+    anywhere in the corpus and report, per document, how much of it
+    is duplicated text.  The suffix-array construction of the paper
+    is single-machine; the distributed equivalent here fingerprints
+    every ``k``-char window at ``stride``-char steps, marks windows
+    whose fingerprint repeats corpus-wide, and merges overlapping
+    duplicated windows into maximal spans (gaps-and-islands).
+
+    Output per doc: (id, n_windows, dup_windows, n_spans, dup_chars,
+    dup_frac) — dup_frac is the duplicated-character fraction the
+    paper thresholds on (docs with > ~0.8 are boilerplate mirrors).
+
+    Plan: window fingerprints are built INSIDE the row as an array of
+    (pos, md5) structs, so document text is never duplicated by the
+    explode (narrow, codegen); the exploded (id, pos, fp) triples
+    take ONE fp-keyed shuffle for the global repeat count, then ONE
+    doc-keyed shuffle for span merging; the per-doc totals join
+    reuses the doc key.  Shuffle payload is fixed-width triples —
+    len(text)/stride rows per doc — never text.  Posting skew (a
+    boilerplate window repeated millions of times) only widens the
+    window COUNT, which AQE's skew-join handles; the span merge is
+    keyed on doc, which is naturally balanced."""
+    if k < 2 or stride < 1 or stride > k:
+        raise ValueError(
+            f"duplicated_spans: need k >= 2 and 1 <= stride <= k, got k={k} stride={stride}"
+        )
+    t = F.col(text_col)
+    n = F.length(t)
+    base = docs.select(F.col(id_col), t.alias("__t"), n.alias("__n"))
+    n_windows = F.when(
+        F.col("__n") >= k, F.floor((F.col("__n") - k) / stride) + 1
+    ).otherwise(F.lit(0)).cast("long")
+    wins = base.filter(F.col("__n") >= k).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("__n") - k).cast("int"), F.lit(stride)),
+                lambda p: F.struct(
+                    p.cast("long").alias("pos"),
+                    F.md5(F.substring(F.col("__t"), p + 1, k)).alias("fp"),
+                ),
+            )
+        ).alias("__w"),
+    ).select(F.col(id_col), F.col("__w.pos").alias("pos"), F.col("__w.fp").alias("fp"))
+    dup = (
+        wins.withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("__c") >= min_count)
+        .select(id_col, "pos")
+    )
+    byid = Window.partitionBy(id_col).orderBy("pos")
+    isl = dup.withColumn(
+        "__island",
+        F.sum(
+            F.when(
+                F.coalesce(F.col("pos") - F.lag("pos").over(byid), F.lit(k + 1)) > k,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).over(byid),
+    )
+    spans = isl.groupBy(id_col, "__island").agg(
+        F.min("pos").alias("__p0"),
+        F.max("pos").alias("__p1"),
+        F.count(F.lit(1)).alias("__nw"),
+    )
+    agg = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_spans"),
+        F.sum("__nw").cast("long").alias("__dup_windows"),
+        F.sum(F.col("__p1") - F.col("__p0") + k).cast("long").alias("__dup_chars"),
+    )
+    return (
+        base.select(F.col(id_col), n_windows.alias("n_windows"), F.col("__n"))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_windows",
+            F.coalesce(F.col("__dup_windows"), F.lit(0)).cast("long").alias("dup_windows"),
+            F.coalesce(F.col("__n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("__dup_chars"), F.lit(0)).cast("long").alias("dup_chars"),
+            F.round(
+                F.coalesce(F.col("__dup_chars"), F.lit(0)) / F.col("__n").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
 
 
 def repetition_stats(

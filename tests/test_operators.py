@@ -464,6 +464,45 @@ def test_repetition_stats_planted(spark):
     assert rows[4]["n_words"] == 1 and rows[4]["top_bigram_frac"] == 0.0
 
 
+def test_duplicated_spans_planted(spark):
+    """Hand-computable corpus: a verbatim shared block is found and
+    its span coverage is exact; within-doc repeats count; unique text
+    and sub-k docs report zero."""
+    from htsql_spark.operators import textstats
+
+    shared = "X" * 16  # k=8, stride=4: every window inside is 'XXXXXXXX'
+    df = spark.createDataFrame(
+        [
+            (1, shared + "abcdefghijklmnop"),   # shared block at pos 0..15
+            (2, "qrstuvwxyz0123" + shared),     # same block at pos 14..29
+            (3, "no repeats here at all!"),     # unique text
+            (4, "tiny"),                        # shorter than k
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.duplicated_spans(df, k=8, stride=4).collect()
+    }
+    # doc 1: len 32 -> windows at 0,4,...,24 = 7; 'X'*8 windows at 0,4,8
+    # (pos 8 window is X*8 only while pos<=8: positions 0,4,8 give pure X
+    # windows? pos 8 -> chars 8..15 all X -> yes). Island 0..8 covers
+    # chars 0..15 = 16 chars.
+    assert out[1]["n_windows"] == 7
+    assert out[1]["dup_windows"] == 3
+    assert out[1]["n_spans"] == 1
+    assert out[1]["dup_chars"] == 16
+    assert out[1]["dup_frac"] == 0.5
+    # doc 2: len 30 -> windows at 0..20 step 4 = 6; X-windows where the
+    # 8-char slice is inside 14..29: pos 16,20 fully X (pos 14+ slices:
+    # 16..23, 20..27 pure X). Island 16..20 covers 16..27 = 12 chars.
+    assert out[2]["dup_windows"] == 2
+    assert out[2]["n_spans"] == 1
+    assert out[2]["dup_chars"] == 12
+    assert out[3]["dup_windows"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[4]["n_windows"] == 0 and out[4]["dup_chars"] == 0
+
+
 def test_gopher_rules_planted(spark):
     """Hand-crafted docs exercise every Gopher sub-rule, including the
     line-level ones (bullets, ellipses) the parquet fixture never

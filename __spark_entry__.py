@@ -2520,6 +2520,11 @@ _GATE_ORDER = [
     # streaming CDC snapshot loop, streaming windowed GK quantiles
     "op_kll_quantiles", "op_cdc_upsert", "op_zorder_key",
     "op_winnow_incremental", "stream_cdc", "stream_quantiles",
+    # new this round: Gopher rule set, DSIR importance resampling,
+    # substring duplicated-span detection (r5-green op_hll_distinct/
+    # op_hll_rollup/op_cms rotate out; their module's only change this
+    # round, the KLL family, has its own gate row)
+    "op_gopher", "op_dsir", "op_dup_spans",
     # re-verification: dedup paths touched by band-index versioning
     "op_dedup_minhash", "op_dedup_incremental",
     "op_contamination_near", "op_edit_dedup", "op_chunk_dedup",
@@ -2529,8 +2534,7 @@ _GATE_ORDER = [
     # re-verification: TPC-H composition shapes
     "tpch_q3", "tpch_q9", "tpch_q17", "tpch_q21",
     # re-verification: sketch family
-    "op_bloom_decontam", "op_bloom_ngram", "op_cms",
-    "op_heavy_hitters", "op_hll_distinct", "op_hll_rollup",
+    "op_bloom_decontam", "op_bloom_ngram", "op_heavy_hitters",
     # re-verification: graph / history / OLAP / joins / skew
     "op_pagerank", "op_scd2", "op_histogram",
     "op_rollup", "op_grouping_sets",

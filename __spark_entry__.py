@@ -1505,6 +1505,32 @@ def _op_repetition(spark, sf_dir):
     return textstats.repetition_stats(_db(spark, sf_dir).table("documents"))
 
 
+def _op_lang_temperature(spark, sf_dir):
+    """XLM-R temperature sampling (alpha=0.3) over the language
+    column: share^alpha mixture weights + expected allocation for a
+    100k-doc budget.  One groupBy; normalization is group-bounded."""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.temperature_weights(
+        _db(spark, sf_dir).table("documents"), "lang", alpha=0.3, budget=100_000
+    )
+
+
+def _op_window_profile(spark, sf_dir):
+    """Full analytic-window family over orders-per-customer: rank
+    family ordered by date (value-determined ties), row-order family
+    tiebroken by orderkey — one partition shuffle, two Window sorts."""
+    from htsql_spark.operators import analytics
+
+    return analytics.window_profile(
+        _db(spark, sf_dir).table("orders"),
+        partition_col="o_custkey",
+        order_col="o_orderdate",
+        tiebreak_col="o_orderkey",
+        value_col="o_totalprice",
+    )
+
+
 def _op_dup_spans(spark, sf_dir):
     """Substring-level duplicated-span stats (Lee '21 style): strided
     40-char window fingerprints, corpus-wide repeat marking, island
@@ -2411,6 +2437,8 @@ _QUERIES.update(
         "op_gopher": _op_gopher,
         "op_dsir": _op_dsir,
         "op_dup_spans": _op_dup_spans,
+        "op_window_profile": _op_window_profile,
+        "op_lang_temperature": _op_lang_temperature,
         "op_sessionize": _op_sessionize,
         "op_funnel": _op_funnel,
         "op_retention": _op_retention,
@@ -3901,6 +3929,38 @@ FROM ranked GROUP BY doc_id
         # same md5 arithmetic as the Spark hashed_weight column —
         # bucket from one md5 stream, weight from a second over the
         # bucket id (bit-portable across engines)
+        "op_lang_temperature": """
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+s AS (
+  SELECT lang, n_docs,
+         n_docs * 1.0 / sum(n_docs) OVER () AS share,
+         pow(n_docs * 1.0 / sum(n_docs) OVER (), 0.3) AS flat
+  FROM c
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       round(share, 6) AS share,
+       round(flat / sum(flat) OVER (), 6) AS weight,
+       CAST(round(round(flat / sum(flat) OVER (), 6) * 100000, 0) AS BIGINT)
+         AS expected_docs
+FROM s
+""",
+        "op_window_profile": """
+SELECT o_custkey, o_orderkey, o_totalprice,
+  rank()       OVER wv AS rnk,
+  dense_rank() OVER wv AS drnk,
+  round(cume_dist()    OVER wv, 6) AS cume,
+  round(percent_rank() OVER wv, 6) AS prank,
+  ntile(4) OVER wu AS tile,
+  lag(o_totalprice, 1)  OVER wu AS prev_val,
+  lead(o_totalprice, 1) OVER wu AS next_val,
+  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum
+FROM orders
+WINDOW
+  wv AS (PARTITION BY o_custkey ORDER BY o_orderdate),
+  wu AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
         "op_dup_spans": r"""
 WITH base AS (
   SELECT doc_id, text, len(text) AS n FROM documents

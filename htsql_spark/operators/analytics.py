@@ -164,6 +164,56 @@ def sessionize(
     )
 
 
+def window_profile(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    n_tiles: int = 4,
+) -> DataFrame:
+    """The full analytic-window-function family over one partitioned
+    ordering: rank, dense_rank, ntile, cume_dist, percent_rank,
+    lag/lead neighbours, and the running sum.  The reference reaches
+    this workload by delegating to hand-written backend SQL (htsql
+    2.3.3 has no window functions in the language, SURVEY §2 F11/F20
+    boundary); here it is one declarative operator.
+
+    Two orderings, both deterministic: the rank family (rank,
+    dense_rank, cume_dist, percent_rank) orders by ``order_col``
+    alone so TIES keep their SQL semantics (rank gaps, shared
+    cume_dist) while staying value-determined; the row-order family
+    (ntile, lag, lead, running sum), whose output depends on the
+    physical row sequence, orders by (order_col, tiebreak_col) with
+    tiebreak required UNIQUE per partition — engine-portable either
+    way.
+
+    Plan: ONE shuffle on the partition key shared by both Window
+    nodes (each adds its own in-partition sort).  At 100 TB the state
+    per partition is streaming (rank/lag/running-sum incremental);
+    cume_dist / percent_rank / ntile need the partition row count,
+    which Spark gets from the same sorted run.  Skewed partitions
+    (one giant key) are the caller's salting concern, as with any
+    windowed op."""
+    wv = Window.partitionBy(partition_col).orderBy(order_col)
+    wu = Window.partitionBy(partition_col).orderBy(order_col, tiebreak_col)
+    run = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = F.col(value_col)
+    return df.select(
+        F.col(partition_col),
+        F.col(tiebreak_col),
+        v,
+        F.rank().over(wv).alias("rnk"),
+        F.dense_rank().over(wv).alias("drnk"),
+        F.round(F.cume_dist().over(wv), 6).alias("cume"),
+        F.round(F.percent_rank().over(wv), 6).alias("prank"),
+        F.ntile(n_tiles).over(wu).alias("tile"),
+        F.lag(v, 1).over(wu).alias("prev_val"),
+        F.lead(v, 1).over(wu).alias("next_val"),
+        F.round(F.sum(v).over(run), 2).alias("running_sum"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,

@@ -674,6 +674,45 @@ def unigram_logprob(
     )
 
 
+def temperature_weights(
+    docs: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.3,
+    budget: int | None = None,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (Conneau & Lample '19 /
+    XLM-R): upweight tail groups by sampling groups proportionally to
+    share^alpha instead of share, the standard fix for head-language
+    dominance in multilingual corpora.  Per group: observed count and
+    share, the temperature-flattened sampling weight, and (when
+    ``budget`` is given) the expected document allocation.
+
+    The output feeds :func:`mix_corpora` as its ``fractions``.  One
+    map-side-combined groupBy; normalization runs over the
+    group-bounded result (≤ #languages rows), so the single-partition
+    window is size-independent of the corpus."""
+    if not 0 < alpha <= 1:
+        raise ValueError(f"temperature_weights: alpha must be in (0,1], got {alpha}")
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tw = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.col("n_docs") / F.sum("n_docs").over(tw)
+    flat = F.pow(share, F.lit(float(alpha)))
+    weight = flat / F.sum(flat).over(tw)
+    out = counts.select(
+        group_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(share, 6).alias("share"),
+        F.round(weight, 6).alias("weight"),
+    )
+    if budget is not None:
+        out = out.withColumn(
+            "expected_docs", F.round(F.col("weight") * budget).cast("long")
+        )
+    return out
+
+
 def dsir_weights(
     docs: DataFrame,
     target: Column,

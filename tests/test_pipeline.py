@@ -465,6 +465,48 @@ def test_dsir_weights_separates_domains(spark):
         assert out[i]["n_grams"] == len(gs)
 
 
+def test_temperature_weights_flattens_head(spark):
+    """alpha=1 reproduces raw shares; alpha<1 moves weight from the
+    head group to the tail; weights always sum to ~1."""
+    from htsql_spark.operators import pipeline
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 90 else "sw") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    raw = {r["lang"]: r for r in pipeline.temperature_weights(df, alpha=1.0).collect()}
+    assert raw["en"]["weight"] == raw["en"]["share"] == 0.9
+    flat = {
+        r["lang"]: r
+        for r in pipeline.temperature_weights(df, alpha=0.3, budget=1000).collect()
+    }
+    assert flat["sw"]["weight"] > flat["sw"]["share"]
+    assert flat["en"]["weight"] < flat["en"]["share"]
+    assert abs(sum(r["weight"] for r in flat.values()) - 1.0) < 1e-4
+    assert flat["sw"]["expected_docs"] + flat["en"]["expected_docs"] == 1000
+
+
+def test_window_profile_tie_semantics(spark):
+    """Planted ties: rank gaps + shared cume_dist on the tied order
+    value, while ntile/lag/running stay unique-tiebreak deterministic."""
+    from htsql_spark.operators import analytics
+
+    df = spark.createDataFrame(
+        [(1, 10, 5.0, 1), (1, 10, 7.0, 2), (1, 20, 3.0, 3), (1, 30, 1.0, 4)],
+        "grp long, ord long, val double, uid long",
+    )
+    rows = {
+        r["uid"]: r
+        for r in analytics.window_profile(df, "grp", "ord", "uid", "val", n_tiles=2).collect()
+    }
+    assert rows[1]["rnk"] == rows[2]["rnk"] == 1
+    assert rows[3]["rnk"] == 3 and rows[3]["drnk"] == 2     # gap vs dense
+    assert rows[1]["cume"] == rows[2]["cume"] == 0.5
+    assert rows[1]["tile"] == 1 and rows[4]["tile"] == 2
+    assert rows[2]["prev_val"] == 5.0 and rows[2]["next_val"] == 3.0
+    assert rows[4]["running_sum"] == 16.0
+
+
 def test_select_token_budget_invariants(docs, spark):
     """Budget selection: never exceeds the budget, is maximal under
     its greedy order, prefers higher quality buckets, deterministic."""

@@ -716,6 +716,22 @@ def _stream_quantiles(spark, sf_dir):
     )
 
 
+def _stream_topk(spark, sf_dir):
+    """Streaming windowed leaderboard: append-mode (window, type,
+    user) counts close with the watermark; the top-3 rank runs
+    batch-side over the emitted table (ranking needs closed windows —
+    not incrementally expressible at any scale)."""
+    import uuid
+
+    from htsql_spark import streaming
+    from htsql_spark.streaming.events import rank_top_users, windowed_user_counts
+
+    name = f"t_topk_{uuid.uuid4().hex[:8]}"
+    stream = streaming.read_events_stream(spark, sf_dir)
+    streaming.run_to_memory(windowed_user_counts(stream), name, "append")
+    return rank_top_users(spark.table(name), k=3)
+
+
 def _op_tumbling_batch(spark, sf_dir):
     """The tumbling-window aggregation as a batch plan (same F.window
     expression the stream runs; epoch-aligned so SQL date_trunc is the
@@ -958,6 +974,7 @@ _QUERIES.update(
         "stream_session": _stream_session,
         "stream_distinct": _stream_distinct,
         "stream_quantiles": _stream_quantiles,
+        "stream_topk": _stream_topk,
         "stream_join": _stream_join,
         "stream_enrich": _stream_enrich,
         "op_asof_join": _op_asof_join,
@@ -3478,6 +3495,24 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
 FROM events
 GROUP BY 1, 2
 HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
+""",
+        # same watermark emission rule; counts are exact, so rank +
+        # tie-break replay value-for-value
+        "stream_topk": """
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+c AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+         event_type, user_id, count(*) AS n
+  FROM events
+  GROUP BY 1, 2, 3
+  HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
+)
+SELECT w_start, event_type, user_id, n, rnk FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY w_start, event_type ORDER BY n DESC, user_id
+    ) AS INTEGER) AS rnk
+  FROM c
+) WHERE rnk <= 3
 """,
         "stream_sliding": _STREAM_SLIDING_SQL,
         "op_ann_lsh": _ann_lsh_oracle(),

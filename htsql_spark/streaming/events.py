@@ -342,6 +342,56 @@ def windowed_distinct_users(
     )
 
 
+def windowed_user_counts(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window per-user activity counts per event type — the
+    streaming half of a windowed top-k leaderboard.  Ranking is NOT
+    incrementally expressible (top-k over a window needs the window
+    CLOSED first), so the correct split at any scale is: stream the
+    additive (window, type, user) counts with watermark-closed
+    append emission, then rank batch-side over the emitted table —
+    see :func:`rank_top_users`.  State per key is one count; the
+    shuffle key (window, type, user) is high-cardinality and
+    naturally balanced."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.col("event_type"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "user_id",
+            "n",
+        )
+    )
+
+
+def rank_top_users(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Batch ranking step over :func:`windowed_user_counts` output:
+    top ``k`` users per (window, event_type) with the deterministic
+    (n desc, user_id) tie-break.  One window shuffle keyed on the
+    (window, type) pair — partitions are single windows, so the sort
+    is tiny no matter how long the stream has run."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("w_start", "event_type").orderBy(
+        F.col("n").desc(), F.col("user_id")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("w_start", "event_type", "user_id", "n", "rnk")
+    )
+
+
 def windowed_value_quantiles(
     events: DataFrame,
     window: str = "1 day",

@@ -1522,6 +1522,16 @@ def _op_repetition(spark, sf_dir):
     return textstats.repetition_stats(_db(spark, sf_dir).table("documents"))
 
 
+def _op_bigram_lm(spark, sf_dir):
+    """Interpolated bigram-LM perplexity scoring (λ=0.7 Jelinek-
+    Mercer): the tier above op_unigram_lm on the perplexity-filter
+    ladder.  Three gram-keyed count aggregates + one join chain;
+    nothing broadcast (unbounded vocabulary)."""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.bigram_logprob(_db(spark, sf_dir).table("documents"))
+
+
 def _op_lang_temperature(spark, sf_dir):
     """XLM-R temperature sampling (alpha=0.3) over the language
     column: share^alpha mixture weights + expected allocation for a
@@ -2456,6 +2466,7 @@ _QUERIES.update(
         "op_dup_spans": _op_dup_spans,
         "op_window_profile": _op_window_profile,
         "op_lang_temperature": _op_lang_temperature,
+        "op_bigram_lm": _op_bigram_lm,
         "op_sessionize": _op_sessionize,
         "op_funnel": _op_funnel,
         "op_retention": _op_retention,
@@ -3964,6 +3975,32 @@ FROM ranked GROUP BY doc_id
         # same md5 arithmetic as the Spark hashed_weight column —
         # bucket from one md5 stream, weight from a second over the
         # bucket id (bit-portable across engines)
+        "op_bigram_lm": r"""
+WITH base AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM base WHERE len(w) >= 2)
+),
+toks AS (SELECT unnest(w) AS term FROM base),
+cbg AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+cctx AS (SELECT w1, sum(c_bg) AS c_ctx FROM cbg GROUP BY 1),
+cuni AS (SELECT term, count(*) AS c_uni FROM toks GROUP BY 1),
+total AS (SELECT sum(c_uni) AS n_total FROM cuni)
+SELECT b.doc_id,
+  count(*) AS n_bigrams,
+  round(avg(ln(0.7 * c_bg / c_ctx + 0.3 * c_uni / n_total)), 6) AS avg_logp,
+  round(exp(-avg(ln(0.7 * c_bg / c_ctx + 0.3 * c_uni / n_total))), 4) AS ppl
+FROM bg b
+JOIN cbg USING (w1, w2)
+JOIN cctx USING (w1)
+JOIN cuni ON b.w2 = cuni.term
+CROSS JOIN total
+GROUP BY 1
+""",
         "op_lang_temperature": """
 WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
 s AS (

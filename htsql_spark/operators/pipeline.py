@@ -814,6 +814,75 @@ def dsir_weights(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated-bigram language-model scoring — one fidelity tier
+    above :func:`unigram_logprob` on the KenLM-style perplexity-filter
+    ladder: score each doc by the mean log-probability of its bigrams
+    under p(w2|w1) = λ·c(w1w2)/c(w1·) + (1−λ)·c(w2)/N (Jelinek-Mercer
+    interpolation — the unigram back-off keeps unseen-context
+    probabilities finite without discounting state).  Repetitive
+    boilerplate scores high, shuffled/gibberish word salad scores low
+    even when its UNIGRAMS are in-distribution — the failure mode the
+    unigram tier cannot see.
+
+    Output: (id, n_bigrams, avg_logp, ppl); docs with fewer than two
+    words have no bigrams and are absent (score them with the unigram
+    tier).
+
+    Plan: bigram structs built inside the row (text never duplicated
+    by the explode) → bigram/context/unigram count tables, each a
+    map-side-combined aggregate keyed on its gram → the doc bigram
+    stream joins the three tables on their natural keys (bigram,
+    then w1, then w2 — the hot stop-word keys carry (gram, count)
+    partials, bounded by vocabulary, never doc text) → per-doc mean.
+    Nothing broadcasts: vocabulary is unbounded at 100 TB, exactly as
+    :func:`unigram_logprob`."""
+    if not 0 < lam < 1:
+        raise ValueError(f"bigram_logprob: lam must be in (0,1), got {lam}")
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(F.col(id_col), w.alias("__w"))
+    ww = F.col("__w")
+    n = F.size(ww)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(ww, i).alias("w1"),
+                F.element_at(ww, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = d.select(F.col(id_col), F.explode(pairs).alias("__p")).select(
+        F.col(id_col), F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
+    )
+    toks = d.select(F.explode(ww).alias("term"))
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    cctx = cbg.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    cuni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_uni"))
+    total = cuni.agg(F.sum("c_uni").alias("n_total"))
+    p = F.lit(float(lam)) * F.col("c_bg") / F.col("c_ctx") + (
+        F.lit(1.0 - float(lam)) * F.col("c_uni") / F.col("n_total")
+    )
+    scored = (
+        bg.join(cbg, ["w1", "w2"])
+        .join(cctx, "w1")
+        .join(cuni, bg["w2"] == cuni["term"])
+        .crossJoin(F.broadcast(total))  # 1-row corpus size
+        .select(F.col(id_col), F.log(p).alias("__lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("__lp"), 6).alias("avg_logp"),
+        F.round(F.exp(-F.avg("__lp")), 4).alias("ppl"),
+    )
+
+
 def bigram_top_pairs(
     docs: DataFrame, v: int = 1000, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

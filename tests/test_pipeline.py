@@ -465,6 +465,43 @@ def test_dsir_weights_separates_domains(spark):
         assert out[i]["n_grams"] == len(gs)
 
 
+def test_bigram_logprob_reference_and_word_salad(spark):
+    """Exact agreement with a Counter reference; a doc whose UNIGRAMS
+    are in-distribution but whose bigram order is scrambled scores
+    below the naturally-ordered docs (the failure mode the unigram
+    tier cannot see)."""
+    import math
+    from collections import Counter
+
+    from htsql_spark.operators import pipeline
+
+    natural = "the cat sat on the mat"
+    rows = [(1, natural), (2, natural), (3, natural), (4, "mat the on sat cat the")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lam = 0.7
+    out = {r["doc_id"]: r for r in pipeline.bigram_logprob(docs, lam=lam).collect()}
+    assert out[4]["avg_logp"] < out[1]["avg_logp"]
+    assert out[4]["ppl"] > out[1]["ppl"]
+
+    cbg, cuni = Counter(), Counter()
+    for _, t in rows:
+        ws = t.split()
+        cuni.update(ws)
+        cbg.update(zip(ws, ws[1:]))
+    cctx = Counter()
+    for (w1, _), c in cbg.items():
+        cctx[w1] += c
+    N = sum(cuni.values())
+    for i, t in rows:
+        ws = t.split()
+        lps = [
+            math.log(lam * cbg[(a, b)] / cctx[a] + (1 - lam) * cuni[b] / N)
+            for a, b in zip(ws, ws[1:])
+        ]
+        assert out[i]["avg_logp"] == round(sum(lps) / len(lps), 6)
+        assert out[i]["n_bigrams"] == len(lps)
+
+
 def test_temperature_weights_flattens_head(spark):
     """alpha=1 reproduces raw shares; alpha<1 moves weight from the
     head group to the tail; weights always sum to ~1."""

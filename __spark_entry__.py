@@ -1522,6 +1522,14 @@ def _op_repetition(spark, sf_dir):
     return textstats.repetition_stats(_db(spark, sf_dir).table("documents"))
 
 
+def _op_entropy(spark, sf_dir):
+    """Per-doc word-distribution Shannon entropy + type-token ratio:
+    one in-row sorted-array fold, zero shuffles, codegen scan."""
+    from htsql_spark.operators import textstats
+
+    return textstats.token_entropy(_db(spark, sf_dir).table("documents"))
+
+
 def _op_bigram_lm(spark, sf_dir):
     """Interpolated bigram-LM perplexity scoring (λ=0.7 Jelinek-
     Mercer): the tier above op_unigram_lm on the perplexity-filter
@@ -2467,6 +2475,7 @@ _QUERIES.update(
         "op_window_profile": _op_window_profile,
         "op_lang_temperature": _op_lang_temperature,
         "op_bigram_lm": _op_bigram_lm,
+        "op_entropy": _op_entropy,
         "op_sessionize": _op_sessionize,
         "op_funnel": _op_funnel,
         "op_retention": _op_retention,
@@ -3975,6 +3984,21 @@ FROM ranked GROUP BY doc_id
         # same md5 arithmetic as the Spark hashed_weight column —
         # bucket from one md5 stream, weight from a second over the
         # bucket id (bit-portable across engines)
+        "op_entropy": r"""
+WITH base AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(w) AS term FROM base),
+cnt AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2)
+SELECT doc_id,
+  CAST(sum(c) AS BIGINT) AS n_words,
+  CAST(count(*) AS BIGINT) AS n_types,
+  round(count(*) * 1.0 / sum(c), 6) AS ttr,
+  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+FROM cnt GROUP BY 1
+""",
         "op_bigram_lm": r"""
 WITH base AS (
   SELECT doc_id,

@@ -487,6 +487,57 @@ def repetition_stats(
     )
 
 
+def token_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution (nats)
+    plus type-token ratio — the lexical-diversity quality signals
+    (low entropy ⇒ repetitive boilerplate; the complement of
+    :func:`repetition_stats`' modal fractions).
+
+    H = ln(n) − (Σ c_w·ln c_w)/n computed as a single fold over the
+    SORTED word array (run lengths = per-word counts, the
+    :func:`_max_run` trick generalized to accumulate c·ln c), so the
+    whole operator is one in-row projection: zero shuffles, nothing
+    leaves the task, scan pruned to (id, text)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(F.col(id_col), F.array_sort(words).alias("__ws"))
+    n = F.size(F.col("__ws"))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0.0).alias("run"),
+        F.lit(0.0).alias("acc"),
+    )
+
+    def step(acc, x):
+        # on a value change, fold the finished run's c·ln(c) into acc
+        closes = ~x.eqNullSafe(acc["prev"]) & (acc["run"] > 0)
+        folded = F.when(
+            closes, acc["acc"] + acc["run"] * F.log(acc["run"])
+        ).otherwise(acc["acc"])
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1.0))
+        return F.struct(x.alias("prev"), run.alias("run"), folded.alias("acc"))
+
+    # finish: fold the final run, then H = ln(n) - acc/n
+    sum_clnc = F.aggregate(
+        F.col("__ws"),
+        init,
+        step,
+        lambda acc: acc["acc"] + acc["run"] * F.log(acc["run"]),
+    )
+    return d.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.size(F.array_distinct(F.col("__ws"))).cast("long").alias("n_types"),
+        F.round(F.size(F.array_distinct(F.col("__ws"))) / n.cast("double"), 6).alias(
+            "ttr"
+        ),
+        F.round(F.log(n.cast("double")) - sum_clnc / n.cast("double"), 6).alias(
+            "entropy"
+        ),
+    )
+
+
 def _max_run(sorted_arr: Column) -> Column:
     """Longest run of equal adjacent elements in a sorted array — the
     modal element's multiplicity — as a single O(n) aggregate fold."""

@@ -464,6 +464,23 @@ def test_repetition_stats_planted(spark):
     assert rows[4]["n_words"] == 1 and rows[4]["top_bigram_frac"] == 0.0
 
 
+def test_token_entropy_planted(spark):
+    """Closed-form cases: all-distinct doc hits H=ln(n), constant doc
+    hits H=0, and a 50/50 two-word doc hits ln(2)."""
+    import math
+
+    from htsql_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x x x x"), (3, "p q p q")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.token_entropy(df).collect()}
+    assert rows[1]["entropy"] == round(math.log(4), 6) and rows[1]["ttr"] == 1.0
+    assert rows[2]["entropy"] == 0.0 and rows[2]["ttr"] == 0.25
+    assert rows[3]["entropy"] == round(math.log(2), 6) and rows[3]["n_types"] == 2
+
+
 def test_duplicated_spans_planted(spark):
     """Hand-computable corpus: a verbatim shared block is found and
     its span coverage is exact; within-doc repeats count; unique text

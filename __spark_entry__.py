@@ -1522,6 +1522,26 @@ def _op_repetition(spark, sf_dir):
     return textstats.repetition_stats(_db(spark, sf_dir).table("documents"))
 
 
+def _op_langid_eval(spark, sf_dir):
+    """Language-ID confusion matrix: the n-gram-heuristic lang_id()
+    prediction cross-tabulated against the labeled lang column — the
+    eval harness every classifier tier needs.  Zero-shuffle scoring +
+    one tiny-key aggregate; the oracle replicates the argmax and its
+    first-language tie rule as a CASE chain."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import textstats
+
+    docs = _db(spark, sf_dir).table("documents")
+    return (
+        docs.select(
+            F.col("lang"), textstats.lang_id(F.col("text")).alias("pred")
+        )
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
 def _op_entropy(spark, sf_dir):
     """Per-doc word-distribution Shannon entropy + type-token ratio:
     one in-row sorted-array fold, zero shuffles, codegen scan."""
@@ -2476,6 +2496,7 @@ _QUERIES.update(
         "op_lang_temperature": _op_lang_temperature,
         "op_bigram_lm": _op_bigram_lm,
         "op_entropy": _op_entropy,
+        "op_langid_eval": _op_langid_eval,
         "op_sessionize": _op_sessionize,
         "op_funnel": _op_funnel,
         "op_retention": _op_retention,
@@ -3984,6 +4005,32 @@ FROM ranked GROUP BY doc_id
         # same md5 arithmetic as the Spark hashed_weight column —
         # bucket from one md5 stream, weight from a second over the
         # bucket id (bit-portable across engines)
+        # replicates textstats.lang_id exactly: regexp_count scores per
+        # language, argmax with ties resolved to the FIRST language in
+        # {en,es,de,fr} order, 'und' when all scores are zero
+        "op_langid_eval": r"""
+WITH s AS (
+  SELECT lang,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it)\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|en|un)\b')) AS s_es,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|est|un|une)\b')) AS s_fr
+  FROM documents
+),
+p AS (
+  SELECT lang,
+    CASE
+      WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+      WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+      WHEN s_fr > 0 THEN 'fr'
+      ELSE 'und'
+    END AS pred
+  FROM s
+)
+SELECT lang, pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY 1, 2
+""",
         "op_entropy": r"""
 WITH base AS (
   SELECT doc_id,

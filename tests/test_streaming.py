@@ -644,6 +644,46 @@ def test_windowed_value_quantiles_matches_exact(spark, events_batch, events_stre
             assert est == vals[rank - 1], (k, q, est, vals[rank - 1])
 
 
+def test_windowed_topk_matches_batch(spark, events_batch, events_stream):
+    """Streaming windowed leaderboard: the stream's watermark-closed
+    per-user counts ranked batch-side equal the same top-k computed
+    wholly in batch (counts are additive across micro-batches), with
+    the deterministic tie-break."""
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from htsql_spark import streaming
+    from htsql_spark.streaming.events import rank_top_users, windowed_user_counts
+
+    name = f"t_wtk_{uuid.uuid4().hex[:8]}"
+    streaming.run_to_memory(windowed_user_counts(events_stream), name, "append")
+    got = {
+        (r["w_start"], r["event_type"], r["rnk"]): (r["user_id"], r["n"])
+        for r in rank_top_users(spark.table(name), k=3).collect()
+    }
+    wm = events_batch.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("w")
+    ).collect()[0]["w"]
+    counts = (
+        events_batch.groupBy(F.window("ts", "1 day").alias("w"), "event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("w.end") <= wm)
+        .select(F.col("w.start").alias("w_start"), "event_type", "user_id", "n")
+    )
+    rw = W.partitionBy("w_start", "event_type").orderBy(
+        F.col("n").desc(), F.col("user_id")
+    )
+    exp = {
+        (r["w_start"], r["event_type"], r["rnk"]): (r["user_id"], r["n"])
+        for r in counts.withColumn("rnk", F.row_number().over(rw))
+        .filter("rnk <= 3")
+        .collect()
+    }
+    assert len(got) > 0 and got == exp
+
+
 def test_ingest_refuses_archive_without_index(spark, tmp_path):
     """An existing archive with a missing band index would silently
     re-admit every archived doc — the loop must fail loudly instead."""

@@ -1522,6 +1522,17 @@ def _op_repetition(spark, sf_dir):
     return textstats.repetition_stats(_db(spark, sf_dir).table("documents"))
 
 
+def _op_hard_negatives(spark, sf_dir):
+    """Hard-negative mining: top-5 closest different-label vectors per
+    query (contrastive-training negatives) — broadcast query batch,
+    salted two-stage top-k, label filter before any ranking."""
+    from htsql_spark.operators import similarity
+
+    return similarity.hard_negatives(
+        _db(spark, sf_dir).table("embeddings"), query_ids=list(range(8)), k=5
+    )
+
+
 def _op_langid_eval(spark, sf_dir):
     """Language-ID confusion matrix: the n-gram-heuristic lang_id()
     prediction cross-tabulated against the labeled lang column — the
@@ -2497,6 +2508,7 @@ _QUERIES.update(
         "op_bigram_lm": _op_bigram_lm,
         "op_entropy": _op_entropy,
         "op_langid_eval": _op_langid_eval,
+        "op_hard_negatives": _op_hard_negatives,
         "op_sessionize": _op_sessionize,
         "op_funnel": _op_funnel,
         "op_retention": _op_retention,
@@ -3299,6 +3311,20 @@ WHERE p_size = 23
             " SELECT query_id, vec_id, round(c, 4) AS cos4,"
             "  CAST(rank AS INTEGER) AS rank"
             " FROM r WHERE rank <= 10"
+        ),
+        "op_hard_negatives": (
+            "WITH q AS (SELECT vec_id AS query_id, label AS query_label,"
+            "  embedding AS qv FROM embeddings WHERE vec_id < 8),"
+            " s AS (SELECT q.query_id, q.query_label, e.vec_id,"
+            "  e.label AS neg_label,"
+            "  list_cosine_similarity(e.embedding, q.qv) AS c"
+            " FROM embeddings e JOIN q ON e.label <> q.query_label),"
+            " r AS (SELECT query_id, query_label, vec_id, neg_label, c,"
+            "  row_number() OVER (PARTITION BY query_id"
+            "   ORDER BY c DESC, vec_id) AS rank FROM s)"
+            " SELECT query_id, query_label, vec_id, neg_label,"
+            "  round(c, 4) AS cos4, CAST(rank AS INTEGER) AS rank"
+            " FROM r WHERE rank <= 5"
         ),
         "op_ann_bruteforce": (
             "SELECT b.vec_id, b.label,"

@@ -207,6 +207,66 @@ def topk_batch(
     )
 
 
+def hard_negatives(
+    embs: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``k`` most similar vectors carrying a DIFFERENT
+    label — the negatives that sit closest to the decision boundary
+    and therefore teach the most (the standard in-batch-negatives
+    upgrade for embedding-model training).
+
+    Same scale posture as :func:`topk_batch`: the query batch
+    broadcasts, the label-mismatch filter runs before any ranking,
+    and the salted two-stage top-k bounds every window partition at
+    (salt_buckets × k) rows per query regardless of corpus size.
+    Ties break on vec_id — deterministic, SQL-replayable.
+    Returns (query_id, query_label, vec_id, neg_label, cos4, rank)."""
+    from pyspark.sql import Window
+
+    q = embs.filter(F.col("vec_id").isin([int(x) for x in query_ids])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        embs.crossJoin(F.broadcast(q))
+        .filter(F.col(label_col) != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            F.col(label_col).alias("neg_label"),
+            cosine(F.col("embedding"), F.col("qv")).alias("__cos"),
+        )
+    )
+    salt = (F.col("vec_id") % 32).alias("__salt")
+    w1 = Window.partitionBy("query_id", "__salt").orderBy(
+        F.col("__cos").desc(), F.col("vec_id")
+    )
+    partial = (
+        scored.withColumn("__salt", salt)
+        .withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= k)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            "neg_label",
+            F.round(F.col("__cos"), 4).alias("cos4"),
+            "rank",
+        )
+    )
+
+
 def _max_cosine_to(
     embs: DataFrame, cents, vec_col: str, out_col: str
 ) -> DataFrame:

@@ -263,6 +263,57 @@ def test_repetition_stats_no_shuffle(db):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
 
 
+def test_gopher_and_entropy_no_shuffle(db):
+    """The Gopher rule set and the entropy fold are in-row
+    projections: no Exchange, scan pruned to (doc_id, text)."""
+    from htsql_spark.operators import textstats
+
+    for fn in (textstats.gopher_rules, textstats.token_entropy):
+        plan = physical(fn(db.table("documents")))
+        assert "Exchange" not in plan, (fn.__name__, plan)
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_dsir_single_scan_and_broadcast(db):
+    """DSIR: the pinned per-doc aggregate keeps the corpus to ONE scan
+    (no FileScan above the checkpoint); the bucket-bounded log-ratio
+    table joins via broadcast, never sort-merge."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import pipeline
+
+    plan = physical(
+        pipeline.dsir_weights(db.table("documents"), F.col("lang") == "en")
+    )
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "FileScan" not in plan, plan  # corpus pinned below the checkpoint
+
+
+def test_duplicated_spans_no_text_shuffle(db):
+    """Duplicated-span detection shuffles (id, pos, fp) triples only:
+    text appears in the scan but in no Exchange payload."""
+    from htsql_spark.operators import textstats
+
+    plan = physical(textstats.duplicated_spans(db.table("documents")))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_hard_negatives_two_stage_topk(db):
+    """Hard-negative mining: query side broadcasts (no shuffled join
+    of the corpus against queries), both ranking stages are windows."""
+    from htsql_spark.operators import similarity
+
+    plan = physical(
+        similarity.hard_negatives(db.table("embeddings"), query_ids=[0, 1], k=3)
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Window") >= 2, plan
+
+
 def test_vocab_partial_agg_and_take_ordered(db):
     """Global vocabulary: map-side partial aggregation before the
     term exchange, top-v via TakeOrderedAndProject (no global sort)."""

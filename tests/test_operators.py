@@ -648,6 +648,52 @@ def test_incremental_dedup_planted(docs, spark):
     assert not any(800000 <= r["a"] < 900000 and r["b"] >= 900000 for r in out)
 
 
+def test_duplicated_spans_properties(spark):
+    """Random small-alphabet corpora against a pure-Python reference:
+    exact window counts, dup window sets, island merges, and coverage
+    for every doc; dup_chars never exceeds doc length."""
+    import random
+    from collections import Counter
+
+    from htsql_spark.operators import textstats
+
+    rng = random.Random(23)
+    k, s = 6, 2
+    docs = []
+    for i in range(25):
+        n = rng.randint(1, 30)
+        docs.append((i, "".join(rng.choice("abc") for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textstats.duplicated_spans(df, k=k, stride=s).collect()
+    }
+    # python reference
+    wins = {}
+    allc = Counter()
+    for i, t in docs:
+        ps = list(range(0, len(t) - k + 1, s)) if len(t) >= k else []
+        wins[i] = [(p, t[p : p + k]) for p in ps]
+        allc.update(g for _, g in wins[i])
+    for i, t in docs:
+        r = out[i]
+        assert r["n_windows"] == len(wins[i]), i
+        dup = sorted(p for p, g in wins[i] if allc[g] >= 2)
+        assert r["dup_windows"] == len(dup), i
+        spans, chars = 0, 0
+        prev_end = None
+        for p in dup:
+            if prev_end is None or p > prev_end:
+                spans += 1
+                chars += k
+            else:
+                chars += p + k - prev_end
+            prev_end = p + k
+        assert r["n_spans"] == spans, i
+        assert r["dup_chars"] == chars, i
+        assert r["dup_chars"] <= len(t)
+
+
 def test_repetition_stats_properties(spark):
     """Invariants against a python reference on adversarial word
     soups: fractions in [0,1]; dup_word_frac = 0 iff all words

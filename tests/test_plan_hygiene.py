@@ -104,6 +104,12 @@ NLJ_OK = {
     "op_skew_join",
     # the histogram crossJoins the single-row boundary aggregate
     "op_histogram",
+    # bigram LM joins a broadcast single-row corpus-size aggregate
+    # (same pattern as op_unigram_lm)
+    "op_bigram_lm",
+    # hard-negative mining scores the corpus against the broadcast
+    # query batch (same brute-force vehicle as op_ann_batch)
+    "op_hard_negatives",
 }
 
 #: declared caches: the minhash candidate-pair table feeds three

@@ -5,4 +5,17 @@ codegen) except where vectorized Arrow UDFs are genuinely required
 (multimodal decode).
 """
 
-from . import dedup, joins, layout, multimodal, olap, similarity, sketches, skew, textstats  # noqa: F401
+from . import (  # noqa: F401
+    analytics,
+    dedup,
+    imaging,
+    joins,
+    layout,
+    multimodal,
+    olap,
+    pipeline,
+    similarity,
+    sketches,
+    skew,
+    textstats,
+)

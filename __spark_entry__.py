@@ -1522,6 +1522,18 @@ def _op_repetition(spark, sf_dir):
     return textstats.repetition_stats(_db(spark, sf_dir).table("documents"))
 
 
+def _op_es_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement,
+    n_chars-weighted, k=100 — md5-deterministic draw, top-k via
+    TakeOrderedAndProject.  (The Bernoulli rate sampler is
+    op_weighted_sample; this is the exact-k counterpart.)"""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.es_weighted_sample(
+        _db(spark, sf_dir).table("documents"), weight_col="n_chars", k=100
+    ).select("doc_id", "n_chars", "__es_key")
+
+
 def _op_hard_negatives(spark, sf_dir):
     """Hard-negative mining: top-5 closest different-label vectors per
     query (contrastive-training negatives) — broadcast query batch,
@@ -2509,6 +2521,7 @@ _QUERIES.update(
         "op_entropy": _op_entropy,
         "op_langid_eval": _op_langid_eval,
         "op_hard_negatives": _op_hard_negatives,
+        "op_es_sample": _op_es_sample,
         "op_sessionize": _op_sessionize,
         "op_funnel": _op_funnel,
         "op_retention": _op_retention,
@@ -3317,6 +3330,17 @@ WHERE p_size = 23
             "  CAST(rank AS INTEGER) AS rank"
             " FROM r WHERE rank <= 10"
         ),
+        "op_es_sample": """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+    round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|wsample'), 1, 8))
+              AS BIGINT) + 1.0) / 4294967296.0) / n_chars, 6) AS __es_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, n_chars, __es_key
+FROM keyed ORDER BY __es_key DESC, doc_id LIMIT 100
+""",
         "op_hard_negatives": (
             "WITH q AS (SELECT vec_id AS query_id, label AS query_label,"
             "  embedding AS qv FROM embeddings WHERE vec_id < 8),"

@@ -674,6 +674,43 @@ def unigram_logprob(
     )
 
 
+def es_weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis '06, algorithm A-ES): each row draws u ~ Uniform(0,1)
+    from the md5 stream over (key, salt) and takes sort key
+    ln(u)/w — the top ``k`` rows by that key are an exact weighted
+    sample without replacement.  The quality-weighted corpus sampler:
+    w = quality score ⇒ high-quality docs are proportionally likelier
+    to survive, yet every doc has a chance (unlike a hard top-k by
+    score) and the draw replays bit-for-bit across runs, engines and
+    partitionings (same md5 determinism contract as :func:`hash_split`).
+
+    Rows with weight <= 0 or NULL are excluded (zero-probability).
+    Selection is TakeOrderedAndProject — the two-stage distributed
+    top-k, never a global sort; the uniform draw is narrow codegen.
+    Returns the sampled rows plus the draw key ``__es_key`` (round 6,
+    ties broken by ``key``) for auditability."""
+    if k < 1:
+        raise ValueError(f"weighted_sample: k must be >= 1, got {k}")
+    # u in (0,1]: (int(md5_8) + 1) / 16^8 — never 0, so ln(u) is finite
+    u = (
+        F.conv(_hash_prefix(F.col(key), salt), 16, 10).cast("double") + 1.0
+    ) / F.lit(float(_HEX_SPACE))
+    es = F.round(F.log(u) / F.col(weight_col), 6)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__es_key", es)
+        .orderBy(F.col("__es_key").desc(), F.col(key))
+        .limit(k)
+    )
+
+
 def temperature_weights(
     docs: DataFrame,
     group_col: str = "lang",

@@ -465,6 +465,48 @@ def test_dsir_weights_separates_domains(spark):
         assert out[i]["n_grams"] == len(gs)
 
 
+def test_es_weighted_sample_invariants(docs, spark):
+    """A-ES sampling: scale-invariant in the weights, excludes
+    zero/null weights, partitioning-invariant, exactly k rows, and
+    matches a pure-Python replay of the md5 draw."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import pipeline
+
+    base = docs.select("doc_id", F.col("n_chars").cast("double").alias("w"))
+    s1 = {r["doc_id"] for r in pipeline.es_weighted_sample(base, "w", 50).collect()}
+    assert len(s1) == 50
+    # positive scaling of all weights preserves the sample
+    s2 = {
+        r["doc_id"]
+        for r in pipeline.es_weighted_sample(
+            base.withColumn("w", F.col("w") * 10), "w", 50
+        ).collect()
+    }
+    assert s1 == s2
+    # partitioning-invariant
+    s3 = {
+        r["doc_id"]
+        for r in pipeline.es_weighted_sample(base.repartition(7), "w", 50).collect()
+    }
+    assert s1 == s3
+    # python replay of the draw
+    rows = base.collect()
+
+    def key(doc_id, w):
+        h = hashlib.md5(f"{doc_id}|wsample".encode()).hexdigest()[:8]
+        return round(math.log((int(h, 16) + 1.0) / 16**8) / w, 6), doc_id
+
+    exp = sorted(rows, key=lambda r: (-key(r["doc_id"], r["w"])[0], r["doc_id"]))
+    assert s1 == {r["doc_id"] for r in exp[:50]}
+    # zero/null weights are excluded
+    z = base.withColumn("w", F.when(F.col("doc_id") < 10**9, 0.0))
+    assert pipeline.es_weighted_sample(z, "w", 5).count() == 0
+
+
 def test_bigram_logprob_reference_and_word_salad(spark):
     """Exact agreement with a Counter reference; a doc whose UNIGRAMS
     are in-distribution but whose bigram order is scrambled scores

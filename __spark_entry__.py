@@ -2645,12 +2645,15 @@ _GATE_ORDER = [
     # tests/test_entry.py
     "op_window_profile", "op_lang_temperature", "op_bigram_lm",
     "op_entropy", "op_langid_eval", "op_hard_negatives", "stream_topk",
+    # exact-k A-ES weighted sampler (displaces r5-green untouched
+    # op_image_dedup, the gate's slowest-hashing row at 126k rows)
+    "op_es_sample",
     # re-verification: dedup paths touched by band-index versioning
     "op_dedup_minhash", "op_dedup_incremental",
     "op_contamination_near", "op_edit_dedup", "op_chunk_dedup",
     # re-verification: rows touched by this round's fixes/perf work
     "op_bpe_encode", "stream_curate", "stream_distinct",
-    "op_frame_sample", "op_image_dedup", "op_video_dedup_avi",
+    "op_frame_sample", "op_video_dedup_avi",
     # re-verification: TPC-H composition shapes
     "tpch_q3", "tpch_q17", "tpch_q21",
     # re-verification: graph / history / OLAP / skew

@@ -1522,6 +1522,19 @@ def _op_repetition(spark, sf_dir):
     return textstats.repetition_stats(_db(spark, sf_dir).table("documents"))
 
 
+def _op_audio_dedup(spark, sf_dir):
+    """Duplicate-audio detection through the REAL WAV decoder: the
+    planted square waves collide iff (amp, n_samples) agree, i.e.
+    doc_id ≡ mod 200 (n's mod-5 class is implied by mod 200), so the
+    oracle is pure id arithmetic while the Spark side must actually
+    walk RIFF chunks and fingerprint energies."""
+    from htsql_spark.operators import multimodal
+
+    docs = _db(spark, sf_dir).table("documents")
+    assets = multimodal.audio_assets_from_documents(docs)
+    return multimodal.audio_dup_pairs(assets)
+
+
 def _op_es_sample(spark, sf_dir):
     """Efraimidis-Spirakis weighted sampling without replacement,
     n_chars-weighted, k=100 — md5-deterministic draw, top-k via
@@ -2522,6 +2535,7 @@ _QUERIES.update(
         "op_langid_eval": _op_langid_eval,
         "op_hard_negatives": _op_hard_negatives,
         "op_es_sample": _op_es_sample,
+        "op_audio_dedup": _op_audio_dedup,
         "op_sessionize": _op_sessionize,
         "op_funnel": _op_funnel,
         "op_retention": _op_retention,
@@ -3332,6 +3346,13 @@ WHERE p_size = 23
             " SELECT query_id, vec_id, round(c, 4) AS cos4,"
             "  CAST(rank AS INTEGER) AS rank"
             " FROM r WHERE rank <= 10"
+        ),
+        # planted square waves: (amp, n) = f(doc_id % 200, doc_id % 5)
+        # and 5 | 200, so fingerprint equality ⇔ doc_id ≡ (mod 200)
+        "op_audio_dedup": (
+            "SELECT a.doc_id AS a, b.doc_id AS b"
+            " FROM documents a JOIN documents b"
+            "  ON a.doc_id % 200 = b.doc_id % 200 AND a.doc_id < b.doc_id"
         ),
         "op_es_sample": """
 WITH keyed AS (

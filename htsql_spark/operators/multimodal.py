@@ -351,6 +351,52 @@ def audio_features(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
 
 
+def audio_fingerprint(assets: DataFrame, windows: int = 16) -> DataFrame:
+    """Energy-profile audio fingerprint (chromaprint-style shape, one
+    octave simpler): decode WAV, split samples into ``windows`` equal
+    windows, take the integer-rounded RMS energy of each, and md5 the
+    (n_samples, e1..eW) vector — two clips collide iff their length
+    and coarse energy envelope agree.  Narrow mapInPandas (numpy per
+    asset), no shuffle; only (id, fp) leaves the task — the audio
+    sibling of :func:`image_ahash`.  Returns (asset_id, fp)."""
+    import hashlib
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _, samples = imaging.decode_wav(bytes(payload))
+                x = samples.astype("float64")
+                es = [
+                    int(round(float(np.sqrt((w * w).mean())))) if len(w) else 0
+                    for w in np.array_split(x, windows)
+                ]
+                key = ",".join([str(len(samples))] + [str(e) for e in es])
+                rows.append((int(aid), hashlib.md5(key.encode()).hexdigest()))
+            yield pd.DataFrame(rows, columns=["asset_id", "fp"])
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        fn, "asset_id long, fp string"
+    )
+
+
+def audio_dup_pairs(assets: DataFrame, windows: int = 16) -> DataFrame:
+    """Duplicate-audio pairs by fingerprint equality: decode-and-hash
+    (narrow) then ONE fp-keyed equi-join — pixels/samples never
+    shuffle, the same scale shape as exact text dedup.  Returns
+    (a, b) with a < b for every same-fingerprint pair."""
+    fps = audio_fingerprint(assets, windows)
+    x, y = fps.alias("x"), fps.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.fp") == F.col("y.fp"))
+            & (F.col("x.asset_id") < F.col("y.asset_id")),
+        )
+        .select(F.col("x.asset_id").alias("a"), F.col("y.asset_id").alias("b"))
+    )
+
+
 def _ahash_of(img: "np.ndarray", grid: int = 8) -> int:
     """Average-hash of a decoded (h, w, 3) uint8 image: grayscale →
     ``grid``×``grid`` exact area-mean blocks (integral image) →

@@ -37,6 +37,8 @@ ARROW_OK = {
     "op_asset_meta",
     "op_audio",
     "op_image_dedup",
+    # audio decode + energy fingerprint is a declared mapInPandas pass
+    "op_audio_dedup",
     "op_video_dedup",
     "op_video_dedup_avi",
     "op_frame_sample",

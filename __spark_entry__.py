@@ -1522,6 +1522,18 @@ def _op_repetition(spark, sf_dir):
     return textstats.repetition_stats(_db(spark, sf_dir).table("documents"))
 
 
+def _op_table_stats(spark, sf_dir):
+    """ANALYZE-style per-column profile of orders in one aggregation
+    pass (exact NDV at gate scale; approx_count_distinct is the
+    documented 100 TB path)."""
+    from htsql_spark.operators import olap
+
+    return olap.table_stats(
+        _db(spark, sf_dir).table("orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+
+
 def _op_audio_dedup(spark, sf_dir):
     """Duplicate-audio detection through the REAL WAV decoder: the
     planted square waves collide iff (amp, n_samples) agree, i.e.
@@ -2536,6 +2548,7 @@ _QUERIES.update(
         "op_hard_negatives": _op_hard_negatives,
         "op_es_sample": _op_es_sample,
         "op_audio_dedup": _op_audio_dedup,
+        "op_table_stats": _op_table_stats,
         "op_sessionize": _op_sessionize,
         "op_funnel": _op_funnel,
         "op_retention": _op_retention,
@@ -3346,6 +3359,22 @@ WHERE p_size = 23
             " SELECT query_id, vec_id, round(c, 4) AS cos4,"
             "  CAST(rank AS INTEGER) AS rank"
             " FROM r WHERE rank <= 10"
+        ),
+        "op_table_stats": " UNION ALL ".join(
+            "SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows,"
+            " CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,"
+            " round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)"
+            "  AS null_frac,"
+            " CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,"
+            " CAST(min({c}) AS VARCHAR) AS min_val,"
+            " CAST(max({c}) AS VARCHAR) AS max_val FROM orders".format(c=c)
+            for c in [
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderpriority",
+            ]
         ),
         # planted square waves: (amp, n) = f(doc_id % 200, doc_id % 5)
         # and 5 | 200, so fingerprint equality ⇔ doc_id ≡ (mod 200)

@@ -49,6 +49,59 @@ def except_(a: DataFrame, b: DataFrame, all: bool = False) -> DataFrame:
     return a.exceptAll(b) if all else a.subtract(b)
 
 
+def table_stats(
+    df: DataFrame, cols: list[str] | None = None, exact_ndv: bool = True
+) -> DataFrame:
+    """ANALYZE-style per-column table profile in ONE aggregation pass:
+    row count, null count + fraction, distinct count, min and max
+    (stringified so heterogeneous columns share a schema).  The
+    statistics every planner / data-quality monitor wants before
+    touching a new table (the reference's `/meta` exposes schema
+    only; this is the value-level companion).
+
+    ``exact_ndv=True`` uses exact count_distinct — Spark expands
+    multi-distinct aggregates into one pass with an Expand node
+    (rows × columns intermediate).  At 100 TB set ``exact_ndv=False``:
+    HLL ``approx_count_distinct`` keeps the pass expansion-free and
+    mergeable.  Output: one row per column (deterministic column
+    order), unpivoted from the single aggregate row — the driver
+    never holds more than (#cols) rows."""
+    cols = cols or df.columns
+    ndv = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact_ndv
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            ndv(c).alias(f"__ndv_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __n_{c}, __nn_{c}, __ndv_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    out = one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(col, n_rows, n_null, ndv, min_val, max_val)"
+        )
+    )
+    return out.select(
+        "col",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.round(F.col("n_null") / F.col("n_rows"), 6).alias("null_frac"),
+        F.col("ndv").cast("long").alias("ndv"),
+        "min_val",
+        "max_val",
+    )
+
+
 def equi_depth_histogram(
     df: DataFrame, col: str, buckets: int = 4
 ) -> DataFrame:

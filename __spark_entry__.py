@@ -1522,6 +1522,19 @@ def _op_repetition(spark, sf_dir):
     return textstats.repetition_stats(_db(spark, sf_dir).table("documents"))
 
 
+def _op_zscore(spark, sf_dir):
+    """Per-event-type z-score standardization of value — one group
+    shuffle, single Window node for both moments + the normalization."""
+    from htsql_spark.operators import olap
+
+    return olap.group_zscore(
+        _db(spark, sf_dir).table("events"),
+        value_col="value",
+        group_cols=["event_type"],
+        id_cols=["event_id"],
+    )
+
+
 def _op_table_stats(spark, sf_dir):
     """ANALYZE-style per-column profile of orders in one aggregation
     pass (exact NDV at gate scale; approx_count_distinct is the
@@ -2549,6 +2562,7 @@ _QUERIES.update(
         "op_es_sample": _op_es_sample,
         "op_audio_dedup": _op_audio_dedup,
         "op_table_stats": _op_table_stats,
+        "op_zscore": _op_zscore,
         "op_sessionize": _op_sessionize,
         "op_funnel": _op_funnel,
         "op_retention": _op_retention,
@@ -3360,6 +3374,14 @@ WHERE p_size = 23
             "  CAST(rank AS INTEGER) AS rank"
             " FROM r WHERE rank <= 10"
         ),
+        "op_zscore": """
+SELECT event_id, event_type, value,
+  round(CASE WHEN stddev_samp(value) OVER (PARTITION BY event_type) > 0
+        THEN (value - avg(value) OVER (PARTITION BY event_type))
+             / stddev_samp(value) OVER (PARTITION BY event_type)
+        END, 6) AS z
+FROM events
+""",
         "op_table_stats": " UNION ALL ".join(
             "SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows,"
             " CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,"

@@ -102,6 +102,35 @@ def table_stats(
     )
 
 
+def group_zscore(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Group-wise z-score standardization — the feature-engineering
+    normalizer (per-segment anomaly scoring, per-language length
+    normalization, …): z = (x − μ_g) / σ_g with the group's sample
+    stddev; σ_g = 0 or a single-row group yields NULL (no information,
+    not ±inf).
+
+    ONE shuffle on the group key: both moments and the normalized
+    value come from the same Window partitioning (Catalyst evaluates
+    all three aggregates in a single Window node over one sort)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols)
+    mu = F.avg(F.col(value_col)).over(w)
+    sd = F.stddev_samp(F.col(value_col)).over(w)
+    keep = [*(id_cols or []), *group_cols, value_col]
+    return df.select(
+        *keep,
+        F.round(
+            F.when(sd > 0, (F.col(value_col) - mu) / sd), 6
+        ).alias("z"),
+    )
+
+
 def equi_depth_histogram(
     df: DataFrame, col: str, buckets: int = 4
 ) -> DataFrame:

@@ -465,6 +465,33 @@ def test_dsir_weights_separates_domains(spark):
         assert out[i]["n_grams"] == len(gs)
 
 
+def test_float_scores_partitioning_invariant(docs, spark):
+    """DSIR log-weights and bigram-LM scores are float SUMS whose
+    addition order varies with partitioning; the rounded outputs must
+    not (the driver hash-compares them against a serial oracle)."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import pipeline
+
+    base = {
+        r["doc_id"]: r["logw"]
+        for r in pipeline.dsir_weights(docs, F.col("lang") == "en").collect()
+    }
+    rep = {
+        r["doc_id"]: r["logw"]
+        for r in pipeline.dsir_weights(
+            docs.repartition(13), F.col("lang") == "en"
+        ).collect()
+    }
+    assert base == rep
+    b1 = {r["doc_id"]: r["avg_logp"] for r in pipeline.bigram_logprob(docs).collect()}
+    b2 = {
+        r["doc_id"]: r["avg_logp"]
+        for r in pipeline.bigram_logprob(docs.repartition(13)).collect()
+    }
+    assert b1 == b2
+
+
 def test_es_weighted_sample_invariants(docs, spark):
     """A-ES sampling: scale-invariant in the weights, excludes
     zero/null weights, partitioning-invariant, exactly k rows, and

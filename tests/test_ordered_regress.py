@@ -72,6 +72,11 @@ QUERIES = [
     "/nation{name}?given($n := count(customer), $n > 7)",
     # --- wildcard ---------------------------------------------------
     "/region{*}",
+    # --- round-6 breadth: offset, expression sort keys, per-parent top
+    "/customer.sort(c_acctbal-).limit(3, 2){c_name, bal := c_acctbal}",
+    "/customer.sort(length(c_name), c_acctbal).limit(3){c_name, bal := c_acctbal}",
+    "/nation{name, /customer.sort(c_acctbal-).top(2){c_name, bal := c_acctbal}}"
+    "?n_nationkey = 0",
 ]
 
 

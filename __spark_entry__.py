@@ -1522,6 +1522,17 @@ def _op_repetition(spark, sf_dir):
     return textstats.repetition_stats(_db(spark, sf_dir).table("documents"))
 
 
+def _op_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for mean document length: 64
+    md5-deterministic resamples in ONE corpus pass (per-replica
+    partial aggregates; nothing scales with corpus size)."""
+    from htsql_spark.operators import pipeline
+
+    return pipeline.bootstrap_ci(
+        _db(spark, sf_dir).table("documents"), value_col="n_chars"
+    )
+
+
 def _op_zscore(spark, sf_dir):
     """Per-event-type z-score standardization of value — one group
     shuffle, single Window node for both moments + the normalization."""
@@ -2563,6 +2574,7 @@ _QUERIES.update(
         "op_audio_dedup": _op_audio_dedup,
         "op_table_stats": _op_table_stats,
         "op_zscore": _op_zscore,
+        "op_bootstrap_ci": _op_bootstrap_ci,
         "op_sessionize": _op_sessionize,
         "op_funnel": _op_funnel,
         "op_retention": _op_retention,
@@ -3374,6 +3386,30 @@ WHERE p_size = 23
             "  CAST(rank AS INTEGER) AS rank"
             " FROM r WHERE rank <= 10"
         ),
+        # same Poisson(1) CDF literals as pipeline._POISSON1_CDF
+        "op_bootstrap_ci": """
+WITH fan AS (
+  SELECT doc_id, n_chars AS v, unnest(range(0, 64)) AS b FROM documents
+),
+drawn AS (
+  SELECT b, v,
+    CASE WHEN u < 0.367879 THEN 0 WHEN u < 0.735759 THEN 1
+         WHEN u < 0.919699 THEN 2 WHEN u < 0.981012 THEN 3
+         WHEN u < 0.996340 THEN 4 ELSE 5 END AS w
+  FROM (
+    SELECT b, v,
+      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|boot|'
+            || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+    FROM fan
+  )
+),
+pr AS (SELECT b, sum(w * v) * 1.0 / sum(w) AS m FROM drawn GROUP BY 1)
+SELECT round(avg(m), 6) AS mean,
+       round(quantile_cont(m, 0.025), 6) AS ci_lo,
+       round(quantile_cont(m, 0.975), 6) AS ci_hi,
+       CAST(count(*) AS BIGINT) AS n_replicas
+FROM pr
+""",
         "op_zscore": """
 SELECT event_id, event_type, value,
   round(CASE WHEN stddev_samp(value) OVER (PARTITION BY event_type) > 0

@@ -711,6 +711,77 @@ def es_weighted_sample(
     )
 
 
+#: Poisson(1) CDF thresholds for the bootstrap draw (truncated at 5 —
+#: P(X>5) < 6e-4; the same literals appear in SQL oracles)
+_POISSON1_CDF = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    key: str = "doc_id",
+    replicas: int = 64,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    salt: str = "boot",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the corpus mean of
+    ``value_col`` — THE resampling method at scale (classical
+    bootstrap needs n draws per replica and a global shuffle each;
+    Poisson bootstrap reweights every row independently with
+    Poisson(1) counts, so all ``replicas`` resamples run in ONE
+    pass).  The draw is md5-deterministic per (row, replica): results
+    replay bit-for-bit across runs, engines and partitionings.
+
+    Output: one row — (mean, ci_lo, ci_hi, n_replicas) with the
+    percentile-method interval over the replica means.
+
+    Plan: the row fans out ×replicas as (replica, weight,
+    weight·value) triples folded straight into a per-replica partial
+    aggregate (map-side combined, ``replicas`` keys); the replica
+    means (≤ ``replicas`` rows) take their percentiles in a final
+    single-row aggregate.  Nothing scales with corpus size except
+    the one narrow scan."""
+    if replicas < 2:
+        raise ValueError(f"bootstrap_ci: replicas must be >= 2, got {replicas}")
+    b = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("b")
+    rows = df.select(F.col(key), F.col(value_col).alias("__v")).select(
+        F.col(key), F.col("__v"), b
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col(key).cast("string"), F.lit(salt), F.col("b")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(_HEX_SPACE))
+    )
+    w = F.lit(5)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < _POISSON1_CDF[k], F.lit(k)).otherwise(w)
+    per_rep = (
+        rows.select("b", w.alias("__w"), F.col("__v"))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("__w") * F.col("__v")) / F.sum("__w")).alias("__mean")
+        )
+    )
+    return per_rep.agg(
+        F.round(F.avg("__mean"), 6).alias("mean"),
+        F.round(F.percentile("__mean", F.lit(lo)), 6).alias("ci_lo"),
+        F.round(F.percentile("__mean", F.lit(hi)), 6).alias("ci_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+    )
+
+
 def temperature_weights(
     docs: DataFrame,
     group_col: str = "lang",

@@ -465,6 +465,42 @@ def test_dsir_weights_separates_domains(spark):
         assert out[i]["n_grams"] == len(gs)
 
 
+def test_bootstrap_ci_properties(docs, spark):
+    """Poisson-bootstrap CI: brackets the plain mean, is
+    partitioning-invariant, and the replica-0 mean matches a pure
+    Python replay of the md5 Poisson draw."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import pipeline
+    from htsql_spark.operators.pipeline import _POISSON1_CDF
+
+    r = pipeline.bootstrap_ci(docs, "n_chars").collect()[0]
+    true_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    assert r["ci_lo"] <= true_mean <= r["ci_hi"]
+    assert r["ci_lo"] < r["mean"] < r["ci_hi"]
+    assert r["n_replicas"] == 64
+    r2 = pipeline.bootstrap_ci(docs.repartition(13), "n_chars").collect()[0]
+    assert tuple(r) == tuple(r2)
+
+    rows = docs.select("doc_id", "n_chars").collect()
+
+    def pois(doc_id, b):
+        h = hashlib.md5(f"{doc_id}|boot|{b}".encode()).hexdigest()[:8]
+        u = int(h, 16) / 16**8
+        for k, t in enumerate(_POISSON1_CDF):
+            if u < t:
+                return k
+        return 5
+
+    # the replica-0 resample mean replayed in Python sits near the
+    # true mean (the draw really is Poisson(1) reweighting, not noise)
+    num = sum(pois(x["doc_id"], 0) * x["n_chars"] for x in rows)
+    den = sum(pois(x["doc_id"], 0) for x in rows)
+    assert den > 0 and abs(num / den - true_mean) / true_mean < 0.2
+
+
 def test_float_scores_partitioning_invariant(docs, spark):
     """DSIR log-weights and bigram-LM scores are float SUMS whose
     addition order varies with partitioning; the rounded outputs must

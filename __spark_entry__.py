@@ -732,6 +732,26 @@ def _stream_topk(spark, sf_dir):
     return rank_top_users(spark.table(name), k=3)
 
 
+def _stream_anomaly(spark, sf_dir):
+    """Stateful streaming anomaly detection (expanding z-score in the
+    state store).  One availableNow drain processes each type's rows
+    in (ts, event_id) order, so the batch expanding-window SQL is an
+    exact value oracle."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from htsql_spark import streaming
+    from htsql_spark.streaming.events import streaming_anomalies
+
+    name = f"t_anom_{uuid.uuid4().hex[:8]}"
+    stream = streaming.read_events_stream(spark, sf_dir)
+    streaming.run_to_memory(streaming_anomalies(stream), name, "append")
+    return spark.table(name).select(
+        "event_id", "event_type", "value", "n_prior", F.round("z", 4).alias("z4")
+    )
+
+
 def _op_tumbling_batch(spark, sf_dir):
     """The tumbling-window aggregation as a batch plan (same F.window
     expression the stream runs; epoch-aligned so SQL date_trunc is the
@@ -975,6 +995,7 @@ _QUERIES.update(
         "stream_distinct": _stream_distinct,
         "stream_quantiles": _stream_quantiles,
         "stream_topk": _stream_topk,
+        "stream_anomaly": _stream_anomaly,
         "stream_join": _stream_join,
         "stream_enrich": _stream_enrich,
         "op_asof_join": _op_asof_join,
@@ -3702,6 +3723,24 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
 FROM events
 GROUP BY 1, 2
 HAVING w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
+""",
+        # expanding-window replay of the stateful detector: the stream
+        # processes each type in (ts, event_id) order, so prefix stats
+        # ARE the state-store contents before each row
+        "stream_anomaly": """
+WITH pre AS (
+  SELECT event_id, event_type, value, coalesce(value, 0.0) AS xv,
+    count(*) OVER w AS n_pr,
+    avg(coalesce(value, 0.0)) OVER w AS mean_pr,
+    stddev_samp(coalesce(value, 0.0)) OVER w AS sd_pr
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, value, CAST(n_pr AS BIGINT) AS n_prior,
+       round(round((xv - mean_pr) / sd_pr, 6), 4) AS z4
+FROM pre
+WHERE n_pr >= 10 AND sd_pr > 0 AND abs((xv - mean_pr) / sd_pr) > 3.0
 """,
         # same watermark emission rule; counts are exact, so rank +
         # tie-break replay value-for-value

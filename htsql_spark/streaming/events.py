@@ -261,6 +261,87 @@ def running_totals_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+_ANOM_SCHEMA = (
+    "event_id long, event_type string, value double, n_prior long, z double"
+)
+_ANOM_STATE = "n long, s double, ss double"
+
+
+def _anomaly_fn_factory(z_threshold: float, min_n: int):
+    def fn(key, pdfs: "Iterator[pd.DataFrame]", state: "GroupState"):
+        import numpy as np
+
+        n0, s0, ss0 = state.get if state.exists else (0, 0.0, 0.0)
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            x = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+            m = len(x)
+            if not m:
+                continue
+            # prior-state stats BEFORE each row, vectorized: counts /
+            # sums / sumsquares of everything seen earlier
+            idx = np.arange(m, dtype="float64")
+            cs = np.concatenate(([0.0], np.cumsum(x)[:-1]))
+            css = np.concatenate(([0.0], np.cumsum(x * x)[:-1]))
+            n_pr = n0 + idx
+            s_pr = s0 + cs
+            ss_pr = ss0 + css
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean_pr = s_pr / n_pr
+                var_pr = (ss_pr - n_pr * mean_pr * mean_pr) / (n_pr - 1)
+                sd_pr = np.sqrt(np.maximum(var_pr, 0.0))
+                z = (x - mean_pr) / sd_pr
+            flag = (n_pr >= min_n) & (sd_pr > 0) & (np.abs(z) > z_threshold)
+            if flag.any():
+                sel = pdf.iloc[np.flatnonzero(flag)]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "event_id": sel["event_id"].to_numpy(),
+                            "event_type": key[0],
+                            "value": sel["value"].to_numpy(),
+                            "n_prior": n_pr[flag].astype("int64"),
+                            "z": np.round(z[flag], 6),
+                        }
+                    )
+                )
+            n0 += m
+            s0 += float(x.sum())
+            ss0 += float((x * x).sum())
+        state.update((int(n0), float(s0), float(ss0)))
+        for o in outs:
+            yield o
+
+    return fn
+
+
+def streaming_anomalies(
+    events: DataFrame, z_threshold: float = 3.0, min_n: int = 10
+) -> DataFrame:
+    """Stateful streaming anomaly detection: per event type, flag
+    values whose z-score against everything seen EARLIER in the
+    stream (expanding mean/std held as (n, Σx, Σx²) in the state
+    store) exceeds ``z_threshold``.  The classic monitoring op
+    Structured Streaming lacks natively — windowed aggs see only
+    their window; this sees the whole history in O(1) state.
+
+    Within each micro-batch rows are processed in (ts, event_id)
+    order, so a single availableNow drain is fully deterministic and
+    value-checkable against the batch expanding-window SQL (the gate
+    oracle); across live micro-batches state evolves in arrival
+    order, as any online detector does.  State per key is three
+    numbers — millions of keys cost MBs."""
+    _require_stream(events, "streaming_anomalies()")
+    return events.groupBy("event_type").applyInPandasWithState(
+        _anomaly_fn_factory(z_threshold, min_n),
+        outputStructType=_ANOM_SCHEMA,
+        stateStructType=_ANOM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_parquet(
     stream_df: DataFrame,
     path: str,

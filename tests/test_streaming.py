@@ -644,6 +644,64 @@ def test_windowed_value_quantiles_matches_exact(spark, events_batch, events_stre
             assert est == vals[rank - 1], (k, q, est, vals[rank - 1])
 
 
+def test_streaming_anomalies_state_survives_batches(spark, events_batch, tmp_path):
+    """Two time-split files drained one per trigger: the detector's
+    (n, Σx, Σx²) state carries across micro-batches, so the union of
+    emissions equals the single-pass expanding-window truth."""
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from htsql_spark import streaming
+    from htsql_spark.streaming.events import streaming_anomalies
+
+    import glob as _glob
+    import os
+    import shutil
+
+    ev = events_batch
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = ev.select(F.percentile(us, F.lit(0.5)).alias("c")).collect()[0]["c"]
+    d = str(tmp_path / "split")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    ev.filter(us <= cut).coalesce(1).write.parquet(d + "/a")
+    ev.filter(us > cut).coalesce(1).write.parquet(d + "/b")
+    for sub in ("a", "b"):  # flatten: one plain file per time half
+        (part,) = _glob.glob(f"{d}/{sub}/part-*.parquet")
+        shutil.copy(part, f"{flat}/{sub}.parquet")
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    name = f"t_anomsplit_{uuid.uuid4().hex[:8]}"
+    streaming.run_to_memory(streaming_anomalies(src), name, "append")
+    got = {
+        (r["event_id"], r["n_prior"], r["z"])
+        for r in spark.table(name).collect()
+    }
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    xv = F.coalesce(F.col("value"), F.lit(0.0))
+    pre = events_batch.select(
+        "event_id",
+        xv.alias("xv"),
+        F.count(F.lit(1)).over(w).alias("n_pr"),
+        F.avg(xv).over(w).alias("m"),
+        F.stddev_samp(xv).over(w).alias("sd"),
+    ).filter("n_pr >= 10 AND sd > 0 AND abs((xv - m) / sd) > 3.0")
+    exp = {
+        (r["event_id"], r["n_pr"], round((r["xv"] - r["m"]) / r["sd"], 6))
+        for r in pre.collect()
+    }
+    assert len(exp) > 0 and got == exp
+
+
 def test_windowed_topk_matches_batch(spark, events_batch, events_stream):
     """Streaming windowed leaderboard: the stream's watermark-closed
     per-user counts ranked batch-side equal the same top-k computed

@@ -668,9 +668,16 @@ def test_streaming_anomalies_state_survives_batches(spark, events_batch, tmp_pat
     os.makedirs(flat)
     ev.filter(us <= cut).coalesce(1).write.parquet(d + "/a")
     ev.filter(us > cut).coalesce(1).write.parquet(d + "/b")
-    for sub in ("a", "b"):  # flatten: one plain file per time half
+    import time as _time
+
+    now = _time.time()
+    for off, sub in ((-100, "a"), (0, "b")):  # flatten, one file per half
         (part,) = _glob.glob(f"{d}/{sub}/part-*.parquet")
-        shutil.copy(part, f"{flat}/{sub}.parquet")
+        dst = f"{flat}/{sub}.parquet"
+        shutil.copy(part, dst)
+        # the file source orders by modification time; same-millisecond
+        # copies tie and the batch order becomes arbitrary — pin it
+        os.utime(dst, (now + off, now + off))
     src = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)

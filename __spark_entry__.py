@@ -1567,6 +1567,34 @@ def _op_zscore(spark, sf_dir):
     )
 
 
+def _op_triangles(spark, sf_dir):
+    """Per-node triangle counts over the co-supplier customer graph
+    (degree-ordered forward algorithm — each triangle once, celebrity
+    out-degrees bounded).  Oracle replays the plain a<b<c 3-way join."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.analytics import triangle_count
+
+    db = _db(spark, sf_dir)
+    cs = (
+        db.table("orders")
+        .filter(F.col("o_custkey") % 20 == 0)
+        .join(
+            db.table("lineitem").filter(F.col("l_suppkey") % 7 == 0),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    x, y = cs.alias("x"), cs.alias("y")
+    edges = (
+        x.join(y, (F.col("x.s") == F.col("y.s")) & (F.col("x.c") < F.col("y.c")))
+        .select(F.col("x.c").alias("src"), F.col("y.c").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
 def _op_table_stats(spark, sf_dir):
     """ANALYZE-style per-column profile of orders in one aggregation
     pass (exact NDV at gate scale; approx_count_distinct is the
@@ -2596,6 +2624,7 @@ _QUERIES.update(
         "op_table_stats": _op_table_stats,
         "op_zscore": _op_zscore,
         "op_bootstrap_ci": _op_bootstrap_ci,
+        "op_triangles": _op_triangles,
         "op_sessionize": _op_sessionize,
         "op_funnel": _op_funnel,
         "op_retention": _op_retention,
@@ -3407,6 +3436,27 @@ WHERE p_size = 23
             "  CAST(rank AS INTEGER) AS rank"
             " FROM r WHERE rank <= 10"
         ),
+        # plain a<b<c 3-way join == the degree-oriented forward count
+        "op_triangles": """
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey % 20 = 0 AND l_suppkey % 7 = 0
+),
+e AS (
+  SELECT DISTINCT x.c AS a, y.c AS b
+  FROM cs x JOIN cs y ON x.s = y.s AND x.c < y.c
+),
+t AS (
+  SELECT e1.a AS p, e1.b AS q, e2.b AS r
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (SELECT unnest([p, q, r]) AS node FROM t)
+SELECT CAST(node AS VARCHAR) AS node, CAST(count(*) AS BIGINT) AS triangles
+FROM corners GROUP BY 1
+""",
         # same Poisson(1) CDF literals as pipeline._POISSON1_CDF
         "op_bootstrap_ci": """
 WITH fan AS (

@@ -164,6 +164,68 @@ def sessionize(
     )
 
 
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the local
+    clustering signal (spam farms and mirror clusters show up as
+    abnormally dense neighbourhoods).  Classic degree-ordered
+    "forward" algorithm (Schank & Wagner '05 / Cohen's MapReduce
+    formulation): orient every edge from the lower-(degree, id) vertex
+    to the higher, so each triangle is counted exactly once and —
+    the 100 TB point — every vertex's OUT-degree is O(√m) even for
+    celebrity nodes, which bounds the wedge join's skew; the wedge ⋈
+    edge equi-join is the only quadratic-risk step and it runs on the
+    oriented (bounded) lists.
+
+    Input edges may contain duplicates, self-loops, or both
+    directions — all normalized away.  Output: (node, triangles) for
+    every vertex of at least one triangle.
+
+    Plan: degree aggregate (one shuffle) broadcast-joined onto the
+    edge list when small / shuffled when not (Catalyst + AQE decide),
+    wedge self-join on the mid vertex, closure semi-check against the
+    oriented edge set, then one explode + count per corner."""
+    e = (
+        edges.select(
+            F.least(F.col(src).cast("string"), F.col(dst).cast("string")).alias("a"),
+            F.greatest(F.col(src).cast("string"), F.col(dst).cast("string")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient: lower (degree, id) -> higher (degree, id)
+    ed = (
+        e.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("__e")
+        )
+        .select(F.col("__e.u").alias("u"), F.col("__e.w").alias("w"))
+    )
+    x, y = ed.alias("x"), ed.alias("y")
+    wedges = x.join(
+        y, (F.col("x.w") == F.col("y.u"))
+    ).select(
+        F.col("x.u").alias("p"), F.col("x.w").alias("q"), F.col("y.w").alias("r")
+    )
+    tri = wedges.join(
+        ed.select(F.col("u").alias("p"), F.col("w").alias("r")), ["p", "r"]
+    )
+    corners = tri.select(F.explode(F.array("p", "q", "r")).alias("node"))
+    return corners.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+
+
 def window_profile(
     df: DataFrame,
     partition_col: str,

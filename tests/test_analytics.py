@@ -414,3 +414,15 @@ def test_apply_cdc_fuzz_vs_sequential_replay(spark):
         assert {r.k: r.val for r in out.collect()} == expected
 
     prop()
+
+
+def test_triangle_count_planted(spark):
+    """K4 gives every node exactly 3 triangles; path nodes, duplicate
+    edges, self-loops and reversed directions don't perturb it."""
+    from htsql_spark.operators.analytics import triangle_count
+
+    k4 = [(a, b) for a in "1234" for b in "1234" if a < b]
+    noise = [("2", "1"), ("3", "3"), ("7", "8"), ("8", "9"), ("1", "2")]
+    df = spark.createDataFrame(k4 + noise, "src string, dst string")
+    rows = sorted((r["node"], r["triangles"]) for r in triangle_count(df).collect())
+    assert rows == [("1", 3), ("2", 3), ("3", 3), ("4", 3)]

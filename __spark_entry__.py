@@ -1228,6 +1228,19 @@ def _op_ann_ivf(spark, sf_dir):
     return df.select("vec_id", "label", F.round(F.col("cos"), 4).alias("cos4"))
 
 
+def _op_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou '11): encode to 8 codebook ids,
+    rank by asymmetric distance (exact query vs quantized
+    reconstruction).  Seeded codebook literals are embedded into the
+    oracle; per-subspace argmin (first-wins), the reconstruction and
+    the cosine ranking replay exactly in DuckDB."""
+    from htsql_spark.operators import similarity
+
+    return similarity.topk_pq(
+        _db(spark, sf_dir).table("embeddings"), query_id=0, topk=10
+    )
+
+
 def _op_multimodal(spark, sf_dir):
     """REAL image decode: planted solid-color images (format cycling
     BMP/PPM/PNG by doc_id%3, colors derived from doc_id) are built as
@@ -2682,6 +2695,7 @@ _QUERIES.update(
         "op_ann_batch": _op_ann_batch,
         "op_ann_lsh": _op_ann_lsh,
         "op_ann_ivf": _op_ann_ivf,
+        "op_ann_pq": _op_ann_pq,
         "op_multimodal": _op_multimodal,
         "op_asset_meta": _op_asset_meta,
         "op_audio": _op_audio,
@@ -3813,6 +3827,7 @@ SELECT w_start, event_type, user_id, n, rnk FROM (
         "stream_sliding": _STREAM_SLIDING_SQL,
         "op_ann_lsh": _ann_lsh_oracle(),
         "op_ann_ivf": _ann_ivf_oracle(),
+        "op_ann_pq": _ann_pq_oracle(),
         "op_kmeans_assign": _kmeans_assign_oracle(),
         "op_kmeans_step": _kmeans_step_oracle(),
         "op_winnow_portable": _WINNOW_PORTABLE_SQL,
@@ -4633,6 +4648,45 @@ FROM bits GROUP BY doc_id
 # paths, not just a recall floor.
 def _sql_vec(vals) -> str:
     return "[" + ", ".join(repr(float(x)) for x in vals) + "]"
+
+
+def _ann_pq_oracle(
+    query_id: int = 0, topk: int = 10, m: int = 8, k: int = 16, dim: int = 64
+) -> str:
+    from htsql_spark.operators.similarity import _pq_codebooks
+
+    cbs = _pq_codebooks(dim, m, k)
+    sub_d = dim // m
+    dists, recons = [], []
+    for mi, cb in enumerate(cbs):
+        off = mi * sub_d
+        d = (
+            "["
+            + ", ".join(
+                f"list_sum(list_transform(range(1, {sub_d + 1}),"
+                f" j -> power(e[{off} + j] - ({_sql_vec(c)})[j], 2)))"
+                for c in cb
+            )
+            + "]"
+        )
+        # first-wins argmin — the same tiebreak pq_encode's d < best_d
+        # chain uses
+        dists.append(f"list_indexof({d}, list_min({d})) AS c{mi}")
+        cb_lit = "[" + ", ".join(_sql_vec(c) for c in cb) + "]"
+        recons.append(f"({cb_lit})[c{mi}]")
+    recon = "flatten([" + ", ".join(recons) + "])"
+    return f"""
+WITH emb AS (SELECT vec_id, label,
+       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+coded AS (SELECT vec_id, label, e, {", ".join(dists)} FROM emb),
+q AS (SELECT e AS qv FROM emb WHERE vec_id = {query_id})
+SELECT vec_id, label,
+       round(list_cosine_similarity({recon}, q.qv), 4) AS cos4
+FROM coded, q
+WHERE vec_id <> {query_id}
+ORDER BY round(list_cosine_similarity({recon}, q.qv), 6) DESC, vec_id
+LIMIT {topk}
+"""
 
 
 def _ann_lsh_oracle(query_id: int = 0, k: int = 10, num_planes: int = 8) -> str:

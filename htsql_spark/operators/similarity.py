@@ -165,6 +165,107 @@ def topk_ivf(
     return scored.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)
 
 
+def _pq_codebooks(
+    dim: int = 64, m: int = 8, k: int = 16, seed: int = 11
+) -> list[list[list[float]]]:
+    """m seeded codebooks of k centroids over dim/m-dim subspaces —
+    deterministic stand-ins for trained codebooks (swap in per-subspace
+    :func:`kmeans` output for data-adaptive cells), exactly like
+    :func:`_centroids` for IVF."""
+    rng = random.Random(seed)
+    sub = dim // m
+    return [
+        [[rng.gauss(0, 1) for _ in range(sub)] for _ in range(k)] for _ in range(m)
+    ]
+
+
+def pq_encode(
+    embs: DataFrame, m: int = 8, k: int = 16, seed: int = 11, dim: int = 64
+) -> DataFrame:
+    """Product-quantization encoding (Jégou '11): split each vector
+    into ``m`` subvectors, store only the id of the nearest codebook
+    centroid per subspace — dim floats become m small ints (64×4
+    bytes → 8 codes here), the memory step that makes billion-vector
+    ANN fit a cluster.  Encoding is pure JVM expressions (slice +
+    fold per centroid, first-wins argmin), zero shuffle, zero Python.
+    Returns the input plus ``codes`` (array<int>, length m)."""
+    cbs = _pq_codebooks(dim, m, k, seed)
+    sub_d = dim // m
+    codes = []
+    for mi, cb in enumerate(cbs):
+        sub = F.slice(F.col("embedding"), mi * sub_d + 1, sub_d)
+        best_id, best_d = F.lit(0), F.lit(float("inf"))
+        for ci, c in enumerate(cb):
+            lit_c = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(sub, lit_c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            best_id = F.when(d < best_d, F.lit(ci)).otherwise(best_id)
+            best_d = F.least(best_d, d)
+        codes.append(best_id)
+    return embs.withColumn("codes", F.array(*codes))
+
+
+def topk_pq(
+    embs: DataFrame,
+    query_id: int,
+    topk: int = 10,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 11,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: the corpus is ranked by the
+    cosine between the EXACT query vector and each row's quantized
+    reconstruction (concatenated codebook centroids) — the classic
+    ADC search.  Reconstruction is an element_at over literal
+    codebook arrays (narrow codegen; codes are the only per-row
+    state), the query row broadcasts, and selection is
+    TakeOrderedAndProject.  At 100 TB this scans CODES, not vectors —
+    m ints per row — which is the entire point of PQ; compose with
+    the IVF cell pruning for the standard IVF-PQ pipeline.
+    Returns (vec_id, label, cos4, with cos4 = quantized-recon cosine)."""
+    cbs = _pq_codebooks(dim, m, k, seed)
+    sub_d = dim // m
+    coded = pq_encode(embs, m, k, seed, dim)
+    recon = F.flatten(
+        F.array(
+            *[
+                F.element_at(
+                    F.array(
+                        *[
+                            F.array(*[F.lit(float(x)) for x in c])
+                            for c in cbs[mi]
+                        ]
+                    ),
+                    F.element_at(F.col("codes"), mi + 1) + 1,
+                )
+                for mi in range(m)
+            ]
+        )
+    )
+    qrow = embs.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("qv")
+    ).limit(1)
+    scored = (
+        coded.crossJoin(F.broadcast(qrow))
+        .filter(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(recon, F.col("qv")), 4).alias("cos4"),
+            F.round(cosine(recon, F.col("qv")), 6).alias("__c6"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("__c6").desc(), F.col("vec_id"))
+        .limit(topk)
+        .select("vec_id", "label", "cos4")
+    )
+
+
 def topk_batch(
     embs: DataFrame, query_ids: list[int], k: int = 10
 ) -> DataFrame:

@@ -83,6 +83,8 @@ NLJ_OK = {
     "op_ann_batch",
     "op_ann_lsh",
     "op_ann_ivf",
+    # PQ ADC scores the corpus against the broadcast 1-row query
+    "op_ann_pq",
     "op_theta_band",
     "op_range_join",
     "op_dedup_minhash",

@@ -183,6 +183,43 @@ def test_lsh_and_ivf_overlap_bruteforce(embs):
     assert len(exact & ivf) >= 2
 
 
+def test_pq_encode_paths_equivalent_and_adc_overlaps(embs):
+    """The Arrow GEMM encode and the pure-JVM expression encode emit
+    identical codes (first-occurrence argmin both sides); PQ ADC
+    top-10 keeps non-trivial overlap with the exact top-10."""
+    from htsql_spark.operators import similarity
+
+    a = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(embs, method="arrow").select("vec_id", "codes").collect()
+    }
+    b = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(embs, method="expr").select("vec_id", "codes").collect()
+    }
+    assert a == b
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())
+    # quality: the 10 vectors ADC picks must have a TRUE cosine to the
+    # query well above the corpus average (seeded random codebooks are
+    # coarse, so exact top-10 overlap is not a fair bar — trained
+    # per-subspace kmeans codebooks are the recall path)
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.dedup import cosine
+
+    pq = [r["vec_id"] for r in similarity.topk_pq(embs, 0, 10).collect()]
+    assert len(pq) == 10
+    qv = embs.filter("vec_id = 0").select(F.col("embedding").alias("qv"))
+    truth = (
+        embs.crossJoin(F.broadcast(qv))
+        .filter("vec_id <> 0")
+        .select("vec_id", cosine(F.col("embedding"), F.col("qv")).alias("c"))
+    )
+    mean_all = truth.agg(F.avg("c")).collect()[0][0]
+    mean_pq = truth.filter(F.col("vec_id").isin(pq)).agg(F.avg("c")).collect()[0][0]
+    assert mean_pq > mean_all + 0.05
+
+
 def test_multimodal_features(db, docs):
     from htsql_spark.operators import multimodal
 

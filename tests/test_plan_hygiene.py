@@ -46,6 +46,8 @@ ARROW_OK = {
     "op_ann_bruteforce",
     "op_ann_lsh",
     "op_ann_ivf",
+    # PQ encode is the declared Arrow-GEMM pandas UDF (kmeans vehicle)
+    "op_ann_pq",
     # kmeans assign is the declared Arrow-GEMM pandas UDF
     "op_kmeans",
     "op_kmeans_assign",

@@ -1241,6 +1241,17 @@ def _op_ann_pq(spark, sf_dir):
     )
 
 
+def _op_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ: coarse cells prune to nprobe=4, PQ ADC ranks the
+    survivors' codes — the standard billion-scale pipeline; oracle
+    composes the IVF probe replay with the PQ encode replay."""
+    from htsql_spark.operators import similarity
+
+    return similarity.topk_ivfpq(
+        _db(spark, sf_dir).table("embeddings"), query_id=0, topk=10
+    )
+
+
 def _op_multimodal(spark, sf_dir):
     """REAL image decode: planted solid-color images (format cycling
     BMP/PPM/PNG by doc_id%3, colors derived from doc_id) are built as
@@ -2696,6 +2707,7 @@ _QUERIES.update(
         "op_ann_lsh": _op_ann_lsh,
         "op_ann_ivf": _op_ann_ivf,
         "op_ann_pq": _op_ann_pq,
+        "op_ann_ivfpq": _op_ann_ivfpq,
         "op_multimodal": _op_multimodal,
         "op_asset_meta": _op_asset_meta,
         "op_audio": _op_audio,
@@ -3828,6 +3840,7 @@ SELECT w_start, event_type, user_id, n, rnk FROM (
         "op_ann_lsh": _ann_lsh_oracle(),
         "op_ann_ivf": _ann_ivf_oracle(),
         "op_ann_pq": _ann_pq_oracle(),
+        "op_ann_ivfpq": _ann_ivfpq_oracle(),
         "op_kmeans_assign": _kmeans_assign_oracle(),
         "op_kmeans_step": _kmeans_step_oracle(),
         "op_winnow_portable": _WINNOW_PORTABLE_SQL,
@@ -4684,6 +4697,63 @@ SELECT vec_id, label,
        round(list_cosine_similarity({recon}, q.qv), 4) AS cos4
 FROM coded, q
 WHERE vec_id <> {query_id}
+ORDER BY round(list_cosine_similarity({recon}, q.qv), 6) DESC, vec_id
+LIMIT {topk}
+"""
+
+
+def _ann_ivfpq_oracle(
+    query_id: int = 0,
+    topk: int = 10,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+) -> str:
+    from htsql_spark.operators.similarity import _centroids, _pq_codebooks
+
+    cents = _centroids(dim, num_cells)
+    ds = (
+        "["
+        + ", ".join(f"list_dot_product(e, {_sql_vec(c)})" for c in cents)
+        + "]"
+    )
+    qds = ds.replace("(e,", "(q.qv,")
+    cbs = _pq_codebooks(dim, m, k)
+    sub_d = dim // m
+    dists, recons = [], []
+    for mi, cb in enumerate(cbs):
+        off = mi * sub_d
+        d = (
+            "["
+            + ", ".join(
+                f"list_sum(list_transform(range(1, {sub_d + 1}),"
+                f" j -> power(e[{off} + j] - ({_sql_vec(c)})[j], 2)))"
+                for c in cb
+            )
+            + "]"
+        )
+        dists.append(f"list_indexof({d}, list_min({d})) AS c{mi}")
+        cb_lit = "[" + ", ".join(_sql_vec(c) for c in cb) + "]"
+        recons.append(f"({cb_lit})[c{mi}]")
+    recon = "flatten([" + ", ".join(recons) + "])"
+    return f"""
+WITH emb AS (SELECT vec_id, label,
+       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+a AS (SELECT vec_id, label, e,
+       list_indexof({ds}, list_max({ds})) - 1 AS cell FROM emb),
+q AS (SELECT e AS qv FROM emb WHERE vec_id = {query_id}),
+qs AS (SELECT unnest(range({num_cells})) AS i, unnest({qds}) AS s FROM q),
+probes AS (SELECT i FROM qs ORDER BY s DESC, i DESC LIMIT {nprobe}),
+pruned AS (
+  SELECT vec_id, label, e FROM a
+  WHERE vec_id <> {query_id} AND cell IN (SELECT i FROM probes)
+),
+coded AS (SELECT vec_id, label, e, {", ".join(dists)} FROM pruned)
+SELECT vec_id, label,
+       round(list_cosine_similarity({recon}, q.qv), 4) AS cos4
+FROM coded, q
 ORDER BY round(list_cosine_similarity({recon}, q.qv), 6) DESC, vec_id
 LIMIT {topk}
 """

@@ -271,6 +271,72 @@ def pq_encode(
     return with_dists.select(*embs.columns, codes.alias("codes"))
 
 
+def topk_ivfpq(
+    embs: DataFrame,
+    query_id: int,
+    topk: int = 10,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 11,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ — the standard billion-scale ANN pipeline (FAISS's
+    workhorse index): the IVF coarse quantizer prunes the corpus to
+    ``nprobe`` cells, then PQ asymmetric distance ranks ONLY the
+    surviving codes.  At 100 TB the scan touches cell ids + m-byte
+    codes for ~nprobe/num_cells of the corpus; full vectors are read
+    once at encode time, never at query time.  Composition of
+    :func:`topk_ivf`'s probe filter and :func:`topk_pq`'s ADC
+    ranking — both replayed exactly by the SQL oracle."""
+    cents = _centroids(dim, num_cells)
+    cells = embs.withColumn("cell", _nearest_centroid(F.col("embedding"), cents))
+    qrow = (
+        embs.filter(F.col("vec_id") == query_id)
+        .select(F.col("embedding").alias("qv"))
+        .limit(1)
+    )
+    scores = [
+        (i, _dot(F.col("qv"), F.array(*[F.lit(float(x)) for x in c])))
+        for i, c in enumerate(cents)
+    ]
+    ranked = F.reverse(
+        F.array_sort(
+            F.array(*[F.struct(s.alias("s"), F.lit(i).alias("i")) for i, s in scores])
+        )
+    )
+    probe_cells = F.slice(F.transform(ranked, lambda x: x["i"]), 1, nprobe)
+    pruned = (
+        cells.crossJoin(F.broadcast(qrow))
+        .filter(F.col("vec_id") != query_id)
+        .filter(F.array_contains(probe_cells, F.col("cell")))
+    )
+    coded = pq_encode(pruned, m, k, seed, dim)
+    cbs = _pq_codebooks(dim, m, k, seed)
+    recon = F.flatten(
+        F.array(
+            *[
+                F.element_at(
+                    F.array(
+                        *[F.array(*[F.lit(float(x)) for x in c]) for c in cbs[mi]]
+                    ),
+                    F.element_at(F.col("codes"), mi + 1) + 1,
+                )
+                for mi in range(m)
+            ]
+        )
+    )
+    scored = coded.select(
+        "vec_id", "label", cosine(recon, F.col("qv")).alias("__c")
+    )
+    return (
+        scored.orderBy(F.round(F.col("__c"), 6).desc(), F.col("vec_id"))
+        .limit(topk)
+        .select("vec_id", "label", F.round(F.col("__c"), 4).alias("cos4"))
+    )
+
+
 def topk_pq(
     embs: DataFrame,
     query_id: int,

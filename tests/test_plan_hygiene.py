@@ -48,6 +48,7 @@ ARROW_OK = {
     "op_ann_ivf",
     # PQ encode is the declared Arrow-GEMM pandas UDF (kmeans vehicle)
     "op_ann_pq",
+    "op_ann_ivfpq",
     # kmeans assign is the declared Arrow-GEMM pandas UDF
     "op_kmeans",
     "op_kmeans_assign",
@@ -87,6 +88,7 @@ NLJ_OK = {
     "op_ann_ivf",
     # PQ ADC scores the corpus against the broadcast 1-row query
     "op_ann_pq",
+    "op_ann_ivfpq",
     "op_theta_band",
     "op_range_join",
     "op_dedup_minhash",

@@ -114,13 +114,17 @@ def _centroids(dim: int = 64, num: int = 16, seed: int = 7) -> list[list[float]]
 
 
 def _nearest_centroid(vec: Column, cents: list[list[float]]) -> Column:
-    best_id, best_score = F.lit(0), F.lit(-2.0)
-    for i, c in enumerate(cents):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
-        s = _dot(vec, lit_c) / _norm(vec)
-        best_id = F.when(s > best_score, F.lit(i)).otherwise(best_id)
-        best_score = F.greatest(best_score, s)
-    return best_id
+    # array argmax, NOT a chained-when fold: each when-step re-embeds
+    # every prior score subtree (O(k²) dot evaluations — the same trap
+    # pq_encode hit); array_position of array_max keeps the identical
+    # first-wins tiebreak at O(k)
+    scores = F.array(
+        *[
+            _dot(vec, F.array(*[F.lit(float(x)) for x in c])) / _norm(vec)
+            for c in cents
+        ]
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
 def with_ivf_cells(embs: DataFrame, num_cells: int = 16, seed: int = 7) -> DataFrame:

@@ -101,26 +101,32 @@ def compact_bucketed_table(spark, table: str, extra_locks: list[str] | None = No
     if "." in table:
         raise ValueError(f"qualified table names are not supported: {table!r}")
     staging, backup = f"{table}__compacting", f"{table}__precompact"
-    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(backup):
-        # crashed between the two renames: the backup IS the table
-        spark.sql(f"ALTER TABLE {backup} RENAME TO {table}")
-    if not spark.catalog.tableExists(table):
+
+    def _describe(name: str) -> dict:
+        return {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+        }
+
+    # Resolve the LOCK path before mutating anything, from whichever
+    # of table/backup exists.  The crash-recovery rename itself must
+    # run INSIDE the lock (mirroring compact_dataset's order): a
+    # second compaction entering during another's live swap window
+    # sees table-missing + backup-present, and renaming the backup
+    # out from under the in-flight swap would break its staging
+    # rename and resurrect stale pre-compact data.  A managed-table
+    # rename moves the directory, so the backup's location carries
+    # the __precompact suffix — strip it to lock the same canonical
+    # path the live compaction holds.
+    if spark.catalog.tableExists(table):
+        lock_loc = _describe(table)["Location"]
+    elif spark.catalog.tableExists(backup):
+        lock_loc = _describe(backup)["Location"]
+        if lock_loc.rstrip("/").endswith("__precompact"):
+            lock_loc = lock_loc.rstrip("/")[: -len("__precompact")]
+    else:
         raise ValueError(f"compact_bucketed_table: no table {table!r}")
-    desc = {
-        r["col_name"]: r["data_type"]
-        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
-    }
-    if "Num Buckets" not in desc:
-        raise ValueError(f"compact_bucketed_table: {table!r} is not bucketed")
-    n_buckets = int(desc["Num Buckets"])
-
-    def _cols(key: str) -> list[str]:
-        raw = desc.get(key, "[]").strip("[]")
-        return [c.strip(" `") for c in raw.split(",") if c.strip(" `")]
-
-    bucket_cols, sort_cols = _cols("Bucket Columns"), _cols("Sort Columns")
-    location = desc["Location"]
-    locks = [location] + list(extra_locks or [])
+    locks = [lock_loc] + list(extra_locks or [])
     taken: list[str] = []
     try:
         for p in locks:
@@ -128,6 +134,27 @@ def compact_bucketed_table(spark, table: str, extra_locks: list[str] | None = No
                 spark, p, owner=f"compact_bucketed_table({table})"
             )
             taken.append(p)
+        # crash recovery, now safely exclusive: crashed between the
+        # two renames means the backup IS the table
+        if not spark.catalog.tableExists(table) and spark.catalog.tableExists(
+            backup
+        ):
+            spark.sql(f"ALTER TABLE {backup} RENAME TO {table}")
+        if not spark.catalog.tableExists(table):
+            raise ValueError(f"compact_bucketed_table: no table {table!r}")
+        desc = _describe(table)
+        if "Num Buckets" not in desc:
+            raise ValueError(
+                f"compact_bucketed_table: {table!r} is not bucketed"
+            )
+        n_buckets = int(desc["Num Buckets"])
+
+        def _cols(key: str) -> list[str]:
+            raw = desc.get(key, "[]").strip("[]")
+            return [c.strip(" `") for c in raw.split(",") if c.strip(" `")]
+
+        bucket_cols, sort_cols = _cols("Bucket Columns"), _cols("Sort Columns")
+        location = desc["Location"]
         spark.sql(f"DROP TABLE IF EXISTS {staging}")  # crashed attempt
         # read the LOCATION, not the table: a bucketed relation claims
         # HashPartitioning(bucket_cols, n) at the logical level, so the

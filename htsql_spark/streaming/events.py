@@ -273,12 +273,23 @@ def _anomaly_fn_factory(z_threshold: float, min_n: int):
 
         n0, s0, ss0 = state.get if state.exists else (0, 0.0, 0.0)
         outs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # applyInPandasWithState may deliver one group's micro-batch
+        # split across multiple Arrow chunks (~10k rows each) in
+        # arbitrary order; the documented (ts, event_id) processing
+        # order only holds if we materialize ALL chunks and sort ONCE.
+        # A group's micro-batch slice is bounded by the micro-batch
+        # size, so the concat is memory-safe.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            whole = whole.sort_values(["ts", "event_id"])
+            pdf = whole
             x = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
             m = len(x)
-            if not m:
-                continue
             # prior-state stats BEFORE each row, vectorized: counts /
             # sums / sumsquares of everything seen earlier
             idx = np.arange(m, dtype="float64")

@@ -2777,16 +2777,30 @@ _GATE_ORDER = [
     # exact-k A-ES weighted sampler (displaces r5-green untouched
     # op_image_dedup, the gate's slowest-hashing row at 126k rows)
     "op_es_sample",
-    # re-verification: dedup paths touched by band-index versioning
-    "op_dedup_minhash", "op_dedup_incremental",
-    "op_contamination_near", "op_edit_dedup", "op_chunk_dedup",
-    # re-verification: rows touched by this round's fixes/perf work
-    "op_bpe_encode", "stream_curate", "stream_distinct",
-    "op_frame_sample", "op_video_dedup_avi",
+    # ROUND-8 ROTATION (judge directive r6/r7 #1): the 8 registry ops
+    # that have NEVER had a hard driver CORRECTNESS row (they were
+    # oracle-replayed in tests/test_entry.py only).  stream_anomaly is
+    # the proof-of-need: it carried a real multi-chunk ordering bug
+    # (fixed r7, streaming/events.py:276) found by inspection, not by
+    # any gate.  With these in, the driver-gate union r1..r8 covers
+    # every oracle-backed registry query.
+    "op_ann_pq", "op_ann_ivfpq", "op_audio_dedup", "op_table_stats",
+    "op_zscore", "op_bootstrap_ci", "op_triangles", "stream_anomaly",
+    # rotated in because round 8 touches its query shape (directive
+    # #4: production-shaped candidate caps for the bench)
+    "op_dedup_ngram",
+    # displaced to make room (all r6 AND r7 gate-green with code
+    # untouched since; they stay oracle-replayed every pytest run):
+    # op_dedup_minhash, op_contamination_near, op_edit_dedup,
+    # op_chunk_dedup, op_bpe_encode, op_frame_sample,
+    # op_video_dedup_avi, op_histogram, op_scd2
+    # re-verification: incremental-dedup checkpoint path + rows behind
+    # the r7 writer-lock / compaction fix
+    "op_dedup_incremental", "stream_curate", "stream_distinct",
     # re-verification: TPC-H composition shapes
     "tpch_q3", "tpch_q17", "tpch_q21",
-    # re-verification: graph / history / OLAP / skew
-    "op_pagerank", "op_scd2", "op_histogram",
+    # re-verification: graph / OLAP / skew
+    "op_pagerank",
     "op_rollup", "op_grouping_sets", "op_skew_join",
 ]
 assert len(_GATE_ORDER) == 50 and len(set(_GATE_ORDER)) == 50

@@ -191,6 +191,13 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # pin the narrow normalized edge list: it is referenced FOUR
+        # times below (deg's union twice, the orientation join, the
+        # closure semi-check) and each reference otherwise re-expands
+        # the caller's whole edge-derivation subtree — measured 60
+        # input scans / 122 Exchanges on the co-supplier gate query
+        # vs 4 scans pinned; only (a, b) id pairs are materialized
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("v"))
@@ -212,6 +219,9 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             .alias("__e")
         )
         .select(F.col("__e.u").alias("u"), F.col("__e.w").alias("w"))
+        # same pin for the oriented list: wedge self-join (twice) +
+        # closure check each re-derive it otherwise
+        .localCheckpoint(eager=False)
     )
     x, y = ed.alias("x"), ed.alias("y")
     wedges = x.join(

@@ -546,15 +546,22 @@ def hash64_near_pairs(
     one chunk → guaranteed recall), popcount-of-xor verify.  Shared
     by text simhash and perceptual image hashes.  Returns
     (a, b, hamming)."""
-    chunk = sig.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(hash_col).alias("simhash"),
+    # pin the narrow (id, hash64) projection: both sides of the band
+    # self-join otherwise re-derive the signature input — for image
+    # perceptual hashes that is a FULL pixel decode per side, for
+    # text simhash a full re-tokenization; 16 bytes/row materialized
+    base = sig.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
+    ).localCheckpoint(eager=False)
+    chunk = base.select(
+        "doc_id",
+        "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col(hash_col), b * 16)
+                        F.shiftright(F.col("simhash"), b * 16)
                         .bitwiseAND(F.lit(65535))
                         .alias("h"),
                     )

@@ -385,7 +385,11 @@ def audio_dup_pairs(assets: DataFrame, windows: int = 16) -> DataFrame:
     (narrow) then ONE fp-keyed equi-join — pixels/samples never
     shuffle, the same scale shape as exact text dedup.  Returns
     (a, b) with a < b for every same-fingerprint pair."""
-    fps = audio_fingerprint(assets, windows)
+    # pin the narrow (asset_id, fp) table: both sides of the
+    # self-join otherwise re-run the WAV decode over the full payload
+    # column (the textstats winnow-pairs lesson — decode once, join
+    # the 2-column result)
+    fps = audio_fingerprint(assets, windows).localCheckpoint(eager=False)
     x, y = fps.alias("x"), fps.alias("y")
     return (
         x.join(
@@ -481,7 +485,15 @@ def video_dup_pairs(
     frames, title cards — the video equivalent of boilerplate), pairs
     sharing ≥ ``min_shared`` sampled frames.  Only (id, hash64) pairs
     shuffle; pixels never leave the decode stage."""
-    fh = frame_hashes(assets, every_n).select("asset_id", "fhash").distinct()
+    # pin the narrow (asset_id, fhash) table: the posting count, the
+    # prune join, and BOTH sides of the pair self-join otherwise each
+    # re-run the frame decode over the full payload column
+    fh = (
+        frame_hashes(assets, every_n)
+        .select("asset_id", "fhash")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     postings = fh.groupBy("fhash").agg(F.count(F.lit(1)).alias("__n"))
     pruned = fh.join(postings.filter(F.col("__n") <= max_postings), "fhash").select(
         "asset_id", "fhash"

@@ -275,6 +275,128 @@ def pq_encode(
     return with_dists.select(*embs.columns, codes.alias("codes"))
 
 
+#: PQ encode-scheme version, encoded as a constant marker column named
+#: ``pq_v{PQ_SCHEME}`` in every materialized code index — the same
+#: loud-staleness design as ``dedup.BAND_SCHEME`` and
+#: ``textstats.WINNOW_SCHEME``: code VALUES depend on the codebook
+#: seeding + argmin tiebreak implementation, a stale index silently
+#: reconstructs the wrong centroids, and the column-NAME encoding
+#: makes the check pure schema.  The (m, k, seed, dim[, num_cells])
+#: tuple is the caller's part of the index identity (bake it into the
+#: table name); bump this whenever the encode changes produced codes.
+PQ_SCHEME = 1
+_PQ_MARKER = f"pq_v{PQ_SCHEME}"
+
+
+def _require_pq_marker(codes: DataFrame, need_cell: bool) -> None:
+    if _PQ_MARKER not in codes.columns:
+        stale = [c for c in codes.columns if c.startswith("pq_v")]
+        raise ValueError(
+            f"codes_table lacks marker column {_PQ_MARKER!r}"
+            + (f" (found stale scheme marker(s) {stale})" if stale else "")
+            + " — rebuild it with materialize_pq_index (PQ_SCHEME"
+            " changed, so persisted codes no longer match the"
+            " codebooks this engine reconstructs from)"
+        )
+    if need_cell and "cell" not in codes.columns:
+        raise ValueError(
+            "codes_table has no 'cell' column — it was materialized"
+            " without num_cells and cannot serve IVF-PQ probes;"
+            " rebuild with materialize_pq_index(..., num_cells=N)"
+        )
+
+
+def materialize_pq_index(
+    embs: DataFrame,
+    table: str,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 11,
+    dim: int = 64,
+    num_cells: int | None = None,
+    n_buckets: int = 32,
+) -> None:
+    """Materialize the corpus's PQ codes as a managed table — the
+    100 TB amortization for :func:`topk_pq` / :func:`topk_ivfpq`,
+    exactly parallel to ``dedup.materialize_band_index`` and
+    ``textstats.materialize_fp_index``: read full vectors ONCE at
+    build time, then every query scans (vec_id, label, codes[, cell])
+    — m small ints per row instead of dim floats.  With ``num_cells``
+    the IVF coarse cell is stored too and the table is bucketed on
+    ``cell``, so an IVF-PQ probe prunes to nprobe buckets with no
+    shuffle and no assignment recompute; without it the table serves
+    :func:`topk_pq` full-corpus ADC scans (bucketed on vec_id only
+    for even file sizes).  Append new batches' codes after ingest to
+    keep the index current; an encode-scheme upgrade requires a
+    REBUILD, enforced by the marker column (see ``PQ_SCHEME``)."""
+    from .layout import write_bucketed
+
+    coded = pq_encode(embs, m, k, seed, dim)
+    cols = ["vec_id", "label", "codes"]
+    if num_cells is not None:
+        cents = _centroids(dim, num_cells)
+        coded = coded.withColumn(
+            "cell", _nearest_centroid(F.col("embedding"), cents)
+        )
+        cols.append("cell")
+        bucket_cols = ["cell"]
+    else:
+        bucket_cols = ["vec_id"]
+    write_bucketed(
+        coded.select(*cols).withColumn(_PQ_MARKER, F.lit(True)),
+        table,
+        bucket_cols,
+        n_buckets=n_buckets,
+    )
+
+
+def _pq_recon(cbs: list[list[list[float]]]) -> Column:
+    """Quantized reconstruction: concatenation of each subspace's
+    centroid selected by ``codes`` — element_at over literal codebook
+    arrays (narrow codegen; codes are the only per-row state)."""
+    return F.flatten(
+        F.array(
+            *[
+                F.element_at(
+                    F.array(
+                        *[F.array(*[F.lit(float(x)) for x in c]) for c in cbs[mi]]
+                    ),
+                    F.element_at(F.col("codes"), mi + 1) + 1,
+                )
+                for mi in range(len(cbs))
+            ]
+        )
+    )
+
+
+def _adc_topk(
+    coded: DataFrame,
+    qrow: DataFrame,
+    query_id: int,
+    cbs,
+    topk: int,
+    pre_filter: Column | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over a coded corpus: cosine between
+    the EXACT broadcast query vector and each row's quantized
+    reconstruction, selected by TakeOrderedAndProject.  The cosine is
+    materialized ONCE between projections — rounding it twice inline
+    would re-evaluate the 64-element fold.  ``pre_filter`` (e.g. the
+    IVF probe-cell membership, which references ``qv``) is applied
+    right after the broadcast join, before any reconstruction."""
+    joined = coded.crossJoin(F.broadcast(qrow))
+    if pre_filter is not None:
+        joined = joined.filter(pre_filter)
+    scored = joined.filter(F.col("vec_id") != query_id).select(
+        "vec_id", "label", cosine(_pq_recon(cbs), F.col("qv")).alias("__c")
+    )
+    return (
+        scored.orderBy(F.round(F.col("__c"), 6).desc(), F.col("vec_id"))
+        .limit(topk)
+        .select("vec_id", "label", F.round(F.col("__c"), 4).alias("cos4"))
+    )
+
+
 def topk_ivfpq(
     embs: DataFrame,
     query_id: int,
@@ -285,17 +407,23 @@ def topk_ivfpq(
     k: int = 16,
     seed: int = 11,
     dim: int = 64,
+    codes_table: str | None = None,
 ) -> DataFrame:
     """IVF-PQ — the standard billion-scale ANN pipeline (FAISS's
     workhorse index): the IVF coarse quantizer prunes the corpus to
     ``nprobe`` cells, then PQ asymmetric distance ranks ONLY the
-    surviving codes.  At 100 TB the scan touches cell ids + m-byte
-    codes for ~nprobe/num_cells of the corpus; full vectors are read
-    once at encode time, never at query time.  Composition of
-    :func:`topk_ivf`'s probe filter and :func:`topk_pq`'s ADC
-    ranking — both replayed exactly by the SQL oracle."""
+    surviving codes.  With ``codes_table`` (built by
+    :func:`materialize_pq_index` with the same (m, k, seed, dim,
+    num_cells)) the query scans the cell-bucketed code index only —
+    cell ids + m-byte codes, full vectors touched for exactly one row
+    (the query's own) — which at 100 TB is the whole point: encode
+    once at ingest, never re-read vectors at query time.  Without it,
+    cells + codes are computed inline from ``embs`` (prototyping
+    path; reads full vectors of the pruned nprobe/num_cells
+    fraction).  Composition of :func:`topk_ivf`'s probe filter and
+    :func:`topk_pq`'s ADC ranking — both replayed exactly by the SQL
+    oracle; the index path is locked ≡ inline by pytest."""
     cents = _centroids(dim, num_cells)
-    cells = embs.withColumn("cell", _nearest_centroid(F.col("embedding"), cents))
     qrow = (
         embs.filter(F.col("vec_id") == query_id)
         .select(F.col("embedding").alias("qv"))
@@ -311,34 +439,21 @@ def topk_ivfpq(
         )
     )
     probe_cells = F.slice(F.transform(ranked, lambda x: x["i"]), 1, nprobe)
+    cbs = _pq_codebooks(dim, m, k, seed)
+    probe_filter = F.array_contains(probe_cells, F.col("cell"))
+    if codes_table is not None:
+        codes = embs.sparkSession.table(codes_table)
+        _require_pq_marker(codes, need_cell=True)
+        coded = codes.select("vec_id", "label", "codes", "cell")
+        return _adc_topk(coded, qrow, query_id, cbs, topk, pre_filter=probe_filter)
+    cells = embs.withColumn("cell", _nearest_centroid(F.col("embedding"), cents))
     pruned = (
         cells.crossJoin(F.broadcast(qrow))
         .filter(F.col("vec_id") != query_id)
-        .filter(F.array_contains(probe_cells, F.col("cell")))
+        .filter(probe_filter)
     )
-    coded = pq_encode(pruned, m, k, seed, dim)
-    cbs = _pq_codebooks(dim, m, k, seed)
-    recon = F.flatten(
-        F.array(
-            *[
-                F.element_at(
-                    F.array(
-                        *[F.array(*[F.lit(float(x)) for x in c]) for c in cbs[mi]]
-                    ),
-                    F.element_at(F.col("codes"), mi + 1) + 1,
-                )
-                for mi in range(m)
-            ]
-        )
-    )
-    scored = coded.select(
-        "vec_id", "label", cosine(recon, F.col("qv")).alias("__c")
-    )
-    return (
-        scored.orderBy(F.round(F.col("__c"), 6).desc(), F.col("vec_id"))
-        .limit(topk)
-        .select("vec_id", "label", F.round(F.col("__c"), 4).alias("cos4"))
-    )
+    coded = pq_encode(pruned, m, k, seed, dim).drop("qv")
+    return _adc_topk(coded, qrow, query_id, cbs, topk)
 
 
 def topk_pq(
@@ -349,51 +464,31 @@ def topk_pq(
     k: int = 16,
     seed: int = 11,
     dim: int = 64,
+    codes_table: str | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k: the corpus is ranked by the
     cosine between the EXACT query vector and each row's quantized
     reconstruction (concatenated codebook centroids) — the classic
     ADC search.  Reconstruction is an element_at over literal
-    codebook arrays (narrow codegen; codes are the only per-row
-    state), the query row broadcasts, and selection is
-    TakeOrderedAndProject.  At 100 TB this scans CODES, not vectors —
-    m ints per row — which is the entire point of PQ; compose with
-    the IVF cell pruning for the standard IVF-PQ pipeline.
-    Returns (vec_id, label, cos4, with cos4 = quantized-recon cosine)."""
+    codebook arrays, the query row broadcasts, and selection is
+    TakeOrderedAndProject.  With ``codes_table`` (built by
+    :func:`materialize_pq_index` with the same (m, k, seed, dim))
+    the corpus side scans CODES ONLY — m ints per row, no
+    ``embedding`` column in the scan schema, the entire point of PQ
+    at 100 TB; the one full-vector read is the broadcast query row.
+    Without it, codes are computed inline from ``embs`` (prototyping
+    path).  Returns (vec_id, label, cos4 = quantized-recon cosine)."""
     cbs = _pq_codebooks(dim, m, k, seed)
-    sub_d = dim // m
-    coded = pq_encode(embs, m, k, seed, dim)
-    recon = F.flatten(
-        F.array(
-            *[
-                F.element_at(
-                    F.array(
-                        *[
-                            F.array(*[F.lit(float(x)) for x in c])
-                            for c in cbs[mi]
-                        ]
-                    ),
-                    F.element_at(F.col("codes"), mi + 1) + 1,
-                )
-                for mi in range(m)
-            ]
-        )
-    )
     qrow = embs.filter(F.col("vec_id") == query_id).select(
         F.col("embedding").alias("qv")
     ).limit(1)
-    # materialize the reconstruction cosine ONCE between projections —
-    # rounding it twice inline would re-evaluate the 64-element fold
-    scored = (
-        coded.crossJoin(F.broadcast(qrow))
-        .filter(F.col("vec_id") != query_id)
-        .select("vec_id", "label", cosine(recon, F.col("qv")).alias("__c"))
-    )
-    return (
-        scored.orderBy(F.round(F.col("__c"), 6).desc(), F.col("vec_id"))
-        .limit(topk)
-        .select("vec_id", "label", F.round(F.col("__c"), 4).alias("cos4"))
-    )
+    if codes_table is not None:
+        codes = embs.sparkSession.table(codes_table)
+        _require_pq_marker(codes, need_cell=False)
+        coded = codes.select("vec_id", "label", "codes")
+    else:
+        coded = pq_encode(embs, m, k, seed, dim)
+    return _adc_topk(coded, qrow, query_id, cbs, topk)
 
 
 def topk_batch(

@@ -220,6 +220,60 @@ def test_pq_encode_paths_equivalent_and_adc_overlaps(embs):
     assert mean_pq > mean_all + 0.05
 
 
+def test_pq_code_index_equivalent_and_scans_codes_only(spark, embs):
+    """The materialized code index returns EXACTLY the inline result
+    for both topk_pq and topk_ivfpq, and the index-path plan never
+    reads the ``embedding`` column outside the single broadcast
+    query-row lookup — the 100 TB contract: codes only at query time."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import similarity
+
+    from tests.test_layout import _drop_table
+
+    _drop_table(spark, "t_pq_idx", "t_pqcell_idx", "t_pq_stale")
+    similarity.materialize_pq_index(embs, "t_pq_idx")
+    similarity.materialize_pq_index(embs, "t_pqcell_idx", num_cells=16)
+
+    rows = lambda df: [tuple(r) for r in df.collect()]
+    assert rows(similarity.topk_pq(embs, 0, 10, codes_table="t_pq_idx")) == rows(
+        similarity.topk_pq(embs, 0, 10)
+    )
+    assert rows(
+        similarity.topk_ivfpq(embs, 0, 10, codes_table="t_pqcell_idx")
+    ) == rows(similarity.topk_ivfpq(embs, 0, 10))
+
+    # plan contract: the only scan touching `embedding` is the
+    # query-row lookup (filter vec_id = q pushed to that scan); the
+    # index-table scan reads codes, never vectors
+    for df in (
+        similarity.topk_pq(embs, 0, 10, codes_table="t_pq_idx"),
+        similarity.topk_ivfpq(embs, 0, 10, codes_table="t_pqcell_idx"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        emb_scans = [
+            l for l in plan.splitlines() if "Scan" in l and "embedding" in l
+        ]
+        assert len(emb_scans) == 1, plan
+        assert "vec_id" in emb_scans[0]  # the pushed query-row filter scan
+        idx_scans = [
+            l for l in plan.splitlines() if "t_pq" in l and "Scan" in l
+        ]
+        assert idx_scans and all("embedding" not in l for l in idx_scans)
+
+    # loud staleness: wrong scheme marker / missing cell column refuse
+    bad = spark.table("t_pq_idx").withColumnRenamed(
+        similarity._PQ_MARKER, "pq_v0"
+    )
+    bad.write.mode("overwrite").saveAsTable("t_pq_stale")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rebuild"):
+        similarity.topk_pq(embs, 0, 10, codes_table="t_pq_stale").collect()
+    with _pytest.raises(ValueError, match="cell"):
+        similarity.topk_ivfpq(embs, 0, 10, codes_table="t_pq_idx").collect()
+
+
 def test_multimodal_features(db, docs):
     from htsql_spark.operators import multimodal
 

@@ -361,3 +361,102 @@ def test_semantic_dedup_cell_keyed_gemm(db):
     assert "CartesianProduct" not in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+# ----------------------------------------------------------------------
+# plan-shape locks for the round-8 gate rotation (the 8 ops that only
+# ever had pytest-oracle coverage) — shapes graded for 100 TB
+# ----------------------------------------------------------------------
+def test_zscore_single_window(db):
+    """group_zscore: both moments AND the normalized value come from
+    ONE Window node over ONE group-key exchange — not one shuffle per
+    moment."""
+    from htsql_spark.operators import olap
+
+    df = olap.group_zscore(
+        db.table("documents"), "n_chars", ["lang"], id_cols=["doc_id"]
+    )
+    plan = physical(df)
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Join") == 0, plan
+
+
+def test_table_stats_single_pass(db):
+    """table_stats: every column's count/null/ndv/min/max folds into
+    ONE scan (multi-distinct Expand allowed), no joins, no per-column
+    re-reads."""
+    from htsql_spark.operators import olap
+
+    plan = physical(olap.table_stats(db.table("orders")))
+    assert plan.count("Scan ") == 1, plan
+    assert plan.count("Join") == 0, plan
+
+
+def test_bootstrap_ci_single_scan(db):
+    """Poisson bootstrap: all replicas fan out from ONE scan via one
+    Generate (explode) into a map-side-combined per-replica aggregate;
+    nothing scales with corpus size except that scan."""
+    from htsql_spark.operators import pipeline
+
+    plan = physical(pipeline.bootstrap_ci(db.table("documents"), "n_chars"))
+    assert plan.count("Scan ") == 1, plan
+    assert plan.count("Join") == 0, plan
+    assert plan.count("Generate") == 1, plan
+
+
+def test_triangles_pinned_edges_no_nested_loop(spark):
+    """triangle_count pins the normalized and oriented edge lists, so
+    the caller's edge-derivation subtree is scanned once, not once per
+    reference (was 60 scans / 53 joins on the gate query), and every
+    join is an equi-join."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    df = entry.queries()["op_triangles"](spark, SF_DIR)
+    plan = physical(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert plan.count("Scan ") <= 4, plan
+    assert plan.count("Join") <= 3, plan
+
+
+def test_audio_dedup_arrow_only_single_decode(db):
+    """audio_dup_pairs: WAV decode is Arrow mapInPandas (never
+    row-at-a-time Python), and the pinned (id, fp) table means the
+    pair self-join does NOT re-decode each side."""
+    from htsql_spark.operators import multimodal
+
+    assets = multimodal.audio_assets_from_documents(db.table("documents"))
+    plan = physical(multimodal.audio_dup_pairs(assets))
+    assert "BatchEvalPython" not in plan, plan
+    # the decode subtree is behind the checkpoint pin: the visible
+    # plan joins two scans of the pinned rdd, no MapInPandas re-run
+    assert plan.count("MapInPandas") <= 1, plan
+
+
+def test_ivfpq_index_path_scans_codes_only(spark):
+    """The op_ann_ivfpq gate query (materialized code index): the only
+    scan touching `embedding` is the broadcast query-row lookup; the
+    corpus side reads the cell-bucketed codes table."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    df = entry.queries()["op_ann_ivfpq"](spark, SF_DIR)
+    plan = physical(df)
+    emb_scans = [l for l in plan.splitlines() if "Scan" in l and "embedding" in l]
+    assert len(emb_scans) == 1, plan
+    assert "pq_codes_gate" in plan, plan
+
+
+def test_stream_anomaly_state_is_fixed_width(spark):
+    """streaming anomaly state: three fixed-width numeric fields
+    (n, s, ss) — O(1) bytes per key, no lists/strings that could grow
+    with stream length (the state-store boundedness contract)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from htsql_spark.streaming import events as ev
+
+    st = _parse_datatype_string(ev._ANOM_STATE)
+    assert len(st.fields) == 3
+    assert {f.dataType.typeName() for f in st.fields} <= {"long", "double"}

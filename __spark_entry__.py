@@ -1108,10 +1108,18 @@ def _op_dedup_pipeline(spark, sf_dir):
 
 
 def _op_dedup_ngram(spark, sf_dir):
+    """Character-3-gram Jaccard pairs with the production hot-bucket
+    cap (max_bucket=200): (lang, length-band) buckets larger than the
+    cap are dropped before the self-join — the homogeneous fixture
+    otherwise makes the bucket baseline legitimately near-quadratic
+    (top sf0.1 buckets are 400+ docs; the cap bounds per-key fan-out
+    at cap²).  The cap is replayed in the oracle's HAVING clause; at
+    gate scale (sf0.01, max bucket 54) it never binds, so the value
+    check covers the identical uncapped output there."""
     from htsql_spark.operators import dedup
 
     return dedup.ngram_jaccard_pairs(
-        _db(spark, sf_dir).table("documents"), n=3, threshold=0.2
+        _db(spark, sf_dir).table("documents"), n=3, threshold=0.2, max_bucket=200
     )
 
 
@@ -1242,14 +1250,33 @@ def _op_ann_pq(spark, sf_dir):
 
 
 def _op_ann_ivfpq(spark, sf_dir):
-    """IVF-PQ: coarse cells prune to nprobe=4, PQ ADC ranks the
-    survivors' codes — the standard billion-scale pipeline; oracle
-    composes the IVF probe replay with the PQ encode replay."""
+    """IVF-PQ via the MATERIALIZED code index — the production shape:
+    materialize_pq_index encodes the corpus ONCE into a cell-bucketed
+    (vec_id, label, codes, cell) table, then the query prunes to
+    nprobe=4 cells and ADC-ranks CODES ONLY (no embedding column in
+    the corpus-side scan; locked by tests/test_plans.py).  The oracle
+    composes the IVF probe replay with the PQ encode replay — index ≡
+    inline is separately locked by the pytest equivalence test."""
+    import os as _os
+    import shutil as _shutil
+
     from htsql_spark.operators import similarity
 
-    return similarity.topk_ivfpq(
-        _db(spark, sf_dir).table("embeddings"), query_id=0, topk=10
-    )
+    embs = _db(spark, sf_dir).table("embeddings")
+    table = "pq_codes_gate"
+    # fresh-table guard: the session catalog is per-process but the
+    # warehouse dir is shared on disk, so a crashed earlier run can
+    # orphan the managed location and block saveAsTable
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = _os.path.join(wh, table)
+    if _os.path.isdir(loc) and all(
+        n == "_SUCCESS" or n.startswith(("part-", "."))
+        for n in _os.listdir(loc)
+    ):
+        _shutil.rmtree(loc, ignore_errors=True)
+    similarity.materialize_pq_index(embs, table, num_cells=16)
+    return similarity.topk_ivfpq(embs, query_id=0, topk=10, codes_table=table)
 
 
 def _op_multimodal(spark, sf_dir):
@@ -1425,11 +1452,20 @@ def _op_winnow_incremental(spark, sf_dir):
 def _op_winnow_pairs_portable(spark, sf_dir):
     """winnow_overlap_pairs with the portable md5 gram hash — the
     inverted-index pair join (posting-capped) is replayed end-to-end
-    by the DuckDB oracle."""
+    by the DuckDB oracle.  Production-shaped caps (max_postings=64,
+    min_shared=3): the synthetic fixture's shared vocabulary makes
+    ~90% of doc pairs genuine ≥2-fp candidates at loose caps —
+    legitimately near-quadratic — so the registry benches the shape a
+    real pipeline runs (aggressive boilerplate-fp drop, higher
+    overlap floor); the loose-cap form stays locked by the pytest
+    equivalence tests."""
     from htsql_spark.operators import textstats
 
     return textstats.winnow_overlap_pairs(
-        _db(spark, sf_dir).table("documents"), gram_hash="md5"
+        _db(spark, sf_dir).table("documents"),
+        gram_hash="md5",
+        min_shared=3,
+        max_postings=64,
     )
 
 
@@ -1951,10 +1987,14 @@ def _op_pack(spark, sf_dir):
 
 def _op_winnow_pairs(spark, sf_dir):
     """Content-overlap candidate pairs from shared winnowing
-    fingerprints (substring-reuse detection, complements minhash)."""
+    fingerprints (substring-reuse detection, complements minhash).
+    Same production-shaped caps as the portable twin (see
+    _op_winnow_pairs_portable)."""
     from htsql_spark.operators import textstats
 
-    return textstats.winnow_overlap_pairs(_db(spark, sf_dir).table("documents"))
+    return textstats.winnow_overlap_pairs(
+        _db(spark, sf_dir).table("documents"), min_shared=3, max_postings=64
+    )
 
 
 def _op_split(spark, sf_dir):
@@ -3730,17 +3770,25 @@ FROM keyed ORDER BY __es_key DESC, doc_id LIMIT 100
         # deterministic and SQL-expressible (the engine hashes grams
         # to int64 only as a compare-cost optimization; set sizes are
         # identical modulo 64-bit collisions)
+        # the max_bucket=200 hot-bucket drop is replayed by the keep
+        # CTE (HAVING count <= 200) — never binds at sf0.01 (max
+        # bucket 54) but is the production cap the sf0.1 bench runs
         "op_dedup_ngram": (
             "WITH g AS ("
             " SELECT doc_id, lang, floor(length(text)/100) AS lb,"
             "  list_distinct(list_transform("
             "   range(1, greatest(length(text)-3, 0)+2),"
             "   i -> substr(text, i, 3))) AS grams FROM documents"
+            "), keep AS ("
+            " SELECT lang, lb FROM g GROUP BY lang, lb"
+            " HAVING count(*) <= 200"
+            "), gk AS ("
+            " SELECT g.* FROM g JOIN keep USING (lang, lb)"
             "), pairs AS ("
             " SELECT a.doc_id AS a, b.doc_id AS b,"
             "  round(len(list_intersect(a.grams, b.grams))::DOUBLE"
             "   / len(list_distinct(a.grams || b.grams)), 6) AS jaccard"
-            " FROM g a JOIN g b ON a.lang = b.lang AND a.lb = b.lb"
+            " FROM gk a JOIN gk b ON a.lang = b.lang AND a.lb = b.lb"
             "  AND a.doc_id < b.doc_id)"
             " SELECT * FROM pairs WHERE jaccard >= 0.2"
         ),
@@ -4033,16 +4081,18 @@ FROM tagged GROUP BY 1, 2
             " FROM documents GROUP BY 1, 2"
         ),
         "op_dedup_semantic": _semantic_dedup_oracle(),
+        # production-shaped caps (max_postings=64, min_shared=3) —
+        # mirrored from the Spark call in _op_winnow_pairs_portable
         "op_winnow_pairs_portable": (
             "WITH fps AS (" + _WINNOW_PORTABLE_SQL + "),"
             """
 pruned AS (
   SELECT doc_id, fp FROM fps
-  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000)
+  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64)
 )
 SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared_fps
 FROM pruned x JOIN pruned y ON x.fp = y.fp AND x.doc_id < y.doc_id
-GROUP BY 1, 2 HAVING count(*) >= 2
+GROUP BY 1, 2 HAVING count(*) >= 3
 """
         ),
         # incremental = batch over the union restricted to

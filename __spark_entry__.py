@@ -1801,6 +1801,28 @@ def _op_gopher(spark, sf_dir):
     return textstats.gopher_rules(_db(spark, sf_dir).table("documents"))
 
 
+def _lang_gopher(spark, sf_dir):
+    """The gopher() FLOW METHOD routed through the query-language
+    parser: ``/documents.gopher(){…}`` — same values as op_gopher but
+    compiled from syntax via the FLOW_METHODS bridge (compile.py),
+    making the text-pipeline operators first-class language surface
+    (one language, not two APIs)."""
+    return _db(spark, sf_dir).df(
+        "/documents.gopher(){doc_id, gopher_n_words, gopher_mean_word_len,"
+        " gopher_symbol_ratio, gopher_bullet_frac, gopher_ellipsis_frac,"
+        " gopher_alpha_frac, gopher_stop_hits, gopher_passes}"
+    )
+
+
+def _lang_entropy(spark, sf_dir):
+    """entropy() flow method composed with a sieve through the
+    parser: ``/documents.entropy(){doc_id, entropy, ttr}?entropy>3``
+    — the appended signal is navigable by every downstream clause."""
+    return _db(spark, sf_dir).df(
+        "/documents.entropy(){doc_id, entropy, ttr}?entropy>3"
+    )
+
+
 def _op_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup: argmax-to-centroid cells (the
     seeded deterministic cells, so the oracle replays the assignment
@@ -2755,6 +2777,10 @@ _QUERIES.update(
         "op_video_dedup": _op_video_dedup,
         "op_video_dedup_avi": _op_video_dedup_avi,
         "op_frame_sample": _op_frame_sample,
+        # language-front-end bridge: pipeline operators as flow
+        # methods, compiled from query syntax (round 8)
+        "lang_gopher": _lang_gopher,
+        "lang_entropy": _lang_entropy,
     }
 )
 
@@ -2839,9 +2865,13 @@ _GATE_ORDER = [
     "op_dedup_incremental", "stream_curate", "stream_distinct",
     # re-verification: TPC-H composition shapes
     "tpch_q3", "tpch_q17", "tpch_q21",
+    # language-front-end bridge built this round (gopher() flow
+    # method through the parser) — new ops get a hard gate row;
+    # displaces op_grouping_sets (r6/r7 gate-green, olap.py untouched)
+    "lang_gopher",
     # re-verification: graph / OLAP / skew
     "op_pagerank",
-    "op_rollup", "op_grouping_sets", "op_skew_join",
+    "op_rollup", "op_skew_join",
 ]
 assert len(_GATE_ORDER) == 50 and len(set(_GATE_ORDER)) == 50
 _QUERIES = {k: _QUERIES[k] for k in _GATE_ORDER} | {
@@ -4590,6 +4620,26 @@ FROM t
     # the AVI twin shares op_video_dedup's planted-bit truth —
     # only the container encoding differs
     out["op_video_dedup_avi"] = out["op_video_dedup"]
+    # language-bridge rows reuse the operator oracles with the flow
+    # method's gopher_ attribute prefix / sieve applied on top
+    out["lang_gopher"] = (
+        "SELECT doc_id, "
+        + ", ".join(
+            f"{c} AS gopher_{c}"
+            for c in (
+                "n_words mean_word_len symbol_ratio bullet_frac"
+                " ellipsis_frac alpha_frac stop_hits passes"
+            ).split()
+        )
+        + " FROM ("
+        + out["op_gopher"]
+        + ")"
+    )
+    out["lang_entropy"] = (
+        "SELECT doc_id, entropy, ttr FROM ("
+        + out["op_entropy"]
+        + ") WHERE entropy > 3"
+    )
     # z-order key: the Morton interleave is pure bit arithmetic, so
     # the oracle is the SAME sum-of-shifted-bits expression spelled
     # in SQL (bit b of x -> output bit 2b, bit b of y -> 2b+1)

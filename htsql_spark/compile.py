@@ -293,6 +293,11 @@ class Compiler:
                 talias = self.ensure_singular_join(flow, alias, link)
                 return ScopeRef(flow, talias, self.engine.catalog[link.target], name)
             return self.spawn_plural(flow, alias, link)
+        # operator-appended attributes (gopher()/entropy() flow
+        # methods) — after physical columns and links, so schema names
+        # always win
+        if name in flow.extra:
+            return Scalar(F.col(flow.extra[name]), name)
         if flow.output:  # selection names stay in scope (e.g. sort(n-))
             for oname, ocol in flow.output:
                 if oname == name:
@@ -1349,11 +1354,102 @@ def _fm_define(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     return v
 
 
+def _fm_text_col(v: FlowV, method: str) -> str:
+    """The flow's physical text column, required by the text-pipeline
+    flow methods (documents-shaped flows)."""
+    flow = v.flow
+    if flow.table is None or "text" not in flow.table.columns:
+        raise CompileError(
+            f"{method}() requires a flow over a table with a 'text'"
+            " column (e.g. /documents)"
+        )
+    return flow.scope_col("text")
+
+
+def _fm_gopher(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """gopher() — append the Gopher quality-rule signals (Rae '21) as
+    navigable attributes ``gopher_n_words`` … ``gopher_passes``:
+    ``/documents.gopher()?gopher_passes{doc_id}`` is the language form
+    of operators.textstats.gopher_rules (zero shuffle, in-row)."""
+    if args:
+        raise CompileError("gopher() takes no arguments")
+    from .operators.textstats import append_gopher_signals
+
+    flow = v.flow
+    tcol = _fm_text_col(v, "gopher")
+    prefix = cc.engine.fresh("__gop") + "_"
+    flow.df, names = append_gopher_signals(flow.df, text_col=tcol, prefix=prefix)
+    for nm in names:
+        flow.extra["gopher_" + nm[len(prefix):]] = nm
+    return v
+
+
+def _fm_entropy(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """entropy() — append the lexical-diversity signals ``entropy`` /
+    ``ttr`` / ``n_types`` / ``n_words`` (operators.textstats.
+    token_entropy as a flow method; zero shuffle, one in-row fold)."""
+    if args:
+        raise CompileError("entropy() takes no arguments")
+    from .operators.textstats import append_entropy_signals
+
+    flow = v.flow
+    tcol = _fm_text_col(v, "entropy")
+    prefix = cc.engine.fresh("__ent") + "_"
+    flow.df, names = append_entropy_signals(flow.df, text_col=tcol, prefix=prefix)
+    for nm in names:
+        flow.extra[nm[len(prefix):]] = nm
+    return v
+
+
+def _fm_dedup_exact(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """dedup_exact([key]) — keep only the first (min key) document of
+    every exact-content fingerprint group: the language form of the
+    curation pipeline's exact-dedup stage.  The survivor key defaults
+    to the table's single-column primary key; pass an expression for
+    keyless mounts (``tweak.filedb``-style reflected catalogs have no
+    pk metadata).  ONE shuffle on the fingerprint (a min-over-Window,
+    no join); at 100 TB only the narrow (fp, key) pair drives the
+    exchange while every other column rides along the same
+    partitioning."""
+    if len(args) > 1:
+        raise CompileError("dedup_exact([key]) takes at most one argument")
+    from .operators.textstats import fingerprint
+
+    flow = v.flow
+    tcol = _fm_text_col(v, "dedup_exact")
+    scope = ScopeRef(flow, flow.alias, flow.table)
+    if args:
+        key = cc.scalar(ctx, scope, args[0]).col
+    else:
+        if not flow.table.pk or len(flow.table.pk) != 1:
+            raise CompileError(
+                "dedup_exact() needs a single-column primary key —"
+                " pass the survivor key explicitly, e.g."
+                " dedup_exact(doc_id)"
+            )
+        key = F.col(flow.scope_col(flow.table.pk[0]))
+    fpc = cc.engine.fresh("__fp")
+    keyc = cc.engine.fresh("__dk")
+    mnc = cc.engine.fresh("__mn")
+    w = Window.partitionBy(F.col(fpc))
+    flow.df = (
+        flow.df.withColumn(fpc, fingerprint(F.col(tcol)))
+        .withColumn(keyc, key)
+        .withColumn(mnc, F.min(F.col(keyc)).over(w))
+        .filter(F.col(keyc) == F.col(mnc))
+        .drop(fpc, keyc, mnc)
+    )
+    return v
+
+
 FLOW_METHODS = {
     "sort": _fm_sort,
     "limit": _fm_limit,
     "top": _fm_top,
     "define": _fm_define,
+    "gopher": _fm_gopher,
+    "entropy": _fm_entropy,
+    "dedup_exact": _fm_dedup_exact,
 }
 
 

@@ -61,6 +61,10 @@ class Flow:
         # (aggname, fkey, vpath, extra-repr) -> Scalar over a column
         # already joined into df (compile.batch_aggregates)
         self.agg_memo: dict[tuple, "Scalar"] = {}
+        # operator-appended attributes (the gopher()/entropy() flow
+        # methods): logical name -> df column name; resolved after
+        # physical columns and links so they can never shadow schema
+        self.extra: dict[str, str] = {}
         # memo of define()d names already evaluated to a Scalar on THIS
         # flow: (id(bound AST), scope alias, binding fingerprint) ->
         # Scalar.  An aggregate-valued define (rev := sum(...))
@@ -92,6 +96,7 @@ class Flow:
         # not leak across — fresh dict, shared Scalars
         f.agg_memo = dict(self.agg_memo)
         f.name_memo = dict(self.name_memo)
+        f.extra = dict(self.extra)
         return f
 
 

@@ -500,9 +500,24 @@ def token_entropy(
     :func:`_max_run` trick generalized to accumulate c·ln c), so the
     whole operator is one in-row projection: zero shuffles, nothing
     leaves the task, scan pruned to (id, text)."""
+    out, names = append_entropy_signals(
+        docs.select(F.col(id_col), F.col(text_col)), text_col
+    )
+    return out.select(id_col, *names)
+
+
+def append_entropy_signals(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> tuple[DataFrame, list[str]]:
+    """Append the :func:`token_entropy` signal columns
+    (``{prefix}n_words/n_types/ttr/entropy``) to ``df`` KEEPING every
+    existing column — the column-builder form the query-language
+    ``entropy()`` flow method composes onto an arbitrary flow (same
+    zero-shuffle, in-row plan).  Returns (df, appended names)."""
+    tw = "__ent_ws"
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    d = docs.select(F.col(id_col), F.array_sort(words).alias("__ws"))
-    n = F.size(F.col("__ws"))
+    d = df.withColumn(tw, F.array_sort(words))
+    n = F.size(F.col(tw))
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0.0).alias("run"),
@@ -520,22 +535,22 @@ def token_entropy(
 
     # finish: fold the final run, then H = ln(n) - acc/n
     sum_clnc = F.aggregate(
-        F.col("__ws"),
+        F.col(tw),
         init,
         step,
         lambda acc: acc["acc"] + acc["run"] * F.log(acc["run"]),
     )
-    return d.select(
-        F.col(id_col),
-        n.cast("long").alias("n_words"),
-        F.size(F.array_distinct(F.col("__ws"))).cast("long").alias("n_types"),
-        F.round(F.size(F.array_distinct(F.col("__ws"))) / n.cast("double"), 6).alias(
-            "ttr"
+    sig = {
+        f"{prefix}n_words": n.cast("long"),
+        f"{prefix}n_types": F.size(F.array_distinct(F.col(tw))).cast("long"),
+        f"{prefix}ttr": F.round(
+            F.size(F.array_distinct(F.col(tw))) / n.cast("double"), 6
         ),
-        F.round(F.log(n.cast("double")) - sum_clnc / n.cast("double"), 6).alias(
-            "entropy"
+        f"{prefix}entropy": F.round(
+            F.log(n.cast("double")) - sum_clnc / n.cast("double"), 6
         ),
-    )
+    }
+    return d.withColumns(sig).drop(tw), list(sig)
 
 
 def _max_run(sorted_arr: Column) -> Column:
@@ -594,11 +609,53 @@ def gopher_rules(
     (Reference parity anchor: the reference's filter-by-predicate
     pipelines, SURVEY §2 F4/S4; the rule constants are Gopher's.)
     """
+    out, names = append_gopher_signals(
+        docs.select(F.col(id_col), F.col(text_col)),
+        text_col,
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        max_bullet_frac=max_bullet_frac,
+        max_ellipsis_frac=max_ellipsis_frac,
+        min_alpha_frac=min_alpha_frac,
+        min_stop_hits=min_stop_hits,
+    )
+    return out.select(id_col, *names)
+
+
+def append_gopher_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    prefix: str = "",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> tuple[DataFrame, list[str]]:
+    """Append the :func:`gopher_rules` signal + verdict columns
+    (``{prefix}n_words/…/stop_hits/passes``) to ``df`` KEEPING every
+    existing column — the column-builder form the query-language
+    ``gopher()`` flow method composes onto an arbitrary flow.  The
+    word/line arrays are materialized into temp columns between
+    projections (the op_embed lesson: lambda bodies re-evaluate
+    inlined subtrees per use).  Returns (df, appended names)."""
     t = F.col(text_col)
-    words = F.split(F.trim(F.lower(t)), r"\s+")
-    lines = F.split(t, r"\n")
-    d = docs.select(F.col(id_col), t.alias("__t"), words.alias("__w"), lines.alias("__l"))
-    w, ln = F.col("__w"), F.col("__l")
+    tt, tw, tl = "__gop_t", "__gop_w", "__gop_l"
+    d = df.withColumns(
+        {
+            tt: t,
+            tw: F.split(F.trim(F.lower(t)), r"\s+"),
+            tl: F.split(t, r"\n"),
+        }
+    )
+    w, ln = F.col(tw), F.col(tl)
     n = F.size(w)
     nl = F.size(ln)
     mean_len = F.aggregate(
@@ -607,15 +664,15 @@ def gopher_rules(
     # '#' and '…'/'...' occurrences per word ('...' counted via the
     # non-overlapping replace-length trick, identical in DuckDB)
     symbols = (
-        F.length(F.col("__t"))
-        - F.length(F.regexp_replace(F.col("__t"), r"#", ""))
+        F.length(F.col(tt))
+        - F.length(F.regexp_replace(F.col(tt), r"#", ""))
         + (
-            F.length(F.col("__t"))
-            - F.length(F.regexp_replace(F.col("__t"), r"\.\.\.", ""))
+            F.length(F.col(tt))
+            - F.length(F.regexp_replace(F.col(tt), r"\.\.\.", ""))
         )
         / F.lit(3)
-        + F.length(F.col("__t"))
-        - F.length(F.regexp_replace(F.col("__t"), r"…", ""))
+        + F.length(F.col(tt))
+        - F.length(F.regexp_replace(F.col(tt), r"…", ""))
     )
     bullet_frac = F.size(
         F.filter(ln, lambda s: F.trim(s).rlike(r"^[-*•]"))
@@ -630,26 +687,29 @@ def gopher_rules(
     for sw in _GOPHER_STOPS:
         hit = F.array_contains(w, sw).cast("int")
         stop_hits = hit if stop_hits is None else stop_hits + hit
-    stats = d.select(
-        F.col(id_col),
-        n.cast("long").alias("n_words"),
-        F.round(mean_len, 4).alias("mean_word_len"),
-        F.round(symbols / n.cast("double"), 6).alias("symbol_ratio"),
-        F.round(bullet_frac, 6).alias("bullet_frac"),
-        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
-        F.round(alpha_frac, 6).alias("alpha_frac"),
-        stop_hits.cast("int").alias("stop_hits"),
-    )
+    sig = {
+        f"{prefix}n_words": n.cast("long"),
+        f"{prefix}mean_word_len": F.round(mean_len, 4),
+        f"{prefix}symbol_ratio": F.round(symbols / n.cast("double"), 6),
+        f"{prefix}bullet_frac": F.round(bullet_frac, 6),
+        f"{prefix}ellipsis_frac": F.round(ellipsis_frac, 6),
+        f"{prefix}alpha_frac": F.round(alpha_frac, 6),
+        f"{prefix}stop_hits": stop_hits.cast("int"),
+    }
+    d = d.withColumns(sig)
     passes = (
-        F.col("n_words").between(min_words, max_words)
-        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
-        & (F.col("symbol_ratio") <= max_symbol_ratio)
-        & (F.col("bullet_frac") < max_bullet_frac)
-        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
-        & (F.col("alpha_frac") >= min_alpha_frac)
-        & (F.col("stop_hits") >= min_stop_hits)
+        F.col(f"{prefix}n_words").between(min_words, max_words)
+        & F.col(f"{prefix}mean_word_len").between(
+            min_mean_word_len, max_mean_word_len
+        )
+        & (F.col(f"{prefix}symbol_ratio") <= max_symbol_ratio)
+        & (F.col(f"{prefix}bullet_frac") < max_bullet_frac)
+        & (F.col(f"{prefix}ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col(f"{prefix}alpha_frac") >= min_alpha_frac)
+        & (F.col(f"{prefix}stop_hits") >= min_stop_hits)
     )
-    return stats.withColumn("passes", passes)
+    d = d.withColumn(f"{prefix}passes", passes).drop(tt, tw, tl)
+    return d, list(sig) + [f"{prefix}passes"]
 
 
 def text_stats(docs: DataFrame) -> DataFrame:

@@ -196,3 +196,64 @@ def test_textstat_scalars_in_language(db):
 
     with _pytest.raises(CompileError):
         db.df("/documents{quality(text, 2)}")
+
+
+def test_flow_method_dedup_exact_planted_clones(spark, tmp_path):
+    """dedup_exact(key) through the parser over a keyless reflected
+    mount: exact AND whitespace/case-normalized clones collapse to
+    the min-key survivor; omitting the key on a pk-less mount is a
+    loud compile error, not a wrong answer."""
+    from htsql_spark import HTSQL
+    from htsql_spark.catalog import Catalog
+    from htsql_spark.ir import CompileError
+
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta gamma"),  # exact clone of 0
+        (2, "something else entirely"),
+        (3, "  Alpha   BETA gamma  "),  # normalized clone of 0
+        (4, "alpha beta gamma delta"),  # superstring, NOT a clone
+    ]
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        str(tmp_path / "docs.parquet")
+    )
+    db2 = HTSQL(spark, str(tmp_path), catalog=Catalog.from_files(str(tmp_path)))
+    got = sorted(
+        r["doc_id"] for r in db2.produce("/docs.dedup_exact(doc_id){doc_id}")
+    )
+    assert got == [0, 2, 4]
+    with pytest.raises(CompileError, match="survivor key"):
+        db2.produce("/docs.dedup_exact(){doc_id}")
+
+
+def test_flow_method_signals_compose_with_aggregates(db, duck):
+    """Appended gopher()/entropy() attributes participate in
+    quotients/aggregates like physical columns."""
+    got = {
+        (r["lang"], r["n"], r["avg_e"])
+        for r in db.produce(
+            "/documents.entropy()^{lang := lang}"
+            "{lang, n := count(^), avg_e := round(avg(^.entropy), 4)}"
+        )
+    }
+    exp = {
+        tuple(r)
+        for r in duck.execute(
+            """
+            WITH base AS (
+              SELECT doc_id, lang,
+                string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+              FROM documents),
+            toks AS (SELECT doc_id, lang, unnest(w) AS term FROM base),
+            cnt AS (SELECT doc_id, lang, term, count(*) AS c FROM toks GROUP BY 1,2,3),
+            ent AS (SELECT doc_id, lang,
+                round(ln(sum(c)) - sum(c*ln(c))/sum(c), 6) AS entropy
+              FROM cnt GROUP BY 1,2)
+            SELECT lang, count(*) AS n, round(avg(entropy), 4) AS avg_e
+            FROM ent GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == exp

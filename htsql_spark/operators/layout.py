@@ -21,6 +21,7 @@ high-cardinality ones.  Two helpers:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -118,14 +119,25 @@ def compact_bucketed_table(spark, table: str, extra_locks: list[str] | None = No
     # rename moves the directory, so the backup's location carries
     # the __precompact suffix — strip it to lock the same canonical
     # path the live compaction holds.
-    if spark.catalog.tableExists(table):
-        lock_loc = _describe(table)["Location"]
-    elif spark.catalog.tableExists(backup):
-        lock_loc = _describe(backup)["Location"]
-        if lock_loc.rstrip("/").endswith("__precompact"):
-            lock_loc = lock_loc.rstrip("/")[: -len("__precompact")]
-    else:
+    def _resolve_lock_loc() -> str:
+        if spark.catalog.tableExists(table):
+            return _describe(table)["Location"]
+        if spark.catalog.tableExists(backup):
+            loc = _describe(backup)["Location"]
+            if loc.rstrip("/").endswith("__precompact"):
+                loc = loc.rstrip("/")[: -len("__precompact")]
+            return loc
         raise ValueError(f"compact_bucketed_table: no table {table!r}")
+
+    try:
+        lock_loc = _resolve_lock_loc()
+    except AnalysisException:
+        # TOCTOU: a concurrent compaction's swap renamed the table
+        # between tableExists() and DESCRIBE.  The rename pair keeps
+        # table-or-backup present at every instant, so one
+        # re-resolution lands on whichever name now exists instead of
+        # surfacing the raw AnalysisException.
+        lock_loc = _resolve_lock_loc()
     locks = [lock_loc] + list(extra_locks or [])
     taken: list[str] = []
     try:

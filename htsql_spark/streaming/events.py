@@ -277,8 +277,12 @@ def _anomaly_fn_factory(z_threshold: float, min_n: int):
         # split across multiple Arrow chunks (~10k rows each) in
         # arbitrary order; the documented (ts, event_id) processing
         # order only holds if we materialize ALL chunks and sort ONCE.
-        # A group's micro-batch slice is bounded by the micro-batch
-        # size, so the concat is memory-safe.
+        # Memory contract: the concat holds ONE KEY's micro-batch
+        # slice — under total key skew that is the whole micro-batch
+        # on one executor, so micro-batch sizing (maxFilesPerTrigger /
+        # maxOffsetsPerTrigger source rate limits) is this operator's
+        # memory control, not an internal cap (a cap would silently
+        # break the ordering guarantee the r7 fix established).
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             whole = (

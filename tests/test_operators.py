@@ -104,10 +104,10 @@ def test_ngram_jaccard_bucket_cap(docs, docs_with_clones):
     assert all((i, i + 200000) in got for i in ids)
     # the pruning aggregation is in the plan (bounded bucket fan-out
     # is enforced before the join, not left to AQE) — inspected on the
-    # pre-checkpoint scoring plan, since the public function inserts a
-    # localCheckpoint barrier whose lineage is a bare LogicalRDD
-    scored = dedup._ngram_scored_pairs(docs_with_clones)
-    plan = scored._jdf.queryExecution().optimizedPlan().toString()
+    # pre-pin prune subtree, since _ngram_scored_pairs checkpoints the
+    # pruned gram table (lineage past the pin is a bare LogicalRDD)
+    pruned = dedup._ngram_pruned(docs_with_clones)
+    plan = pruned._jdf.queryExecution().optimizedPlan().toString()
     assert "__n" in plan
 
 

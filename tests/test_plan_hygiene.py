@@ -167,3 +167,67 @@ def test_no_rowwise_python_udf(plans, name):
 @pytest.mark.parametrize("name", [n for n in BATCH if n not in CACHE_OK])
 def test_no_hidden_caching(plans, name):
     assert "InMemoryRelation" not in plans[name], f"{name}: hidden cache"
+
+
+#: per-source scan budget: a DataFrame referenced N times re-expands
+#: its upstream subtree N times in the plan, and at 100 TB every
+#: repeated scan is a full corpus pass (the round-8 triangle_count
+#: lesson: 60 scans -> 3 after pinning the narrow edge list with
+#: localCheckpoint).  Default budget is 3 scans of any one source;
+#: the exceptions below are deliberate, each with its reason — when
+#: adding one, say WHY the extra scans don't multiply corpus cost.
+SCAN_BUDGET = {
+    # heavy-hitter detection (2 passes) + hot/cold split of big AND
+    # small sides over one explode leg — documented multi-pass shape;
+    # the passes are over the fact table once each, not per-key
+    "op_skew_join": 18,
+    # the LSH candidate table is cache()d (CACHE_OK): the plan TEXT
+    # repeats its lineage but runtime hits the cache; verify joins
+    # re-shingle only the semi-join-pruned candidate slice
+    "op_dedup_minhash": 12,
+    "op_dedup_pipeline": 12,
+    # synthetic gate fixture derives the change batch from orders
+    # itself (5 change legs + snapshot + key-set); production
+    # apply_cdc takes an external batch = 2 scans
+    "op_cdc_upsert": 11,
+    # LSH bucket pairs + per-side exact-cosine verify joins; vectors
+    # are the join payload, the bucket table is ids-only
+    "op_dedup_embedding": 8,
+    # fork()/partsupp re-derivation — the query's own semantics
+    # reference supplier through independent paths
+    "tpch_q11": 8,
+    # candidate cache as op_dedup_minhash; incremental adds the
+    # planted-batch union legs
+    "op_dedup_incremental": 8,
+    "op_contamination_near": 8,
+    # bloom build (small side) + probe (big side) + planted-overlap
+    # union legs in the gate fixture
+    "op_bloom_ngram": 6,
+    "op_contamination_ngram": 6,
+    # broadcast single-row corpus-size aggregate + n-gram legs
+    "op_bigram_lm": 5,
+    # multi-path dimension references (query semantics)
+    "tpch_q2": 4,
+    "op_edit_dedup": 4,
+    "op_contamination": 4,
+    "op_corpus_diff": 4,
+}
+
+
+@pytest.mark.parametrize("name", BATCH)
+def test_scan_budget(plans, name):
+    import collections
+    import re
+
+    tables = re.findall(r"(\w+)\.parquet", plans[name])
+    if not tables:
+        return
+    src, cnt = collections.Counter(tables).most_common(1)[0]
+    budget = SCAN_BUDGET.get(name, 3)
+    assert cnt <= budget, (
+        f"{name}: scans {src!r} {cnt}x (budget {budget}) — a"
+        " re-referenced DataFrame re-expands its upstream subtree per"
+        " reference; pin the narrow intermediate with"
+        " localCheckpoint(eager=False) (see operators/analytics.py"
+        " triangle_count) or add a justified SCAN_BUDGET entry"
+    )

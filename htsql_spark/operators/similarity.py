@@ -150,18 +150,15 @@ def topk_ivf(
     qrow = cells.filter(F.col("vec_id") == query_id).select(
         F.col("embedding").alias("qv")
     ).limit(1)
-    # probe cells: nprobe best centroids for the query vector
     joined = cells.crossJoin(F.broadcast(qrow)).filter(F.col("vec_id") != query_id)
-    scores = [
-        (i, _dot(F.col("qv"), F.array(*[F.lit(float(x)) for x in c])))
-        for i, c in enumerate(cents)
-    ]
-    # rank centroid ids by score via sort of (score, id) structs
-    ranked = F.reverse(
-        F.array_sort(F.array(*[F.struct(s.alias("s"), F.lit(i).alias("i")) for i, s in scores]))
+    # probe cells: nprobe best centroids for the query, as a LITERAL
+    # isin predicate (driver-side ranking of the one collected query
+    # vector — see _probe_cells for why the expression form hurts)
+    probes = _probe_cells(embs, query_id, cents, nprobe)
+    probe_filter = (
+        F.col("cell").isin([int(i) for i in probes]) if probes else F.lit(False)
     )
-    probe_cells = F.slice(F.transform(ranked, lambda x: x["i"]), 1, nprobe)
-    scored = joined.filter(F.array_contains(probe_cells, F.col("cell"))).select(
+    scored = joined.filter(probe_filter).select(
         F.col("vec_id"),
         F.col("label"),
         F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos"),
@@ -397,6 +394,35 @@ def _adc_topk(
     )
 
 
+def _probe_cells(
+    embs: DataFrame, query_id: int, cents: list[list[float]], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` nearest coarse cells by query·centroid dot,
+    computed DRIVER-SIDE from the one collected query vector (a
+    boundary-sized collect, same policy as the k-means / PQ codebook
+    fits): the probe set becomes a LITERAL ``isin`` predicate, so the
+    cell-bucketed code index can prune buckets/files at planning time
+    and no per-row centroid ranking runs on the corpus side (the
+    previous expression form re-sorted a num_cells struct array for
+    EVERY scanned row, and a non-literal predicate defeats partition
+    pruning).  Tie order matches the SQL oracle: score desc, cell id
+    desc — and the fold order of the dot product is the sequential
+    zip order on both sides, so the doubles agree bit-for-bit."""
+    row = (
+        embs.filter(F.col("vec_id") == query_id)
+        .select("embedding")
+        .limit(1)
+        .collect()
+    )
+    if not row:
+        return []
+    qv = [float(x) for x in row[0][0]]
+    scores = [
+        (sum(a * b for a, b in zip(qv, c)), i) for i, c in enumerate(cents)
+    ]
+    return [i for _, i in sorted(scores, reverse=True)[:nprobe]]
+
+
 def topk_ivfpq(
     embs: DataFrame,
     query_id: int,
@@ -429,18 +455,11 @@ def topk_ivfpq(
         .select(F.col("embedding").alias("qv"))
         .limit(1)
     )
-    scores = [
-        (i, _dot(F.col("qv"), F.array(*[F.lit(float(x)) for x in c])))
-        for i, c in enumerate(cents)
-    ]
-    ranked = F.reverse(
-        F.array_sort(
-            F.array(*[F.struct(s.alias("s"), F.lit(i).alias("i")) for i, s in scores])
-        )
-    )
-    probe_cells = F.slice(F.transform(ranked, lambda x: x["i"]), 1, nprobe)
+    probes = _probe_cells(embs, query_id, cents, nprobe)
     cbs = _pq_codebooks(dim, m, k, seed)
-    probe_filter = F.array_contains(probe_cells, F.col("cell"))
+    probe_filter = (
+        F.col("cell").isin([int(i) for i in probes]) if probes else F.lit(False)
+    )
     if codes_table is not None:
         codes = embs.sparkSession.table(codes_table)
         _require_pq_marker(codes, need_cell=True)

@@ -2849,7 +2849,9 @@ _GATE_ORDER = [
     # the proof-of-need: it carried a real multi-chunk ordering bug
     # (fixed r7, streaming/events.py:276) found by inspection, not by
     # any gate.  With these in, the driver-gate union r1..r8 covers
-    # every oracle-backed registry query.
+    # every oracle-backed registry query except lang_entropy (new
+    # this round; lang_gopher gates the same bridge mechanism, and
+    # lang_entropy stays pytest-replayed until the r9 rotation).
     "op_ann_pq", "op_ann_ivfpq", "op_audio_dedup", "op_table_stats",
     "op_zscore", "op_bootstrap_ci", "op_triangles", "stream_anomaly",
     # rotated in because round 8 touches its query shape (directive

@@ -125,9 +125,12 @@ HEADLINE = [
 
 
 def _prior_bench() -> dict[str, float]:
-    """Most recent committed per-query timings (BENCH_r{N}.json with
-    the highest N), used only to flag >2x drift for an isolated
-    re-run.  Returns {} when no prior round exists."""
+    """Most recent committed per-query timings, used only to flag >2x
+    drift for an isolated re-run.  BENCH.json (the full payload this
+    script writes and commits each round) is preferred: the driver's
+    BENCH_r{N}.json wrappers carry a bounded stdout tail whose JSON
+    has been truncated ("parsed": null) since r04.  Returns {} when
+    no usable prior exists."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -135,6 +138,7 @@ def _prior_bench() -> dict[str, float]:
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
+    cands.append(os.path.join(here, "BENCH.json"))
     for path in reversed(cands):
         try:
             with open(path) as fh:

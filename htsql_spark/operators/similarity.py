@@ -328,6 +328,25 @@ def materialize_pq_index(
     REBUILD, enforced by the marker column (see ``PQ_SCHEME``)."""
     from .layout import write_bucketed
 
+    coded, bucket_cols = _coded_index_rows(embs, m, k, seed, dim, num_cells)
+    write_bucketed(
+        coded,
+        table,
+        bucket_cols,
+        n_buckets=n_buckets,
+    )
+
+
+def _coded_index_rows(
+    embs: DataFrame,
+    m: int,
+    k: int,
+    seed: int,
+    dim: int,
+    num_cells: int | None,
+) -> tuple[DataFrame, list[str]]:
+    """(index rows, bucket columns) for the PQ code index — shared by
+    the initial build and the per-batch append."""
     coded = pq_encode(embs, m, k, seed, dim)
     cols = ["vec_id", "label", "codes"]
     if num_cells is not None:
@@ -339,11 +358,45 @@ def materialize_pq_index(
         bucket_cols = ["cell"]
     else:
         bucket_cols = ["vec_id"]
+    return coded.select(*cols).withColumn(_PQ_MARKER, F.lit(True)), bucket_cols
+
+
+def append_pq_codes(
+    embs: DataFrame,
+    table: str,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 11,
+    dim: int = 64,
+    num_cells: int | None = None,
+    n_buckets: int = 32,
+) -> None:
+    """Append a NEW batch's codes to an existing PQ index — the
+    per-ingest increment that keeps :func:`materialize_pq_index`'s
+    encode-once contract at 100 TB: only the batch is encoded, the
+    archive is never re-read.  The (m, k, seed, dim, num_cells,
+    n_buckets) parameters MUST match the build (bake them into the
+    table name, as with the band/fp indexes); scheme drift is caught
+    by the marker column, and a cell/no-cell mismatch is a schema
+    error before any write."""
+    from .layout import write_bucketed
+
+    existing = embs.sparkSession.table(table)
+    _require_pq_marker(existing, need_cell=num_cells is not None)
+    coded, bucket_cols = _coded_index_rows(embs, m, k, seed, dim, num_cells)
+    if set(coded.columns) != set(existing.columns):
+        raise ValueError(
+            f"append_pq_codes: batch columns {sorted(coded.columns)} do"
+            f" not match index {table!r} columns"
+            f" {sorted(existing.columns)} — was the index built with a"
+            " different num_cells?"
+        )
     write_bucketed(
-        coded.select(*cols).withColumn(_PQ_MARKER, F.lit(True)),
+        coded.select(*existing.columns),
         table,
         bucket_cols,
         n_buckets=n_buckets,
+        mode="append",
     )
 
 

@@ -274,6 +274,32 @@ def test_pq_code_index_equivalent_and_scans_codes_only(spark, embs):
         similarity.topk_ivfpq(embs, 0, 10, codes_table="t_pq_idx").collect()
 
 
+def test_pq_index_append_equals_full_build(spark, embs):
+    """Build the cell-bucketed index on half the corpus, append the
+    other half — queries through it equal the full one-shot build
+    (the encode-once-per-batch ingest contract), and a cell/no-cell
+    mismatch refuses before writing."""
+    from tests.test_layout import _drop_table
+
+    from htsql_spark.operators import similarity
+
+    _drop_table(spark, "t_pq_half")
+    similarity.materialize_pq_index(
+        embs.filter("vec_id % 2 = 0"), "t_pq_half", num_cells=16
+    )
+    similarity.append_pq_codes(
+        embs.filter("vec_id % 2 = 1"), "t_pq_half", num_cells=16
+    )
+    rows = lambda df: [tuple(r) for r in df.collect()]
+    assert rows(
+        similarity.topk_ivfpq(embs, 0, 10, codes_table="t_pq_half")
+    ) == rows(similarity.topk_ivfpq(embs, 0, 10))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cell"):
+        similarity.append_pq_codes(embs, "t_pq_half", num_cells=None)
+
+
 def test_multimodal_features(db, docs):
     from htsql_spark.operators import multimodal
 

@@ -135,6 +135,16 @@ BATCH = sorted(set(entry_mod.queries()) - SKIP)
 
 @pytest.fixture(scope="module")
 def plans(spark):
+    # cache entries leaked by EARLIER test modules (the declared
+    # candidate-table cache()s are never unpersisted) get substituted
+    # into these plans by CacheManager plan-matching, which changes
+    # the printed tree — InMemoryTableScan embeds the cached child
+    # plan's text — and makes scan counts order-dependent (observed:
+    # test_scan_budget[op_dedup_minhash] green alone, red after the
+    # full suite's modules had run).  A clean slate makes every plan
+    # string deterministic; the session is shared, so this is a
+    # no-op when the module runs alone.
+    spark.catalog.clearCache()
     qs = entry_mod.queries()
     out = {}
     for name in BATCH:

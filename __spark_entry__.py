@@ -2849,9 +2849,8 @@ _GATE_ORDER = [
     # the proof-of-need: it carried a real multi-chunk ordering bug
     # (fixed r7, streaming/events.py:276) found by inspection, not by
     # any gate.  With these in, the driver-gate union r1..r8 covers
-    # every oracle-backed registry query except lang_entropy (new
-    # this round; lang_gopher gates the same bridge mechanism, and
-    # lang_entropy stays pytest-replayed until the r9 rotation).
+    # every oracle-backed registry query, including both new
+    # language-bridge rows.
     "op_ann_pq", "op_ann_ivfpq", "op_audio_dedup", "op_table_stats",
     "op_zscore", "op_bootstrap_ci", "op_triangles", "stream_anomaly",
     # rotated in because round 8 touches its query shape (directive
@@ -2867,13 +2866,12 @@ _GATE_ORDER = [
     "op_dedup_incremental", "stream_curate", "stream_distinct",
     # re-verification: TPC-H composition shapes
     "tpch_q3", "tpch_q17", "tpch_q21",
-    # language-front-end bridge built this round (gopher() flow
-    # method through the parser) — new ops get a hard gate row;
-    # displaces op_grouping_sets (r6/r7 gate-green, olap.py untouched)
-    "lang_gopher",
-    # re-verification: graph / OLAP / skew
-    "op_pagerank",
-    "op_rollup", "op_skew_join",
+    # language-front-end bridge built this round — both new ops get
+    # hard gate rows; displace op_grouping_sets and op_rollup (r6/r7
+    # gate-green, olap.py untouched this round)
+    "lang_gopher", "lang_entropy",
+    # re-verification: graph / skew
+    "op_pagerank", "op_skew_join",
 ]
 assert len(_GATE_ORDER) == 50 and len(set(_GATE_ORDER)) == 50
 _QUERIES = {k: _QUERIES[k] for k in _GATE_ORDER} | {

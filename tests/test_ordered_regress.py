@@ -77,6 +77,10 @@ QUERIES = [
     "/customer.sort(length(c_name), c_acctbal).limit(3){c_name, bal := c_acctbal}",
     "/nation{name, /customer.sort(c_acctbal-).top(2){c_name, bal := c_acctbal}}"
     "?n_nationkey = 0",
+    # --- round-8 language bridge: explicit sort on operator-appended
+    # attributes wins the order contract like any column
+    "/documents.entropy().sort(entropy-).limit(3){doc_id, entropy}",
+    "/documents.dedup_exact().sort(doc_id).limit(2){doc_id}",
 ]
 
 

@@ -134,10 +134,14 @@ def _prior_bench() -> dict[str, float]:
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    cands = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
+    # only well-formed BENCH_r<N>.json names participate: a stray
+    # BENCH_rerun.json etc. must be skipped, not crash the sort key
+    numbered = [
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
+    ]
+    cands = [p for _, p in sorted(numbered)]
     cands.append(os.path.join(here, "BENCH.json"))
     for path in reversed(cands):
         try:
@@ -227,26 +231,27 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     total = round(sum(timings.values()), 3)
-    # compact separators: the driver parses this line from a bounded
-    # stdout tail, so every byte of the 185-query payload counts
-    payload = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "positions": positions,
-            "reruns": reruns,
-            "sf": sf,
-        },
+    base = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # full payload (positions + reruns instrumentation) goes to the
+    # FILE; the stdout line is kept as small as possible because the
+    # driver parses it from a bounded tail that truncated the long
+    # r4–r8 lines ("parsed": null) — positions/reruns alone were
+    # ~45% of the line
+    full = json.dumps(
+        base | {"positions": positions, "reruns": reruns},
         separators=(",", ":"),
     )
-    # also persist to a file: the driver's stdout tail capture
-    # truncated the (long) JSON line in r4 ("parsed": null)
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
     with open(out_path, "w") as fh:
-        fh.write(payload + "\n")
-    print(payload)
+        fh.write(full + "\n")
+    # LAST and ONLY stdout line: the compact required payload
+    print(json.dumps(base, separators=(",", ":")))
 
 
 if __name__ == "__main__":

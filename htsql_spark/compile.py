@@ -293,15 +293,20 @@ class Compiler:
                 talias = self.ensure_singular_join(flow, alias, link)
                 return ScopeRef(flow, talias, self.engine.catalog[link.target], name)
             return self.spawn_plural(flow, alias, link)
-        # operator-appended attributes (gopher()/entropy() flow
-        # methods) — after physical columns and links, so schema names
-        # always win
-        if name in flow.extra:
-            return Scalar(F.col(flow.extra[name]), name)
-        if flow.output:  # selection names stay in scope (e.g. sort(n-))
+        # selection names stay in scope (e.g. sort(n-)) — resolved
+        # BEFORE operator-appended attributes so a user alias
+        # ({entropy := …}) is never silently shadowed by a later
+        # .entropy()'s appended column (the 'selection names stay in
+        # scope' rule wins over flow-method output)
+        if flow.output:
             for oname, ocol in flow.output:
                 if oname == name:
                     return Scalar(F.col(ocol), name)
+        # operator-appended attributes (gopher()/entropy()/classify()
+        # flow methods) — after physical columns, links and selection
+        # names, so user-visible names always win
+        if name in flow.extra:
+            return Scalar(F.col(flow.extra[name]), name)
         raise CompileError(f"unknown attribute '{name}' in scope '{table.name}'")
 
     def resolve_complement(self, scope: ScopeRef) -> FlowV:
@@ -1417,17 +1422,7 @@ def _fm_dedup_exact(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
 
     flow = v.flow
     tcol = _fm_text_col(v, "dedup_exact")
-    scope = ScopeRef(flow, flow.alias, flow.table)
-    if args:
-        key = cc.scalar(ctx, scope, args[0]).col
-    else:
-        if not flow.table.pk or len(flow.table.pk) != 1:
-            raise CompileError(
-                "dedup_exact() needs a single-column primary key —"
-                " pass the survivor key explicitly, e.g."
-                " dedup_exact(doc_id)"
-            )
-        key = F.col(flow.scope_col(flow.table.pk[0]))
+    key = _fm_survivor_key(cc, ctx, v, args, "dedup_exact")
     fpc = cc.engine.fresh("__fp")
     keyc = cc.engine.fresh("__dk")
     mnc = cc.engine.fresh("__mn")
@@ -1442,6 +1437,179 @@ def _fm_dedup_exact(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     return v
 
 
+def _fm_survivor_key(cc: Compiler, ctx: Ctx, v: FlowV, args, method: str):
+    """The survivor/join key for a keyed flow method: an explicit
+    expression argument, else the table's single-column primary key
+    (shared by dedup_exact/dedup_minhash/tfidf/near — same contract,
+    same error text shape)."""
+    flow = v.flow
+    if args:
+        scope = ScopeRef(flow, flow.alias, flow.table)
+        return cc.scalar(ctx, scope, args[0]).col
+    if not flow.table.pk or len(flow.table.pk) != 1:
+        raise CompileError(
+            f"{method}() needs a single-column primary key — pass the"
+            f" survivor key explicitly, e.g. {method}(doc_id)"
+        )
+    return F.col(flow.scope_col(flow.table.pk[0]))
+
+
+def _fm_int_lit(args, i: int, default: int, method: str) -> int:
+    if len(args) <= i:
+        return default
+    a = args[i]
+    if not (isinstance(a, N.Literal) and isinstance(a.value, int)):
+        raise CompileError(f"{method}() argument {i + 1} must be an integer literal")
+    return a.value
+
+
+def _fm_classify(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """classify() — append the hashed bag-of-words linear-classifier
+    signals ``cls_n_tokens`` / ``cls_score`` / ``cls_keep``
+    (operators.textstats.classifier_scores as a flow method): the
+    model-tier quality filter becomes first-class language surface,
+    ``/documents.classify()?cls_keep{doc_id}``.  Zero shuffle, one
+    narrow codegen'd projection (no explode) — a 100 TB corpus scores
+    at scan speed.  Named classify(), not quality(): ``quality(text)``
+    is the heuristic-tier SCALAR and flow methods shadow scalars in
+    table scope."""
+    if args:
+        raise CompileError("classify() takes no arguments")
+    from .operators.textstats import append_classifier_signals
+
+    flow = v.flow
+    tcol = _fm_text_col(v, "classify")
+    prefix = cc.engine.fresh("__cls") + "_"
+    flow.df, names = append_classifier_signals(flow.df, text_col=tcol, prefix=prefix)
+    for nm in names:
+        flow.extra["cls_" + nm[len(prefix):]] = nm
+    return v
+
+
+def _fm_dedup_minhash(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """dedup_minhash([key]) — drop every document that near-duplicates
+    a smaller-keyed one: minhash-LSH candidates verified by true
+    shingle Jaccard ≥ 0.5 (operators.dedup.minhash_dedup_pairs, the
+    same 8×4 band scheme + threshold as the op_dedup_minhash registry
+    row), then a LEFT ANTI join removes each verified pair's greater
+    key.  The survivor rule is pairwise (b of any (a<b) pair dies) —
+    deterministic and SQL-replayable, the language tier of the LSH
+    dedup stage.  At 100 TB: candidates are band-bucketed (never
+    all-pairs), the anti join ships ids only, and the corpus side
+    keeps its partitioning."""
+    if len(args) > 1:
+        raise CompileError("dedup_minhash([key]) takes at most one argument")
+    from .operators.dedup import minhash_dedup_pairs
+
+    flow = v.flow
+    tcol = _fm_text_col(v, "dedup_minhash")
+    key = _fm_survivor_key(cc, ctx, v, args, "dedup_minhash")
+    narrow = flow.df.select(key.alias("doc_id"), F.col(tcol).alias("text"))
+    losers = (
+        minhash_dedup_pairs(narrow, threshold=0.5)
+        .select("b")
+        .distinct()
+    )
+    keyc = cc.engine.fresh("__mk")
+    flow.df = (
+        flow.df.withColumn(keyc, key)
+        .join(losers.withColumnRenamed("b", keyc), keyc, "left_anti")
+        .drop(keyc)
+    )
+    return v
+
+
+def _fm_tfidf(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """tfidf([k[, key]]) — expand the flow to its top-k tf·idf terms
+    per document (operators.pipeline.tfidf_top_terms as a flow
+    method): each row becomes ≤k rows carrying every original column
+    plus the appended ``tfidf_term`` / ``tfidf_tf`` / ``tfidf_score``
+    attributes (documents with no terms drop out — plural expansion
+    semantics, like an empty plural link).  One explode + two
+    map-side-combined aggregations + a shuffle join back on the key;
+    the term table is never broadcast by force (web-scale vocabularies
+    are themselves huge — AQE still picks broadcast when small)."""
+    if len(args) > 2:
+        raise CompileError("tfidf([k[, key]]) takes at most two arguments")
+    from .operators.pipeline import tfidf_top_terms
+
+    flow = v.flow
+    tcol = _fm_text_col(v, "tfidf")
+    k = _fm_int_lit(args, 0, 3, "tfidf")
+    if k < 1:
+        raise CompileError("tfidf() needs k >= 1")
+    key = _fm_survivor_key(cc, ctx, v, args[1:], "tfidf")
+    narrow = flow.df.select(key.alias("__id"), F.col(tcol).alias("__text"))
+    prefix = cc.engine.fresh("__tfidf") + "_"
+    top = tfidf_top_terms(narrow, k=k, text_col="__text", id_col="__id").select(
+        F.col("__id"),
+        F.col("term").alias(f"{prefix}term"),
+        F.col("tf").alias(f"{prefix}tf"),
+        F.col("tfidf").alias(f"{prefix}score"),
+    )
+    keyc = cc.engine.fresh("__tk")
+    flow.df = (
+        flow.df.withColumn(keyc, key)
+        .join(top.withColumnRenamed("__id", keyc), keyc, "inner")
+        .drop(keyc)
+    )
+    for nm in ("term", "tf", "score"):
+        flow.extra[f"tfidf_{nm}"] = f"{prefix}{nm}"
+    return v
+
+
+def _fm_near(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """near(query_id[, k]) — restrict an embeddings-shaped flow to the
+    k approximate nearest neighbours of the row keyed ``query_id``,
+    appending the match score as ``near_cos4`` (IVF-PQ asymmetric
+    distance: operators.similarity.topk_ivfpq, the same seeded
+    coarse/fine quantizers as the op_ann_ivfpq registry row).
+    Similarity search becomes language surface:
+    ``/embeddings.near(0, 10){vec_id, label, near_cos4}``.  The probe
+    set is a literal IN (planning-time pruning); the join back ships
+    k ids — at 100 TB the corpus-side cost is the nprobe-cell ADC
+    scan, nothing else."""
+    if not args or len(args) > 2:
+        raise CompileError("near(query_id[, k]) takes 1 or 2 arguments")
+    from .operators.similarity import topk_ivfpq
+
+    flow = v.flow
+    if flow.table is None or "embedding" not in flow.table.columns:
+        raise CompileError(
+            "near() requires a flow over a table with an 'embedding'"
+            " column (e.g. /embeddings)"
+        )
+    qid = _fm_int_lit(args, 0, 0, "near")
+    k = _fm_int_lit(args, 1, 10, "near")
+    if k < 1:
+        raise CompileError("near() needs k >= 1")
+    if not flow.table.pk or len(flow.table.pk) != 1:
+        raise CompileError("near() needs a single-column primary key")
+    key = F.col(flow.scope_col(flow.table.pk[0]))
+    label = (
+        F.col(flow.scope_col("label"))
+        if "label" in flow.table.columns
+        else F.lit(None).cast("string")
+    )
+    narrow = flow.df.select(
+        key.alias("vec_id"),
+        F.col(flow.scope_col("embedding")).alias("embedding"),
+        label.alias("label"),
+    )
+    prefix = cc.engine.fresh("__near") + "_"
+    res = topk_ivfpq(narrow, query_id=qid, topk=k).select(
+        F.col("vec_id"), F.col("cos4").alias(f"{prefix}cos4")
+    )
+    keyc = cc.engine.fresh("__nk")
+    flow.df = (
+        flow.df.withColumn(keyc, key)
+        .join(F.broadcast(res.withColumnRenamed("vec_id", keyc)), keyc, "inner")
+        .drop(keyc)
+    )
+    flow.extra["near_cos4"] = f"{prefix}cos4"
+    return v
+
+
 FLOW_METHODS = {
     "sort": _fm_sort,
     "limit": _fm_limit,
@@ -1449,7 +1617,11 @@ FLOW_METHODS = {
     "define": _fm_define,
     "gopher": _fm_gopher,
     "entropy": _fm_entropy,
+    "classify": _fm_classify,
     "dedup_exact": _fm_dedup_exact,
+    "dedup_minhash": _fm_dedup_minhash,
+    "tfidf": _fm_tfidf,
+    "near": _fm_near,
 }
 
 

@@ -63,7 +63,8 @@ class Flow:
         self.agg_memo: dict[tuple, "Scalar"] = {}
         # operator-appended attributes (the gopher()/entropy() flow
         # methods): logical name -> df column name; resolved after
-        # physical columns and links so they can never shadow schema
+        # physical columns, links AND selection-output names so they
+        # can never shadow schema or a user alias
         self.extra: dict[str, str] = {}
         # memo of define()d names already evaluated to a Scalar on THIS
         # flow: (id(bound AST), scope alias, binding fingerprint) ->

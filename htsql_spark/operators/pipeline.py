@@ -207,19 +207,34 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Top-k terms per document by tf·idf (idf = ln(N/df)).
 
-    Plan shape: one explode + two hash aggregations (term counts are
-    map-side combined) + a join on term.  The tf↔df join is a plain
-    shuffle join on ``term``: the distinct-term table of a web-scale
-    corpus is itself huge (billions of rows at 100 TB), so a forced
-    broadcast would OOM every executor — AQE still picks a broadcast
-    join at runtime when the vocabulary turns out small.  Only N (a
-    single-row aggregate) is broadcast, never a driver-side count."""
+    Plan shape: ONE explode + two hash aggregations (term counts are
+    map-side combined) + a join on term.  The document frequency is
+    derived from the tf aggregate — (id, term) rows are unique after
+    it, so df = count(*) per term — NOT from a second pass over the
+    exploded terms: at 100 TB that second pass was a full extra
+    text-column scan + explode (caught by the round-9 scan-budget
+    sweep).  The tf↔df join is a plain shuffle join on ``term``: the
+    distinct-term table of a web-scale corpus is itself huge
+    (billions of rows at 100 TB), so a forced broadcast would OOM
+    every executor — AQE still picks a broadcast join at runtime when
+    the vocabulary turns out small.  Only N (a single-row aggregate)
+    is broadcast, never a driver-side count."""
     terms = docs.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
     ).filter(F.col("term") != "")
-    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    df_t = terms.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    # pin: tf feeds BOTH the df aggregation and the scored join; an
+    # unpinned reference re-expands the scan+explode+partial-agg
+    # subtree per use (verified: no ReusedExchange even post-AQE —
+    # the two consumers hash-partition differently), i.e. two full
+    # text-column passes at 100 TB.  The pin materializes the
+    # NARROWEST corpus-scale intermediate (id, term, tf) once.
+    tf = (
+        terms.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(df_t, "term")

@@ -514,7 +514,15 @@ def append_entropy_signals(
     existing column — the column-builder form the query-language
     ``entropy()`` flow method composes onto an arbitrary flow (same
     zero-shuffle, in-row plan).  Returns (df, appended names)."""
-    tw = "__ent_ws"
+    # temp name derives from the caller's fresh prefix so a
+    # pre-existing input column can never be silently overwritten
+    # (and deleted) by the scratch column; collision → loud error
+    tw = f"__{prefix}ent_ws"
+    if tw in df.columns:
+        raise ValueError(
+            f"append_entropy_signals: scratch column {tw!r} already"
+            " exists on the input — pass a fresh prefix"
+        )
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     d = df.withColumn(tw, F.array_sort(words))
     n = F.size(F.col(tw))
@@ -647,7 +655,16 @@ def append_gopher_signals(
     projections (the op_embed lesson: lambda bodies re-evaluate
     inlined subtrees per use).  Returns (df, appended names)."""
     t = F.col(text_col)
-    tt, tw, tl = "__gop_t", "__gop_w", "__gop_l"
+    # scratch names derive from the caller's fresh prefix (same
+    # contract as the appended signal names): a pre-existing input
+    # column is never silently clobbered, collision → loud error
+    tt, tw, tl = (f"__{prefix}gop_t", f"__{prefix}gop_w", f"__{prefix}gop_l")
+    clash = [c for c in (tt, tw, tl) if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"append_gopher_signals: scratch column(s) {clash} already"
+            " exist on the input — pass a fresh prefix"
+        )
     d = df.withColumns(
         {
             tt: t,
@@ -770,18 +787,41 @@ def classifier_scores(
     Python.  A 100 TB corpus scores at scan speed; the decision column
     composes with hash_split/dedup stages without repartitioning.
     """
+    out, names = append_classifier_signals(
+        docs.select(F.col(id_col), F.col(text_col)),
+        text_col,
+        buckets=buckets,
+        salt=salt,
+        threshold=threshold,
+    )
+    return out.select(id_col, *names)
+
+
+def append_classifier_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    prefix: str = "",
+    buckets: int = 1 << 16,
+    salt: str = "qw",
+    threshold: float = 0.0,
+) -> tuple[DataFrame, list[str]]:
+    """Append the :func:`classifier_scores` signal columns
+    (``{prefix}n_tokens/score/keep``) to ``df`` KEEPING every existing
+    column — the column-builder form the query-language ``classify()``
+    flow method composes onto an arbitrary flow (same zero-shuffle,
+    single-projection plan).  Returns (df, appended names)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     total = F.aggregate(
         toks, F.lit(0.0), lambda acc, t: acc + hashed_weight(t, buckets, salt)
     )
     n = F.greatest(F.size(toks), F.lit(1))
     score = F.round(total / n, 6)
-    return docs.select(
-        F.col(id_col),
-        F.size(toks).cast("int").alias("n_tokens"),
-        score.alias("score"),
-        (score > F.lit(threshold)).alias("keep"),
-    )
+    sig = {
+        f"{prefix}n_tokens": F.size(toks).cast("int"),
+        f"{prefix}score": score,
+        f"{prefix}keep": score > F.lit(threshold),
+    }
+    return df.withColumns(sig), list(sig)
 
 
 def compression_ratio(

@@ -257,3 +257,79 @@ def test_flow_method_signals_compose_with_aggregates(db, duck):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_flow_method_dedup_minhash_planted_clones(spark, tmp_path):
+    """dedup_minhash(key) through the parser: planted near-clones (one
+    token appended to a 60-token doc → shingle Jaccard ≈ 0.97) are
+    dropped in favour of the smaller key; unrelated docs survive."""
+    import pandas as pd
+
+    from htsql_spark import HTSQL
+    from htsql_spark.catalog import Catalog
+
+    base = " ".join(f"tok{i} common word here" for i in range(15))
+    other = " ".join(f"zz{i} completely different vocabulary" for i in range(15))
+    rows = [
+        (0, base),
+        (1, base + " extra"),  # near-clone of 0 (j ≈ 0.97)
+        (2, other),
+        (3, other + " tail"),  # near-clone of 2
+        (4, "short unrelated text snippet"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        str(tmp_path / "docs.parquet")
+    )
+    db2 = HTSQL(spark, str(tmp_path), catalog=Catalog.from_files(str(tmp_path)))
+    got = sorted(
+        r["doc_id"] for r in db2.produce("/docs.dedup_minhash(doc_id){doc_id}")
+    )
+    assert got == [0, 2, 4]
+
+
+def test_flow_method_tfidf_matches_operator(db, spark):
+    """tfidf(k) through the parser equals pipeline.tfidf_top_terms on
+    the same corpus — the flow method is a front-end, not a fork of
+    the operator."""
+    from htsql_spark.operators.pipeline import tfidf_top_terms
+
+    got = {
+        (r["doc_id"], r["tfidf_term"], r["tfidf_tf"], r["tfidf_score"])
+        for r in db.produce(
+            "/documents.tfidf(3){doc_id, tfidf_term, tfidf_tf, tfidf_score}"
+        )
+    }
+    exp = {
+        (r.doc_id, r.term, r.tf, r.tfidf)
+        for r in tfidf_top_terms(db.table("documents"), k=3).collect()
+    }
+    assert got == exp
+
+
+def test_flow_method_near_matches_operator(db):
+    """near(q, k) through the parser equals similarity.topk_ivfpq
+    (inline path) — same quantizers, same ranking, same rounding."""
+    from htsql_spark.operators.similarity import topk_ivfpq
+
+    got = {
+        (r["vec_id"], r["near_cos4"])
+        for r in db.produce("/embeddings.near(0, 10){vec_id, near_cos4}")
+    }
+    exp = {
+        (r.vec_id, r.cos4)
+        for r in topk_ivfpq(db.table("embeddings"), query_id=0, topk=10).collect()
+    }
+    assert got == exp
+
+
+def test_selection_alias_wins_over_appended_attribute(db):
+    """A user alias defined in a selection is NOT shadowed by a later
+    flow method's appended attribute of the same name (r8 advisor):
+    selection-output names resolve before Flow.extra."""
+    rows = {
+        r["doc_id"]: r["entropy"]
+        for r in db.produce(
+            "/documents{doc_id, entropy := doc_id + 100}.entropy()?doc_id<3"
+        )
+    }
+    assert rows == {0: 100, 1: 101, 2: 102}

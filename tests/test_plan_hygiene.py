@@ -49,6 +49,9 @@ ARROW_OK = {
     # PQ encode is the declared Arrow-GEMM pandas UDF (kmeans vehicle)
     "op_ann_pq",
     "op_ann_ivfpq",
+    # near() lowers to the INLINE topk_ivfpq (no persisted index on an
+    # arbitrary flow), so the PQ-encode Arrow stage is in-plan
+    "lang_near",
     # kmeans assign is the declared Arrow-GEMM pandas UDF
     "op_kmeans",
     "op_kmeans_assign",
@@ -89,6 +92,8 @@ NLJ_OK = {
     # PQ ADC scores the corpus against the broadcast 1-row query
     "op_ann_pq",
     "op_ann_ivfpq",
+    "op_ann_append",
+    "lang_near",
     "op_theta_band",
     "op_range_join",
     "op_dedup_minhash",
@@ -101,6 +106,7 @@ NLJ_OK = {
     "op_unigram_lm",
     # tf·idf joins a broadcast single-row corpus-count aggregate
     "op_tfidf",
+    "lang_tfidf",
     # the derived partsupp broadcasts a single-row count(supplier)
     # (htsql_spark/derived.py) — bounded by construction
     "tpch_q2",
@@ -128,6 +134,7 @@ CACHE_OK = {
     "op_dedup_pipeline",
     "op_dedup_incremental",
     "op_contamination_near",  # rides incremental_dup_pairs' candidate cache
+    "lang_dedup_minhash",  # lowers to minhash_dedup_pairs (same cache)
 }
 
 BATCH = sorted(set(entry_mod.queries()) - SKIP)
@@ -221,6 +228,12 @@ SCAN_BUDGET = {
     "op_edit_dedup": 4,
     "op_contamination": 4,
     "op_corpus_diff": 4,
+    # candidate cache as op_dedup_minhash + the flow's own join-back
+    "lang_dedup_minhash": 13,
+    # two broadcast single-row query-vector point lookups (pushed-down
+    # vec_id = q, file-pruned at 100 TB) + the nprobe-pruned corpus
+    # pass + the flow's own join-back
+    "lang_near": 4,
 }
 
 

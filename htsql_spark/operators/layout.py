@@ -309,6 +309,17 @@ def write_zordered(
     )
 
 
+def table_location(spark, table: str) -> str:
+    """A managed table's storage location (DESCRIBE FORMATTED) — the
+    canonical path the writer-exclusion lock protects: compaction,
+    index appends, and ingest loops must all lock the SAME string for
+    the exclusion to hold."""
+    return {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    }["Location"]
+
+
 def _dataset_lock(jvm, path: str):
     return jvm.org.apache.hadoop.fs.Path(path + "__lock")
 

@@ -378,26 +378,45 @@ def append_pq_codes(
     n_buckets) parameters MUST match the build (bake them into the
     table name, as with the band/fp indexes); scheme drift is caught
     by the marker column, and a cell/no-cell mismatch is a schema
-    error before any write."""
-    from .layout import write_bucketed
+    error before any write.
 
-    existing = embs.sparkSession.table(table)
-    _require_pq_marker(existing, need_cell=num_cells is not None)
-    coded, bucket_cols = _coded_index_rows(embs, m, k, seed, dim, num_cells)
-    if set(coded.columns) != set(existing.columns):
-        raise ValueError(
-            f"append_pq_codes: batch columns {sorted(coded.columns)} do"
-            f" not match index {table!r} columns"
-            f" {sorted(existing.columns)} — was the index built with a"
-            " different num_cells?"
-        )
-    write_bucketed(
-        coded.select(*existing.columns),
-        table,
-        bucket_cols,
-        n_buckets=n_buckets,
-        mode="append",
+    Writer exclusion: the append holds the dataset lock on the index
+    location for its whole check-and-write window, the same lock
+    ``layout.compact_bucketed_table`` holds across its swap — an
+    append racing a compaction would otherwise write its files into
+    the pre-swap directory and lose them when the staged copy
+    replaces it.  Contention raises loudly (the lock never blocks);
+    the caller retries after the other writer finishes."""
+    from .layout import (
+        acquire_dataset_lock,
+        release_dataset_lock,
+        table_location,
+        write_bucketed,
     )
+
+    spark = embs.sparkSession
+    loc = table_location(spark, table)
+    acquire_dataset_lock(spark, loc, owner=f"append_pq_codes({table})")
+    try:
+        existing = spark.table(table)
+        _require_pq_marker(existing, need_cell=num_cells is not None)
+        coded, bucket_cols = _coded_index_rows(embs, m, k, seed, dim, num_cells)
+        if set(coded.columns) != set(existing.columns):
+            raise ValueError(
+                f"append_pq_codes: batch columns {sorted(coded.columns)} do"
+                f" not match index {table!r} columns"
+                f" {sorted(existing.columns)} — was the index built with a"
+                " different num_cells?"
+            )
+        write_bucketed(
+            coded.select(*existing.columns),
+            table,
+            bucket_cols,
+            n_buckets=n_buckets,
+            mode="append",
+        )
+    finally:
+        release_dataset_lock(spark, loc)
 
 
 def _pq_recon(cbs: list[list[list[float]]]) -> Column:

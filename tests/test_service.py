@@ -142,6 +142,67 @@ def test_store_csv_flattens_nested(db, spark, tmp_path):
     assert files
 
 
+def test_emit_csv_nested_segment_exact_bytes(db):
+    """CSV flattening rule (SURVEY §3.5 ⚠, locked as semantics S13):
+    a nested segment serializes as ONE compact-JSON cell on the
+    parent's row — parent rows are never multiplied and child order
+    follows the segment's flow order."""
+    body = db.emit(
+        "/region{name, /nation.sort(name){nname := name}}?name='AFRICA'/:csv"
+    ).decode()
+    lines = body.splitlines()
+    assert lines[0] == "name,nation"  # segment column named by its flow
+    assert len(lines) == 2  # ONE parent row, not one per child
+    import csv as _csv
+    import json as _json
+
+    name, nested = next(_csv.reader([lines[1]]))
+    assert name == "AFRICA"
+    kids = _json.loads(nested)
+    assert [k["nname"] for k in kids] == sorted(k["nname"] for k in kids)
+    assert all(set(k) == {"nname"} for k in kids)
+
+
+def test_emit_csv_quoting_edge_cases(spark, tmp_path):
+    """RFC-4180 quoting: embedded separators, double quotes and
+    newlines survive a CSV round-trip; NULL and '' both emit as an
+    empty cell (the reference's tabular convention)."""
+    import csv as _csv
+    import io
+
+    import pandas as pd
+
+    from htsql_spark import HTSQL
+    from htsql_spark.catalog import Catalog
+
+    rows = [
+        (0, 'comma, inside'),
+        (1, 'quote " inside'),
+        (2, "newline\ninside"),
+        (3, ""),
+        (4, None),
+        (5, "tab\tinside"),
+    ]
+    pd.DataFrame(rows, columns=["k", "v"]).to_parquet(
+        str(tmp_path / "vals.parquet")
+    )
+    db2 = HTSQL(spark, str(tmp_path), catalog=Catalog.from_files(str(tmp_path)))
+    body = db2.emit("/vals.sort(k){k, v}/:csv").decode()
+    got = list(_csv.reader(io.StringIO(body)))
+    assert got[0] == ["k", "v"]
+    assert [r[1] for r in got[1:]] == [
+        "comma, inside",
+        'quote " inside',
+        "newline\ninside",
+        "",  # empty string -> empty cell
+        "",  # NULL -> empty cell (indistinguishable, by convention)
+        "tab\tinside",
+    ]
+    # TSV: the tab separator forces quoting of the embedded tab
+    tsv = db2.emit("/vals{k, v}?k=5/:tsv").decode().splitlines()
+    assert tsv[1] == '5\t"tab\tinside"'
+
+
 def test_describe_returns_plan(db):
     out = db.describe("/nation{name, count(customer)}?region.name='ASIA'")
     assert "Physical Plan" in out and "Scan parquet" in out

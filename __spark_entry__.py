@@ -3075,28 +3075,31 @@ _GATE_ORDER = [
     "op_winnow_portable", "op_winnow_pairs_portable",
     "op_simhash_portable", "op_simhash_pairs_portable",
     "op_kmeans_assign", "op_kmeans_step",
-    # new this round: KLL quantile sketch rollup (certificate gate),
-    # CDC batch MERGE, Z-order clustering key, incremental winnowing,
-    # streaming CDC snapshot loop, streaming windowed GK quantiles
-    "op_kll_quantiles", "op_cdc_upsert", "op_zorder_key",
+    # r6 rows kept for breadth: CDC batch MERGE, Z-order clustering
+    # key, incremental winnowing, streaming CDC snapshot loop,
+    # streaming windowed GK quantiles (op_kll_quantiles displaced r9:
+    # r6/r7/r8 gate-green, sketches.py untouched since r6)
+    "op_cdc_upsert", "op_zorder_key",
     "op_winnow_incremental", "stream_cdc", "stream_quantiles",
-    # new this round: Gopher rule set, DSIR importance resampling,
-    # substring duplicated-span detection (r5-green op_hll_distinct/
-    # op_hll_rollup/op_cms rotate out; their module's only change this
-    # round, the KLL family, has its own gate row)
-    "op_gopher", "op_dsir", "op_dup_spans",
-    # new this round (cont.): analytic window family, temperature
-    # mixture weights, bigram LM, token entropy, lang-ID eval, hard
-    # negatives, streaming top-k — every new op gets a hard driver
-    # verification; the displaced rows (bloom x2, heavy_hitters,
-    # asof_join, nested_segment, window_topk, tpch_q9) are r5
-    # gate-green with untouched code and stay oracle-replayed in
-    # tests/test_entry.py
-    "op_window_profile", "op_lang_temperature", "op_bigram_lm",
-    "op_entropy", "op_langid_eval", "op_hard_negatives", "stream_topk",
-    # exact-k A-ES weighted sampler (displaces r5-green untouched
-    # op_image_dedup, the gate's slowest-hashing row at 126k rows)
-    "op_es_sample",
+    # ROUND-9 ROTATION (judge directive r8 #1/#3/#4/#5): the four new
+    # language-bridge rows (classify/dedup_minhash/tfidf/near through
+    # the parser), the ANN index split (build row + append row; the
+    # op_ann_ivfpq slot below now measures the query path only), the
+    # restored uncapped winnow kernel, and the two Zipfian
+    # derived-corpus twins.  op_classifier re-gates because
+    # classifier_scores was refactored over append_classifier_signals
+    # this round; op_entropy stays because append_entropy_signals'
+    # scratch-name contract changed.  Displaced (all gate-green r6+r7
+    # +r8 with code untouched this round; they stay oracle-replayed
+    # every pytest run): op_gopher (its append path is exercised by
+    # the gated lang_gopher), op_dsir, op_dup_spans,
+    # op_window_profile, op_lang_temperature, op_bigram_lm,
+    # op_langid_eval, op_hard_negatives, op_es_sample,
+    # op_kll_quantiles.
+    "lang_classify", "lang_dedup_minhash", "lang_tfidf", "lang_near",
+    "op_ann_index_build", "op_ann_append", "op_winnow_pairs_uncapped",
+    "op_dedup_ngram_zipf", "op_winnow_pairs_zipf", "op_classifier",
+    "op_entropy", "stream_topk",
     # ROUND-8 ROTATION (judge directive r6/r7 #1): the 8 registry ops
     # that have NEVER had a hard driver CORRECTNESS row (they were
     # oracle-replayed in tests/test_entry.py only).  stream_anomaly is

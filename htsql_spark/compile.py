@@ -1374,7 +1374,7 @@ def _fm_text_col(v: FlowV, method: str) -> str:
 def _fm_gopher(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     """gopher() — append the Gopher quality-rule signals (Rae '21) as
     navigable attributes ``gopher_n_words`` … ``gopher_passes``:
-    ``/documents.gopher()?gopher_passes{doc_id}`` is the language form
+    ``/documents.gopher(){doc_id}?gopher_passes`` is the language form
     of operators.textstats.gopher_rules (zero shuffle, in-row)."""
     if args:
         raise CompileError("gopher() takes no arguments")
@@ -1446,7 +1446,7 @@ def _fm_survivor_key(cc: Compiler, ctx: Ctx, v: FlowV, args, method: str):
     if args:
         scope = ScopeRef(flow, flow.alias, flow.table)
         return cc.scalar(ctx, scope, args[0]).col
-    if not flow.table.pk or len(flow.table.pk) != 1:
+    if flow.table is None or not flow.table.pk or len(flow.table.pk) != 1:
         raise CompileError(
             f"{method}() needs a single-column primary key — pass the"
             f" survivor key explicitly, e.g. {method}(doc_id)"
@@ -1610,6 +1610,185 @@ def _fm_near(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     return v
 
 
+def _fm_str_lit(args, i: int, method: str) -> str:
+    a = args[i]
+    if not (isinstance(a, N.Literal) and isinstance(a.value, str)):
+        raise CompileError(f"{method}() argument {i + 1} must be a text literal")
+    return a.value
+
+
+def _fm_frac_lit(args, i: int, method: str) -> float:
+    import decimal
+
+    a = args[i]
+    if isinstance(a, N.Literal) and isinstance(a.value, (int, float, decimal.Decimal)):
+        return float(a.value)
+    raise CompileError(f"{method}() argument {i + 1} must be a numeric literal")
+
+
+def _fm_stats(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """stats() — append the corpus-profile stat set as navigable
+    attributes ``stats_tokens`` / ``stats_words`` / ``stats_chars`` /
+    ``stats_punct_ratio`` / ``stats_quality`` / ``stats_langid`` /
+    ``stats_fp`` (operators.textstats.append_text_stats as a flow
+    method): ``/documents.stats(){doc_id,
+    stats_quality}?stats_langid='en'``.  Pure in-row expressions,
+    zero shuffle — a 100 TB corpus profiles at scan speed."""
+    if args:
+        raise CompileError("stats() takes no arguments")
+    from .operators.textstats import append_text_stats
+
+    flow = v.flow
+    tcol = _fm_text_col(v, "stats")
+    prefix = cc.engine.fresh("__st") + "_"
+    flow.df, names = append_text_stats(flow.df, text_col=tcol, prefix=prefix)
+    for nm in names:
+        flow.extra["stats_" + nm[len(prefix):]] = nm
+    return v
+
+
+def _fm_pii(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """pii() — append the PII-redaction signals ``pii_emails`` /
+    ``pii_phones`` (match counts) and ``pii_clean`` (the redacted
+    text, emails/phones replaced by typed placeholders):
+    operators.pipeline.append_pii_signals as a flow method,
+    ``/documents.pii(){doc_id, pii_clean}?pii_emails>0``.  Pure
+    regexp expressions, codegen'd, zero shuffle."""
+    if args:
+        raise CompileError("pii() takes no arguments")
+    from .operators.pipeline import append_pii_signals
+
+    flow = v.flow
+    tcol = _fm_text_col(v, "pii")
+    prefix = cc.engine.fresh("__pii") + "_"
+    flow.df, names = append_pii_signals(flow.df, text_col=tcol, prefix=prefix)
+    for nm in names:
+        flow.extra["pii_" + nm[len(prefix):]] = nm
+    return v
+
+
+def _fm_sample(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """sample(frac[, key]) — deterministic content-stable sampling:
+    keep the rows whose salted md5 key prefix falls below the
+    fraction threshold (operators.pipeline's hash-split kernel, salt
+    ``'sample'``).  Unlike ``TABLESAMPLE``/``rand()`` the decision is
+    a pure function of the key, so re-runs, retries, and different
+    partition layouts all select the SAME rows — the property a
+    training-data pipeline needs for reproducible subsets.  Narrow,
+    zero shuffle, no action."""
+    if not args or len(args) > 2:
+        raise CompileError("sample(frac[, key]) takes 1 or 2 arguments")
+    from .operators.pipeline import _hash_prefix, frac_hex
+
+    frac = _fm_frac_lit(args, 0, "sample")
+    if not 0.0 <= frac <= 1.0:
+        raise CompileError("sample() needs a fraction between 0 and 1")
+    flow = v.flow
+    key = _fm_survivor_key(cc, ctx, v, args[1:], "sample")
+    flow.df = flow.df.filter(_hash_prefix(key, "sample") < F.lit(frac_hex(frac)))
+    return v
+
+
+def _fm_split(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """split([name[, key]]) — the train/valid/test assignment
+    (operators.pipeline.split_expr, the hash_split 90/5/5 kernel) as
+    language surface.  ``split()`` appends the assignment as the
+    ``split`` attribute; ``split('train')`` restricts the flow to the
+    named split.  Deterministic per key: every engine that hashes the
+    same key agrees on the split, so train/eval separation survives
+    re-ingestion — and the sieve form composes with everything
+    downstream (``/documents.split('test').dedup_exact(){doc_id}``).
+    Narrow, zero shuffle."""
+    if len(args) > 2:
+        raise CompileError("split([name[, key]]) takes at most two arguments")
+    from .operators.pipeline import split_expr
+
+    flow = v.flow
+    if not args:
+        key = _fm_survivor_key(cc, ctx, v, [], "split")
+        col = cc.engine.fresh("__spl")
+        flow.df = flow.df.withColumn(col, split_expr(key))
+        flow.extra["split"] = col
+        return v
+    name = _fm_str_lit(args, 0, "split")
+    names = ("train", "valid", "test")
+    if name not in names:
+        raise CompileError(
+            f"split() has no split named {name!r} (expected one of"
+            f" {', '.join(names)})"
+        )
+    key = _fm_survivor_key(cc, ctx, v, args[1:], "split")
+    flow.df = flow.df.filter(split_expr(key) == F.lit(name))
+    return v
+
+
+def _fm_sessionize(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """sessionize([gap_minutes]) — append the per-event 0-based
+    session index as the ``session_id`` attribute (operators.
+    analytics.append_session_index, the gaps-and-islands kernel the
+    batch sessionize aggregation shares): a new session starts when
+    the gap to the user's previous event exceeds ``gap_minutes``
+    (default 30).  ``/events.sessionize(){user_id, session_id,
+    event_id}`` — one shuffle on user_id; both windows share the
+    partitioning."""
+    if len(args) > 1:
+        raise CompileError("sessionize([gap_minutes]) takes at most one argument")
+    from .operators.analytics import append_session_index
+
+    flow = v.flow
+    need = ("ts", "user_id", "event_id")
+    if flow.table is None or any(c not in flow.table.columns for c in need):
+        raise CompileError(
+            "sessionize() requires a flow over a table with 'ts',"
+            " 'user_id' and 'event_id' columns (e.g. /events)"
+        )
+    gap = _fm_int_lit(args, 0, 30, "sessionize")
+    if gap < 1:
+        raise CompileError("sessionize() needs gap_minutes >= 1")
+    prefix = cc.engine.fresh("__ses") + "_"
+    flow.df, names = append_session_index(
+        flow.df,
+        gap_minutes=gap,
+        ts_col=flow.scope_col("ts"),
+        user_col=flow.scope_col("user_id"),
+        order_col=flow.scope_col("event_id"),
+        prefix=prefix,
+    )
+    flow.extra["session_id"] = names[0]
+    return v
+
+
+def _fm_winnow(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """winnow([key]) — expand the flow to its winnowing fingerprints
+    (Schleimer '03, the MOSS substring-matching sketch): each row
+    becomes one row per distinct window-min gram hash, carrying every
+    original column plus the appended ``fp`` attribute
+    (operators.textstats.winnow_fingerprints with the portable md5
+    gram hash — the op_winnow_portable kernel).  Plural expansion
+    semantics like tfidf().  Fingerprints are produced task-locally
+    at scan speed; the join back ships (key, fp) only."""
+    if len(args) > 1:
+        raise CompileError("winnow([key]) takes at most one argument")
+    from .operators.textstats import winnow_fingerprints
+
+    flow = v.flow
+    tcol = _fm_text_col(v, "winnow")
+    key = _fm_survivor_key(cc, ctx, v, args, "winnow")
+    narrow = flow.df.select(key.alias("doc_id"), F.col(tcol).alias("text"))
+    prefix = cc.engine.fresh("__wn") + "_"
+    fps = winnow_fingerprints(narrow, gram_hash="md5").select(
+        F.col("doc_id"), F.col("fp").alias(f"{prefix}fp")
+    )
+    keyc = cc.engine.fresh("__wk")
+    flow.df = (
+        flow.df.withColumn(keyc, key)
+        .join(fps.withColumnRenamed("doc_id", keyc), keyc, "inner")
+        .drop(keyc)
+    )
+    flow.extra["fp"] = f"{prefix}fp"
+    return v
+
+
 FLOW_METHODS = {
     "sort": _fm_sort,
     "limit": _fm_limit,
@@ -1622,6 +1801,12 @@ FLOW_METHODS = {
     "dedup_minhash": _fm_dedup_minhash,
     "tfidf": _fm_tfidf,
     "near": _fm_near,
+    "stats": _fm_stats,
+    "pii": _fm_pii,
+    "sample": _fm_sample,
+    "split": _fm_split,
+    "sessionize": _fm_sessionize,
+    "winnow": _fm_winnow,
 }
 
 

@@ -141,20 +141,17 @@ def sessionize(
 
     Two windows + one aggregation, all sharing the user_id
     partitioning — one shuffle total at any scale."""
-    gap_us = gap_minutes * 60 * 1_000_000
-    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
-    # engine timestamps are NTZ; the session runs UTC (engine.get_spark)
-    # so the cast is value-preserving and unix_micros == DuckDB epoch_us
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    prev = F.lag(us).over(w)
-    brk = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
-    cum = F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    d, (sid,) = append_session_index(
+        events,
+        gap_minutes=gap_minutes,
+        ts_col=ts_col,
+        user_col=user_col,
+        order_col=order_col,
+        prefix="__sz_",
+    )
     return (
-        events.withColumn("__brk", brk)
-        .withColumn("__sid", cum)
-        .groupBy(
-            F.col(user_col), (F.col("__sid") - 1).cast("int").alias("session_id")
-        )
+        d.groupBy(F.col(user_col), F.col(sid).alias("session_id"))
         .agg(
             F.min(ts_col).alias("session_start"),
             F.count("*").alias("n_events"),
@@ -162,6 +159,48 @@ def sessionize(
             F.round(F.sum(value_col), 6).alias("value_sum"),
         )
     )
+
+
+def append_session_index(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+    prefix: str = "",
+) -> tuple[DataFrame, list[str]]:
+    """Append the per-event 0-based session index
+    (``{prefix}session_id``) KEEPING every existing column — the
+    gaps-and-islands kernel :func:`sessionize` aggregates over, and
+    the column-builder form of the query-language ``sessionize()``
+    flow method.  A new session starts when the gap to the user's
+    previous event exceeds ``gap_minutes``; all arithmetic is integer
+    microseconds so boundaries are bit-exact and portable.  Two
+    windows sharing one ``user_col`` partitioning — a single shuffle
+    at any scale.  Returns (df, appended names)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    # engine timestamps are NTZ; the session runs UTC (engine.get_spark)
+    # so the cast is value-preserving and unix_micros == DuckDB epoch_us
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    brk = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    # scratch name derives from the caller's fresh prefix (the
+    # append_gopher_signals contract): never clobber an input column
+    brkc = f"__{prefix}ses_brk"
+    name = f"{prefix}session_id"
+    if brkc in df.columns:
+        raise ValueError(
+            f"append_session_index: scratch column {brkc!r} already"
+            " exists on the input — pass a fresh prefix"
+        )
+    cum = F.sum(brkc).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    d = (
+        df.withColumn(brkc, brk)
+        .withColumn(name, (cum - 1).cast("int"))
+        .drop(brkc)
+    )
+    return d, [name]
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -40,6 +40,29 @@ def _hash_prefix(key: Column, salt: str) -> Column:
     return F.substring(F.md5(F.concat_ws("|", key.cast("string"), F.lit(salt))), 1, 8)
 
 
+def split_expr(
+    key: Column,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> Column:
+    """The named-split assignment as a pure column expression over a
+    key column (train/valid/test by default) — the kernel
+    :func:`hash_split` and the query-language ``split()`` flow method
+    share.  Narrow: each task decides its own rows."""
+    weights = weights or {"train": 0.9, "valid": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    prefix = _hash_prefix(key, salt)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = prefix < F.lit(frac_hex(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
 def hash_split(
     df: DataFrame,
     key: str,
@@ -50,19 +73,7 @@ def hash_split(
     by hashing `key`.  Narrow (no shuffle, no action): each task decides
     its own rows, so this scales linearly and is partition-layout
     independent."""
-    weights = weights or {"train": 0.9, "valid": 0.05, "test": 0.05}
-    total = sum(weights.values())
-    prefix = _hash_prefix(F.col(key), salt)
-    expr = None
-    cum = 0.0
-    names = list(weights)
-    for name in names[:-1]:
-        cum += weights[name] / total
-        cond = prefix < F.lit(frac_hex(cum))
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    last = F.lit(names[-1])
-    expr = last if expr is None else expr.otherwise(last)
-    return df.withColumn("split", expr)
+    return df.withColumn("split", split_expr(F.col(key), weights, salt))
 
 
 def stratified_sample(
@@ -1192,6 +1203,26 @@ def redact_pii(
         F.regexp_count(t, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+def append_pii_signals(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> tuple[DataFrame, list[str]]:
+    """Append the :func:`redact_pii` signals — ``{prefix}emails`` /
+    ``{prefix}phones`` (match counts) and ``{prefix}clean`` (the
+    redacted text itself) — KEEPING every existing column: the
+    column-builder form the query-language ``pii()`` flow method
+    composes onto an arbitrary flow.  Pure regexp_replace /
+    regexp_count, codegen'd, zero shuffle.  Returns (df, names)."""
+    t = F.col(text_col)
+    sig = {
+        f"{prefix}emails": F.regexp_count(t, F.lit(EMAIL_RE)).cast("int"),
+        f"{prefix}phones": F.regexp_count(t, F.lit(PHONE_RE)).cast("int"),
+        f"{prefix}clean": F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+        ),
+    }
+    return df.withColumns(sig), list(sig)
 
 
 def dedup_chunks(

@@ -744,6 +744,29 @@ def text_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def append_text_stats(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> tuple[DataFrame, list[str]]:
+    """Append the :func:`text_stats` signal set
+    (``{prefix}tokens/words/chars/punct_ratio/quality/langid/fp``) to
+    ``df`` KEEPING every existing column — the column-builder form the
+    query-language ``stats()`` flow method composes onto an arbitrary
+    flow (same contract as :func:`append_gopher_signals`).  Pure
+    in-row expressions over built-ins: zero shuffle, a 100 TB corpus
+    profiles at scan speed.  Returns (df, appended names)."""
+    t = F.col(text_col)
+    sig = {
+        f"{prefix}tokens": token_count(t).cast("int"),
+        f"{prefix}words": word_count(t).cast("int"),
+        f"{prefix}chars": F.length(t).cast("int"),
+        f"{prefix}punct_ratio": F.round(punct_ratio(t), 6),
+        f"{prefix}quality": quality_score(t),
+        f"{prefix}langid": lang_id(t),
+        f"{prefix}fp": fingerprint(t),
+    }
+    return df.withColumns(sig), list(sig)
+
+
 _HEX32_SPACE = float(16**8)
 
 

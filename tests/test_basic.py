@@ -333,3 +333,127 @@ def test_selection_alias_wins_over_appended_attribute(db):
         )
     }
     assert rows == {0: 100, 1: 101, 2: 102}
+
+
+def test_flow_method_stats_matches_operator(db):
+    """stats() through the parser equals textstats.text_stats on the
+    same corpus — the flow method is a front-end, not a fork."""
+    from htsql_spark.operators.textstats import text_stats
+
+    got = {
+        (
+            r["doc_id"], r["stats_tokens"], r["stats_words"],
+            r["stats_chars"], r["stats_punct_ratio"], r["stats_quality"],
+            r["stats_langid"], r["stats_fp"],
+        )
+        for r in db.produce(
+            "/documents.stats(){doc_id, stats_tokens, stats_words,"
+            " stats_chars, stats_punct_ratio, stats_quality,"
+            " stats_langid, stats_fp}"
+        )
+    }
+    exp = {tuple(r) for r in text_stats(db.table("documents")).collect()}
+    assert got == exp
+
+
+def test_flow_method_pii_planted_redaction(spark, tmp_path):
+    """pii() through the parser over planted PII: emails and phone
+    runs are counted and replaced by typed placeholders; clean docs
+    pass through byte-identical."""
+    import pandas as pd
+
+    from htsql_spark import HTSQL
+    from htsql_spark.catalog import Catalog
+
+    rows = [
+        (0, "contact alice.smith+x@example.co.uk or bob@test.org now"),
+        (1, "call +1 (415) 555-0199 today"),
+        (2, "no personal data here at all"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        str(tmp_path / "docs.parquet")
+    )
+    db2 = HTSQL(spark, str(tmp_path), catalog=Catalog.from_files(str(tmp_path)))
+    got = {
+        r["doc_id"]: (r["pii_emails"], r["pii_phones"], r["pii_clean"])
+        for r in db2.produce(
+            "/docs.pii(){doc_id, pii_emails, pii_phones, pii_clean}"
+        )
+    }
+    assert got[0] == (2, 0, "contact [EMAIL] or [EMAIL] now")
+    assert got[1] == (0, 1, "call [PHONE] today")
+    assert got[2] == (0, 0, "no personal data here at all")
+    # sieve on the appended count composes (selection first — the
+    # sieve binds loosest, reference precedence)
+    hits = [
+        r["doc_id"]
+        for r in db2.produce("/docs.pii(){doc_id}?pii_emails+pii_phones>0")
+    ]
+    assert sorted(hits) == [0, 1]
+
+
+def test_flow_method_sample_split_deterministic_and_disjoint(db):
+    """sample(frac) picks the same rows on every run (content-stable);
+    split() partitions the corpus — the three sieves are disjoint and
+    exhaustive, and agree with the appended split() attribute."""
+    s1 = [r["doc_id"] for r in db.produce("/documents.sample(0.25){doc_id}")]
+    s2 = [r["doc_id"] for r in db.produce("/documents.sample(0.25){doc_id}")]
+    assert sorted(s1) == sorted(s2) and 0 < len(s1)
+    total = db.produce("/{n := count(documents)}")[0]["n"]
+    assert len(s1) < total
+    # sample(1.0) keeps everything, sample(0.0) nothing
+    assert len(db.produce("/documents.sample(1.0){doc_id}")) == total
+    assert len(db.produce("/documents.sample(0.0){doc_id}")) == 0
+    parts = {
+        name: {r["doc_id"] for r in db.produce(f"/documents.split('{name}'){{doc_id}}")}
+        for name in ("train", "valid", "test")
+    }
+    assert sum(len(v) for v in parts.values()) == total
+    assert not (parts["train"] & parts["valid"]) and not (
+        parts["valid"] & parts["test"]
+    ) and not (parts["train"] & parts["test"])
+    appended = {
+        r["doc_id"]: r["split"]
+        for r in db.produce("/documents.split(){doc_id, split}")
+    }
+    for name, ids in parts.items():
+        assert all(appended[i] == name for i in ids)
+
+
+def test_flow_method_sessionize_matches_operator(db):
+    """sessionize(gap) through the parser carries the SAME per-event
+    session index the batch sessionize aggregation compresses: group
+    the appended attribute in the language and the (user, session)
+    row set equals analytics.sessionize."""
+    from htsql_spark.operators.analytics import sessionize
+
+    got = {
+        (r["user_id"], r["session_id"], r["n"])
+        for r in db.produce(
+            "/events.sessionize()^{user_id := user_id, session_id :="
+            " session_id}{user_id, session_id, n := count(^)}"
+        )
+    }
+    exp = {
+        (r.user_id, r.session_id, r.n_events)
+        for r in sessionize(db.table("events")).collect()
+    }
+    assert got == exp
+
+
+def test_flow_method_winnow_matches_operator(db):
+    """winnow() through the parser equals the portable-md5
+    winnow_fingerprints kernel (the op_winnow_portable shape)."""
+    from htsql_spark.operators.textstats import winnow_fingerprints
+
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in db.produce("/documents.winnow(){doc_id, fp}?doc_id<50")
+    }
+    exp = {
+        (r.doc_id, r.fp)
+        for r in winnow_fingerprints(
+            db.table("documents").filter("doc_id < 50"), gram_hash="md5"
+        ).collect()
+    }
+    assert got == exp

@@ -81,6 +81,9 @@ QUERIES = [
     # attributes wins the order contract like any column
     "/documents.entropy().sort(entropy-).limit(3){doc_id, entropy}",
     "/documents.dedup_exact().sort(doc_id).limit(2){doc_id}",
+    "/documents.stats().sort(stats_quality-).limit(3){doc_id, q := stats_quality}",
+    "/events.sessionize(45).sort(user_id, session_id).limit(4)"
+    "{user_id, event_id, session_id}",
 ]
 
 

@@ -491,6 +491,45 @@ def test_lang_classify_single_projection(db):
     assert "EvalPython" not in plan and "InPandas" not in plan, plan
 
 
+def test_lang_inrow_methods_zero_shuffle(db):
+    """stats()/pii()/sample()/split() through the parser stay
+    zero-shuffle scan + project/filter: no Exchange, no Python stage —
+    the flow methods inherit the operators' scan-speed plans."""
+    for q in (
+        "/documents.stats(){doc_id, stats_quality, stats_langid}",
+        "/documents.pii(){doc_id, pii_emails, pii_clean}",
+        "/documents.sample(0.25){doc_id}",
+        "/documents.split(){doc_id, split}",
+        "/documents.split('test'){doc_id}",
+    ):
+        plan = physical(db.df(q))
+        assert "Exchange" not in plan, (q, plan)
+        assert "EvalPython" not in plan and "InPandas" not in plan, (q, plan)
+
+
+def test_lang_sessionize_single_exchange(db):
+    """sessionize() is one user_id-keyed shuffle: both windows (lag +
+    running sum) share the same partitioning, so exactly one Exchange
+    appears in the plan."""
+    plan = physical(
+        db.df("/events.sessionize(){user_id, event_id, session_id}")
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan and "InPandas" not in plan, plan
+
+
+def test_lang_winnow_single_text_scan(db):
+    """winnow() reads the documents text column exactly once: the
+    fingerprint leg carries (key, fp) only and joins back on the key —
+    no second full-text pass."""
+    df = db.df("/documents.winnow(){doc_id, fp}")
+    plan = optimized(df)
+    assert plan.count("] parquet") <= 2, plan  # flow leg + fp leg
+    # the join-back ships ids+fp, never a second text column
+    phys = physical(df)
+    assert "EvalPython" not in phys and "InPandas" not in phys, phys
+
+
 def test_stream_anomaly_state_is_fixed_width(spark):
     """streaming anomaly state: three fixed-width numeric fields
     (n, s, ss) — O(1) bytes per key, no lists/strings that could grow

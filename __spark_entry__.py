@@ -2128,6 +2128,50 @@ def _lang_winnow(spark, sf_dir):
     return _db(spark, sf_dir).df("/documents.winnow(){doc_id, fp}")
 
 
+def _lang_chunk(spark, sf_dir):
+    """chunk() flow method through the parser: plural expansion into
+    32/8 sliding token windows (pipeline.append_chunk_columns, the
+    chunk_documents kernel) with chunk_idx/start/n_tokens/md5
+    appended — same values as op_chunk under the chunk_ prefix."""
+    return _db(spark, sf_dir).df(
+        "/documents.chunk(){doc_id, chunk_idx, chunk_start,"
+        " chunk_n_tokens, chunk_md5}"
+    )
+
+
+def _lang_repetition(spark, sf_dir):
+    """repetition() flow method through the parser: the Gopher-family
+    repetition signals (textstats.append_repetition_signals, the
+    repetition_stats kernel) as rep_* attributes — same values as
+    op_repetition, zero shuffle."""
+    return _db(spark, sf_dir).df(
+        "/documents.repetition(){doc_id, rep_n_words, rep_dup_word_frac,"
+        " rep_top_word_frac, rep_top_bigram_frac}"
+    )
+
+
+def _lang_unigram(spark, sf_dir):
+    """unigram() flow method through the parser: unigram-LM document
+    scoring against the flow's own term distribution
+    (pipeline.unigram_logprob, the op_unigram_lm kernel) appended as
+    lm_* attributes — the perplexity-filter tier as language."""
+    return _db(spark, sf_dir).df(
+        "/documents.unigram(){doc_id, lm_n_words, lm_avg_logp, lm_ppl}"
+    )
+
+
+def _lang_dsir(spark, sf_dir):
+    """dsir(target) flow method through the parser: DSIR importance
+    weights toward a language-level target predicate
+    (pipeline.dsir_weights with target = lang='en', the op_dsir
+    configuration), top 200 by (logw desc, doc_id) — domain-targeted
+    resampling as language surface."""
+    return _db(spark, sf_dir).df(
+        "/documents.dsir(lang='en').sort(dsir_logw-, doc_id).limit(200)"
+        "{doc_id, dsir_n_grams, dsir_logw}"
+    )
+
+
 def _op_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup: argmax-to-centroid cells (the
     seeded deterministic cells, so the oracle replays the assignment
@@ -3102,6 +3146,10 @@ _QUERIES.update(
         "lang_split": _lang_split,
         "lang_sessionize": _lang_sessionize,
         "lang_winnow": _lang_winnow,
+        "lang_chunk": _lang_chunk,
+        "lang_repetition": _lang_repetition,
+        "lang_unigram": _lang_unigram,
+        "lang_dsir": _lang_dsir,
     }
 )
 
@@ -3135,18 +3183,20 @@ _QUERIES.update(
 # operator gets a hard driver verification.  Union r2..r6 remains all
 # oracle-backed queries.
 _GATE_ORDER = [
-    # kept flagships
+    # kept flagships (op_dedup_embedding displaced by the third-wave
+    # lang rows: r6..r8 gate-green, dedup.py/similarity.py untouched)
     "scan", "agg_flagship", "quotient", "tpch_q1",
-    "op_curate", "op_dedup_pipeline", "op_dedup_embedding", "op_tfidf",
+    "op_curate", "op_dedup_pipeline", "op_tfidf",
     # portable twins / kernel forms of the rows-only production ops
     "op_winnow_portable", "op_winnow_pairs_portable",
     "op_simhash_portable", "op_simhash_pairs_portable",
     "op_kmeans_assign", "op_kmeans_step",
-    # r6 rows kept for breadth: CDC batch MERGE, Z-order clustering
-    # key, incremental winnowing, streaming CDC snapshot loop,
-    # streaming windowed GK quantiles (op_kll_quantiles displaced r9:
-    # r6/r7/r8 gate-green, sketches.py untouched since r6)
-    "op_cdc_upsert", "op_zorder_key",
+    # r6 rows kept for breadth: CDC batch MERGE, incremental
+    # winnowing, streaming CDC snapshot loop, streaming windowed GK
+    # quantiles (op_kll_quantiles displaced r9: r6/r7/r8 gate-green,
+    # sketches.py untouched since r6; op_zorder_key displaced by the
+    # third-wave lang rows: layout.py untouched this round)
+    "op_cdc_upsert",
     "op_winnow_incremental", "stream_cdc", "stream_quantiles",
     # ROUND-9 ROTATION (judge directive r8 #1/#3/#4/#5): the four new
     # language-bridge rows (classify/dedup_minhash/tfidf/near through
@@ -3181,6 +3231,17 @@ _GATE_ORDER = [
     # op_skew_join.
     "lang_stats", "lang_pii", "lang_sample",
     "lang_split", "lang_sessionize", "lang_winnow",
+    # ROUND-9 BRIDGE WIDENING, THIRD WAVE: chunk()/repetition()/
+    # unigram()/dsir(target) flow methods — chunking, repetition
+    # quality, perplexity-proxy scoring, and domain-targeted DSIR
+    # resampling as language surface, each value-checked against the
+    # corresponding operator oracle (op_chunk / op_repetition /
+    # op_unigram_lm / op_dsir kernels).  Displaced (gate-green r8 or
+    # earlier with code untouched this round; oracle-replayed every
+    # pytest run): tpch_q17, tpch_q21 (tpch_q3 stays as the TPC-H
+    # composition representative — the lang_* rows exercise the same
+    # compile.py), op_zorder_key, op_dedup_embedding.
+    "lang_chunk", "lang_repetition", "lang_unigram", "lang_dsir",
     # ROUND-8 ROTATION (judge directive r6/r7 #1): the 8 registry ops
     # that have NEVER had a hard driver CORRECTNESS row (they were
     # oracle-replayed in tests/test_entry.py only).  stream_anomaly is
@@ -3199,8 +3260,8 @@ _GATE_ORDER = [
     # op_dedup_minhash, op_contamination_near, op_edit_dedup,
     # op_chunk_dedup, op_bpe_encode, op_frame_sample,
     # op_video_dedup_avi, op_histogram, op_scd2
-    # re-verification: TPC-H composition shapes
-    "tpch_q3", "tpch_q17", "tpch_q21",
+    # re-verification: TPC-H composition shape
+    "tpch_q3",
     # r8 language-bridge pilots re-verified (compile.py changed again
     # this round — the attribute-resolution order they exercise must
     # hold under the widened FLOW_METHODS table)
@@ -5093,6 +5154,28 @@ FROM o
     # winnow() appends fp to every original column; the registry row
     # selects {doc_id, fp} — exactly the portable-winnow oracle shape
     out["lang_winnow"] = out["op_winnow_portable"]
+    out["lang_chunk"] = (
+        "SELECT doc_id, chunk_idx, start_token AS chunk_start,"
+        " n_tokens AS chunk_n_tokens, chunk_md5 FROM ("
+        + _CHUNK_SQL
+        + ")"
+    )
+    out["lang_repetition"] = (
+        "SELECT doc_id, n_words AS rep_n_words,"
+        " dup_word_frac AS rep_dup_word_frac,"
+        " top_word_frac AS rep_top_word_frac,"
+        " top_bigram_frac AS rep_top_bigram_frac FROM ("
+        + _REPETITION_SQL
+        + ")"
+    )
+    out["lang_unigram"] = (
+        "SELECT doc_id, n_words AS lm_n_words, avg_logp AS lm_avg_logp,"
+        " ppl AS lm_ppl FROM (" + out["op_unigram_lm"] + ")"
+    )
+    out["lang_dsir"] = (
+        "SELECT doc_id, n_grams AS dsir_n_grams, logw AS dsir_logw"
+        " FROM (" + out["op_dsir"] + ")"
+    )
     # z-order key: the Morton interleave is pure bit arithmetic, so
     # the oracle is the SAME sum-of-shifted-bits expression spelled
     # in SQL (bit b of x -> output bit 2b, bit b of y -> 2b+1)

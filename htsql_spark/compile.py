@@ -1789,6 +1789,129 @@ def _fm_winnow(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     return v
 
 
+def _fm_chunk(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """chunk([n_tokens[, overlap]]) — expand the flow into sliding
+    token windows (operators.pipeline.append_chunk_columns, the
+    chunk_documents kernel): each row becomes one row per window,
+    carrying every original column plus the appended ``chunk_idx`` /
+    ``chunk_start`` / ``chunk_n_tokens`` / ``chunk_md5`` attributes.
+    Defaults 32-token chunks advancing by 24 (overlap 8).  Pure
+    generate-and-slice, no shuffle, no join — a 100 TB corpus chunks
+    at scan speed."""
+    if len(args) > 2:
+        raise CompileError(
+            "chunk([n_tokens[, overlap]]) takes at most two arguments"
+        )
+    from .operators.pipeline import append_chunk_columns
+
+    flow = v.flow
+    tcol = _fm_text_col(v, "chunk")
+    n = _fm_int_lit(args, 0, 32, "chunk")
+    overlap = _fm_int_lit(args, 1, 8, "chunk")
+    if n < 1 or overlap < 0 or overlap >= n:
+        raise CompileError("chunk() needs n_tokens >= 1 and 0 <= overlap < n_tokens")
+    prefix = cc.engine.fresh("__ck") + "_"
+    flow.df, names = append_chunk_columns(
+        flow.df, chunk_tokens=n, overlap=overlap, text_col=tcol, prefix=prefix
+    )
+    for nm in names:
+        flow.extra["chunk_" + nm[len(prefix):]] = nm
+    return v
+
+
+def _fm_repetition(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """repetition() — append the Gopher-family repetition quality
+    signals ``rep_n_words`` / ``rep_dup_word_frac`` /
+    ``rep_top_word_frac`` / ``rep_top_bigram_frac``
+    (operators.textstats.append_repetition_signals as a flow method).
+    Zero shuffle, task-local array algebra."""
+    if args:
+        raise CompileError("repetition() takes no arguments")
+    from .operators.textstats import append_repetition_signals
+
+    flow = v.flow
+    tcol = _fm_text_col(v, "repetition")
+    prefix = cc.engine.fresh("__rep") + "_"
+    flow.df, names = append_repetition_signals(flow.df, text_col=tcol, prefix=prefix)
+    for nm in names:
+        flow.extra["rep_" + nm[len(prefix):]] = nm
+    return v
+
+
+def _fm_unigram(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """unigram([key]) — append the unigram language-model score (the
+    perplexity-filter proxy, operators.pipeline.unigram_logprob) as
+    the ``lm_n_words`` / ``lm_avg_logp`` / ``lm_ppl`` attributes:
+    each document scored by the mean log-probability of its words
+    under the corpus's OWN unigram distribution.  Two term-keyed
+    shuffles (count + probe) and a join back shipping (key, 3
+    numbers); the vocabulary is never broadcast — unbounded at
+    100 TB."""
+    if len(args) > 1:
+        raise CompileError("unigram([key]) takes at most one argument")
+    from .operators.pipeline import unigram_logprob
+
+    flow = v.flow
+    tcol = _fm_text_col(v, "unigram")
+    key = _fm_survivor_key(cc, ctx, v, args, "unigram")
+    narrow = flow.df.select(key.alias("doc_id"), F.col(tcol).alias("text"))
+    prefix = cc.engine.fresh("__lm") + "_"
+    scored = unigram_logprob(narrow).select(
+        F.col("doc_id"),
+        F.col("n_words").alias(f"{prefix}n_words"),
+        F.col("avg_logp").alias(f"{prefix}avg_logp"),
+        F.col("ppl").alias(f"{prefix}ppl"),
+    )
+    keyc = cc.engine.fresh("__lk")
+    flow.df = (
+        flow.df.withColumn(keyc, key)
+        .join(scored.withColumnRenamed("doc_id", keyc), keyc, "inner")
+        .drop(keyc)
+    )
+    for nm in ("n_words", "avg_logp", "ppl"):
+        flow.extra[f"lm_{nm}"] = f"{prefix}{nm}"
+    return v
+
+
+def _fm_dsir(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """dsir(target[, key]) — append the DSIR importance weight
+    (Xie '23, operators.pipeline.dsir_weights) as ``dsir_n_grams`` /
+    ``dsir_logw``: every document scored by how much its hashed
+    unigram+bigram profile looks like the TARGET sub-corpus, where
+    the target is any boolean expression over the flow
+    (``/documents.dsir(lang='en')``).  Domain-targeted resampling
+    becomes language surface.  One (doc, bucket) shuffle; the
+    1024-row log-ratio table broadcasts; the join back ships
+    (key, 2 numbers)."""
+    if not args or len(args) > 2:
+        raise CompileError("dsir(target[, key]) takes 1 or 2 arguments")
+    from .operators.pipeline import dsir_weights
+
+    flow = v.flow
+    tcol = _fm_text_col(v, "dsir")
+    scope = ScopeRef(flow, flow.alias, flow.table)
+    pred = fnlib.to_boolean(cc, scope, cc.scalar(ctx, scope, args[0]).col)
+    key = _fm_survivor_key(cc, ctx, v, args[1:], "dsir")
+    narrow = flow.df.select(
+        key.alias("doc_id"), F.col(tcol).alias("text"), pred.alias("__tgt")
+    )
+    prefix = cc.engine.fresh("__dsir") + "_"
+    scored = dsir_weights(narrow, target=F.col("__tgt")).select(
+        F.col("doc_id"),
+        F.col("n_grams").alias(f"{prefix}n_grams"),
+        F.col("logw").alias(f"{prefix}logw"),
+    )
+    keyc = cc.engine.fresh("__dk")
+    flow.df = (
+        flow.df.withColumn(keyc, key)
+        .join(scored.withColumnRenamed("doc_id", keyc), keyc, "inner")
+        .drop(keyc)
+    )
+    for nm in ("n_grams", "logw"):
+        flow.extra[f"dsir_{nm}"] = f"{prefix}{nm}"
+    return v
+
+
 FLOW_METHODS = {
     "sort": _fm_sort,
     "limit": _fm_limit,
@@ -1807,6 +1930,10 @@ FLOW_METHODS = {
     "split": _fm_split,
     "sessionize": _fm_sessionize,
     "winnow": _fm_winnow,
+    "chunk": _fm_chunk,
+    "repetition": _fm_repetition,
+    "unigram": _fm_unigram,
+    "dsir": _fm_dsir,
 }
 
 

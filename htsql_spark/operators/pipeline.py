@@ -191,23 +191,66 @@ def chunk_documents(
     chunks at scan speed."""
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
-    step = chunk_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    exploded = docs.select(
+    d, names = append_chunk_columns(
+        docs.select(F.col(id_col), F.col(text_col)),
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+        text_col=text_col,
+        prefix="__ck_",
+    )
+    idx, start, ntok, md5 = names
+    return d.select(
         F.col(id_col),
-        toks.alias("__toks"),
-        F.explode(F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(step))).alias(
-            "__start"
+        F.col(idx).alias("chunk_idx"),
+        F.col(start).alias("start_token"),
+        F.col(ntok).alias("n_tokens"),
+        F.col(md5).alias("chunk_md5"),
+    )
+
+
+def append_chunk_columns(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    prefix: str = "",
+) -> tuple[DataFrame, list[str]]:
+    """The sliding-window chunk expansion KEEPING every existing
+    column: each row becomes one row per token window, with
+    ``{prefix}idx`` / ``{prefix}start`` / ``{prefix}n_tokens`` /
+    ``{prefix}md5`` appended — the kernel :func:`chunk_documents`
+    selects from, and the column-builder form of the query-language
+    ``chunk()`` flow method.  Pure generate-and-slice (split →
+    sequence → explode → slice): narrow, no shuffle, no join —
+    chunks are produced task-locally at scan speed.  Returns
+    (df, appended names)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    tokc, startc = f"__{prefix}ck_toks", f"__{prefix}ck_start"
+    clash = [c for c in (tokc, startc) if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"append_chunk_columns: scratch column(s) {clash} already"
+            " exist on the input — pass a fresh prefix"
+        )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = df.withColumn(tokc, toks).withColumn(
+        startc,
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(F.col(tokc)), F.lit(1)), F.lit(step)
+            )
         ),
     )
-    piece = F.slice(F.col("__toks"), F.col("__start"), F.lit(chunk_tokens))
-    return exploded.select(
-        F.col(id_col),
-        F.floor((F.col("__start") - 1) / step).cast("int").alias("chunk_idx"),
-        F.col("__start").cast("int").alias("start_token"),
-        F.size(piece).cast("int").alias("n_tokens"),
-        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
-    )
+    piece = F.slice(F.col(tokc), F.col(startc), F.lit(chunk_tokens))
+    sig = {
+        f"{prefix}idx": F.floor((F.col(startc) - 1) / step).cast("int"),
+        f"{prefix}start": F.col(startc).cast("int"),
+        f"{prefix}n_tokens": F.size(piece).cast("int"),
+        f"{prefix}md5": F.md5(F.array_join(piece, " ")),
+    }
+    return d.withColumns(sig).drop(tokc, startc), list(sig)
 
 
 def tfidf_top_terms(
@@ -681,7 +724,14 @@ def unigram_logprob(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     ).alias("term")
     toks = docs.select(F.col(id_col), words)
-    freqs = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    # pin the (term, tf) aggregate: it feeds BOTH the probe join and
+    # the corpus-total fold, and without a pin Catalyst re-expands the
+    # lineage — a THIRD full text explode just to sum tf (the same
+    # no-CSE-across-join-inputs trap as tfidf_top_terms' df leg).  The
+    # pinned table is vocabulary-sized, tiny next to the corpus text.
+    freqs = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(
+        eager=False
+    )
     total = freqs.agg(F.sum("tf").alias("n")).select("n")
     scored = (
         toks.join(freqs, "term")

@@ -452,9 +452,42 @@ def repetition_stats(
     shape at 100 TB.  The filter rule itself (e.g. drop when
     dup_word_frac > 0.3) is a downstream sieve.
     """
+    d, names = append_repetition_signals(
+        docs.select(F.col(id_col), F.col(text_col)),
+        text_col=text_col,
+        prefix="__rep_",
+    )
+    nw, dw, tw, tb = names
+    return d.select(
+        F.col(id_col),
+        F.col(nw).alias("n_words"),
+        F.col(dw).alias("dup_word_frac"),
+        F.col(tw).alias("top_word_frac"),
+        F.col(tb).alias("top_bigram_frac"),
+    )
+
+
+def append_repetition_signals(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> tuple[DataFrame, list[str]]:
+    """Append the :func:`repetition_stats` signals
+    (``{prefix}n_words/dup_word_frac/top_word_frac/top_bigram_frac``)
+    KEEPING every existing column — the kernel the stat-table form
+    selects from, and the column-builder form of the query-language
+    ``repetition()`` flow method.  Zero shuffle, task-local array
+    algebra.  Returns (df, appended names)."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    d = docs.select(F.col(id_col), words.alias("__w"))
-    w = F.col("__w")
+    # scratch names derive from the caller's fresh prefix (the
+    # append_gopher_signals contract)
+    wc, wsc, bsc = (f"__{prefix}rep_w", f"__{prefix}rep_ws", f"__{prefix}rep_bs")
+    clash = [c for c in (wc, wsc, bsc) if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"append_repetition_signals: scratch column(s) {clash}"
+            " already exist on the input — pass a fresh prefix"
+        )
+    d = df.withColumn(wc, words)
+    w = F.col(wc)
     n = F.size(w)
     # bigrams as 'w[i] w[i+1]' strings (element_at is 1-based);
     # sequence(start, stop) DESCENDS when start > stop — guard n=1
@@ -469,22 +502,20 @@ def repetition_stats(
     # O(n) fold, vs the naive O(distinct × n) count-each-distinct
     # (50× fewer lambda evals on 100-word docs — measured 8.5 s → sub-s
     # on the sf0.1 corpus)
-    d = d.select(
-        F.col(id_col), w, F.array_sort(w).alias("__ws"), F.array_sort(bigrams).alias("__bs")
-    )
-    return d.select(
-        F.col(id_col),
-        n.cast("long").alias("n_words"),
-        F.round(
+    d = d.withColumns({wsc: F.array_sort(w), bsc: F.array_sort(bigrams)})
+    sig = {
+        f"{prefix}n_words": n.cast("long"),
+        f"{prefix}dup_word_frac": F.round(
             F.lit(1.0) - F.size(F.array_distinct(w)) / n.cast("double"), 6
-        ).alias("dup_word_frac"),
-        F.round(_max_run(F.col("__ws")) / n.cast("double"), 6).alias("top_word_frac"),
-        F.when(
-            n >= 2, F.round(_max_run(F.col("__bs")) / (n - 1).cast("double"), 6)
-        )
-        .otherwise(F.lit(0.0))
-        .alias("top_bigram_frac"),
-    )
+        ),
+        f"{prefix}top_word_frac": F.round(
+            _max_run(F.col(wsc)) / n.cast("double"), 6
+        ),
+        f"{prefix}top_bigram_frac": F.when(
+            n >= 2, F.round(_max_run(F.col(bsc)) / (n - 1).cast("double"), 6)
+        ).otherwise(F.lit(0.0)),
+    }
+    return d.withColumns(sig).drop(wc, wsc, bsc), list(sig)
 
 
 def token_entropy(

@@ -441,6 +441,103 @@ def test_flow_method_sessionize_matches_operator(db):
     assert got == exp
 
 
+def test_flow_method_chunk_matches_operator(db):
+    """chunk() through the parser equals pipeline.chunk_documents —
+    same windows, same md5s, same counts."""
+    from htsql_spark.operators.pipeline import chunk_documents
+
+    got = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_start"],
+         r["chunk_n_tokens"], r["chunk_md5"])
+        for r in db.produce(
+            "/documents.chunk(){doc_id, chunk_idx, chunk_start,"
+            " chunk_n_tokens, chunk_md5}?doc_id<50"
+        )
+    }
+    exp = {
+        tuple(r)
+        for r in chunk_documents(
+            db.table("documents").filter("doc_id < 50")
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_flow_method_repetition_matches_operator(db):
+    """repetition() through the parser equals
+    textstats.repetition_stats."""
+    from htsql_spark.operators.textstats import repetition_stats
+
+    got = {
+        (r["doc_id"], r["rep_n_words"], r["rep_dup_word_frac"],
+         r["rep_top_word_frac"], r["rep_top_bigram_frac"])
+        for r in db.produce(
+            "/documents.repetition(){doc_id, rep_n_words,"
+            " rep_dup_word_frac, rep_top_word_frac, rep_top_bigram_frac}"
+            "?doc_id<50"
+        )
+    }
+    exp = {
+        tuple(r)
+        for r in repetition_stats(
+            db.table("documents").filter("doc_id < 50")
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_flow_method_unigram_scores_own_distribution(db):
+    """unigram() scores against the FLOW's distribution: on the full
+    corpus it equals pipeline.unigram_logprob, and composing it after
+    a sieve re-fits the model to the sieved corpus (the semantically
+    meaningful behavior for curation subsets)."""
+    from htsql_spark.operators.pipeline import unigram_logprob
+
+    got = {
+        (r["doc_id"], r["lm_n_words"], r["lm_avg_logp"], r["lm_ppl"])
+        for r in db.produce(
+            "/documents.unigram(){doc_id, lm_n_words, lm_avg_logp, lm_ppl}"
+        )
+    }
+    exp = {tuple(r) for r in unigram_logprob(db.table("documents")).collect()}
+    assert got == exp
+    sub = {
+        (r["doc_id"], r["lm_avg_logp"])
+        for r in db.produce(
+            "/(documents?lang='en').unigram(){doc_id, lm_avg_logp}"
+        )
+    }
+    exp_sub = {
+        (r.doc_id, r.avg_logp)
+        for r in unigram_logprob(
+            db.table("documents").filter("lang = 'en'")
+        ).collect()
+    }
+    assert sub == exp_sub
+
+
+def test_flow_method_dsir_matches_operator(db):
+    """dsir(target) through the parser equals pipeline.dsir_weights
+    with the same boolean target column."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.pipeline import dsir_weights
+
+    got = {
+        (r["doc_id"], r["dsir_n_grams"], r["dsir_logw"])
+        for r in db.produce(
+            "/documents.dsir(lang='en'){doc_id, dsir_n_grams, dsir_logw}"
+        )
+    }
+    exp = {
+        tuple(r)
+        for r in dsir_weights(
+            db.table("documents"), target=F.col("lang") == "en"
+        ).collect()
+    }
+    assert got == exp
+
+
 def test_flow_method_winnow_matches_operator(db):
     """winnow() through the parser equals the portable-md5
     winnow_fingerprints kernel (the op_winnow_portable shape)."""

@@ -104,6 +104,7 @@ NLJ_OK = {
     "op_dedup_simhash",
     # unigram LM joins a broadcast single-row corpus-size aggregate
     "op_unigram_lm",
+    "lang_unigram",
     # tf·idf joins a broadcast single-row corpus-count aggregate
     "op_tfidf",
     "lang_tfidf",

@@ -507,6 +507,29 @@ def test_lang_inrow_methods_zero_shuffle(db):
         assert "EvalPython" not in plan and "InPandas" not in plan, (q, plan)
 
 
+def test_lang_chunk_repetition_zero_shuffle(db):
+    """chunk()/repetition() through the parser are task-local
+    expansions/projections: no Exchange, no join, no Python stage."""
+    for q in (
+        "/documents.chunk(){doc_id, chunk_idx, chunk_md5}",
+        "/documents.repetition(){doc_id, rep_dup_word_frac}",
+    ):
+        plan = physical(db.df(q))
+        assert "Exchange" not in plan, (q, plan)
+        assert "EvalPython" not in plan and "InPandas" not in plan, (q, plan)
+
+
+def test_lang_unigram_single_text_scan(db):
+    """unigram() reads the text column once for the model AND the
+    probe (the exploded token table feeds both legs); the join back
+    ships ids + three numbers."""
+    df = db.df("/documents.unigram(){doc_id, lm_avg_logp}")
+    plan = optimized(df)
+    assert plan.count("] parquet") <= 3, plan  # flow leg + token legs
+    phys = physical(df)
+    assert "EvalPython" not in phys and "InPandas" not in phys, phys
+
+
 def test_lang_sessionize_single_exchange(db):
     """sessionize() is one user_id-keyed shuffle: both windows (lag +
     running sum) share the same partitioning, so exactly one Exchange

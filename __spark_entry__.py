@@ -2172,6 +2172,34 @@ def _lang_dsir(spark, sf_dir):
     )
 
 
+def _lang_dedup_ngram(spark, sf_dir):
+    """dedup_ngram() flow method through the parser: the bucketed
+    character-3-gram Jaccard dedup tier (dedup.ngram_jaccard_pairs at
+    threshold 0.5 with the production max_bucket=200 cap, the
+    op_dedup_ngram kernel) with the pairwise greater-key survivor
+    rule — the oracle replays grams, cap and rule in SQL."""
+    return _db(spark, sf_dir).df("/documents.dedup_ngram(){doc_id}")
+
+
+def _lang_dedup_simhash(spark, sf_dir):
+    """dedup_simhash() flow method through the parser: simhash
+    hamming ≤ 3 dedup with the PORTABLE md5 token hash
+    (dedup.simhash_near_pairs, the op_simhash_pairs_portable kernel)
+    and the pairwise greater-key survivor rule — banding recall at
+    hamming ≤ 3 is part of what the value match proves."""
+    return _db(spark, sf_dir).df("/documents.dedup_simhash(){doc_id}")
+
+
+def _lang_budget(spark, sf_dir):
+    """budget(n) flow method through the parser: token-budget corpus
+    selection, best quality first (pipeline.select_token_budget —
+    histogram walk + boundary-bucket window, no global sort; the
+    op_select_budget kernel) with budget_q/budget_toks appended."""
+    return _db(spark, sf_dir).df(
+        "/documents.budget(100000){doc_id, budget_q, budget_toks}"
+    )
+
+
 def _op_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup: argmax-to-centroid cells (the
     seeded deterministic cells, so the oracle replays the assignment
@@ -3150,6 +3178,9 @@ _QUERIES.update(
         "lang_repetition": _lang_repetition,
         "lang_unigram": _lang_unigram,
         "lang_dsir": _lang_dsir,
+        "lang_dedup_ngram": _lang_dedup_ngram,
+        "lang_dedup_simhash": _lang_dedup_simhash,
+        "lang_budget": _lang_budget,
     }
 )
 
@@ -3188,9 +3219,13 @@ _GATE_ORDER = [
     "scan", "agg_flagship", "quotient", "tpch_q1",
     "op_curate", "op_dedup_pipeline", "op_tfidf",
     # portable twins / kernel forms of the rows-only production ops
+    # (op_simhash_portable / op_kmeans_assign / op_kmeans_step
+    # displaced by the fourth-wave lang rows: r6..r8 gate-green,
+    # dedup.py/similarity.py untouched this round, still
+    # oracle-replayed every pytest run; op_simhash_pairs_portable
+    # stays — lang_dedup_simhash's oracle builds on it)
     "op_winnow_portable", "op_winnow_pairs_portable",
-    "op_simhash_portable", "op_simhash_pairs_portable",
-    "op_kmeans_assign", "op_kmeans_step",
+    "op_simhash_pairs_portable",
     # r6 rows kept for breadth: CDC batch MERGE, incremental
     # winnowing, streaming CDC snapshot loop, streaming windowed GK
     # quantiles (op_kll_quantiles displaced r9: r6/r7/r8 gate-green,
@@ -3242,6 +3277,11 @@ _GATE_ORDER = [
     # composition representative — the lang_* rows exercise the same
     # compile.py), op_zorder_key, op_dedup_embedding.
     "lang_chunk", "lang_repetition", "lang_unigram", "lang_dsir",
+    # ROUND-9 BRIDGE WIDENING, FOURTH WAVE: the remaining dedup tiers
+    # (bucketed n-gram Jaccard, portable simhash) and token-budget
+    # selection as language surface — the dedup family is now fully
+    # reachable from the query language (exact/minhash/ngram/simhash).
+    "lang_dedup_ngram", "lang_dedup_simhash", "lang_budget",
     # ROUND-8 ROTATION (judge directive r6/r7 #1): the 8 registry ops
     # that have NEVER had a hard driver CORRECTNESS row (they were
     # oracle-replayed in tests/test_entry.py only).  stream_anomaly is
@@ -5175,6 +5215,22 @@ FROM o
     out["lang_dsir"] = (
         "SELECT doc_id, n_grams AS dsir_n_grams, logw AS dsir_logw"
         " FROM (" + out["op_dsir"] + ")"
+    )
+    # survivor rules over the pair oracles, tightened to the language
+    # tier's dedup thresholds (the 0.2-pair oracle is a superset)
+    out["lang_dedup_ngram"] = (
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN"
+        " (SELECT b FROM (" + out["op_dedup_ngram"] + ")"
+        " WHERE jaccard >= 0.5)"
+    )
+    out["lang_dedup_simhash"] = (
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN"
+        " (SELECT b FROM (" + out["op_simhash_pairs_portable"] + "))"
+    )
+    out["lang_budget"] = (
+        "SELECT doc_id, q AS budget_q, toks AS budget_toks FROM ("
+        + out["op_select_budget"]
+        + ")"
     )
     # z-order key: the Morton interleave is pure bit arithmetic, so
     # the oracle is the SAME sum-of-shifted-bits expression spelled

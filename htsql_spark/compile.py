@@ -1912,6 +1912,114 @@ def _fm_dsir(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     return v
 
 
+def _fm_dedup_ngram(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """dedup_ngram([key]) — drop every document whose character-3-gram
+    Jaccard with a smaller-keyed one is ≥ 0.5
+    (operators.dedup.ngram_jaccard_pairs with the production
+    hot-bucket cap, the op_dedup_ngram kernel): the bucketed n-gram
+    dedup tier as language surface.  Requires a ``lang`` column —
+    the (lang, length-band) bucketing is the scale story (worst case
+    #buckets·cap², never all-pairs).  The pairwise greater-key
+    survivor rule matches dedup_minhash()."""
+    if len(args) > 1:
+        raise CompileError("dedup_ngram([key]) takes at most one argument")
+    from .operators.dedup import ngram_jaccard_pairs
+
+    flow = v.flow
+    tcol = _fm_text_col(v, "dedup_ngram")
+    if "lang" not in flow.table.columns:
+        raise CompileError(
+            "dedup_ngram() requires a flow over a table with a 'lang'"
+            " column (the bucketing key)"
+        )
+    key = _fm_survivor_key(cc, ctx, v, args, "dedup_ngram")
+    narrow = flow.df.select(
+        key.alias("doc_id"),
+        F.col(tcol).alias("text"),
+        F.col(flow.scope_col("lang")).alias("lang"),
+    )
+    losers = (
+        ngram_jaccard_pairs(narrow, n=3, threshold=0.5, max_bucket=200)
+        .select("b")
+        .distinct()
+    )
+    keyc = cc.engine.fresh("__ngk")
+    flow.df = (
+        flow.df.withColumn(keyc, key)
+        .join(losers.withColumnRenamed("b", keyc), keyc, "left_anti")
+        .drop(keyc)
+    )
+    return v
+
+
+def _fm_dedup_simhash(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """dedup_simhash([key]) — drop every document within simhash
+    hamming distance ≤ 3 of a smaller-keyed one
+    (operators.dedup.simhash_near_pairs with the PORTABLE md5 token
+    hash — the op_simhash_pairs_portable kernel, so the language tier
+    is oracle-replayable).  Banding (4×16-bit chunks) guarantees
+    recall at hamming ≤ 3; candidates are chunk-bucketed, never
+    all-pairs.  Same survivor rule as dedup_minhash()."""
+    if len(args) > 1:
+        raise CompileError("dedup_simhash([key]) takes at most one argument")
+    from .operators.dedup import simhash_near_pairs
+
+    flow = v.flow
+    tcol = _fm_text_col(v, "dedup_simhash")
+    key = _fm_survivor_key(cc, ctx, v, args, "dedup_simhash")
+    narrow = flow.df.select(key.alias("doc_id"), F.col(tcol).alias("text"))
+    losers = (
+        simhash_near_pairs(narrow, max_hamming=3, token_hash="md5")
+        .select("b")
+        .distinct()
+    )
+    keyc = cc.engine.fresh("__shk")
+    flow.df = (
+        flow.df.withColumn(keyc, key)
+        .join(losers.withColumnRenamed("b", keyc), keyc, "left_anti")
+        .drop(keyc)
+    )
+    return v
+
+
+def _fm_budget(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """budget(n_tokens[, key]) — restrict the flow to the
+    highest-quality documents, greedily in (quality-bucket desc,
+    md5(key), key) order, until ``n_tokens`` whitespace tokens are
+    selected (operators.pipeline.select_token_budget — histogram walk
+    + boundary-bucket-only window, NO global sort): the
+    'train on the best N tokens' selection step as language surface,
+    appending ``budget_q`` / ``budget_toks``.  NOTE: the histogram
+    walk runs a small aggregation job at compile time (driver gets ≤
+    1000 rows), like the operator itself."""
+    if not args or len(args) > 2:
+        raise CompileError("budget(n_tokens[, key]) takes 1 or 2 arguments")
+    from .operators.pipeline import select_token_budget
+
+    n = _fm_int_lit(args, 0, 0, "budget")
+    if n < 0:
+        raise CompileError("budget() needs n_tokens >= 0")
+    flow = v.flow
+    tcol = _fm_text_col(v, "budget")
+    key = _fm_survivor_key(cc, ctx, v, args[1:], "budget")
+    narrow = flow.df.select(key.alias("doc_id"), F.col(tcol).alias("text"))
+    prefix = cc.engine.fresh("__bud") + "_"
+    sel = select_token_budget(narrow, budget_tokens=n).select(
+        F.col("doc_id"),
+        F.col("q").alias(f"{prefix}q"),
+        F.col("toks").alias(f"{prefix}toks"),
+    )
+    keyc = cc.engine.fresh("__bk")
+    flow.df = (
+        flow.df.withColumn(keyc, key)
+        .join(sel.withColumnRenamed("doc_id", keyc), keyc, "inner")
+        .drop(keyc)
+    )
+    for nm in ("q", "toks"):
+        flow.extra[f"budget_{nm}"] = f"{prefix}{nm}"
+    return v
+
+
 FLOW_METHODS = {
     "sort": _fm_sort,
     "limit": _fm_limit,
@@ -1934,6 +2042,9 @@ FLOW_METHODS = {
     "repetition": _fm_repetition,
     "unigram": _fm_unigram,
     "dsir": _fm_dsir,
+    "dedup_ngram": _fm_dedup_ngram,
+    "dedup_simhash": _fm_dedup_simhash,
+    "budget": _fm_budget,
 }
 
 

@@ -441,6 +441,62 @@ def test_flow_method_sessionize_matches_operator(db):
     assert got == exp
 
 
+def test_flow_method_dedup_ngram_simhash_planted_clones(spark, tmp_path):
+    """dedup_ngram(key)/dedup_simhash(key) through the parser:
+    planted near-clones collapse to the min-key survivor; unrelated
+    docs survive both tiers."""
+    import pandas as pd
+
+    from htsql_spark import HTSQL
+    from htsql_spark.catalog import Catalog
+
+    base = " ".join(f"tok{i} common word here" for i in range(15))
+    other = " ".join(f"zz{i} completely different vocabulary" for i in range(15))
+    rows = [
+        (0, base, "en"),
+        # repeats an existing token: char-3-gram Jaccard ≈ 0.99 AND
+        # the distinct token set is unchanged (simhash hamming 0)
+        (1, base + " common", "en"),
+        (2, other, "en"),
+        (3, other + " vocabulary", "en"),  # near-clone of 2, same rule
+        (4, "short unrelated text snippet", "en"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang"]).to_parquet(
+        str(tmp_path / "docs.parquet")
+    )
+    db2 = HTSQL(spark, str(tmp_path), catalog=Catalog.from_files(str(tmp_path)))
+    got_ng = sorted(
+        r["doc_id"] for r in db2.produce("/docs.dedup_ngram(doc_id){doc_id}")
+    )
+    assert got_ng == [0, 2, 4]
+    got_sh = sorted(
+        r["doc_id"] for r in db2.produce("/docs.dedup_simhash(doc_id){doc_id}")
+    )
+    assert got_sh == [0, 2, 4]
+
+
+def test_flow_method_budget_matches_operator(db):
+    """budget(n) through the parser equals
+    pipeline.select_token_budget: same selected set, same quality and
+    token values, and the selected token mass respects the budget."""
+    from htsql_spark.operators.pipeline import select_token_budget
+
+    got = {
+        (r["doc_id"], r["budget_q"], r["budget_toks"])
+        for r in db.produce(
+            "/documents.budget(50000){doc_id, budget_q, budget_toks}"
+        )
+    }
+    exp = {
+        tuple(r)
+        for r in select_token_budget(
+            db.table("documents"), budget_tokens=50_000
+        ).collect()
+    }
+    assert got == exp
+    assert sum(t for _, _, t in got) <= 50_000
+
+
 def test_flow_method_chunk_matches_operator(db):
     """chunk() through the parser equals pipeline.chunk_documents —
     same windows, same md5s, same counts."""

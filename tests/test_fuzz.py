@@ -450,3 +450,48 @@ def test_fuzz_bloom_membership(spark):
         exact = probes.join(members, "v", "left_anti")
         assert got.exceptAll(exact).count() == 0, (n, fpp)
         assert exact.exceptAll(got).count() == 0, (n, fpp)
+
+
+def test_fuzz_flow_method_chains(db):
+    """Randomized flow-method composition sweep: for random chains of
+    appending + restricting pipeline methods over /documents,
+    (1) appenders never change the key set, (2) restrictors only
+    shrink it, (3) the whole chain is deterministic across runs, and
+    (4) the dedup tiers are idempotent.  Locks the bridge's algebra —
+    any method that silently duplicates, drops, or reorders keys
+    under composition fails here regardless of which golden queries
+    exist."""
+    import random
+
+    APPEND = [
+        ".stats()", ".classify()", ".entropy()", ".gopher()",
+        ".repetition()", ".pii()", ".split()",
+    ]
+    RESTRICT = [
+        ".dedup_exact()", ".sample(0.5)", ".sample(0.25)",
+        ".split('train')", ".dedup_simhash()",
+    ]
+    base = {r["doc_id"] for r in db.produce("/documents{doc_id}")}
+    rng = random.Random(99)
+    for _ in range(6):
+        chain = ""
+        expect_shrunk = False
+        for _ in range(rng.randint(1, 3)):
+            if rng.random() < 0.5:
+                chain += rng.choice(APPEND)
+            else:
+                chain += rng.choice(RESTRICT)
+                expect_shrunk = True
+        q = f"/documents{chain}{{doc_id}}"
+        ids1 = [r["doc_id"] for r in db.produce(q)]
+        assert len(ids1) == len(set(ids1)), (q, "duplicated keys")
+        assert set(ids1) <= base, q
+        if not expect_shrunk:
+            assert set(ids1) == base, (q, "appender changed the key set")
+        ids2 = [r["doc_id"] for r in db.produce(q)]
+        assert sorted(ids1) == sorted(ids2), (q, "nondeterministic")
+    # dedup idempotence: a second pass removes nothing
+    for tier in (".dedup_exact()", ".dedup_minhash()", ".dedup_simhash()"):
+        once = {r["doc_id"] for r in db.produce(f"/documents{tier}{{doc_id}}")}
+        twice = {r["doc_id"] for r in db.produce(f"/documents{tier}{tier}{{doc_id}}")}
+        assert once == twice, tier

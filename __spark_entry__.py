@@ -2177,7 +2177,12 @@ def _lang_dedup_ngram(spark, sf_dir):
     character-3-gram Jaccard dedup tier (dedup.ngram_jaccard_pairs at
     threshold 0.5 with the production max_bucket=200 cap, the
     op_dedup_ngram kernel) with the pairwise greater-key survivor
-    rule — the oracle replays grams, cap and rule in SQL."""
+    rule — the oracle replays grams, cap and rule in SQL.  (A sliced
+    variant was measured cost-neutral at sf0.1: the cap DROPS the
+    homogeneous corpus's oversized buckets at full scale, so a 10%
+    slice — whose buckets all fall under the cap and therefore all
+    join — pays the same pair-verification bill.  The full-corpus
+    row is the honest shape.)"""
     return _db(spark, sf_dir).df("/documents.dedup_ngram(){doc_id}")
 
 

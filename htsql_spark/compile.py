@@ -1384,8 +1384,7 @@ def _fm_gopher(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     tcol = _fm_text_col(v, "gopher")
     prefix = cc.engine.fresh("__gop") + "_"
     flow.df, names = append_gopher_signals(flow.df, text_col=tcol, prefix=prefix)
-    for nm in names:
-        flow.extra["gopher_" + nm[len(prefix):]] = nm
+    _fm_register_extra(flow, names, prefix, "gopher_")
     return v
 
 
@@ -1401,8 +1400,7 @@ def _fm_entropy(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     tcol = _fm_text_col(v, "entropy")
     prefix = cc.engine.fresh("__ent") + "_"
     flow.df, names = append_entropy_signals(flow.df, text_col=tcol, prefix=prefix)
-    for nm in names:
-        flow.extra[nm[len(prefix):]] = nm
+    _fm_register_extra(flow, names, prefix, "")
     return v
 
 
@@ -1437,11 +1435,16 @@ def _fm_dedup_exact(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     return v
 
 
-def _fm_survivor_key(cc: Compiler, ctx: Ctx, v: FlowV, args, method: str):
+def _fm_survivor_key(
+    cc: Compiler, ctx: Ctx, v: FlowV, args, method: str, example: str | None = None
+):
     """The survivor/join key for a keyed flow method: an explicit
     expression argument, else the table's single-column primary key
-    (shared by dedup_exact/dedup_minhash/tfidf/near — same contract,
-    same error text shape)."""
+    (shared by every keyed flow method — same contract, same error
+    text shape).  ``example`` is the method-correct call to suggest
+    on pk-less mounts: for methods whose key is the SECOND argument
+    (tfidf/budget/sample/dsir/unigram) the bare ``method(doc_id)``
+    suggestion would be wrong — it parses as the first argument."""
     flow = v.flow
     if args:
         scope = ScopeRef(flow, flow.alias, flow.table)
@@ -1449,9 +1452,42 @@ def _fm_survivor_key(cc: Compiler, ctx: Ctx, v: FlowV, args, method: str):
     if flow.table is None or not flow.table.pk or len(flow.table.pk) != 1:
         raise CompileError(
             f"{method}() needs a single-column primary key — pass the"
-            f" survivor key explicitly, e.g. {method}(doc_id)"
+            f" survivor key explicitly, e.g. {example or method + '(doc_id)'}"
         )
     return F.col(flow.scope_col(flow.table.pk[0]))
+
+
+def _fm_register_extra(flow, names: list[str], prefix: str, public: str) -> None:
+    """Expose operator-appended columns as ``{public}*`` navigable
+    attributes (shared by every appending flow method)."""
+    for nm in names:
+        flow.extra[public + nm[len(prefix):]] = nm
+
+
+def _fm_join_back(cc: Compiler, flow, key, scored, join_key: str = "doc_id") -> None:
+    """Inner-join a narrow scored/expanded table back onto the flow by
+    the survivor key (shared by tfidf/winnow/unigram/dsir/budget —
+    the corpus side keeps its plan; the join ships the key plus the
+    few appended columns)."""
+    keyc = cc.engine.fresh("__jk")
+    flow.df = (
+        flow.df.withColumn(keyc, key)
+        .join(scored.withColumnRenamed(join_key, keyc), keyc, "inner")
+        .drop(keyc)
+    )
+
+
+def _fm_drop_losers(cc: Compiler, flow, key, pairs) -> None:
+    """The pairwise greater-key survivor rule shared by every dedup
+    tier: each verified (a < b) pair's ``b`` is dropped via a LEFT
+    ANTI join that ships ids only."""
+    losers = pairs.select("b").distinct()
+    keyc = cc.engine.fresh("__dk")
+    flow.df = (
+        flow.df.withColumn(keyc, key)
+        .join(losers.withColumnRenamed("b", keyc), keyc, "left_anti")
+        .drop(keyc)
+    )
 
 
 def _fm_int_lit(args, i: int, default: int, method: str) -> int:
@@ -1481,8 +1517,7 @@ def _fm_classify(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     tcol = _fm_text_col(v, "classify")
     prefix = cc.engine.fresh("__cls") + "_"
     flow.df, names = append_classifier_signals(flow.df, text_col=tcol, prefix=prefix)
-    for nm in names:
-        flow.extra["cls_" + nm[len(prefix):]] = nm
+    _fm_register_extra(flow, names, prefix, "cls_")
     return v
 
 
@@ -1505,17 +1540,7 @@ def _fm_dedup_minhash(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     tcol = _fm_text_col(v, "dedup_minhash")
     key = _fm_survivor_key(cc, ctx, v, args, "dedup_minhash")
     narrow = flow.df.select(key.alias("doc_id"), F.col(tcol).alias("text"))
-    losers = (
-        minhash_dedup_pairs(narrow, threshold=0.5)
-        .select("b")
-        .distinct()
-    )
-    keyc = cc.engine.fresh("__mk")
-    flow.df = (
-        flow.df.withColumn(keyc, key)
-        .join(losers.withColumnRenamed("b", keyc), keyc, "left_anti")
-        .drop(keyc)
-    )
+    _fm_drop_losers(cc, flow, key, minhash_dedup_pairs(narrow, threshold=0.5))
     return v
 
 
@@ -1538,7 +1563,7 @@ def _fm_tfidf(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     k = _fm_int_lit(args, 0, 3, "tfidf")
     if k < 1:
         raise CompileError("tfidf() needs k >= 1")
-    key = _fm_survivor_key(cc, ctx, v, args[1:], "tfidf")
+    key = _fm_survivor_key(cc, ctx, v, args[1:], "tfidf", example="tfidf(3, doc_id)")
     narrow = flow.df.select(key.alias("__id"), F.col(tcol).alias("__text"))
     prefix = cc.engine.fresh("__tfidf") + "_"
     top = tfidf_top_terms(narrow, k=k, text_col="__text", id_col="__id").select(
@@ -1547,12 +1572,7 @@ def _fm_tfidf(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
         F.col("tf").alias(f"{prefix}tf"),
         F.col("tfidf").alias(f"{prefix}score"),
     )
-    keyc = cc.engine.fresh("__tk")
-    flow.df = (
-        flow.df.withColumn(keyc, key)
-        .join(top.withColumnRenamed("__id", keyc), keyc, "inner")
-        .drop(keyc)
-    )
+    _fm_join_back(cc, flow, key, top, join_key="__id")
     for nm in ("term", "tf", "score"):
         flow.extra[f"tfidf_{nm}"] = f"{prefix}{nm}"
     return v
@@ -1600,12 +1620,7 @@ def _fm_near(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     res = topk_ivfpq(narrow, query_id=qid, topk=k).select(
         F.col("vec_id"), F.col("cos4").alias(f"{prefix}cos4")
     )
-    keyc = cc.engine.fresh("__nk")
-    flow.df = (
-        flow.df.withColumn(keyc, key)
-        .join(F.broadcast(res.withColumnRenamed("vec_id", keyc)), keyc, "inner")
-        .drop(keyc)
-    )
+    _fm_join_back(cc, flow, key, F.broadcast(res), join_key="vec_id")
     flow.extra["near_cos4"] = f"{prefix}cos4"
     return v
 
@@ -1642,8 +1657,7 @@ def _fm_stats(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     tcol = _fm_text_col(v, "stats")
     prefix = cc.engine.fresh("__st") + "_"
     flow.df, names = append_text_stats(flow.df, text_col=tcol, prefix=prefix)
-    for nm in names:
-        flow.extra["stats_" + nm[len(prefix):]] = nm
+    _fm_register_extra(flow, names, prefix, "stats_")
     return v
 
 
@@ -1662,8 +1676,7 @@ def _fm_pii(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     tcol = _fm_text_col(v, "pii")
     prefix = cc.engine.fresh("__pii") + "_"
     flow.df, names = append_pii_signals(flow.df, text_col=tcol, prefix=prefix)
-    for nm in names:
-        flow.extra["pii_" + nm[len(prefix):]] = nm
+    _fm_register_extra(flow, names, prefix, "pii_")
     return v
 
 
@@ -1684,7 +1697,9 @@ def _fm_sample(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     if not 0.0 <= frac <= 1.0:
         raise CompileError("sample() needs a fraction between 0 and 1")
     flow = v.flow
-    key = _fm_survivor_key(cc, ctx, v, args[1:], "sample")
+    key = _fm_survivor_key(
+        cc, ctx, v, args[1:], "sample", example="sample(0.25, doc_id)"
+    )
     flow.df = flow.df.filter(_hash_prefix(key, "sample") < F.lit(frac_hex(frac)))
     return v
 
@@ -1704,8 +1719,16 @@ def _fm_split(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     from .operators.pipeline import split_expr
 
     flow = v.flow
-    if not args:
-        key = _fm_survivor_key(cc, ctx, v, [], "split")
+    # append form: split() on a pk'd flow, or split(key_expr) on a
+    # pk-less mount (a non-text-literal first argument is the key)
+    if not args or not (
+        isinstance(args[0], N.Literal) and isinstance(args[0].value, str)
+    ):
+        if len(args) > 1:
+            raise CompileError("split(key) takes at most one argument")
+        key = _fm_survivor_key(
+            cc, ctx, v, args, "split", example="split(doc_id)"
+        )
         col = cc.engine.fresh("__spl")
         flow.df = flow.df.withColumn(col, split_expr(key))
         flow.extra["split"] = col
@@ -1779,12 +1802,7 @@ def _fm_winnow(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     fps = winnow_fingerprints(narrow, gram_hash="md5").select(
         F.col("doc_id"), F.col("fp").alias(f"{prefix}fp")
     )
-    keyc = cc.engine.fresh("__wk")
-    flow.df = (
-        flow.df.withColumn(keyc, key)
-        .join(fps.withColumnRenamed("doc_id", keyc), keyc, "inner")
-        .drop(keyc)
-    )
+    _fm_join_back(cc, flow, key, fps)
     flow.extra["fp"] = f"{prefix}fp"
     return v
 
@@ -1814,8 +1832,7 @@ def _fm_chunk(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     flow.df, names = append_chunk_columns(
         flow.df, chunk_tokens=n, overlap=overlap, text_col=tcol, prefix=prefix
     )
-    for nm in names:
-        flow.extra["chunk_" + nm[len(prefix):]] = nm
+    _fm_register_extra(flow, names, prefix, "chunk_")
     return v
 
 
@@ -1833,8 +1850,7 @@ def _fm_repetition(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     tcol = _fm_text_col(v, "repetition")
     prefix = cc.engine.fresh("__rep") + "_"
     flow.df, names = append_repetition_signals(flow.df, text_col=tcol, prefix=prefix)
-    for nm in names:
-        flow.extra["rep_" + nm[len(prefix):]] = nm
+    _fm_register_extra(flow, names, prefix, "rep_")
     return v
 
 
@@ -1862,12 +1878,7 @@ def _fm_unigram(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
         F.col("avg_logp").alias(f"{prefix}avg_logp"),
         F.col("ppl").alias(f"{prefix}ppl"),
     )
-    keyc = cc.engine.fresh("__lk")
-    flow.df = (
-        flow.df.withColumn(keyc, key)
-        .join(scored.withColumnRenamed("doc_id", keyc), keyc, "inner")
-        .drop(keyc)
-    )
+    _fm_join_back(cc, flow, key, scored)
     for nm in ("n_words", "avg_logp", "ppl"):
         flow.extra[f"lm_{nm}"] = f"{prefix}{nm}"
     return v
@@ -1891,7 +1902,9 @@ def _fm_dsir(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     tcol = _fm_text_col(v, "dsir")
     scope = ScopeRef(flow, flow.alias, flow.table)
     pred = fnlib.to_boolean(cc, scope, cc.scalar(ctx, scope, args[0]).col)
-    key = _fm_survivor_key(cc, ctx, v, args[1:], "dsir")
+    key = _fm_survivor_key(
+        cc, ctx, v, args[1:], "dsir", example="dsir(target, doc_id)"
+    )
     narrow = flow.df.select(
         key.alias("doc_id"), F.col(tcol).alias("text"), pred.alias("__tgt")
     )
@@ -1901,12 +1914,7 @@ def _fm_dsir(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
         F.col("n_grams").alias(f"{prefix}n_grams"),
         F.col("logw").alias(f"{prefix}logw"),
     )
-    keyc = cc.engine.fresh("__dk")
-    flow.df = (
-        flow.df.withColumn(keyc, key)
-        .join(scored.withColumnRenamed("doc_id", keyc), keyc, "inner")
-        .drop(keyc)
-    )
+    _fm_join_back(cc, flow, key, scored)
     for nm in ("n_grams", "logw"):
         flow.extra[f"dsir_{nm}"] = f"{prefix}{nm}"
     return v
@@ -1938,16 +1946,8 @@ def _fm_dedup_ngram(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
         F.col(tcol).alias("text"),
         F.col(flow.scope_col("lang")).alias("lang"),
     )
-    losers = (
-        ngram_jaccard_pairs(narrow, n=3, threshold=0.5, max_bucket=200)
-        .select("b")
-        .distinct()
-    )
-    keyc = cc.engine.fresh("__ngk")
-    flow.df = (
-        flow.df.withColumn(keyc, key)
-        .join(losers.withColumnRenamed("b", keyc), keyc, "left_anti")
-        .drop(keyc)
+    _fm_drop_losers(
+        cc, flow, key, ngram_jaccard_pairs(narrow, n=3, threshold=0.5, max_bucket=200)
     )
     return v
 
@@ -1968,16 +1968,8 @@ def _fm_dedup_simhash(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     tcol = _fm_text_col(v, "dedup_simhash")
     key = _fm_survivor_key(cc, ctx, v, args, "dedup_simhash")
     narrow = flow.df.select(key.alias("doc_id"), F.col(tcol).alias("text"))
-    losers = (
-        simhash_near_pairs(narrow, max_hamming=3, token_hash="md5")
-        .select("b")
-        .distinct()
-    )
-    keyc = cc.engine.fresh("__shk")
-    flow.df = (
-        flow.df.withColumn(keyc, key)
-        .join(losers.withColumnRenamed("b", keyc), keyc, "left_anti")
-        .drop(keyc)
+    _fm_drop_losers(
+        cc, flow, key, simhash_near_pairs(narrow, max_hamming=3, token_hash="md5")
     )
     return v
 
@@ -1997,11 +1989,11 @@ def _fm_budget(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     from .operators.pipeline import select_token_budget
 
     n = _fm_int_lit(args, 0, 0, "budget")
-    if n < 0:
-        raise CompileError("budget() needs n_tokens >= 0")
     flow = v.flow
     tcol = _fm_text_col(v, "budget")
-    key = _fm_survivor_key(cc, ctx, v, args[1:], "budget")
+    key = _fm_survivor_key(
+        cc, ctx, v, args[1:], "budget", example="budget(100000, doc_id)"
+    )
     narrow = flow.df.select(key.alias("doc_id"), F.col(tcol).alias("text"))
     prefix = cc.engine.fresh("__bud") + "_"
     sel = select_token_budget(narrow, budget_tokens=n).select(
@@ -2009,12 +2001,7 @@ def _fm_budget(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
         F.col("q").alias(f"{prefix}q"),
         F.col("toks").alias(f"{prefix}toks"),
     )
-    keyc = cc.engine.fresh("__bk")
-    flow.df = (
-        flow.df.withColumn(keyc, key)
-        .join(sel.withColumnRenamed("doc_id", keyc), keyc, "inner")
-        .drop(keyc)
-    )
+    _fm_join_back(cc, flow, key, sel)
     for nm in ("q", "toks"):
         flow.extra[f"budget_{nm}"] = f"{prefix}{nm}"
     return v

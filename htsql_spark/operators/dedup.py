@@ -272,16 +272,25 @@ def minhash_dedup_pairs(
     shingle Jaccard ≥ threshold → (a, b, jaccard).
 
     The candidate-pair table (ids only, ~dup-rate × |docs| rows) is
-    ``cache()``d because it feeds three consumers (two id-prune sides
-    and the verify join); without it Spark recomputes the whole LSH
-    pass per reference, and CacheManager plan-matching lets repeated
-    invocations over the same corpus skip the LSH pass entirely
-    (measured 2× on the warm path). Verification then re-shingles ONLY
-    candidate docs (semi-join prune before the shingle projection) —
-    the full corpus is shingled once, in the signature pass, not three
-    times; at scale the prune is the difference between re-shingling
-    100 TB twice and re-shingling just the near-dup slice."""
-    cands = minhash_candidates(docs, k, num_hashes, bands).cache()
+    pinned with a lazy ``localCheckpoint`` because it feeds three
+    consumers (two id-prune sides and the verify join); without it
+    Spark recomputes the whole LSH pass per reference.  It is NOT
+    ``cache()``d: CacheManager entries live until an explicit
+    unpersist, and this function has no owner to call it — a
+    long-lived service compiling many distinct dedup queries (the
+    ``dedup_minhash()`` flow method) would pin a new candidate table
+    per distinct plan and grow executor storage without bound.  The
+    checkpoint RDD is released by the ContextCleaner when the
+    DataFrame is garbage-collected, at the cost of the (minor)
+    cross-invocation warm-cache reuse cache() used to give repeated
+    identical queries.  Verification then re-shingles ONLY candidate
+    docs (semi-join prune before the shingle projection) — the full
+    corpus is shingled once, in the signature pass, not three times;
+    at scale the prune is the difference between re-shingling 100 TB
+    twice and re-shingling just the near-dup slice."""
+    cands = minhash_candidates(docs, k, num_hashes, bands).localCheckpoint(
+        eager=False
+    )
     cand_ids = (
         cands.select(F.col("a").alias("doc_id"))
         .union(cands.select(F.col("b").alias("doc_id")))

@@ -189,8 +189,6 @@ def chunk_documents(
     array_join): narrow, no shuffle, no UDF; output rows ≈
     n_tokens/step per doc, produced task-locally so a 100 TB corpus
     chunks at scan speed."""
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be smaller than chunk_tokens")
     d, names = append_chunk_columns(
         docs.select(F.col(id_col), F.col(text_col)),
         chunk_tokens=chunk_tokens,

@@ -28,9 +28,14 @@ import __spark_entry__ as entry
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: operator modules with no registry-query mapping of their own —
-#: exercised only through other modules' plans (every mapped module's
-#: gate row drives them transitively)
-UNMAPPED_OK = {"layout", "skew"}
+#: exercised only through other modules' plans.  layout and skew were
+#: WRONGLY listed here through r9 (both ARE mapped — op_zorder_key /
+#: op_cdc_upsert import layout, op_skew_join imports skew — so the
+#: exemption silently waived the policy for them; caught by the r9
+#: self-review when layout.py changed with its only gate row rotated
+#: out).  Keep this set EMPTY unless a module genuinely has no
+#: registry query importing it.
+UNMAPPED_OK: set[str] = set()
 
 
 def _last_round_commit() -> str | None:

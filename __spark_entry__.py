@@ -2240,6 +2240,40 @@ def _lang_budget(spark, sf_dir):
     )
 
 
+def _lang_funnel(spark, sf_dir):
+    """funnel() flow method through the parser — the first RESHAPING
+    bridge method (the output grain differs from the input): the
+    strict-sequence funnel (analytics.funnel, the op_funnel kernel)
+    over a PRE-SIEVED events flow, proving a '?' filter composes into
+    the reshape.  The oracle replays the value>=0.2 filter inside
+    every funnel CTE."""
+    return _db(spark, sf_dir).df(
+        "/(events?value>=0.2).funnel('view','click','purchase')"
+    )
+
+
+def _lang_retention(spark, sf_dir):
+    """retention() flow method through the parser: the weekly
+    first-touch cohort matrix (analytics.retention, the op_retention
+    kernel) with a POST-reshape sieve on a derived attribute
+    (?week_offset>0) — the reshaped flow is a real projection scope,
+    filterable like any quotient."""
+    return _db(spark, sf_dir).df(
+        "/events.retention(){cohort_week, week_offset, users}"
+        "?week_offset>0"
+    )
+
+
+def _lang_transitions(spark, sf_dir):
+    """transitions() flow method through the parser: next-event Markov
+    counts (analytics.transitions, the op_transitions kernel) with
+    sort + limit composed AFTER the reshape — deterministic under the
+    (n desc, event_type, next_type) total order."""
+    return _db(spark, sf_dir).df(
+        "/events.transitions().sort(n-, event_type, next_type).limit(25)"
+    )
+
+
 def _op_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup: argmax-to-centroid cells (the
     seeded deterministic cells, so the oracle replays the assignment
@@ -3221,6 +3255,12 @@ _QUERIES.update(
         "lang_dedup_ngram": _lang_dedup_ngram,
         "lang_dedup_simhash": _lang_dedup_simhash,
         "lang_budget": _lang_budget,
+        # fifth wave: the events-analytics family as RESHAPING flow
+        # methods (output grain != input grain; projection-scope
+        # results compose with selection/sieve/sort/limit)
+        "lang_funnel": _lang_funnel,
+        "lang_retention": _lang_retention,
+        "lang_transitions": _lang_transitions,
     }
 )
 
@@ -3329,6 +3369,15 @@ _GATE_ORDER = [
     # selection as language surface — the dedup family is now fully
     # reachable from the query language (exact/minhash/ngram/simhash).
     "lang_dedup_ngram", "lang_dedup_simhash", "lang_budget",
+    # ROUND-9 BRIDGE WIDENING, FIFTH WAVE: the events-analytics family
+    # as the bridge's first RESHAPING flow methods — funnel() /
+    # retention() / transitions() replace the flow with a derived
+    # projection scope (kernel attributes), so selection / sieve /
+    # sort / limit compose after the reshape.  Displaced (all r8
+    # first-hard-row green with their modules — multimodal.py,
+    # olap.py — untouched this round; oracle-replayed every pytest
+    # run): op_audio_dedup, op_table_stats, op_zscore.
+    "lang_funnel", "lang_retention", "lang_transitions",
     # ROUND-8 ROTATION (judge directive r6/r7 #1): the 8 registry ops
     # that have NEVER had a hard driver CORRECTNESS row (they were
     # oracle-replayed in tests/test_entry.py only).  stream_anomaly is
@@ -3337,8 +3386,8 @@ _GATE_ORDER = [
     # any gate.  With these in, the driver-gate union r1..r8 covers
     # every oracle-backed registry query, including both new
     # language-bridge rows.
-    "op_ann_pq", "op_ann_ivfpq", "op_audio_dedup", "op_table_stats",
-    "op_zscore", "op_bootstrap_ci", "op_triangles", "stream_anomaly",
+    "op_ann_pq", "op_ann_ivfpq",
+    "op_bootstrap_ci", "op_triangles", "stream_anomaly",
     # rotated in because round 8 touches its query shape (directive
     # #4: production-shaped candidate caps for the bench)
     "op_dedup_ngram",
@@ -5278,6 +5327,38 @@ FROM o
         "SELECT doc_id, q AS budget_q, toks AS budget_toks FROM ("
         + out["op_select_budget"]
         + ")"
+    )
+    # fifth wave — reshaping events-analytics methods.  lang_funnel
+    # replays the pre-reshape sieve (value >= 0.2) inside every step
+    # CTE; lang_retention adds the post-reshape derived-attribute
+    # filter; lang_transitions replays sort+limit under the same
+    # total order the language row pins.
+    out["lang_funnel"] = """
+WITH ev AS (
+  SELECT user_id, ts, event_type FROM events WHERE value >= 0.2
+), s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+)
+SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type,
+       (SELECT count(*) FROM s1) AS users
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+"""
+    out["lang_retention"] = (
+        "SELECT * FROM (" + _RETENTION_SQL + ") WHERE week_offset > 0"
+    )
+    out["lang_transitions"] = (
+        "SELECT * FROM (" + _TRANSITIONS_SQL + ")"
+        " ORDER BY n DESC, event_type, next_type LIMIT 25"
     )
     # z-order key: the Morton interleave is pure bit arithmetic, so
     # the oracle is the SAME sum-of-shifted-bits expression spelled

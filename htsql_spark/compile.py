@@ -2015,6 +2015,113 @@ def _fm_budget(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     return v
 
 
+def _fm_events_cols(v: FlowV, method: str, need: tuple[str, ...]) -> dict[str, str]:
+    """The flow's physical event columns, required by the events-
+    analytics flow methods (events-shaped flows)."""
+    flow = v.flow
+    if flow.table is None or any(c not in flow.table.columns for c in need):
+        raise CompileError(
+            f"{method}() requires a flow over a table with "
+            + ", ".join(f"'{c}'" for c in need)
+            + " columns (e.g. /events)"
+        )
+    return {c: flow.scope_col(c) for c in need}
+
+
+def _fm_reshape(cc: Compiler, v: FlowV, method: str, res, names: list[str]) -> FlowV:
+    """Replace the flow with the derived relation ``res`` — the first
+    RESHAPING flow methods (funnel/retention/transitions yield a
+    different row grain than their input).  The result is a
+    projection-style scope: ``names`` become the flow's attributes,
+    resolved through the kernel exactly like ``^``-quotient output, so
+    selection / sieve / sort / limit all compose after the reshape
+    (``/events.retention()?week_offset>0``)."""
+    if v.corr_outer:
+        raise CompileError(
+            f"{method}() is not defined on a correlated sub-flow —"
+            " apply it to a top-level flow"
+        )
+    prefix = cc.engine.fresh("__" + method[:3]) + "_"
+    cols = {n: prefix + n for n in names}
+    nf = Flow(
+        cc.engine,
+        res.select(*[F.col(n).alias(cols[n]) for n in names]),
+        "",
+        None,
+    )
+    nf.kernel = [(n, cols[n]) for n in names]
+    v.flow = nf
+    v.corr_inner = []
+    v.singular = False
+    v.value = None
+    return v
+
+
+def _fm_funnel(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """funnel(step1, step2[, ...]) — reshape an events flow into the
+    strict-sequence funnel (operators.analytics.funnel, the op_funnel
+    kernel): one output row per step with the count of users whose
+    step-k event occurs strictly after their earliest qualifying
+    step-(k-1) event.  Attributes ``step`` / ``event_type`` /
+    ``users``; composes with a prior sieve
+    (``/events?value>=0.2 :funnel('view','click')``).  One shuffle on
+    user_id; per-user event lists stay array-local."""
+    if len(args) < 2:
+        raise CompileError(
+            "funnel(step1, step2[, ...]) takes at least two step literals"
+        )
+    from .operators.analytics import funnel
+
+    steps = [_fm_str_lit(args, i, "funnel") for i in range(len(args))]
+    cols = _fm_events_cols(v, "funnel", ("ts", "user_id", "event_type"))
+    narrow = v.flow.df.select(
+        *[F.col(c).alias(n) for n, c in cols.items()]
+    )
+    return _fm_reshape(
+        cc, v, "funnel", funnel(narrow, steps), ["step", "event_type", "users"]
+    )
+
+
+def _fm_retention(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """retention() — reshape an events flow into the weekly
+    first-touch cohort retention matrix (operators.analytics.
+    retention, the op_retention kernel): attributes ``cohort_week`` /
+    ``week_offset`` / ``users``.  Two shuffles on user_id (first
+    touch + distinct active weeks) sharing the partitioning, then one
+    on the cohort key."""
+    if args:
+        raise CompileError("retention() takes no arguments")
+    from .operators.analytics import retention
+
+    cols = _fm_events_cols(v, "retention", ("ts", "user_id"))
+    narrow = v.flow.df.select(*[F.col(c).alias(n) for n, c in cols.items()])
+    return _fm_reshape(
+        cc, v, "retention", retention(narrow),
+        ["cohort_week", "week_offset", "users"],
+    )
+
+
+def _fm_transitions(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """transitions() — reshape an events flow into next-event Markov
+    transition counts per ordered user timeline (operators.analytics.
+    transitions, the op_transitions kernel): attributes
+    ``event_type`` / ``next_type`` / ``n``.  The (ts, event_id) sort
+    key makes the sequence total and the result deterministic.  One
+    shuffle on user_id for the lead window, one for the pair count."""
+    if args:
+        raise CompileError("transitions() takes no arguments")
+    from .operators.analytics import transitions
+
+    cols = _fm_events_cols(
+        v, "transitions", ("ts", "user_id", "event_type", "event_id")
+    )
+    narrow = v.flow.df.select(*[F.col(c).alias(n) for n, c in cols.items()])
+    return _fm_reshape(
+        cc, v, "transitions", transitions(narrow),
+        ["event_type", "next_type", "n"],
+    )
+
+
 FLOW_METHODS = {
     "sort": _fm_sort,
     "limit": _fm_limit,
@@ -2040,6 +2147,9 @@ FLOW_METHODS = {
     "dedup_ngram": _fm_dedup_ngram,
     "dedup_simhash": _fm_dedup_simhash,
     "budget": _fm_budget,
+    "funnel": _fm_funnel,
+    "retention": _fm_retention,
+    "transitions": _fm_transitions,
 }
 
 

@@ -610,3 +610,73 @@ def test_flow_method_winnow_matches_operator(db):
         ).collect()
     }
     assert got == exp
+
+
+def test_flow_method_funnel_matches_operator(db):
+    """funnel(steps...) through the parser — the bridge's first
+    RESHAPING method — equals analytics.funnel on the same
+    (pre-sieved) event subset; a '?' filter before the reshape
+    restricts the funnel's input."""
+    from htsql_spark.operators.analytics import funnel
+
+    got = {
+        (r["step"], r["event_type"], r["users"])
+        for r in db.produce(
+            "/(events?value>=0.2).funnel('view','click','purchase')"
+        )
+    }
+    exp = {
+        tuple(r)
+        for r in funnel(
+            db.table("events").filter("value >= 0.2"),
+            ["view", "click", "purchase"],
+        ).collect()
+    }
+    assert got == exp
+    # strict-sequence monotonicity: each step's user count can only fall
+    counts = [u for _, _, u in sorted(got)]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_flow_method_retention_matches_operator(db):
+    """retention() through the parser equals analytics.retention, and
+    the reshaped flow is a real projection scope: a post-reshape sieve
+    on the derived week_offset attribute filters the matrix."""
+    from htsql_spark.operators.analytics import retention
+
+    got = {
+        (r["cohort_week"], r["week_offset"], r["users"])
+        for r in db.produce(
+            "/events.retention(){cohort_week, week_offset, users}"
+        )
+    }
+    exp = {tuple(r) for r in retention(db.table("events")).collect()}
+    assert got == exp
+    sieved = {
+        (r["cohort_week"], r["week_offset"], r["users"])
+        for r in db.produce(
+            "/events.retention(){cohort_week, week_offset, users}"
+            "?week_offset>0"
+        )
+    }
+    assert sieved == {t for t in exp if t[1] > 0} and sieved < got
+
+
+def test_flow_method_transitions_matches_operator(db):
+    """transitions() through the parser equals analytics.transitions;
+    sort + limit compose after the reshape under a total order."""
+    from htsql_spark.operators.analytics import transitions
+
+    got = {
+        (r["event_type"], r["next_type"], r["n"])
+        for r in db.produce("/events.transitions()")
+    }
+    exp = {tuple(r) for r in transitions(db.table("events")).collect()}
+    assert got == exp
+    top = [
+        (r["event_type"], r["next_type"], r["n"])
+        for r in db.produce(
+            "/events.transitions().sort(n-, event_type, next_type).limit(5)"
+        )
+    ]
+    assert top == sorted(exp, key=lambda t: (-t[2], t[0], t[1]))[:5]

@@ -553,6 +553,36 @@ def test_lang_winnow_single_text_scan(db):
     assert "EvalPython" not in phys and "InPandas" not in phys, phys
 
 
+def test_lang_reshape_methods_plan_shape(db):
+    """funnel()/retention()/transitions() through the parser inherit
+    the analytics kernels' plans: funnel reads events ONCE (one
+    user_id shuffle, per-user lists stay array-local); transitions
+    reads events once (lead window + pair count = 2 exchanges);
+    retention reads events twice (first-touch leg + distinct-active
+    leg) with 3 exchanges total.  No Python stage anywhere — a 100 TB
+    event log pays scan + keyed shuffles only."""
+    cases = [
+        ("/events.funnel('view','click','purchase')", 1, 1),
+        (
+            "/events.retention(){cohort_week, week_offset, users}"
+            "?week_offset>0",
+            2,
+            3,
+        ),
+        ("/events.transitions().sort(n-, event_type, next_type).limit(25)", 1, 2),
+    ]
+    for q, max_scans, max_hash_exchanges in cases:
+        df = db.df(q)
+        opt = optimized(df)
+        assert opt.count("] parquet") <= max_scans, (q, opt)
+        phys = physical(df)
+        assert phys.count("Exchange hashpartitioning") <= max_hash_exchanges, (
+            q,
+            phys,
+        )
+        assert "EvalPython" not in phys and "InPandas" not in phys, (q, phys)
+
+
 def test_stream_anomaly_state_is_fixed_width(spark):
     """streaming anomaly state: three fixed-width numeric fields
     (n, s, ss) — O(1) bytes per key, no lists/strings that could grow

@@ -2274,6 +2274,41 @@ def _lang_transitions(spark, sf_dir):
     )
 
 
+def _lang_zscore(spark, sf_dir):
+    """zscore(value, group) flow method through the parser: group-wise
+    z-score standardization of an arbitrary expression (olap.
+    append_zscore, the op_zscore kernel) appended as the ``z``
+    attribute — one Window shuffle on the group key, same values as
+    op_zscore."""
+    return _db(spark, sf_dir).df(
+        "/events.zscore(value, event_type){event_id, event_type, value, z}"
+    )
+
+
+def _lang_dup_spans(spark, sf_dir):
+    """dup_spans() flow method through the parser: substring-level
+    duplicated-span stats (Lee '21; textstats.duplicated_spans, the
+    op_dup_spans kernel) appended as spans_* attributes — corpus-wide
+    verbatim 40-char windows merged to maximal spans; the join back
+    ships ids + five numbers."""
+    return _db(spark, sf_dir).df(
+        "/documents.dup_spans(){doc_id, spans_n_windows,"
+        " spans_dup_windows, spans_n_spans, spans_dup_chars,"
+        " spans_dup_frac}"
+    )
+
+
+def _lang_pack(spark, sf_dir):
+    """pack(budget) flow method through the parser: concat-and-chunk
+    sequence packing (pipeline.pack_sequences, the op_pack kernel) as
+    a plural expansion — one row per (document × 64-token training
+    sequence) with pack_shard/seq_id/offset/take appended."""
+    return _db(spark, sf_dir).df(
+        "/documents.pack(64){doc_id, pack_shard, pack_seq_id,"
+        " pack_offset, pack_take}"
+    )
+
+
 def _op_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup: argmax-to-centroid cells (the
     seeded deterministic cells, so the oracle replays the assignment
@@ -3261,6 +3296,11 @@ _QUERIES.update(
         "lang_funnel": _lang_funnel,
         "lang_retention": _lang_retention,
         "lang_transitions": _lang_transitions,
+        # sixth wave: generic feature standardization, substring-dedup
+        # diagnostics, and the pre-training packing layout
+        "lang_zscore": _lang_zscore,
+        "lang_dup_spans": _lang_dup_spans,
+        "lang_pack": _lang_pack,
     }
 )
 
@@ -3378,16 +3418,24 @@ _GATE_ORDER = [
     # olap.py — untouched this round; oracle-replayed every pytest
     # run): op_audio_dedup, op_table_stats, op_zscore.
     "lang_funnel", "lang_retention", "lang_transitions",
-    # ROUND-8 ROTATION (judge directive r6/r7 #1): the 8 registry ops
-    # that have NEVER had a hard driver CORRECTNESS row (they were
-    # oracle-replayed in tests/test_entry.py only).  stream_anomaly is
-    # the proof-of-need: it carried a real multi-chunk ordering bug
-    # (fixed r7, streaming/events.py:276) found by inspection, not by
-    # any gate.  With these in, the driver-gate union r1..r8 covers
-    # every oracle-backed registry query, including both new
-    # language-bridge rows.
-    "op_ann_pq", "op_ann_ivfpq",
-    "op_bootstrap_ci", "op_triangles", "stream_anomaly",
+    # ROUND-9 BRIDGE WIDENING, SIXTH WAVE: zscore(value, group...) —
+    # generic group-wise feature standardization of arbitrary
+    # expressions — plus dup_spans() (substring-dedup diagnostics)
+    # and pack(budget) (the GPT-style pre-training packing layout).
+    # op_zscore re-gates because group_zscore was refactored over the
+    # new shared append_zscore kernel (olap.py) the flow method
+    # lowers to.  Displaced (all r8 gate-green, their remaining
+    # modules each still held by other gated rows — similarity by
+    # op_ann_index_build/op_ann_append/op_ann_ivfpq, pipeline by
+    # op_curate/op_tfidf, analytics by op_cdc_upsert, streaming
+    # untouched this round and held by stream_cdc/stream_quantiles):
+    # op_ann_pq, op_bootstrap_ci, op_triangles, stream_anomaly.
+    "lang_zscore", "lang_dup_spans", "lang_pack", "op_zscore",
+    # ROUND-8 ROTATION (judge directive r6/r7 #1): the last remaining
+    # of the 8 registry ops that had NEVER had a hard driver
+    # CORRECTNESS row before r8; op_ann_ivfpq now measures the
+    # query-only path over the materialized PQ code index.
+    "op_ann_ivfpq",
     # rotated in because round 8 touches its query shape (directive
     # #4: production-shaped candidate caps for the bench)
     "op_dedup_ngram",
@@ -5359,6 +5407,22 @@ SELECT 3, 'purchase', (SELECT count(*) FROM s3)
     out["lang_transitions"] = (
         "SELECT * FROM (" + _TRANSITIONS_SQL + ")"
         " ORDER BY n DESC, event_type, next_type LIMIT 25"
+    )
+    # sixth wave — zscore() is column-for-column the op_zscore oracle;
+    # dup_spans()/pack() reshape their kernels' oracles under the
+    # appended-attribute names
+    out["lang_zscore"] = out["op_zscore"]
+    out["lang_dup_spans"] = (
+        "SELECT doc_id, n_windows AS spans_n_windows,"
+        " dup_windows AS spans_dup_windows, n_spans AS spans_n_spans,"
+        " dup_chars AS spans_dup_chars, dup_frac AS spans_dup_frac"
+        " FROM (" + out["op_dup_spans"] + ")"
+    )
+    out["lang_pack"] = (
+        'SELECT doc_id, shard AS pack_shard, seq_id AS pack_seq_id,'
+        ' "offset" AS pack_offset, "take" AS pack_take FROM ('
+        + out["op_pack"]
+        + ")"
     )
     # z-order key: the Morton interleave is pure bit arithmetic, so
     # the oracle is the SAME sum-of-shifted-bits expression spelled

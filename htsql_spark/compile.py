@@ -2015,6 +2015,96 @@ def _fm_budget(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     return v
 
 
+def _fm_zscore(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """zscore(value, group[, group...]) — append the group-wise
+    z-score of any expression as the ``z`` attribute (operators.olap.
+    append_zscore, the op_zscore kernel): z = (x − μ_g) / σ_g with
+    the group's sample stddev; σ_g = 0 or a single-row group yields
+    NULL.  Value and groups are full expressions over the flow
+    (``/events.zscore(value, event_type)``,
+    ``/orders.zscore(o_totalprice, o_orderpriority)``).  ONE shuffle
+    on the group key — both moments and the normalized value share a
+    single Window partitioning.  A group key is REQUIRED: the global
+    (ungrouped) z-score would be a single-partition window — compute
+    global moments with avg()/stddev() aggregates instead."""
+    if len(args) < 2:
+        raise CompileError(
+            "zscore(value, group[, group...]) takes a value expression"
+            " and at least one group expression"
+        )
+    from .operators.olap import append_zscore
+
+    flow = v.flow
+    scope = ScopeRef(flow, flow.alias, flow.table)
+    value = cc.scalar(ctx, scope, args[0]).col
+    groups = [cc.scalar(ctx, scope, a).col for a in args[1:]]
+    prefix = cc.engine.fresh("__zs") + "_"
+    flow.df, names = append_zscore(flow.df, value, groups, prefix=prefix)
+    flow.extra["z"] = names[0]
+    return v
+
+
+def _fm_dup_spans(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """dup_spans([key]) — append the substring-level duplicated-span
+    stats (Lee '21; operators.textstats.duplicated_spans, the
+    op_dup_spans kernel) as ``spans_n_windows`` / ``spans_dup_windows``
+    / ``spans_n_spans`` / ``spans_dup_chars`` / ``spans_dup_frac``:
+    corpus-wide verbatim 40-char windows at 8-char stride, merged to
+    maximal spans.  One fp shuffle + one doc shuffle; the join back
+    ships ids + five numbers, never text."""
+    if len(args) > 1:
+        raise CompileError("dup_spans([key]) takes at most one argument")
+    from .operators.textstats import duplicated_spans
+
+    flow = v.flow
+    tcol = _fm_text_col(v, "dup_spans")
+    key = _fm_survivor_key(cc, ctx, v, args, "dup_spans")
+    narrow = flow.df.select(key.alias("doc_id"), F.col(tcol).alias("text"))
+    prefix = cc.engine.fresh("__sp") + "_"
+    stats = duplicated_spans(narrow)
+    names = ["n_windows", "dup_windows", "n_spans", "dup_chars", "dup_frac"]
+    stats = stats.select(
+        F.col("doc_id"), *[F.col(n).alias(f"{prefix}{n}") for n in names]
+    )
+    _fm_join_back(cc, flow, key, stats)
+    for nm in names:
+        flow.extra[f"spans_{nm}"] = f"{prefix}{nm}"
+    return v
+
+
+def _fm_pack(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """pack([budget[, key]]) — expand the flow into the concat-and-
+    chunk sequence-packing layout (operators.pipeline.pack_sequences,
+    the op_pack kernel): one row per (document × training sequence)
+    span, appending ``pack_shard`` / ``pack_seq_id`` / ``pack_offset``
+    / ``pack_take``.  Documents are bucketed into md5-derived shards,
+    each packed with one window cumsum — parallelism is the shard
+    count, no global order dependency; the join back ships ids + four
+    small ints."""
+    if len(args) > 2:
+        raise CompileError("pack([budget[, key]]) takes at most two arguments")
+    from .operators.pipeline import pack_sequences
+
+    budget = _fm_int_lit(args, 0, 64, "pack")
+    if budget < 1:
+        raise CompileError("pack() needs budget >= 1")
+    flow = v.flow
+    tcol = _fm_text_col(v, "pack")
+    key = _fm_survivor_key(
+        cc, ctx, v, args[1:], "pack", example="pack(64, doc_id)"
+    )
+    narrow = flow.df.select(key.alias("doc_id"), F.col(tcol).alias("text"))
+    prefix = cc.engine.fresh("__pk") + "_"
+    names = ["shard", "seq_id", "offset", "take"]
+    spans = pack_sequences(narrow, budget=budget).select(
+        F.col("doc_id"), *[F.col(n).alias(f"{prefix}{n}") for n in names]
+    )
+    _fm_join_back(cc, flow, key, spans)
+    for nm in names:
+        flow.extra[f"pack_{nm}"] = f"{prefix}{nm}"
+    return v
+
+
 def _fm_events_cols(v: FlowV, method: str, need: tuple[str, ...]) -> dict[str, str]:
     """The flow's physical event columns, required by the events-
     analytics flow methods (events-shaped flows)."""
@@ -2150,6 +2240,9 @@ FLOW_METHODS = {
     "funnel": _fm_funnel,
     "retention": _fm_retention,
     "transitions": _fm_transitions,
+    "zscore": _fm_zscore,
+    "dup_spans": _fm_dup_spans,
+    "pack": _fm_pack,
 }
 
 

@@ -117,17 +117,31 @@ def group_zscore(
     ONE shuffle on the group key: both moments and the normalized
     value come from the same Window partitioning (Catalyst evaluates
     all three aggregates in a single Window node over one sort)."""
+    keep = [*(id_cols or []), *group_cols, value_col]
+    out, names = append_zscore(df.select(*keep), F.col(value_col), [F.col(c) for c in group_cols])
+    return out.withColumnRenamed(names[0], "z")
+
+
+def append_zscore(
+    df: DataFrame,
+    value: Column,
+    groups: list[Column],
+    prefix: str = "__zs_",
+) -> tuple[DataFrame, list[str]]:
+    """Append the group-wise z-score of ``value`` (expressions, not
+    just physical columns) as ``{prefix}z`` — the kernel group_zscore
+    and the zscore() flow method share.  Same single-Window contract:
+    both moments and the normalized value come from one partitioning;
+    σ_g = 0 or a single-row group yields NULL."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*group_cols)
-    mu = F.avg(F.col(value_col)).over(w)
-    sd = F.stddev_samp(F.col(value_col)).over(w)
-    keep = [*(id_cols or []), *group_cols, value_col]
-    return df.select(
-        *keep,
-        F.round(
-            F.when(sd > 0, (F.col(value_col) - mu) / sd), 6
-        ).alias("z"),
+    w = Window.partitionBy(*groups)
+    mu = F.avg(value).over(w)
+    sd = F.stddev_samp(value).over(w)
+    name = f"{prefix}z"
+    return (
+        df.withColumn(name, F.round(F.when(sd > 0, (value - mu) / sd), 6)),
+        [name],
     )
 
 

@@ -680,3 +680,78 @@ def test_flow_method_transitions_matches_operator(db):
         )
     ]
     assert top == sorted(exp, key=lambda t: (-t[2], t[0], t[1]))[:5]
+
+
+def test_flow_method_zscore_matches_operator(db):
+    """zscore(value, group) through the parser equals
+    olap.group_zscore; value and group are full expressions, so a
+    computed value standardizes too."""
+    from htsql_spark.operators.olap import group_zscore
+
+    got = {
+        (r["event_id"], r["z"])
+        for r in db.produce("/events.zscore(value, event_type){event_id, z}")
+    }
+    exp = {
+        (r.event_id, r.z)
+        for r in group_zscore(
+            db.table("events"), value_col="value",
+            group_cols=["event_type"], id_cols=["event_id"],
+        ).collect()
+    }
+    assert got == exp
+    # expression value: z of value*2 has the same z (affine invariance)
+    scaled = {
+        (r["event_id"], r["z"])
+        for r in db.produce(
+            "/events.zscore(value * 2, event_type){event_id, z}"
+        )
+    }
+    assert scaled == got
+
+
+def test_flow_method_dup_spans_matches_operator(db):
+    """dup_spans() through the parser equals textstats.
+    duplicated_spans under the spans_* names."""
+    from htsql_spark.operators.textstats import duplicated_spans
+
+    got = {
+        (r["doc_id"], r["spans_n_windows"], r["spans_dup_windows"],
+         r["spans_n_spans"], r["spans_dup_chars"], r["spans_dup_frac"])
+        for r in db.produce(
+            "/documents.dup_spans(){doc_id, spans_n_windows,"
+            " spans_dup_windows, spans_n_spans, spans_dup_chars,"
+            " spans_dup_frac}"
+        )
+    }
+    exp = {tuple(r) for r in duplicated_spans(db.table("documents")).collect()}
+    assert got == exp
+
+
+def test_flow_method_pack_matches_operator(db):
+    """pack(budget) through the parser equals pipeline.pack_sequences:
+    same spans, and per-sequence takes within a shard sum to the
+    budget for every non-final sequence."""
+    from htsql_spark.operators.pipeline import pack_sequences
+
+    got = {
+        (r["doc_id"], r["pack_shard"], r["pack_seq_id"],
+         r["pack_offset"], r["pack_take"])
+        for r in db.produce(
+            "/documents.pack(64){doc_id, pack_shard, pack_seq_id,"
+            " pack_offset, pack_take}"
+        )
+    }
+    exp = {tuple(r) for r in pack_sequences(db.table("documents")).collect()}
+    assert got == exp
+    # every sequence except each shard's last carries exactly 64 tokens
+    from collections import defaultdict
+
+    per_seq = defaultdict(int)
+    for _, shard, seq, _, take in got:
+        per_seq[(shard, seq)] += take
+    last = {s: max(q for (sh, q) in per_seq if sh == s)
+            for s in {sh for sh, _ in per_seq}}
+    for (shard, seq), total in per_seq.items():
+        if seq < last[shard]:
+            assert total == 64, (shard, seq, total)

@@ -583,6 +583,35 @@ def test_lang_reshape_methods_plan_shape(db):
         assert "EvalPython" not in phys and "InPandas" not in phys, (q, phys)
 
 
+def test_lang_zscore_single_window(db):
+    """zscore(value, group) through the parser is ONE scan + ONE
+    group-keyed exchange + ONE Window node: both moments and the
+    normalized value share the partitioning (the append_zscore
+    contract group_zscore also rides on)."""
+    df = db.df("/events.zscore(value, event_type){event_id, z}")
+    opt = optimized(df)
+    assert opt.count("] parquet") == 1, opt
+    phys = physical(df)
+    assert phys.count("Exchange hashpartitioning") == 1, phys
+    assert phys.count("Window") == 1, phys
+    assert "EvalPython" not in phys and "InPandas" not in phys, phys
+
+
+def test_lang_dup_spans_pack_scan_budget(db):
+    """dup_spans()/pack() through the parser stay within the kernels'
+    scan budgets (dup_spans: flow leg + fp leg + totals leg; pack:
+    flow leg + token-count leg) with no Python stage."""
+    for q, max_scans in (
+        ("/documents.dup_spans(){doc_id, spans_dup_frac}", 3),
+        ("/documents.pack(64){doc_id, pack_seq_id, pack_take}", 2),
+    ):
+        df = db.df(q)
+        opt = optimized(df)
+        assert opt.count("] parquet") <= max_scans, (q, opt)
+        phys = physical(df)
+        assert "EvalPython" not in phys and "InPandas" not in phys, (q, phys)
+
+
 def test_stream_anomaly_state_is_fixed_width(spark):
     """streaming anomaly state: three fixed-width numeric fields
     (n, s, ss) — O(1) bytes per key, no lists/strings that could grow

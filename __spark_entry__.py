@@ -2309,6 +2309,42 @@ def _lang_pack(spark, sf_dir):
     )
 
 
+def _lang_profile(spark, sf_dir):
+    """profile(value, partition, order, tiebreak) flow method through
+    the parser: the full analytic-window family (analytics.
+    append_window_profile, the op_window_profile kernel) as prof_*
+    attributes — window functions become language surface (the
+    reference delegates this workload to hand-written backend SQL,
+    SURVEY §2 F11/F20 boundary)."""
+    return _db(spark, sf_dir).df(
+        "/orders.profile(o_totalprice, o_custkey, o_orderdate,"
+        " o_orderkey){okey := o_orderkey, prof_rnk, prof_drnk,"
+        " prof_cume, prof_prank, prof_tile, prof_prev_val,"
+        " prof_next_val, prof_running_sum}"
+    )
+
+
+def _lang_heavy_hitters(spark, sf_dir):
+    """heavy_hitters(expr, min_freq) flow method through the parser:
+    EXACT frequent items at sketch cost (sketches.heavy_hitters —
+    Misra-Gries candidates + broadcast recount) as a reshape to
+    (item, cnt, freq); the oracle is the plain GROUP BY truth with
+    the same scaled-integer boundary rule."""
+    return _db(spark, sf_dir).df("/documents.heavy_hitters(lang, 0.05)")
+
+
+def _lang_decontam(spark, sf_dir):
+    """decontaminate(benchmark) flow method through the parser — the
+    first flow method with a FLOW-VALUED argument: drop documents
+    whose normalized-content fingerprint appears in the benchmark
+    sub-query (textstats.fingerprint, broadcast anti join).  The
+    benchmark here is the doc_id>=400 slice, so the survivors are the
+    <400 docs minus any content twins of the benchmark."""
+    return _db(spark, sf_dir).df(
+        "/documents.decontaminate(documents?doc_id>=400){doc_id}"
+    )
+
+
 def _op_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup: argmax-to-centroid cells (the
     seeded deterministic cells, so the oracle replays the assignment
@@ -3301,6 +3337,11 @@ _QUERIES.update(
         "lang_zscore": _lang_zscore,
         "lang_dup_spans": _lang_dup_spans,
         "lang_pack": _lang_pack,
+        # seventh wave: window functions, exact frequent items, and
+        # flow-valued-argument decontamination
+        "lang_profile": _lang_profile,
+        "lang_heavy_hitters": _lang_heavy_hitters,
+        "lang_decontam": _lang_decontam,
     }
 )
 
@@ -3359,7 +3400,7 @@ _GATE_ORDER = [
     # "quotient" is displaced instead (compile.py's quotient shape
     # stays driver-covered via tpch_q1 and oracle-replayed in pytest).
     "op_cdc_upsert", "op_zorder_key",
-    "op_winnow_incremental", "stream_cdc", "stream_quantiles",
+    "op_winnow_incremental", "stream_cdc",
     # ROUND-9 ROTATION (judge directive r8 #1/#3/#4/#5): the four new
     # language-bridge rows (classify/dedup_minhash/tfidf/near through
     # the parser), the ANN index split (build row + append row; the
@@ -3431,25 +3472,33 @@ _GATE_ORDER = [
     # untouched this round and held by stream_cdc/stream_quantiles):
     # op_ann_pq, op_bootstrap_ci, op_triangles, stream_anomaly.
     "lang_zscore", "lang_dup_spans", "lang_pack", "op_zscore",
+    # ROUND-9 BRIDGE WIDENING, SEVENTH WAVE: profile() brings the
+    # analytic-window family to the language (the reference delegates
+    # this workload to hand-written backend SQL, SURVEY §2 F11/F20
+    # boundary) and hard-verifies the append_window_profile refactor
+    # op_window_profile now rides on; heavy_hitters(expr, f) reshapes
+    # to exact frequent items at Misra-Gries sketch cost;
+    # decontaminate(benchmark) is the first flow method with a
+    # FLOW-VALUED argument (eval-set decontamination as language).
+    # Displaced: op_dedup_ngram (its capped kernel is gate-held by
+    # lang_dedup_ngram + op_dedup_ngram_zipf this round),
+    # stream_quantiles (streaming untouched this round, held by
+    # stream_cdc; r6+ gate-green), lang_gopher (the resolution-order
+    # contract it pilots is exercised by every other lang_* row;
+    # lang_entropy stays — it pins the r9 unprefixed-appended-name
+    # fix).
+    "lang_profile", "lang_heavy_hitters", "lang_decontam",
     # ROUND-8 ROTATION (judge directive r6/r7 #1): the last remaining
     # of the 8 registry ops that had NEVER had a hard driver
     # CORRECTNESS row before r8; op_ann_ivfpq now measures the
     # query-only path over the materialized PQ code index.
     "op_ann_ivfpq",
-    # rotated in because round 8 touches its query shape (directive
-    # #4: production-shaped candidate caps for the bench)
-    "op_dedup_ngram",
-    # displaced to make room (all r6 AND r7 gate-green with code
-    # untouched since; they stay oracle-replayed every pytest run):
-    # op_dedup_minhash, op_contamination_near, op_edit_dedup,
-    # op_chunk_dedup, op_bpe_encode, op_frame_sample,
-    # op_video_dedup_avi, op_histogram, op_scd2
     # re-verification: TPC-H composition shape
     "tpch_q3",
-    # r8 language-bridge pilots re-verified (compile.py changed again
-    # this round — the attribute-resolution order they exercise must
+    # r8 language-bridge pilot re-verified (compile.py changed again
+    # this round — the appended-name resolution order it pins must
     # hold under the widened FLOW_METHODS table)
-    "lang_gopher", "lang_entropy",
+    "lang_entropy",
 ]
 assert len(_GATE_ORDER) == 50 and len(set(_GATE_ORDER)) == 50
 _QUERIES = {k: _QUERIES[k] for k in _GATE_ORDER} | {
@@ -5424,6 +5473,33 @@ SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         + out["op_pack"]
         + ")"
     )
+    # seventh wave — profile() is the op_window_profile oracle with
+    # the language row's selection (okey alias, prof_* names);
+    # heavy_hitters() is the plain GROUP BY truth at the 5% boundary;
+    # decontaminate() replays the fingerprint anti join in SQL
+    out["lang_profile"] = (
+        "SELECT o_orderkey AS okey, rnk AS prof_rnk, drnk AS prof_drnk,"
+        " cume AS prof_cume, prank AS prof_prank, tile AS prof_tile,"
+        " prev_val AS prof_prev_val, next_val AS prof_next_val,"
+        " running_sum AS prof_running_sum FROM ("
+        + out["op_window_profile"]
+        + ")"
+    )
+    out["lang_heavy_hitters"] = """
+WITH c AS (
+  SELECT lang AS item, count(*) AS cnt FROM documents
+  WHERE lang IS NOT NULL GROUP BY 1
+), t AS (SELECT sum(cnt) AS n FROM c)
+SELECT item, cnt, round(cnt * 1.0 / n, 6) AS freq
+FROM c, t WHERE cnt * 1000000000 >= n * 50000000
+"""
+    out["lang_decontam"] = """
+SELECT doc_id FROM documents
+WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+  FROM documents WHERE doc_id >= 400
+)
+"""
     # z-order key: the Morton interleave is pure bit arithmetic, so
     # the oracle is the SAME sum-of-shifted-bits expression spelled
     # in SQL (bit b of x -> output bit 2b, bit b of y -> 2b+1)

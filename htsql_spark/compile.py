@@ -2105,6 +2105,108 @@ def _fm_pack(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     return v
 
 
+def _fm_profile(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """profile(value, partition, order, tiebreak[, n_tiles]) — append
+    the full analytic-window family of ``value`` over one partitioned
+    ordering (operators.analytics.append_window_profile, the
+    op_window_profile kernel) as ``prof_rnk`` / ``prof_drnk`` /
+    ``prof_cume`` / ``prof_prank`` / ``prof_tile`` / ``prof_prev_val``
+    / ``prof_next_val`` / ``prof_running_sum``.  All four positions
+    are full expressions over the flow.  The reference reaches this
+    workload only by delegating to hand-written backend SQL (htsql
+    2.3.3 has no window functions, SURVEY §2 F11/F20 boundary); here
+    it is language surface.  ONE shuffle on the partition key; both
+    Window nodes share the partitioning."""
+    if len(args) < 4 or len(args) > 5:
+        raise CompileError(
+            "profile(value, partition, order, tiebreak[, n_tiles])"
+            " takes 4 or 5 arguments"
+        )
+    from .operators.analytics import append_window_profile
+
+    flow = v.flow
+    scope = ScopeRef(flow, flow.alias, flow.table)
+    value, part, order, tie = (cc.scalar(ctx, scope, a).col for a in args[:4])
+    n_tiles = _fm_int_lit(args, 4, 4, "profile")
+    if n_tiles < 1:
+        raise CompileError("profile() needs n_tiles >= 1")
+    prefix = cc.engine.fresh("__wp") + "_"
+    flow.df, names = append_window_profile(
+        flow.df, value=value, partition=part, order=order, tiebreak=tie,
+        n_tiles=n_tiles, prefix=prefix,
+    )
+    _fm_register_extra(flow, names, prefix, "prof_")
+    return v
+
+
+def _fm_heavy_hitters(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """heavy_hitters(expr[, min_freq]) — reshape the flow into its
+    EXACT frequent items: every distinct value of ``expr`` with global
+    frequency ≥ ``min_freq`` (default 0.01), found at sketch cost
+    (operators.sketches.heavy_hitters: per-partition Misra-Gries
+    summaries + a broadcast-restricted recount — the full distinct-
+    value table is never shuffled).  Attributes ``item`` / ``cnt`` /
+    ``freq``; projection-scope output like funnel()."""
+    if not args or len(args) > 2:
+        raise CompileError(
+            "heavy_hitters(expr[, min_freq]) takes 1 or 2 arguments"
+        )
+    from .operators.sketches import heavy_hitters
+
+    flow = v.flow
+    scope = ScopeRef(flow, flow.alias, flow.table)
+    expr = cc.scalar(ctx, scope, args[0]).col
+    min_freq = _fm_frac_lit(args, 1, "heavy_hitters") if len(args) == 2 else 0.01
+    if not 0 < min_freq <= 1:
+        raise CompileError("heavy_hitters() needs min_freq in (0, 1]")
+    narrow = flow.df.select(expr.alias("item"))
+    res = heavy_hitters(narrow, "item", min_freq=min_freq)
+    return _fm_reshape(cc, v, "heavy_hitters", res, ["item", "cnt", "freq"])
+
+
+def _fm_decontaminate(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """decontaminate(benchmark) — drop every row whose normalized-
+    content fingerprint (textstats.fingerprint, the op_contamination
+    hash) appears in the BENCHMARK flow: exact-match eval-set
+    decontamination as language surface, with the benchmark given as
+    a full sub-query (``/documents.decontaminate(eval_docs)``,
+    ``/documents.decontaminate(documents?source='bench')``) — the
+    first flow method taking a FLOW-VALUED argument.  The benchmark's
+    distinct fingerprints broadcast (eval sets are small by nature);
+    the corpus side is one scan + a broadcast LEFT ANTI join — the
+    correct 100 TB shape."""
+    if len(args) != 1:
+        raise CompileError(
+            "decontaminate(benchmark) takes exactly one flow argument"
+        )
+    from .operators.textstats import fingerprint
+
+    flow = v.flow
+    tcol = _fm_text_col(v, "decontaminate")
+    home = ScopeRef(cc.engine.home_flow(), "", None)
+    bench = cc.eval(ctx, home, args[0])
+    if not isinstance(bench, FlowV):
+        raise CompileError(
+            "decontaminate() needs a flow argument (a table or a"
+            " sieved table, e.g. documents?doc_id<100)"
+        )
+    bflow = bench.flow
+    if bflow.table is None or "text" not in bflow.table.columns:
+        raise CompileError(
+            "decontaminate() benchmark must be a flow over a table"
+            " with a 'text' column"
+        )
+    btext = bflow.scope_col("text")
+    fpc = cc.engine.fresh("__fp")
+    fps = bflow.df.select(fingerprint(F.col(btext)).alias(fpc)).distinct()
+    flow.df = (
+        flow.df.withColumn(fpc, fingerprint(F.col(tcol)))
+        .join(F.broadcast(fps), fpc, "left_anti")
+        .drop(fpc)
+    )
+    return v
+
+
 def _fm_events_cols(v: FlowV, method: str, need: tuple[str, ...]) -> dict[str, str]:
     """The flow's physical event columns, required by the events-
     analytics flow methods (events-shaped flows)."""
@@ -2243,6 +2345,9 @@ FLOW_METHODS = {
     "zscore": _fm_zscore,
     "dup_spans": _fm_dup_spans,
     "pack": _fm_pack,
+    "profile": _fm_profile,
+    "heavy_hitters": _fm_heavy_hitters,
+    "decontaminate": _fm_decontaminate,
 }
 
 

@@ -306,23 +306,47 @@ def window_profile(
     which Spark gets from the same sorted run.  Skewed partitions
     (one giant key) are the caller's salting concern, as with any
     windowed op."""
-    wv = Window.partitionBy(partition_col).orderBy(order_col)
-    wu = Window.partitionBy(partition_col).orderBy(order_col, tiebreak_col)
-    run = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    v = F.col(value_col)
-    return df.select(
-        F.col(partition_col),
-        F.col(tiebreak_col),
-        v,
-        F.rank().over(wv).alias("rnk"),
-        F.dense_rank().over(wv).alias("drnk"),
-        F.round(F.cume_dist().over(wv), 6).alias("cume"),
-        F.round(F.percent_rank().over(wv), 6).alias("prank"),
-        F.ntile(n_tiles).over(wu).alias("tile"),
-        F.lag(v, 1).over(wu).alias("prev_val"),
-        F.lead(v, 1).over(wu).alias("next_val"),
-        F.round(F.sum(v).over(run), 2).alias("running_sum"),
+    out, names = append_window_profile(
+        df.select(partition_col, tiebreak_col, value_col, order_col),
+        value=F.col(value_col),
+        partition=F.col(partition_col),
+        order=F.col(order_col),
+        tiebreak=F.col(tiebreak_col),
+        n_tiles=n_tiles,
+        prefix="",
     )
+    return out.select(partition_col, tiebreak_col, value_col, *names)
+
+
+def append_window_profile(
+    df: DataFrame,
+    value: "Column",
+    partition: "Column",
+    order: "Column",
+    tiebreak: "Column",
+    n_tiles: int = 4,
+    prefix: str = "__wp_",
+) -> tuple[DataFrame, list[str]]:
+    """Append the analytic-window family of ``value`` over one
+    partitioned ordering (expressions, not just physical columns) —
+    the kernel window_profile and the profile() flow method share.
+    Same single-shuffle contract: one exchange on the partition key,
+    both Window nodes (value-ordered rank family, row-ordered
+    ntile/lag/lead/running family) reuse the partitioning."""
+    wv = Window.partitionBy(partition).orderBy(order)
+    wu = Window.partitionBy(partition).orderBy(order, tiebreak)
+    run = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols = {
+        f"{prefix}rnk": F.rank().over(wv),
+        f"{prefix}drnk": F.dense_rank().over(wv),
+        f"{prefix}cume": F.round(F.cume_dist().over(wv), 6),
+        f"{prefix}prank": F.round(F.percent_rank().over(wv), 6),
+        f"{prefix}tile": F.ntile(n_tiles).over(wu),
+        f"{prefix}prev_val": F.lag(value, 1).over(wu),
+        f"{prefix}next_val": F.lead(value, 1).over(wu),
+        f"{prefix}running_sum": F.round(F.sum(value).over(run), 2),
+    }
+    return df.withColumns(cols), list(cols)
 
 
 def pagerank(

@@ -755,3 +755,81 @@ def test_flow_method_pack_matches_operator(db):
     for (shard, seq), total in per_seq.items():
         if seq < last[shard]:
             assert total == 64, (shard, seq, total)
+
+
+def test_flow_method_profile_matches_operator(db):
+    """profile(value, partition, order, tiebreak) through the parser
+    equals analytics.window_profile under the prof_* names."""
+    from htsql_spark.operators.analytics import window_profile
+
+    got = {
+        (r["ck"], r["okey"], r["prof_rnk"], r["prof_tile"],
+         r["prof_prev_val"], r["prof_running_sum"])
+        for r in db.produce(
+            "/orders.profile(o_totalprice, o_custkey, o_orderdate,"
+            " o_orderkey){ck := o_custkey, okey := o_orderkey,"
+            " prof_rnk, prof_tile, prof_prev_val, prof_running_sum}"
+        )
+    }
+    exp = {
+        (r.o_custkey, r.o_orderkey, r.rnk, r.tile, r.prev_val, r.running_sum)
+        for r in window_profile(
+            db.table("orders"),
+            partition_col="o_custkey", order_col="o_orderdate",
+            tiebreak_col="o_orderkey", value_col="o_totalprice",
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_flow_method_heavy_hitters_matches_operator(db):
+    """heavy_hitters(expr, f) through the parser equals
+    sketches.heavy_hitters, and as a projection scope the result
+    filters/sorts on derived attributes."""
+    from htsql_spark.operators.sketches import heavy_hitters
+
+    got = {
+        (r["item"], r["cnt"], r["freq"])
+        for r in db.produce("/documents.heavy_hitters(lang, 0.05)")
+    }
+    exp = {
+        tuple(r)
+        for r in heavy_hitters(
+            db.table("documents").selectExpr("lang AS item"), "item",
+            min_freq=0.05,
+        ).collect()
+    }
+    assert got == exp
+    top = [
+        r["item"]
+        for r in db.produce(
+            "/documents.heavy_hitters(lang, 0.05).sort(cnt-, item).limit(2)"
+            "{item}"
+        )
+    ]
+    assert top == [t[0] for t in sorted(exp, key=lambda t: (-t[1], t[0]))[:2]]
+
+
+def test_flow_method_decontaminate(db, spark):
+    """decontaminate(benchmark) drops exactly the rows whose
+    normalized-content fingerprint appears in the benchmark flow —
+    including planted cross-id content twins."""
+    ids = {
+        r["doc_id"]
+        for r in db.produce(
+            "/documents.decontaminate(documents?doc_id>=400){doc_id}"
+        )
+    }
+    # fixture texts are unique, so the survivor set is exactly <400
+    assert ids == set(range(400))
+    # the benchmark is a full sub-query: a sieve on ANY column works
+    sub = {
+        r["doc_id"]
+        for r in db.produce(
+            "/documents.decontaminate(documents?lang='en'){doc_id}"
+        )
+    }
+    en = {r["doc_id"] for r in db.produce("/documents{doc_id}?lang='en'")}
+    assert sub == set(range(500)) - en
+    # self-decontamination empties the corpus
+    assert db.produce("/documents.decontaminate(documents){doc_id}") == []

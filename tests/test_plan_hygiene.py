@@ -65,6 +65,7 @@ ARROW_OK = {
     "op_bloom_ngram",
     # Misra-Gries candidate summaries are a declared mapInPandas pass
     "op_heavy_hitters",
+    "lang_heavy_hitters",
     # salted_join_hot delegates hot-key detection to heavy_hitters
     "op_skew_join",
     # CMS build/probe are declared Arrow passes
@@ -116,6 +117,7 @@ NLJ_OK = {
     "tpch_q20",
     # heavy_hitters crossJoins the single-row broadcast total count
     "op_heavy_hitters",
+    "lang_heavy_hitters",
     "op_skew_join",
     # the histogram crossJoins the single-row boundary aggregate
     "op_histogram",

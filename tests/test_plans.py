@@ -612,6 +612,35 @@ def test_lang_dup_spans_pack_scan_budget(db):
         assert "EvalPython" not in phys and "InPandas" not in phys, (q, phys)
 
 
+def test_lang_profile_single_exchange(db):
+    """profile() through the parser is ONE scan + ONE partition-keyed
+    exchange; the two Window nodes (value-ordered rank family,
+    row-ordered ntile/lag/lead/running family) share the
+    partitioning."""
+    df = db.df(
+        "/orders.profile(o_totalprice, o_custkey, o_orderdate,"
+        " o_orderkey){okey := o_orderkey, prof_rnk, prof_running_sum}"
+    )
+    opt = optimized(df)
+    assert opt.count("] parquet") == 1, opt
+    phys = physical(df)
+    assert phys.count("Exchange hashpartitioning") == 1, phys
+    assert "EvalPython" not in phys and "InPandas" not in phys, phys
+
+
+def test_lang_decontaminate_broadcast_anti(db):
+    """decontaminate(benchmark) is a BROADCAST left anti join on the
+    content fingerprint: the corpus side is one scan with no
+    corpus-keyed shuffle — the shape that holds when the corpus is
+    100 TB and the benchmark is an eval set."""
+    df = db.df("/documents.decontaminate(documents?doc_id>=400){doc_id}")
+    phys = physical(df)
+    assert "BroadcastHashJoin" in phys and "LeftAnti" in phys, phys
+    # the only exchange is benchmark-side (fingerprint distinct)
+    assert phys.count("Exchange hashpartitioning") <= 1, phys
+    assert "EvalPython" not in phys and "InPandas" not in phys, phys
+
+
 def test_stream_anomaly_state_is_fixed_width(spark):
     """streaming anomaly state: three fixed-width numeric fields
     (n, s, ss) — O(1) bytes per key, no lists/strings that could grow

@@ -2345,6 +2345,18 @@ def _lang_decontam(spark, sf_dir):
     )
 
 
+def _lang_cluster(spark, sf_dir):
+    """cluster() flow method through the parser — near-dup cluster
+    ids as a navigable attribute: connected components
+    (dedup.dedup_clusters' star contraction) over the bucketed
+    3-gram Jaccard >= 0.5 pair graph (the op_dedup_ngram capped
+    kernel), singletons keeping their own key.  The oracle replays
+    grams, caps and pair rule in SQL and floods component minima
+    with a recursive CTE — an ITERATIVE Spark operator value-proven
+    end-to-end against declarative SQL."""
+    return _db(spark, sf_dir).df("/documents.cluster(){doc_id, cluster_id}")
+
+
 def _op_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup: argmax-to-centroid cells (the
     seeded deterministic cells, so the oracle replays the assignment
@@ -3342,6 +3354,10 @@ _QUERIES.update(
         "lang_profile": _lang_profile,
         "lang_heavy_hitters": _lang_heavy_hitters,
         "lang_decontam": _lang_decontam,
+        # eighth wave: cluster ids over the near-dup graph — the
+        # iterative star contraction value-proven against a
+        # recursive-CTE oracle
+        "lang_cluster": _lang_cluster,
     }
 )
 
@@ -3388,7 +3404,6 @@ _GATE_ORDER = [
     # oracle-replayed every pytest run; op_simhash_pairs_portable
     # stays — lang_dedup_simhash's oracle builds on it)
     "op_winnow_portable", "op_winnow_pairs_portable",
-    "op_simhash_pairs_portable",
     # r6 rows kept for breadth: CDC batch MERGE, Z-order clustering
     # key, incremental winnowing, streaming CDC snapshot loop,
     # streaming windowed GK quantiles (op_kll_quantiles displaced r9:
@@ -3488,6 +3503,15 @@ _GATE_ORDER = [
     # lang_entropy stays — it pins the r9 unprefixed-appended-name
     # fix).
     "lang_profile", "lang_heavy_hitters", "lang_decontam",
+    # ROUND-9 BRIDGE WIDENING, EIGHTH WAVE: cluster() — near-dup
+    # cluster ids (the iterative large-star/small-star contraction)
+    # value-proven end-to-end against a recursive-CTE SQL oracle over
+    # the capped n-gram pair graph.  Displaced:
+    # op_simhash_pairs_portable (r6+ gate-green; the simhash kernel
+    # is gate-held by lang_dedup_simhash, whose oracle replays the
+    # same pair rule; dedup.py module coverage stays via
+    # op_dedup_pipeline / op_dedup_ngram_zipf).
+    "lang_cluster",
     # ROUND-8 ROTATION (judge directive r6/r7 #1): the last remaining
     # of the 8 registry ops that had NEVER had a hard driver
     # CORRECTNESS row before r8; op_ann_ivfpq now measures the
@@ -5499,6 +5523,35 @@ WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN (
   SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
   FROM documents WHERE doc_id >= 400
 )
+"""
+    # eighth wave — cluster(): the op_dedup_ngram gram/cap/pair rules
+    # replayed at the 0.5 threshold, then component minima flooded
+    # with a recursive CTE (UNION-deduped label propagation over the
+    # symmetric edge set); singletons keep their own key
+    out["lang_cluster"] = """
+WITH RECURSIVE g AS (
+ SELECT doc_id, lang, floor(length(text)/100) AS lb,
+  list_distinct(list_transform(
+   range(1, greatest(length(text)-3, 0)+2),
+   i -> substr(text, i, 3))) AS grams FROM documents),
+keep AS (
+ SELECT lang, lb FROM g GROUP BY lang, lb HAVING count(*) <= 200),
+gk AS (SELECT g.* FROM g JOIN keep USING (lang, lb)),
+p AS (
+ SELECT a.doc_id AS a, b.doc_id AS b
+ FROM gk a JOIN gk b ON a.lang = b.lang AND a.lb = b.lb
+  AND a.doc_id < b.doc_id
+ WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+   / len(list_distinct(a.grams || b.grams)), 6) >= 0.5),
+edges AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+cc AS (
+ SELECT DISTINCT a AS node, a AS lbl FROM edges
+ UNION
+ SELECT e.b AS node, c.lbl FROM cc c JOIN edges e ON e.a = c.node
+),
+m AS (SELECT node, min(lbl) AS cid FROM cc GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(m.cid, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN m ON d.doc_id = m.node
 """
     # z-order key: the Morton interleave is pure bit arithmetic, so
     # the oracle is the SAME sum-of-shifted-bits expression spelled

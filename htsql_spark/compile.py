@@ -2105,6 +2105,54 @@ def _fm_pack(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     return v
 
 
+def _fm_cluster(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """cluster([key]) — append the near-dup CLUSTER id as the
+    ``cluster_id`` attribute: connected components over the bucketed
+    character-3-gram Jaccard ≥ 0.5 pair graph (operators.dedup.
+    ngram_jaccard_pairs with the production max_bucket=200 cap — the
+    deterministic, oracle-replayable tier — then operators.dedup.
+    dedup_clusters' large-star/small-star contraction).  Every row
+    gets an id: clustered documents share their component's minimum
+    key, singletons keep their own.  Completes the dedup language
+    story: dedup_*() keeps survivors, cluster() EXPOSES the groups
+    (``^{cid := cluster_id}{cid, n := count(^)}`` profiles them).
+    NOTE: the star contraction runs a bounded iterative job at
+    compile time (O(log² n) rounds over a shrinking edge set), like
+    budget()'s histogram walk; at 100 TB the pair graph is bucketed
+    (never all-pairs) and only (id, id) edges shuffle."""
+    if len(args) > 1:
+        raise CompileError("cluster([key]) takes at most one argument")
+    from .operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    flow = v.flow
+    tcol = _fm_text_col(v, "cluster")
+    if flow.table is None or "lang" not in flow.table.columns:
+        raise CompileError(
+            "cluster() requires a flow over a table with a 'lang'"
+            " column (the bucketing key)"
+        )
+    key = _fm_survivor_key(cc, ctx, v, args, "cluster")
+    narrow = flow.df.select(
+        key.alias("doc_id"),
+        F.col(tcol).alias("text"),
+        F.col(flow.scope_col("lang")).alias("lang"),
+    )
+    pairs = ngram_jaccard_pairs(narrow, n=3, threshold=0.5, max_bucket=200)
+    keyc = cc.engine.fresh("__ck")
+    cid = cc.engine.fresh("__cl") + "_cluster_id"
+    clusters = dedup_clusters(pairs).select(
+        F.col("doc_id").alias(keyc), F.col("cluster_id").alias(cid)
+    )
+    flow.df = (
+        flow.df.withColumn(keyc, key)
+        .join(clusters, keyc, "left")
+        .withColumn(cid, F.coalesce(F.col(cid), F.col(keyc)))
+        .drop(keyc)
+    )
+    flow.extra["cluster_id"] = cid
+    return v
+
+
 def _fm_profile(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     """profile(value, partition, order, tiebreak[, n_tiles]) — append
     the full analytic-window family of ``value`` over one partitioned
@@ -2348,6 +2396,7 @@ FLOW_METHODS = {
     "profile": _fm_profile,
     "heavy_hitters": _fm_heavy_hitters,
     "decontaminate": _fm_decontaminate,
+    "cluster": _fm_cluster,
 }
 
 

@@ -833,3 +833,35 @@ def test_flow_method_decontaminate(db, spark):
     assert sub == set(range(500)) - en
     # self-decontamination empties the corpus
     assert db.produce("/documents.decontaminate(documents){doc_id}") == []
+
+
+def test_flow_method_cluster_matches_operator(db):
+    """cluster() through the parser equals dedup_clusters over the
+    capped n-gram pair graph, with singletons keeping their own key;
+    the cluster minimum is always a member key and every cluster
+    minimum survives dedup_ngram() (the pairwise rule can keep MORE —
+    a member with no direct edge to a smaller key survives even
+    inside a cluster — so minima is a subset, not an equality)."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in db.produce("/documents.cluster(){doc_id, cluster_id}")
+    }
+    pairs = ngram_jaccard_pairs(
+        db.table("documents"), n=3, threshold=0.5, max_bucket=200
+    )
+    comp = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    all_ids = {r.doc_id for r in db.table("documents").select("doc_id").collect()}
+    exp = {(i, comp.get(i, i)) for i in all_ids}
+    assert got == exp
+    # consistency with the dedup tier: survivors == cluster minima
+    survivors = {
+        r["doc_id"] for r in db.produce("/documents.dedup_ngram(){doc_id}")
+    }
+    minima = {cid for _, cid in got}
+    assert minima <= survivors
+    # and every minimum is a real member key
+    assert minima <= all_ids

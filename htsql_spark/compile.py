@@ -2290,6 +2290,10 @@ def _fm_reshape(cc: Compiler, v: FlowV, method: str, res, names: list[str]) -> F
         None,
     )
     nf.kernel = [(n, cols[n]) for n in names]
+    # ordered-parity: like a quotient, the reshaped relation's implicit
+    # order is its kernel (materialized only under engine.ordered or an
+    # explicit sort — compile.finalize)
+    nf.order = [(c, True) for _, c in nf.kernel]
     v.flow = nf
     v.corr_inner = []
     v.singular = False

@@ -84,6 +84,12 @@ QUERIES = [
     "/documents.stats().sort(stats_quality-).limit(3){doc_id, q := stats_quality}",
     "/events.sessionize(45).sort(user_id, session_id).limit(4)"
     "{user_id, event_id, session_id}",
+    # --- round-9 reshaping methods: implicit KERNEL order, like
+    # quotients (the projection-scope parity of the reference's
+    # always-ordered contract)
+    "/events.funnel('view','click','purchase')",
+    "/events.transitions()?n>=45",
+    "/documents.heavy_hitters(lang, 0.15)",
 ]
 
 

@@ -466,10 +466,13 @@ def test_fuzz_flow_method_chains(db):
     APPEND = [
         ".stats()", ".classify()", ".entropy()", ".gopher()",
         ".repetition()", ".pii()", ".split()",
+        # round-9 waves 6-8: appenders keep the key set too
+        ".dup_spans()", ".cluster()",
     ]
     RESTRICT = [
         ".dedup_exact()", ".sample(0.5)", ".sample(0.25)",
         ".split('train')", ".dedup_simhash()",
+        ".decontaminate(documents?doc_id>=450)",
     ]
     base = {r["doc_id"] for r in db.produce("/documents{doc_id}")}
     rng = random.Random(99)

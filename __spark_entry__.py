@@ -3400,14 +3400,15 @@ _GATE_ORDER = [
     # portable twins / kernel forms of the rows-only production ops
     # (op_simhash_portable / op_kmeans_assign / op_kmeans_step
     # displaced by the fourth-wave lang rows: r6..r8 gate-green,
-    # dedup.py/similarity.py untouched this round, still
-    # oracle-replayed every pytest run; op_simhash_pairs_portable
-    # stays — lang_dedup_simhash's oracle builds on it)
+    # still oracle-replayed every pytest run; op_simhash_pairs_portable
+    # was later displaced too by the eighth wave — the simhash kernel
+    # stays gate-held by lang_dedup_simhash)
     "op_winnow_portable", "op_winnow_pairs_portable",
     # r6 rows kept for breadth: CDC batch MERGE, Z-order clustering
-    # key, incremental winnowing, streaming CDC snapshot loop,
-    # streaming windowed GK quantiles (op_kll_quantiles displaced r9:
-    # r6/r7/r8 gate-green, sketches.py untouched since r6).
+    # key, incremental winnowing, streaming CDC snapshot loop
+    # (op_kll_quantiles displaced r9: r6/r7/r8 gate-green,
+    # sketches.py untouched since r6; stream_quantiles displaced by
+    # the seventh wave — streaming stays gate-held by stream_cdc).
     # op_zorder_key was briefly displaced mid-round on the WRONG
     # claim that layout.py was untouched — the round's append-lock
     # fix DID touch it — and is re-gated per the rotation policy
@@ -3484,7 +3485,7 @@ _GATE_ORDER = [
     # modules each still held by other gated rows — similarity by
     # op_ann_index_build/op_ann_append/op_ann_ivfpq, pipeline by
     # op_curate/op_tfidf, analytics by op_cdc_upsert, streaming
-    # untouched this round and held by stream_cdc/stream_quantiles):
+    # untouched this round and held by stream_cdc):
     # op_ann_pq, op_bootstrap_ci, op_triangles, stream_anomaly.
     "lang_zscore", "lang_dup_spans", "lang_pack", "op_zscore",
     # ROUND-9 BRIDGE WIDENING, SEVENTH WAVE: profile() brings the
@@ -5517,12 +5518,20 @@ WITH c AS (
 SELECT item, cnt, round(cnt * 1.0 / n, 6) AS freq
 FROM c, t WHERE cnt * 1000000000 >= n * 50000000
 """
+    # NOT IN would diverge from Spark's left_anti on NULL fingerprints
+    # (NULL NOT IN (...) is NULL and drops the row; an anti join KEEPS
+    # a null-key row) — pin the anti-join semantics explicitly
     out["lang_decontam"] = """
-SELECT doc_id FROM documents
-WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN (
-  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-  FROM documents WHERE doc_id >= 400
+WITH fp AS (
+  SELECT doc_id,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents
+), bench AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents WHERE doc_id >= 400 AND text IS NOT NULL
 )
+SELECT doc_id FROM fp
+WHERE f IS NULL OR f NOT IN (SELECT f FROM bench WHERE f IS NOT NULL)
 """
     # eighth wave — cluster(): the op_dedup_ngram gram/cap/pair rules
     # replayed at the 0.5 threshold, then component minima flooded

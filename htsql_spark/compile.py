@@ -278,6 +278,11 @@ class Compiler:
                 return NamespaceRef(name)
             raise CompileError(f"unknown name '{name}'")
         if table is None:
+            # operator-appended attributes work in projection scopes
+            # too (zscore()/profile() are legal on reshaped flows);
+            # kernel and selection names above still win
+            if name in flow.extra:
+                return Scalar(F.col(flow.extra[name]), name)
             raise CompileError(f"unknown attribute '{name}' in projection scope")
         # physical column
         if name in table.columns:
@@ -2067,8 +2072,7 @@ def _fm_dup_spans(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
         F.col("doc_id"), *[F.col(n).alias(f"{prefix}{n}") for n in names]
     )
     _fm_join_back(cc, flow, key, stats)
-    for nm in names:
-        flow.extra[f"spans_{nm}"] = f"{prefix}{nm}"
+    _fm_register_extra(flow, [f"{prefix}{n}" for n in names], prefix, "spans_")
     return v
 
 
@@ -2100,8 +2104,7 @@ def _fm_pack(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
         F.col("doc_id"), *[F.col(n).alias(f"{prefix}{n}") for n in names]
     )
     _fm_join_back(cc, flow, key, spans)
-    for nm in names:
-        flow.extra[f"pack_{nm}"] = f"{prefix}{nm}"
+    _fm_register_extra(flow, [f"{prefix}{n}" for n in names], prefix, "pack_")
     return v
 
 
@@ -2137,6 +2140,18 @@ def _fm_cluster(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
         F.col(tcol).alias("text"),
         F.col(flow.scope_col("lang")).alias("lang"),
     )
+    # dedup_clusters casts pair endpoints to long and DROPS nulls —
+    # a string key would silently yield all-singleton ids, so reject
+    # it loudly at bind time instead
+    import pyspark.sql.types as T
+
+    ktype = narrow.schema["doc_id"].dataType
+    if not isinstance(ktype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        raise CompileError(
+            "cluster() needs an integral key (the component contraction"
+            f" is id-typed); got {ktype.simpleString()} — pass an"
+            " integral key expression"
+        )
     pairs = ngram_jaccard_pairs(narrow, n=3, threshold=0.5, max_bucket=200)
     keyc = cc.engine.fresh("__ck")
     cid = cc.engine.fresh("__cl") + "_cluster_id"
@@ -2198,6 +2213,14 @@ def _fm_heavy_hitters(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     if not args or len(args) > 2:
         raise CompileError(
             "heavy_hitters(expr[, min_freq]) takes 1 or 2 arguments"
+        )
+    if v.corr_outer:
+        # checked BEFORE the kernel: the Misra-Gries pass is EAGER
+        # (mapInPandas + localCheckpoint) — _fm_reshape's own guard
+        # would reject only after burning those jobs
+        raise CompileError(
+            "heavy_hitters() is not defined on a correlated sub-flow —"
+            " apply it to a top-level flow"
         )
     from .operators.sketches import heavy_hitters
 

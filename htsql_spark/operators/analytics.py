@@ -306,8 +306,12 @@ def window_profile(
     which Spark gets from the same sorted run.  Skewed partitions
     (one giant key) are the caller's salting concern, as with any
     windowed op."""
+    # dict.fromkeys dedupes role overlaps (e.g. ranking BY the value:
+    # order_col == value_col) — a duplicate select would make every
+    # F.col(role) ambiguous
+    narrow = list(dict.fromkeys((partition_col, tiebreak_col, value_col, order_col)))
     out, names = append_window_profile(
-        df.select(partition_col, tiebreak_col, value_col, order_col),
+        df.select(*narrow),
         value=F.col(value_col),
         partition=F.col(partition_col),
         order=F.col(order_col),

@@ -117,8 +117,12 @@ def group_zscore(
     ONE shuffle on the group key: both moments and the normalized
     value come from the same Window partitioning (Catalyst evaluates
     all three aggregates in a single Window node over one sort)."""
-    keep = [*(id_cols or []), *group_cols, value_col]
-    out, names = append_zscore(df.select(*keep), F.col(value_col), [F.col(c) for c in group_cols])
+    # dict.fromkeys dedupes role overlaps (value_col repeated in
+    # id_cols/group_cols would make F.col(value_col) ambiguous)
+    keep = list(dict.fromkeys([*(id_cols or []), *group_cols, value_col]))
+    out, names = append_zscore(
+        df.select(*keep), F.col(value_col), [F.col(c) for c in group_cols]
+    )
     return out.withColumnRenamed(names[0], "z")
 
 

@@ -865,3 +865,60 @@ def test_flow_method_cluster_matches_operator(db):
     assert minima <= survivors
     # and every minimum is a real member key
     assert minima <= all_ids
+
+
+def test_reshape_then_append_extra_resolves(db):
+    """Appenders are legal ON reshaped flows: zscore()/profile() after
+    transitions() register extra attributes that resolve inside the
+    projection scope (selection, sieve, sort) — the extra lookup runs
+    before the 'unknown attribute in projection scope' error."""
+    rows = db.produce(
+        "/events.transitions().zscore(n, event_type)"
+        "{event_type, next_type, z}?z>1"
+    )
+    assert rows and all(r["z"] > 1 for r in rows)
+    ordered = [
+        r["z"]
+        for r in db.produce(
+            "/events.transitions().zscore(n, event_type).sort(z-).limit(3){z}"
+        )
+    ]
+    assert ordered == sorted(ordered, reverse=True)
+
+
+def test_window_profile_duplicate_roles(db):
+    """window_profile ranks BY the value (order_col == value_col) and
+    group_zscore tolerates the value repeated in id_cols — the
+    narrowing select dedupes roles instead of crashing with
+    AMBIGUOUS_REFERENCE."""
+    from htsql_spark.operators.analytics import window_profile
+    from htsql_spark.operators.olap import group_zscore
+
+    wp = window_profile(
+        db.table("orders"), partition_col="o_custkey",
+        order_col="o_totalprice", tiebreak_col="o_orderkey",
+        value_col="o_totalprice",
+    )
+    assert wp.count() == db.table("orders").count()
+    # rank ordered by the value itself: rnk follows totalprice order
+    one = wp.filter("o_custkey = 5").orderBy("rnk").collect()
+    vals = [r.o_totalprice for r in one]
+    assert vals == sorted(vals)
+    gz = group_zscore(
+        db.table("events"), value_col="value",
+        group_cols=["event_type"], id_cols=["event_id", "value"],
+    )
+    assert gz.columns == ["event_id", "value", "event_type", "z"]
+    assert gz.count() == db.table("events").count()
+
+
+def test_cluster_rejects_non_integral_key(db):
+    """cluster() on a string key is a loud bind error — dedup_clusters
+    casts endpoints to long and silently drops null casts, which would
+    otherwise report all-singletons."""
+    import pytest as _pytest
+
+    from htsql_spark.ir import CompileError
+
+    with _pytest.raises(CompileError, match="integral key"):
+        db.df("/documents.cluster(lang){doc_id, cluster_id}")

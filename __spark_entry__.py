@@ -2357,6 +2357,17 @@ def _lang_cluster(spark, sf_dir):
     return _db(spark, sf_dir).df("/documents.cluster(){doc_id, cluster_id}")
 
 
+def _lang_mix(spark, sf_dir):
+    """mix(label, name, frac, ...) flow method through the parser:
+    deterministic 70/30 en/de mixture weights (pipeline.mix_corpora,
+    the op_mix kernel) restricting the flow by a pure md5 function of
+    the key — the oracle recomputes the per-partition rates and
+    replays the hash threshold bit-for-bit."""
+    return _db(spark, sf_dir).df(
+        "/documents.mix(lang, 'en', 0.7, 'de', 0.3){doc_id, lang}"
+    )
+
+
 def _op_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup: argmax-to-centroid cells (the
     seeded deterministic cells, so the oracle replays the assignment
@@ -3358,6 +3369,8 @@ _QUERIES.update(
         # iterative star contraction value-proven against a
         # recursive-CTE oracle
         "lang_cluster": _lang_cluster,
+        # ninth wave: training mixture weights as a flow restrictor
+        "lang_mix": _lang_mix,
     }
 )
 
@@ -3415,8 +3428,10 @@ _GATE_ORDER = [
     # (tests/test_rotation.py no longer exempts layout/skew);
     # "quotient" is displaced instead (compile.py's quotient shape
     # stays driver-covered via tpch_q1 and oracle-replayed in pytest).
-    "op_cdc_upsert", "op_zorder_key",
-    "op_winnow_incremental", "stream_cdc",
+    "op_cdc_upsert", "op_zorder_key", "stream_cdc",
+    # (op_winnow_incremental displaced by the ninth wave's lang_mix:
+    # r6..r8 gate-green, textstats amply gate-held by the 4 winnow
+    # rows + op_classifier/op_entropy; oracle-replayed every pytest)
     # ROUND-9 ROTATION (judge directive r8 #1/#3/#4/#5): the four new
     # language-bridge rows (classify/dedup_minhash/tfidf/near through
     # the parser), the ANN index split (build row + append row; the
@@ -3513,6 +3528,11 @@ _GATE_ORDER = [
     # same pair rule; dedup.py module coverage stays via
     # op_dedup_pipeline / op_dedup_ngram_zipf).
     "lang_cluster",
+    # ROUND-9 BRIDGE WIDENING, NINTH WAVE: mix(label, name, frac, ...)
+    # — deterministic training-mixture weights as a flow restrictor
+    # (the op_mix kernel; rates fixed by one compile-time count per
+    # partition, selection a pure md5 function of the key).
+    "lang_mix",
     # ROUND-8 ROTATION (judge directive r6/r7 #1): the last remaining
     # of the 8 registry ops that had NEVER had a hard driver
     # CORRECTNESS row before r8; op_ann_ivfpq now measures the
@@ -5537,6 +5557,11 @@ WHERE f IS NULL OR f NOT IN (SELECT f FROM bench WHERE f IS NOT NULL)
     # replayed at the 0.5 threshold, then component minima flooded
     # with a recursive CTE (UNION-deduped label propagation over the
     # symmetric edge set); singletons keep their own key
+    # ninth wave — mix() is the op_mix oracle with the language row's
+    # selection (the label column under its own name)
+    out["lang_mix"] = (
+        "SELECT doc_id, __source AS lang FROM (" + out["op_mix"] + ")"
+    )
     out["lang_cluster"] = """
 WITH RECURSIVE g AS (
  SELECT doc_id, lang, floor(length(text)/100) AS lb,

@@ -2108,6 +2108,53 @@ def _fm_pack(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     return v
 
 
+def _fm_mix(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """mix(label, name1, frac1[, name2, frac2, ...]) — restrict the
+    flow to a deterministic MIXTURE: partition by the ``label``
+    expression, downsample each named partition so the union
+    approximates the target weights at the largest feasible total
+    (operators.pipeline.mix_corpora, the op_mix kernel — no partition
+    is upsampled; the binding one keeps all rows).  The training-data
+    "mixture weights" op as language surface:
+    ``/documents.mix(lang, 'en', 0.7, 'de', 0.3)``.  Selection is a
+    pure md5 function of the key, so re-runs and re-partitions keep
+    the SAME mixture.  NOTE: fixing the rates runs one count per
+    partition at compile time (model-state aggregates, like
+    budget()); the selection itself is a narrow semi join on ids."""
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise CompileError(
+            "mix(label, name1, frac1[, name2, frac2, ...]) takes a"
+            " label expression and (name, fraction) literal pairs"
+        )
+    from .operators.pipeline import mix_corpora
+
+    flow = v.flow
+    scope = ScopeRef(flow, flow.alias, flow.table)
+    label = cc.scalar(ctx, scope, args[0]).col
+    fractions: dict[str, float] = {}
+    for i in range(1, len(args), 2):
+        name = _fm_str_lit(args, i, "mix")
+        frac = _fm_frac_lit(args, i + 1, "mix")
+        if not 0 < frac <= 1:
+            raise CompileError("mix() fractions must be in (0, 1]")
+        if name in fractions:
+            raise CompileError(f"mix() names a partition twice: '{name}'")
+        fractions[name] = frac
+    key = _fm_survivor_key(cc, ctx, v, [], "mix")
+    narrow = flow.df.select(key.alias("doc_id"), label.alias("__lbl"))
+    sources = {
+        s: narrow.filter(F.col("__lbl") == s).select("doc_id") for s in fractions
+    }
+    selected = mix_corpora(sources, fractions, "doc_id").select("doc_id")
+    keyc = cc.engine.fresh("__mk")
+    flow.df = (
+        flow.df.withColumn(keyc, key)
+        .join(selected.withColumnRenamed("doc_id", keyc), keyc, "left_semi")
+        .drop(keyc)
+    )
+    return v
+
+
 def _fm_cluster(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     """cluster([key]) — append the near-dup CLUSTER id as the
     ``cluster_id`` attribute: connected components over the bucketed
@@ -2424,6 +2471,7 @@ FLOW_METHODS = {
     "heavy_hitters": _fm_heavy_hitters,
     "decontaminate": _fm_decontaminate,
     "cluster": _fm_cluster,
+    "mix": _fm_mix,
 }
 
 

@@ -922,3 +922,35 @@ def test_cluster_rejects_non_integral_key(db):
 
     with _pytest.raises(CompileError, match="integral key"):
         db.df("/documents.cluster(lang){doc_id, cluster_id}")
+
+
+def test_flow_method_mix_matches_operator(db):
+    """mix(label, name, frac, ...) through the parser equals
+    pipeline.mix_corpora: same selected set, and the realized mixture
+    tracks the target weights (binding source keeps all rows)."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.pipeline import mix_corpora
+
+    docs = db.table("documents")
+    sources = {s: docs.filter(F.col("lang") == s) for s in ("en", "de")}
+    exp = {
+        r.doc_id
+        for r in mix_corpora(sources, {"en": 0.7, "de": 0.3}, "doc_id").collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in db.produce("/documents.mix(lang, 'en', 0.7, 'de', 0.3){doc_id}")
+    }
+    assert got == exp and got
+    by = {
+        r["l"]: r["n"]
+        for r in db.produce(
+            "/documents.mix(lang, 'en', 0.7, 'de', 0.3)"
+            "^{l := lang}{l, n := count(^)}"
+        )
+    }
+    total = sum(by.values())
+    assert abs(by["en"] / total - 0.7) < 0.05
+    # unnamed partitions are excluded entirely
+    assert set(by) == {"en", "de"}

@@ -3409,7 +3409,7 @@ _GATE_ORDER = [
     # untouched; "quotient" displaced to re-gate op_zorder_key, see
     # below)
     "scan", "agg_flagship", "tpch_q1",
-    "op_curate", "op_dedup_pipeline", "op_tfidf",
+    "op_curate", "op_dedup_pipeline",
     # portable twins / kernel forms of the rows-only production ops
     # (op_simhash_portable / op_kmeans_assign / op_kmeans_step
     # displaced by the fourth-wave lang rows: r6..r8 gate-green,
@@ -3533,6 +3533,13 @@ _GATE_ORDER = [
     # (the op_mix kernel; rates fixed by one compile-time count per
     # partition, selection a pure md5 function of the key).
     "lang_mix",
+    # streaming/curate.py changed late in the round (index self-heal,
+    # batch-id base marker, band-param threading, cache-leak fix) —
+    # its gate row rotates back in per the rotation policy's spirit
+    # (the module map only tracks operators/*, so the test would not
+    # force this).  Displaced: op_tfidf (pipeline stays gate-held by
+    # op_curate; the tfidf kernel by lang_tfidf, r9 gate-green).
+    "stream_curate",
     # ROUND-8 ROTATION (judge directive r6/r7 #1): the last remaining
     # of the 8 registry ops that had NEVER had a hard driver
     # CORRECTNESS row before r8; op_ann_ivfpq now measures the

@@ -427,29 +427,68 @@ def compact_dataset(
             fs.rename(backup, src)
         if not fs.exists(src):
             raise FileNotFoundError(f"compact_dataset: no dataset at {path}")
+        # PRESERVE hive-style partition layout (batch=N, date=...):
+        # the rewrite must keep partition values as DIRECTORIES, or the
+        # next partitioned append (archive/batch=N+1) would mix leaf
+        # depths and every subsequent read would fail with
+        # 'Conflicting directory structures detected'
+        part_cols: list[str] = []
+        probe = src
+        while True:
+            subs = [
+                s
+                for s in fs.listStatus(probe)
+                if s.isDirectory() and "=" in s.getPath().getName()
+            ]
+            if not subs:
+                break
+            part_cols.append(subs[0].getPath().getName().split("=", 1)[0])
+            probe = subs[0].getPath()
         df = spark.read.format(format).load(path)
         staging = jvm.org.apache.hadoop.fs.Path(path + "__compacting")
         if fs.exists(staging):
             # leftover from a crashed attempt: staged data was never
             # swapped in, the source is still authoritative — discard
             fs.delete(staging, True)
-        (
-            df.repartition(target_files)
-            .write.mode("overwrite")
-            .format(format)
-            .save(str(staging))
-        )
+        if part_cols:
+            # colocate each partition value in one task → one dense
+            # file per partition directory
+            writer = df.repartition(
+                max(target_files, 1), *[F.col(c) for c in part_cols]
+            ).write.partitionBy(*part_cols)
+        else:
+            writer = df.repartition(target_files).write
+        writer.mode("overwrite").format(format).save(str(staging))
         if fs.exists(backup):
             fs.delete(backup, True)
-        fs.rename(src, backup)
-        fs.rename(staging, src)
+        # Hadoop rename reports failure by RETURN VALUE — an unchecked
+        # false from the second rename followed by the backup delete
+        # would leave no dataset at `path`
+        if not fs.rename(src, backup):
+            raise IOError(
+                f"compact_dataset: rename({path}, __precompact) failed"
+                " — dataset left untouched"
+            )
+        if not fs.rename(staging, src):
+            fs.rename(backup, src)  # restore
+            raise IOError(
+                f"compact_dataset: rename(__compacting, {path}) failed"
+                " — dataset restored from backup"
+            )
         fs.delete(backup, True)
-        spark.catalog.clearCache()
-        out = [
-            s
-            for s in fs.listStatus(src)
-            if s.getPath().getName().startswith("part-")
-        ]
-        return len(out)
+        # refresh only this path — clearCache() would wipe every cached
+        # table in the session
+        spark.catalog.refreshByPath(path)
+
+        def _count_parts(p) -> int:
+            n = 0
+            for s in fs.listStatus(p):
+                if s.isDirectory():
+                    n += _count_parts(s.getPath())
+                elif s.getPath().getName().startswith("part-"):
+                    n += 1
+            return n
+
+        return _count_parts(src)
     finally:
         release_dataset_lock(spark, path)

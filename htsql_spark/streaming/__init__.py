@@ -3,6 +3,7 @@ from .events import (  # noqa: F401
     enrich_with_dim,
     purchases_enriched,
     purchases_join_clicks_stream,
+    rank_top_users,
     read_events_stream,
     run_foreach_batch,
     run_to_memory,
@@ -10,8 +11,11 @@ from .events import (  # noqa: F401
     running_totals_per_user,
     session_counts,
     sliding_event_avg,
+    streaming_anomalies,
     tumbling_counts,
     windowed_distinct_users,
+    windowed_user_counts,
+    windowed_value_quantiles,
 )
 from .curate import (  # noqa: F401
     curate_stream,

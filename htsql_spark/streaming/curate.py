@@ -36,7 +36,18 @@ def read_documents_stream(
 ) -> DataFrame:
     """File-source stream over a documents landing directory (swap
     ``format`` for Kafka in production).  Schema is probed from the
-    existing files — file streams require a declared schema."""
+    existing files — file streams require a declared schema.  An
+    empty or not-yet-populated landing directory gets a named error
+    with the remedy (matching events._events_schema) instead of an
+    opaque 'Unable to infer schema' AnalysisException."""
+    import glob as globlib
+
+    if not globlib.glob(f"{sf_dir}/{glob}"):
+        raise FileNotFoundError(
+            f"no file matching {glob!r} in {sf_dir} to probe the stream"
+            " schema; write one first or declare the schema explicitly"
+            " with spark.readStream.schema(...)"
+        )
     schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
     return (
         spark.readStream.schema(schema)
@@ -46,12 +57,61 @@ def read_documents_stream(
     )
 
 
+def _batch_id_base(spark: SparkSession, archive_path: str) -> int:
+    """Offset added to foreachBatch's batch_id when naming archive
+    subdirectories (``batch=<base + batch_id>``).
+
+    Why: per-batch overwrite gives crash-retry idempotency ONLY while
+    batch ids line up with directory names.  A FRESH checkpoint
+    restarts ids at 0 — so adopting a pre-existing archive (the
+    index-heal path, or pointing a new checkpoint at an old archive)
+    would OVERWRITE archive/batch=0 with the new stream's first batch:
+    silent loss of the oldest archived data.  On first start the base
+    is therefore (max existing batch dir + 1), persisted in a marker
+    file NEXT TO the checkpoint so crash-retries (which resume the
+    same checkpoint AND the same marker) keep the mapping stable."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{archive_path}__checkpoint", "__batch_id_base"
+    )
+    fs = marker.getFileSystem(conf)
+    if fs.exists(marker):
+        stream = fs.open(marker)
+        try:
+            raw = bytes(stream.readAllBytes()).decode("ascii").strip()
+        finally:
+            stream.close()
+        return int(raw or 0)
+    base = 0
+    ap = jvm.org.apache.hadoop.fs.Path(archive_path)
+    afs = ap.getFileSystem(conf)
+    if afs.exists(ap):
+        existing = [
+            int(s.getPath().getName().split("=", 1)[1])
+            for s in afs.listStatus(ap)
+            if s.isDirectory() and s.getPath().getName().startswith("batch=")
+        ]
+        if existing:
+            base = max(existing) + 1
+    out = fs.create(marker, True)
+    try:
+        out.write(str(base).encode("ascii"))
+    finally:
+        out.close()
+    return base
+
+
+
 def run_dedup_ingest(
     spark: SparkSession,
     stream: DataFrame,
     archive_path: str,
     index_table: str,
     threshold: float = 0.8,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
 ) -> None:
     """Continuous near-dup-free ingest: each micro-batch is deduped
     against the ever-growing archive via the bucketed LSH band index,
@@ -103,23 +163,7 @@ def run_dedup_ingest(
         # (operators.dedup.materialize_band_index).
         ap = spark._jvm.org.apache.hadoop.fs.Path(archive_path)
         afs = ap.getFileSystem(spark._jsc.hadoopConfiguration())
-        if afs.exists(ap):
-            raise ValueError(
-                f"archive {archive_path} exists but index table "
-                f"{index_table!r} does not — rebuild the index with "
-                "operators.dedup.materialize_band_index before ingesting"
-            )
-        # the warehouse-path mapping below resolves table names against
-        # the DEFAULT database location; under another current database
-        # tableExists and the path would disagree and the cleanup could
-        # target a healthy same-named default-db table's directory
-        if spark.catalog.currentDatabase() != "default":
-            raise ValueError(
-                "run_dedup_ingest's orphan cleanup only supports the "
-                f"'default' database (current: "
-                f"{spark.catalog.currentDatabase()!r}); clear the stale "
-                f"location of {index_table!r} manually"
-            )
+        heal_from_archive = afs.exists(ap)
         # a previously-dropped table can orphan its managed location,
         # which blocks re-creation.  Clear stale metadata first, then
         # delete the directory ONLY if its contents look like an
@@ -129,6 +173,18 @@ def run_dedup_ingest(
         wh = spark.conf.get("spark.sql.warehouse.dir")
         p = spark._jvm.org.apache.hadoop.fs.Path(wh, index_table.lower())
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p) and spark.catalog.currentDatabase() != "default":
+            # the warehouse-path mapping above resolves against the
+            # DEFAULT database location; under another current
+            # database the cleanup could target a healthy same-named
+            # default-db table's directory.  Raise only when a stale
+            # path actually exists — a clean slate proceeds normally.
+            raise ValueError(
+                "run_dedup_ingest's orphan cleanup only supports the "
+                f"'default' database (current: "
+                f"{spark.catalog.currentDatabase()!r}); clear the stale "
+                f"location of {index_table!r} manually"
+            )
         if fs.exists(p):
             names = [
                 s.getPath().getName() for s in fs.listStatus(p)
@@ -144,10 +200,36 @@ def run_dedup_ingest(
                     f"refusing to delete {p}: contents do not look like an "
                     f"orphaned managed-table location ({names[:5]}...)"
                 )
+        if heal_from_archive:
+            # the loop's OWN crash window (batch 0's archive write
+            # committed, the process died before write_bucketed created
+            # the index) — rebuild the index from the archive with THIS
+            # call's band parameters instead of bricking the restart
+            # (runs AFTER the orphan cleanup so a stale warehouse
+            # location cannot block the CREATE).  An unreadable archive
+            # (only _temporary from a mid-write crash) fails loudly.
+            from ..operators.dedup import materialize_band_index
+
+            try:
+                archived = spark.read.parquet(archive_path)
+            except Exception as exc:
+                raise ValueError(
+                    f"archive {archive_path} exists but index table "
+                    f"{index_table!r} does not, and the archive is not "
+                    f"readable ({exc}) — if only _temporary files are "
+                    "present the first write never committed: delete "
+                    "the archive directory and re-run"
+                ) from None
+            materialize_band_index(
+                archived, index_table, k=k, num_hashes=num_hashes, bands=bands
+            )
+
+    base = _batch_id_base(spark, archive_path)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         _process_ingest_batch(
-            spark, batch, batch_id, archive_path, index_table, threshold
+            spark, batch, base + batch_id, archive_path, index_table,
+            threshold, k=k, num_hashes=num_hashes, bands=bands,
         )
 
     (
@@ -166,6 +248,9 @@ def _process_ingest_batch(
     archive_path: str,
     index_table: str,
     threshold: float,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
 ) -> None:
     """One micro-batch of the dedup-ingest loop (module-level so the
     crash-retry contract is directly testable: calling it twice with
@@ -185,7 +270,8 @@ def _process_ingest_batch(
     )
     try:
         _process_ingest_batch_locked(
-            spark, batch, batch_id, archive_path, index_table, threshold
+            spark, batch, batch_id, archive_path, index_table, threshold,
+            k=k, num_hashes=num_hashes, bands=bands,
         )
     finally:
         release_dataset_lock(spark, archive_path)
@@ -198,6 +284,9 @@ def _process_ingest_batch_locked(
     archive_path: str,
     index_table: str,
     threshold: float,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
 ) -> None:
     from pyspark.sql import functions as BF
 
@@ -221,6 +310,9 @@ def _process_ingest_batch_locked(
         pairs = dedup.incremental_dup_pairs(
             archive,
             batch,
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
             threshold=threshold,
             archive_bands=index_bands,
         )
@@ -232,34 +324,41 @@ def _process_ingest_batch_locked(
         survivors = batch.join(dead.distinct(), "doc_id", "left_anti")
     else:
         pairs = dedup.incremental_dup_pairs(
-            batch.limit(0), batch, threshold=threshold
+            batch.limit(0), batch, k=k, num_hashes=num_hashes,
+            bands=bands, threshold=threshold,
         )
         dead = pairs.select(BF.col("b").alias("doc_id"))
         survivors = batch.join(dead.distinct(), "doc_id", "left_anti")
     survivors = survivors.cache()
-    # per-batch subdir + overwrite → a retried batch rewrites its
-    # own directory instead of double-appending
-    survivors.write.mode("overwrite").parquet(f"{archive_path}/batch={batch_id}")
-    from ..operators.layout import write_bucketed
+    try:
+        # per-batch subdir + overwrite → a retried batch rewrites its
+        # own directory instead of double-appending
+        survivors.write.mode("overwrite").parquet(
+            f"{archive_path}/batch={batch_id}"
+        )
+        from ..operators.layout import write_bucketed
 
-    write_bucketed(
-        dedup._band_table(survivors),
-        index_table,
-        ["h"],
-        sort_cols=["h"],
-        # first batch (re)creates the table — overwrite also clears
-        # any stale warehouse location from a dropped table; later
-        # batches append with the same bucket spec, staying bucketed
-        mode="append" if have_archive else "overwrite",
-    )
-    # write_bucketed refreshes via the writing DataFrame's session,
-    # which inside foreachBatch is the micro-batch CLONE — the parent
-    # session's cached file listing (populated by this batch's
-    # spark.table(index_table) read) stays stale without an explicit
-    # parent-side refresh, and the next batch / the caller would read
-    # the pre-append row set
-    spark.catalog.refreshTable(index_table)
-    survivors.unpersist()
+        write_bucketed(
+            dedup._band_table(survivors, k, num_hashes, bands),
+            index_table,
+            ["h"],
+            sort_cols=["h"],
+            # first batch (re)creates the table — overwrite also clears
+            # any stale warehouse location from a dropped table; later
+            # batches append with the same bucket spec, staying bucketed
+            mode="append" if have_archive else "overwrite",
+        )
+        # write_bucketed refreshes via the writing DataFrame's session,
+        # which inside foreachBatch is the micro-batch CLONE — the
+        # parent session's cached file listing (populated by this
+        # batch's spark.table(index_table) read) stays stale without an
+        # explicit parent-side refresh, and the next batch / the caller
+        # would read the pre-append row set
+        spark.catalog.refreshTable(index_table)
+    finally:
+        # unpersist on the failure path too: a retried micro-batch
+        # would otherwise leak one unowned InMemoryRelation per attempt
+        survivors.unpersist()
 
 
 def curate_stream(
@@ -323,8 +422,10 @@ def run_exact_dedup_ingest(
     drop documents by matching its own crashed attempt's rows.
     Within-batch exact dups keep the min doc_id."""
 
+    base = _batch_id_base(spark, archive_path)
+
     def process(batch: DataFrame, batch_id: int) -> None:
-        _process_exact_batch(spark, batch, batch_id, archive_path, fpp)
+        _process_exact_batch(spark, batch, base + batch_id, archive_path, fpp)
 
     (
         stream.writeStream.foreachBatch(process)

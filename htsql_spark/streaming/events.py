@@ -367,6 +367,7 @@ def run_to_parquet(
     checkpointing (the production path; the memory sink below is the
     test/inspection path).  Uses availableNow so callers can drain the
     current backlog and return."""
+    _require_stream(stream_df, "run_to_parquet()")
     q = (
         stream_df.writeStream.format("parquet")
         .option("path", path)
@@ -382,6 +383,7 @@ def run_to_parquet(
 def run_foreach_batch(stream_df: DataFrame, fn, output_mode: str = "update"):
     """Custom sink via foreachBatch — fn(batch_df, batch_id) runs with
     a *batch* DataFrame per micro-batch (merge/upsert patterns)."""
+    _require_stream(stream_df, "run_foreach_batch()")
     q = (
         stream_df.writeStream.foreachBatch(fn)
         .outputMode(output_mode)

@@ -81,11 +81,30 @@ def apply_cdc_batch(
         )
         if fs.exists(backup):
             fs.delete(backup, True)
-        if fs.exists(src):
-            fs.rename(src, backup)
-        fs.rename(staging, src)
+        had_src = fs.exists(src)
+        # Hadoop rename reports failure by RETURN VALUE, not exception:
+        # an unchecked false from rename(staging, src) followed by the
+        # backup delete would leave the path EMPTY — and the next
+        # batch's missing-snapshot bootstrap would then silently
+        # reinitialize the snapshot from one change batch (data loss).
+        # Check every rename; on a failed swap, restore the backup and
+        # raise loudly instead.
+        if had_src and not fs.rename(src, backup):
+            raise IOError(
+                f"apply_cdc_batch: rename({snapshot_path}, __presnap)"
+                " failed — snapshot left untouched"
+            )
+        if not fs.rename(staging, src):
+            if had_src:
+                fs.rename(backup, src)  # put the snapshot back
+            raise IOError(
+                f"apply_cdc_batch: rename(__staging, {snapshot_path})"
+                " failed — snapshot restored from backup"
+            )
         fs.delete(backup, True)
-        spark.catalog.clearCache()
+        # refresh only this path's cached entries — clearCache() would
+        # wipe every cached table in the session per micro-batch
+        spark.catalog.refreshByPath(snapshot_path)
     finally:
         release_dataset_lock(spark, snapshot_path)
 

@@ -34,8 +34,12 @@ def _drop_table(spark, *names):
 # ----------------------------------------------------------------------
 
 def test_compact_dataset_preserves_content(spark, tmp_path):
-    """Compacting a per-batch fragmented archive: file count drops to
-    the target, every row survives byte-for-byte."""
+    """Compacting a per-batch fragmented archive: files collapse to
+    one dense file per partition DIRECTORY (the hive layout is
+    preserved — flattening it would make the next partitioned append
+    unreadable: 'Conflicting directory structures'), every row
+    survives byte-for-byte, and a subsequent batch=N append still
+    reads cleanly."""
     from htsql_spark.operators.layout import compact_dataset
 
     path = str(tmp_path / "frag")
@@ -48,10 +52,21 @@ def test_compact_dataset_preserves_content(spark, tmp_path):
     before = spark.read.parquet(path)
     exp = sorted(map(tuple, before.collect()))
     n_files = compact_dataset(spark, path, target_files=2)
-    assert n_files == 2
+    assert n_files == 5  # one dense file per batch directory (was 20)
     after = spark.read.parquet(path)
     got = sorted(map(tuple, after.collect()))
     assert got == exp  # batch partition column included, values intact
+    assert sorted(
+        p.name for p in (tmp_path / "frag").iterdir() if p.name.startswith("batch=")
+    ) == [f"batch={b}" for b in range(5)]
+    # the ingest-loop shape: the NEXT micro-batch appends a new
+    # partition dir and re-reads the archive — must not raise
+    docs.filter(F.col("doc_id") % 5 == 0).limit(3).write.parquet(
+        f"{path}/batch=5"
+    )
+    again = spark.read.parquet(path)
+    assert again.count() == len(exp) + 3
+    assert "batch" in again.columns
 
 
 def test_compact_dataset_missing_path_raises(spark, tmp_path):

@@ -749,9 +749,48 @@ def test_windowed_topk_matches_batch(spark, events_batch, events_stream):
     assert len(got) > 0 and got == exp
 
 
-def test_ingest_refuses_archive_without_index(spark, tmp_path):
-    """An existing archive with a missing band index would silently
-    re-admit every archived doc — the loop must fail loudly instead."""
+def test_ingest_heals_archive_without_index(spark, tmp_path):
+    """An existing archive with a missing band index is the loop's
+    OWN crash window (batch 0's archive write committed, the process
+    died before the index was created) — restart must rebuild the
+    index from the archive instead of bricking, and the rebuilt index
+    must prevent re-admission of archived near-clones."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark import streaming
+    from htsql_spark.engine import HTSQL
+    from tests.conftest import SF_DIR
+
+    docs = HTSQL(spark, SF_DIR).table("documents").filter("doc_id < 5")
+    archive = str(tmp_path / "desync_archive")
+    docs.write.parquet(f"{archive}/batch=0")
+    spark.sql("DROP TABLE IF EXISTS t_desync_idx")
+    # the next landing batch contains a near-clone of an archived doc
+    land = tmp_path / "heal_land"
+    clone = docs.filter("doc_id = 0").select(
+        (F.col("doc_id") + 90000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    clone.coalesce(1).write.parquet(str(land / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(land))
+    )
+    streaming.run_dedup_ingest(spark, stream, archive, "t_desync_idx")
+    assert spark.catalog.tableExists("t_desync_idx")
+    got = {r["doc_id"] for r in spark.read.parquet(archive).select("doc_id").collect()}
+    assert 90000 not in got  # rebuilt index caught the archived clone
+    assert got == {0, 1, 2, 3, 4}
+    spark.sql("DROP TABLE IF EXISTS t_desync_idx")
+
+
+def test_ingest_unreadable_archive_without_index_raises(spark, tmp_path):
+    """If the archive directory exists but holds no readable data
+    (a mid-write crash left only _temporary droppings), the heal path
+    cannot rebuild — the loop must fail loudly with the remedy."""
     import pytest as _pytest
 
     from htsql_spark import streaming
@@ -759,14 +798,64 @@ def test_ingest_refuses_archive_without_index(spark, tmp_path):
     from tests.conftest import SF_DIR
 
     docs = HTSQL(spark, SF_DIR).table("documents").limit(5)
-    archive = str(tmp_path / "desync_archive")
-    docs.write.parquet(f"{archive}/batch=0")
-    spark.sql("DROP TABLE IF EXISTS t_desync_idx")
-    land = tmp_path / "empty_land"
+    archive = tmp_path / "garbage_archive"
+    (archive / "_temporary").mkdir(parents=True)
+    spark.sql("DROP TABLE IF EXISTS t_garbage_idx")
+    land = tmp_path / "empty_land2"
     land.mkdir()
     stream = spark.readStream.schema(docs.schema).parquet(str(land))
-    with _pytest.raises(ValueError, match="rebuild the index"):
-        streaming.run_dedup_ingest(spark, stream, archive, "t_desync_idx")
+    with _pytest.raises(ValueError, match="not .*readable|never committed"):
+        streaming.run_dedup_ingest(spark, stream, str(archive), "t_garbage_idx")
+
+
+def test_ingest_custom_band_params_round_trip(spark, tmp_path):
+    """run_dedup_ingest threads (k, num_hashes, bands) through both
+    the candidate join and the index append — an operator running a
+    non-default scheme gets a consistent index, not the silent
+    under-join of hardcoded 32/8 bands against a 64/16 index."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark import streaming
+    from htsql_spark.engine import HTSQL
+    from tests.conftest import SF_DIR
+
+    docs = HTSQL(spark, SF_DIR).table("documents")
+    land = tmp_path / "param_land"
+    b1 = docs.filter("doc_id < 10")
+    b2 = b1.filter("doc_id = 3").select(
+        (F.col("doc_id") + 80000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    import os
+    import time as _t
+
+    b1.coalesce(1).write.parquet(str(land / "b1"))
+    b2.coalesce(1).write.parquet(str(land / "b2"))
+    now = _t.time()
+    for sub, ts in (("b1", now - 60), ("b2", now)):
+        for f in (land / sub).glob("*.parquet"):
+            os.utime(f, (ts, ts))
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(land))
+    )
+    archive = str(tmp_path / "param_archive")
+    spark.sql("DROP TABLE IF EXISTS t_param_idx")
+    streaming.run_dedup_ingest(
+        spark, stream, archive, "t_param_idx", num_hashes=64, bands=16
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(archive).select("doc_id").collect()}
+    assert 80003 not in got and 80000 + 3 not in got  # clone caught at 64/16
+    # index rows carry the custom band count: bands 0..15 present
+    bands_seen = {
+        r["band"] for r in spark.table("t_param_idx").select("band").distinct().collect()
+    }
+    assert bands_seen == set(range(16))
+    spark.sql("DROP TABLE IF EXISTS t_param_idx")
 
 
 def test_exact_ingest_ignores_uncommitted_droppings(spark, tmp_path):

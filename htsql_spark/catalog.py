@@ -133,10 +133,16 @@ class Catalog:
                 tcols = tuple(lspec.get("target_cols") or tables[tkey].pk)
                 fwd = Link(lname, okey, tkey, cols, tcols, is_singular=True)
                 tables[okey].links[lname] = fwd
-                rev = Link(
-                    tables[okey].name, tkey, okey, tcols, cols, is_singular=False
-                )
-                tables[tkey].links.setdefault(tables[okey].name, rev)
+                rname = tables[okey].name
+                if rname in tables[tkey].links:
+                    # a SECOND fk from the same origin to this target
+                    # (orders.o_custkey and orders.o_clerkkey both →
+                    # customer): setdefault alone would silently lose
+                    # the reverse traversal — disambiguate by the fk
+                    # columns instead (the reference's relabel spirit)
+                    rname = f"{tables[okey].name}_via_{'_'.join(cols)}"
+                rev = Link(rname, tkey, okey, tcols, cols, is_singular=False)
+                tables[tkey].links.setdefault(rname, rev)
         return cls(tables, gateways=dict(raw.get("gateways") or {}))
 
     # -- namespace-aware resolution ------------------------------------

@@ -7,7 +7,7 @@ src/htsql/__init__.py::HTSQL, src/htsql/core/cmd/act.py::produce /
     db = HTSQL(spark, '/root/testdata/sf0.01')
     df = db.df("/nation{name, count(customer)}?region.name='ASIA'")
     rows = db.produce("/region")          # list[dict]
-    body = db.emit('json', "/region")     # formatted bytes
+    body = db.emit("/region", 'json')     # formatted bytes
 
 Tables are parquet files under ``data_dir`` (the generalization of the
 reference's ``tweak.filedb`` CSV mount — reference:
@@ -165,8 +165,11 @@ class HTSQL:
             )
         if kind == "column":
             rows = []
-            for t in self.catalog.tables.values():
-                df = self.table(t.name)
+            # keys, not bare names: a namespaced table's catalog key is
+            # 'ns.name' — a bare-name lookup would miss the TableDef
+            # (crashing derived tables) and cache a duplicate DataFrame
+            for key, t in self.catalog.tables.items():
+                df = self.table(key)
                 for f in df.schema.fields:
                     rows.append(
                         (t.name, f.name, f.dataType.simpleString(), f.nullable, f.name in t.pk)
@@ -315,16 +318,25 @@ class HTSQL:
     def emit(self, query: str, fmt: str | None = None) -> bytes:
         """Render a query in an output format (reference:
         src/htsql/core/fmt/emit.py::emit)."""
+        return self.emit_with_format(query, fmt)[0]
+
+    def emit_with_format(
+        self, query: str, fmt: str | None = None
+    ) -> tuple[bytes, str]:
+        """emit() plus the format actually used — the race-free way
+        for a concurrent server to pick its Content-Type (reading
+        ``last_format`` off the shared engine lets parallel requests
+        clobber each other mid-render)."""
         node = parse(query)
         pfmt, node = self._strip_format(node)
         fmt = pfmt or fmt or "json"  # an explicit /:fmt pipe wins
-        self.last_format = fmt
+        self.last_format = fmt  # kept for backward compatibility
         df = Compiler(self).compile_query(node)
         if self.autolimit:
             df = df.limit(self.autolimit)
         from . import formats
 
-        return formats.emit(fmt, df)
+        return formats.emit(fmt, df), fmt
 
     def describe(self, query: str, mode: str = "formatted") -> str:
         """Explain a query's physical plan without executing it
@@ -348,8 +360,12 @@ class HTSQL:
         (reference has no sinks — HTTP responses only; this is the
         Spark-native completion of §3.4).  Nested record/list columns
         are parquet/json-native; for csv they are flattened to JSON
-        text first."""
-        df = self.df(query)
+        text first.  The interactive ``autolimit`` guard does NOT
+        apply — a write sink must persist the full result, never a
+        silently truncated one."""
+        node = parse(query)
+        _, node = self._strip_format(node)
+        df = Compiler(self).compile_query(node)
         if format in ("csv", "tsv"):
             from .formats import _flatten_for_csv
 

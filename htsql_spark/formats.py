@@ -34,7 +34,19 @@ def emit(fmt: str, df: DataFrame) -> bytes:
 
 
 def emit_json(df: DataFrame, meta: bool = False) -> bytes:
-    rows = df.toJSON().collect()  # JVM-side row serialization
+    # JVM-side row serialization; ignoreNullFields=false so every row
+    # carries the full key set (toJSON()'s default DROPS null-valued
+    # fields, giving rows inconsistent shapes and a meta schema that
+    # lists fields absent from the data)
+    rows = [
+        r.j
+        for r in df.select(
+            F.to_json(
+                F.struct(*[F.col(c) for c in df.columns]),
+                {"ignoreNullFields": "false"},
+            ).alias("j")
+        ).collect()
+    ]
     body = ",\n    ".join(rows)
     if meta:
         schema = json.dumps(df.schema.jsonValue())
@@ -66,9 +78,13 @@ def emit_csv(df: DataFrame, sep: str = ",") -> bytes:
 
 
 def emit_text(df: DataFrame, max_rows: int = 1000) -> bytes:
-    """Plain-text grid, ``df.show``-style but returned as bytes."""
+    """Plain-text grid, ``df.show``-style but returned as bytes; a
+    result larger than ``max_rows`` gets an explicit ellipsis row (a
+    silent cut reads as 'the table has max_rows rows')."""
     flat = _flatten_for_csv(df)
-    rows = [[("" if v is None else str(v)) for v in r] for r in flat.take(max_rows)]
+    taken = flat.take(max_rows + 1)
+    truncated = len(taken) > max_rows
+    rows = [[("" if v is None else str(v)) for v in r] for r in taken[:max_rows]]
     headers = flat.columns
     widths = [
         max(len(h), *(len(r[i]) for r in rows)) if rows else len(h)
@@ -78,6 +94,8 @@ def emit_text(df: DataFrame, max_rows: int = 1000) -> bytes:
     out = [" | ".join(h.ljust(w) for h, w in zip(headers, widths)), sep]
     for r in rows:
         out.append(" | ".join(v.ljust(w) for v, w in zip(r, widths)))
+    if truncated:
+        out.append(f"... (first {max_rows} rows)")
     return ("\n".join(out) + "\n").encode()
 
 
@@ -85,23 +103,45 @@ def emit_html(df: DataFrame, max_rows: int = 1000) -> bytes:
     flat = _flatten_for_csv(df)
     import html as _html
 
+    taken = flat.take(max_rows + 1)
+    truncated = len(taken) > max_rows
     head = "".join(f"<th>{_html.escape(c)}</th>" for c in flat.columns)
     body = "".join(
         "<tr>" + "".join(f"<td>{_html.escape('' if v is None else str(v))}</td>" for v in r) + "</tr>"
-        for r in flat.take(max_rows)
+        for r in taken[:max_rows]
     )
+    if truncated:
+        body += (
+            f'<tr><td colspan="{len(flat.columns)}">'
+            f"&#8230; (first {max_rows} rows)</td></tr>"
+        )
     return f"<table><thead><tr>{head}</tr></thead><tbody>{body}</tbody></table>".encode()
 
 
-def emit_xml(df: DataFrame, max_rows: int = 1000) -> bytes:
-    flat = _flatten_for_csv(df)
-    from xml.sax.saxutils import escape
+_XML_NAME = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_.-]*$")
 
+
+def emit_xml(df: DataFrame, max_rows: int = 1000) -> bytes:
+    """Output headers come from the query surface (hint_of): '*',
+    '^', 'count(…)', '@name' are all legal column names but NOT legal
+    XML element names — those render as <cell name="…"> so the
+    document stays well-formed for every query shape."""
+    flat = _flatten_for_csv(df)
+    from xml.sax.saxutils import escape, quoteattr
+
+    def tag(c: str, v) -> str:
+        text = escape("" if v is None else str(v))
+        if _XML_NAME.match(c):
+            return f"<{c}>{text}</{c}>"
+        return f"<cell name={quoteattr(c)}>{text}</cell>"
+
+    taken = flat.take(max_rows + 1)
+    truncated = len(taken) > max_rows
     rows = []
-    for r in flat.take(max_rows):
-        cells = "".join(
-            f"<{c}>{escape('' if v is None else str(v))}</{c}>"
-            for c, v in zip(flat.columns, r)
-        )
+    for r in taken[:max_rows]:
+        cells = "".join(tag(c, v) for c, v in zip(flat.columns, r))
         rows.append(f"<row>{cells}</row>")
-    return ("<result>" + "".join(rows) + "</result>").encode()
+    trailer = (
+        f'<truncated rows="{max_rows}"/>' if truncated else ""
+    )
+    return ("<result>" + "".join(rows) + trailer + "</result>").encode()

@@ -59,7 +59,12 @@ class WSGI:
         if environ.get("REQUEST_METHOD", "GET") != "GET":
             start_response("405 Method Not Allowed", [("Allow", "GET")])
             return [b"method not allowed"]
-        path = unquote(environ.get("PATH_INFO", "/"))
+        # PEP 3333: PATH_INFO arrives ALREADY percent-decoded — a
+        # second unquote() would corrupt literals containing %XX
+        # ('%2553' in the URL reaches us as '%53'; decoding again
+        # yields 'S' and the filter silently matches the wrong value).
+        # QUERY_STRING is the raw, still-encoded part.
+        path = environ.get("PATH_INFO", "/")
         qs = unquote(environ.get("QUERY_STRING", ""))
         query = path + ("?" + qs if qs else "")
         if query in ("", "/"):
@@ -68,9 +73,10 @@ class WSGI:
         accept = environ.get("HTTP_ACCEPT", "")
         fmt = _negotiate(accept)
         try:
-            # emit() lets an explicit /:fmt pipe in the query override
-            body = self.db.emit(query, fmt)
-            used = self.db.last_format or fmt or "json"
+            # emit lets an explicit /:fmt pipe in the query override;
+            # the used format comes back with the body (reading a
+            # shared engine attribute would race concurrent requests)
+            body, used = self.db.emit_with_format(query, fmt)
         except (ParseError, CompileError) as exc:
             start_response("400 Bad Request", [("Content-Type", "text/plain")])
             return [str(exc).encode()]

@@ -247,3 +247,116 @@ def test_text_corpus_ingestion(spark, tmp_path):
     (tmp_path / "c.txt").write_text("l1\nl2\n")
     lines = ingest.text_corpus(spark, str(tmp_path / "c.txt"), wholetext=False)
     assert sorted(r["line"] for r in lines.collect()) == ["l1", "l2"]
+
+
+def test_wsgi_path_info_not_double_decoded(app):
+    """PEP 3333: PATH_INFO arrives already percent-decoded — a second
+    unquote would turn a literal '%53' into 'S' and silently match the
+    wrong rows.  A path containing a raw % must reach the parser
+    verbatim (here: no match, empty result — not a different match)."""
+    status, _, body = _call(app, "/region{name}?name='%53'")
+    assert status.startswith("200"), body
+    assert json.loads(body.decode())["data"] == []
+
+
+def test_wsgi_content_type_matches_body(app):
+    """The Content-Type comes back WITH the body (emit_with_format),
+    not from a shared engine attribute a concurrent request could
+    clobber."""
+    status, headers, body = _call(app, "/region", accept="text/csv")
+    assert status.startswith("200")
+    assert headers["Content-Type"].startswith("text/csv")
+    assert body.startswith(b"r_regionkey")
+    status, headers, body = _call(app, "/region/:json", accept="text/csv")
+    assert headers["Content-Type"].startswith("application/json")
+
+
+def test_emit_json_keeps_null_fields(db):
+    """Every JSON row carries the full key set: null-valued fields are
+    emitted as null, not dropped (toJSON()'s default drops them,
+    giving rows inconsistent shapes)."""
+    body = db.emit("/region{name, nothing := if(false, 'x')}", "json")
+    data = json.loads(body.decode())["data"]
+    assert data and all(set(r) == {"name", "nothing"} for r in data)
+    assert all(r["nothing"] is None for r in data)
+
+
+def test_emit_xml_well_formed_for_expression_headers(db):
+    """Unaliased expression columns ('n_nationkey+1') are not legal
+    XML element names — they render as <cell name="..."> and the
+    document parses."""
+    import xml.etree.ElementTree as ET
+
+    body = db.emit("/nation{name, n_nationkey+1}?n_nationkey<3", "xml")
+    root = ET.fromstring(body.decode())
+    rows = list(root)
+    assert rows and rows[0].find("name") is not None
+    cells = rows[0].findall("cell")
+    assert cells and cells[0].get("name") == "n_nationkey+1"
+
+
+def test_store_bypasses_autolimit(spark, tmp_path):
+    """A write sink persists the FULL result even under an interactive
+    autolimit — truncating a stored dataset silently is data loss."""
+    from htsql_spark import HTSQL
+    from tests.conftest import SF_DIR
+
+    limited = HTSQL(spark, SF_DIR, autolimit=5)
+    assert limited.df("/customer").count() == 5  # interactive guard on
+    out = str(tmp_path / "full")
+    limited.store("/customer", out)
+    total = HTSQL(spark, SF_DIR).table("customer").count()
+    assert spark.read.parquet(out).count() == total
+
+
+def test_text_html_xml_truncation_marker(db):
+    """Oversized txt/html/xml output carries an explicit truncation
+    marker instead of silently reading as a complete result."""
+    from htsql_spark import formats
+
+    df = db.df("/customer")
+    txt = formats.emit_text(df, max_rows=3).decode()
+    assert "... (first 3 rows)" in txt
+    html = formats.emit_html(df, max_rows=3).decode()
+    assert "first 3 rows" in html
+    xml = formats.emit_xml(df, max_rows=3).decode()
+    assert '<truncated rows="3"/>' in xml
+    # a result that fits carries no marker
+    assert "first" not in formats.emit_text(db.df("/region"), max_rows=100).decode()
+
+
+def test_second_fk_to_same_target_gets_reverse_link(spark, tmp_path):
+    """Two FKs from the same origin to the same target: the second
+    reverse traversal is disambiguated ('orders_via_<cols>'), not
+    silently dropped."""
+    import pandas as pd
+    import yaml as _yaml
+
+    from htsql_spark import HTSQL
+    from htsql_spark.catalog import Catalog
+
+    pd.DataFrame({"c_id": [1, 2]}).to_parquet(str(tmp_path / "cust.parquet"))
+    pd.DataFrame(
+        {"o_id": [10, 11, 12], "buyer": [1, 1, 2], "clerk": [2, 2, 2]}
+    ).to_parquet(str(tmp_path / "ords.parquet"))
+    cat = {
+        "tables": {
+            "cust": {"pk": ["c_id"]},
+            "ords": {
+                "pk": ["o_id"],
+                "links": {
+                    "buyer_cust": {"target": "cust", "cols": ["buyer"]},
+                    "clerk_cust": {"target": "cust", "cols": ["clerk"]},
+                },
+            },
+        }
+    }
+    (tmp_path / "catalog.yaml").write_text(_yaml.safe_dump(cat))
+    db2 = HTSQL(spark, str(tmp_path), catalog=Catalog.from_yaml(str(tmp_path / "catalog.yaml")))
+    got = {
+        r["c_id"]: (r["bought"], r["clerked"])
+        for r in db2.produce(
+            "/cust{c_id, bought := count(ords), clerked := count(ords_via_clerk)}"
+        )
+    }
+    assert got == {1: (2, 0), 2: (1, 3)}

@@ -3408,7 +3408,7 @@ _GATE_ORDER = [
     # lang rows — r6..r8 gate-green, its embedding_dup_pairs path
     # untouched; "quotient" displaced to re-gate op_zorder_key, see
     # below)
-    "scan", "agg_flagship", "tpch_q1",
+    "agg_flagship", "tpch_q1",
     "op_curate", "op_dedup_pipeline",
     # portable twins / kernel forms of the rows-only production ops
     # (op_simhash_portable / op_kmeans_assign / op_kmeans_step
@@ -3416,7 +3416,6 @@ _GATE_ORDER = [
     # still oracle-replayed every pytest run; op_simhash_pairs_portable
     # was later displaced too by the eighth wave — the simhash kernel
     # stays gate-held by lang_dedup_simhash)
-    "op_winnow_portable", "op_winnow_pairs_portable",
     # r6 rows kept for breadth: CDC batch MERGE, Z-order clustering
     # key, incremental winnowing, streaming CDC snapshot loop
     # (op_kll_quantiles displaced r9: r6/r7/r8 gate-green,
@@ -3545,8 +3544,16 @@ _GATE_ORDER = [
     # CORRECTNESS row before r8; op_ann_ivfpq now measures the
     # query-only path over the materialized PQ code index.
     "op_ann_ivfpq",
-    # re-verification: TPC-H composition shape
-    "tpch_q3",
+    # LATE-ROUND KERNEL REVIEW ROTATION: the joins/sketches review
+    # changed semantics — asof_join (null-ts exclusion, deterministic
+    # payload-hash ties, per-side 'nearest' tolerance), heavy_hitters
+    # (exact NaN item), kll (NaN excluded like NULL) — so their rows
+    # take gate slots per the rotation policy.  Displaced: scan,
+    # tpch_q3 (compile shapes held by tpch_q1 + every lang row),
+    # op_winnow_portable, op_winnow_pairs_portable (textstats held by
+    # the uncapped/zipf winnow rows + op_classifier/op_entropy).
+    "op_asof_join", "op_asof_nearest", "op_heavy_hitters",
+    "op_kll_quantiles",
     # r8 language-bridge pilot re-verified (compile.py changed again
     # this round — the appended-name resolution order it pins must
     # hold under the widened FLOW_METHODS table)

@@ -46,11 +46,21 @@ def asof_join(
     a (key)-partitioned, ts-ordered window — never an inequality
     join; 'nearest' runs both window passes over the one union.
     ``tolerance`` (an INTERVAL string, e.g. ``'1 hour'``) optionally
-    discards matches further than that from ``left.ts``.
-    """
+    discards matches further than that from ``left.ts`` — applied PER
+    SIDE before 'nearest' selection, so a nearer-but-out-of-tolerance
+    candidate never shadows a valid match on the other side (pandas
+    merge_asof semantics).  NULL timestamps never match: null-ts right
+    rows are dropped, null-ts left rows come back unmatched.  Ties
+    among right rows sharing (key, ts) break on the payload hash —
+    deterministic across runs and partitionings."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction {direction!r}")
-    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    if right_cols is None:  # an EXPLICIT [] means 'just the matched ts'
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    # a NULL right ts can never satisfy 'latest <= ts' — and under
+    # NULLS FIRST it would sort to the partition head and become the
+    # phantom match for every left row with no real predecessor
+    right = right.filter(F.col(right_ts).isNotNull())
     l = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
@@ -73,15 +83,21 @@ def asof_join(
     )
     # right rows sort before left rows at equal ts (side 0 < 1), so a
     # same-instant right row is visible to the left row in BOTH
-    # orderings (desc ordering keeps side asc as tiebreak)
+    # orderings (desc ordering keeps side asc as tiebreak).  nulls
+    # FIRST in both orderings parks null-ts LEFT rows at the partition
+    # head where no right row precedes them → unmatched, not matched
+    # to an arbitrary row.  The payload hash is the final tiebreak: of
+    # several right rows sharing (key, ts), last() deterministically
+    # picks the max-hash one regardless of physical row order.
+    tie = F.xxhash64("__rrow")
     wb = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy(F.col("__ts").asc_nulls_first(), "__side", tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wf = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").desc(), "__side")
+        .orderBy(F.col("__ts").desc_nulls_first(), "__side", tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = l.unionByName(r)
@@ -89,6 +105,24 @@ def asof_join(
         u = u.withColumn("__mb", F.last("__rrow", ignorenulls=True).over(wb))
     if direction in ("forward", "nearest"):
         u = u.withColumn("__mf", F.last("__rrow", ignorenulls=True).over(wf))
+    if tolerance is not None:
+        # PER-SIDE tolerance BEFORE direction selection: calendar
+        # intervals (e.g. '1 month') have a different length in each
+        # direction from a given anchor, and nulling the nearer side
+        # here lets a within-tolerance match on the other side win
+        # (post-selection filtering would discard it)
+        def _secs(c):  # NTZ needs the timestamp hop before double
+            return c.cast("timestamp").cast("double")
+
+        iv = F.expr(f"INTERVAL {tolerance}")
+        fwd_tol = _secs(F.col("__ts").cast("timestamp") + iv) - _secs(F.col("__ts"))
+        back_tol = _secs(F.col("__ts")) - _secs(F.col("__ts").cast("timestamp") - iv)
+        if direction in ("backward", "nearest"):
+            db_ = _secs(F.col("__ts")) - _secs(F.col("__mb.__rts"))
+            u = u.withColumn("__mb", F.when(db_ <= back_tol, F.col("__mb")))
+        if direction in ("forward", "nearest"):
+            df0 = _secs(F.col("__mf.__rts")) - _secs(F.col("__ts"))
+            u = u.withColumn("__mf", F.when(df0 <= fwd_tol, F.col("__mf")))
     if direction == "backward":
         u = u.withColumn("__match", F.col("__mb"))
     elif direction == "forward":
@@ -107,24 +141,6 @@ def asof_join(
             .otherwise(F.col("__mb")),  # ties prefer backward
         )
     u = u.filter(F.col("__side") == 1)
-    if tolerance is not None:
-        def _secs(c):  # NTZ needs the timestamp hop before double
-            return c.cast("timestamp").cast("double")
-
-        dist = F.abs(_secs(F.col("__match.__rts")) - _secs(F.col("__ts")))
-        # calendar-varying intervals (e.g. '1 month') have a different
-        # length in each direction from a given anchor (Mar 31 back
-        # 1 month = Feb 28, 31 days; forward = Apr 30, 30 days), so
-        # the bound must be measured on the side the match landed on:
-        # backward matches against epoch(ts) - epoch(ts - INTERVAL),
-        # forward matches against epoch(ts + INTERVAL) - epoch(ts)
-        iv = F.expr(f"INTERVAL {tolerance}")
-        fwd_tol = _secs(F.col("__ts").cast("timestamp") + iv) - _secs(F.col("__ts"))
-        back_tol = _secs(F.col("__ts")) - _secs(F.col("__ts").cast("timestamp") - iv)
-        tol_s = F.when(
-            _secs(F.col("__match.__rts")) <= _secs(F.col("__ts")), back_tol
-        ).otherwise(fwd_tol)
-        u = u.withColumn("__match", F.when(dist <= tol_s, F.col("__match")))
     out = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
     out += [F.col("__match.__rts").alias(f"r_{right_ts}")]
     out += [F.col(f"__match.{c}").alias(c if c not in left.columns else f"r_{c}") for c in right_cols]
@@ -145,8 +161,13 @@ def range_join(
     range ``condition`` is a post-join filter (Catalyst plans a hash
     join + filter).  Without equi keys, pass ``bucket = (left_bucket,
     right_bucket, name)`` — both sides get an equi bucket-id column so
-    the range join becomes a bucket equi-join; callers must ensure a
-    range never spans more buckets than ``left_bucket`` emits.
+    the range join becomes a bucket equi-join.  ``left_bucket`` may be
+    a LIST of columns covering every bucket the range can reach
+    (e.g. ``[b - 1, b, b + 1]``): the left side is exploded over them,
+    so pairs that straddle a bucket boundary are still found — with a
+    single column, any nonzero-width range eventually crosses a
+    boundary and those pairs are silently lost.  The right side emits
+    exactly one bucket per row, so no pair is produced twice.
     """
     if equi:
         cond = None
@@ -156,7 +177,10 @@ def range_join(
         return left.join(right, cond & condition, how)
     if bucket is not None:
         lb, rb, name = bucket
-        l = left.withColumn(name, lb)
+        if isinstance(lb, (list, tuple)):
+            l = left.withColumn(name, F.explode(F.array(*lb)))
+        else:
+            l = left.withColumn(name, lb)
         r = right.withColumn(name, rb)
         return l.join(r, (l[name] == r[name]) & condition, how).drop(name)
     # last resort: broadcast nested loop (only sane when right is tiny)

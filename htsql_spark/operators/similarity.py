@@ -145,7 +145,21 @@ def topk_ivf(
     centroid list (e.g. :func:`kmeans` output) instead of the
     deterministic random seed cells — trained cells follow the data
     distribution, so the same nprobe yields higher recall."""
-    cents = cells_from if cells_from is not None else _centroids(64, num_cells)
+    if cells_from is not None:
+        # trained centroids (e.g. kmeans means) carry varying norms,
+        # and the cell ranking below is a raw dot product — unnormalized
+        # they bias assignment toward large-norm centroids, splitting
+        # cells inconsistently with the cosine-trained clustering.
+        # Normalize DRIVER-SIDE so ranking is cosine; the seeded
+        # _centroids are unit-norm already (literals unchanged, the
+        # seeded-literal oracles stay bit-for-bit).
+        cents = [
+            [x / n for x in c]
+            for c in cells_from
+            for n in [math.sqrt(sum(x * x for x in c)) or 1.0]
+        ]
+    else:
+        cents = _centroids(64, num_cells)
     cells = embs.withColumn("cell", _nearest_centroid(F.col("embedding"), cents))
     qrow = cells.filter(F.col("vec_id") == query_id).select(
         F.col("embedding").alias("qv")

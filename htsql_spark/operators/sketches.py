@@ -494,12 +494,23 @@ def heavy_hitters(
         )
     vals = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
 
+    # NaN is a groupable Spark value (passes isNotNull; NaN == NaN in
+    # grouping) but CANNOT ride through the pandas leg: float('nan')
+    # dict keys fragment one item's count across per-batch entries,
+    # and an object->Arrow double conversion turns a NaN VALUE into
+    # null.  NaN is therefore counted EXACTLY in its own per-partition
+    # counter column — stronger than the MG bound, same single pass.
+
     def mg_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         nrows = 0
+        nan_cnt = 0
         for pdf in batches:
             nrows += len(pdf)
-            for v, c in pdf["v"].value_counts().items():
+            for v, c in pdf["v"].value_counts(dropna=False).items():
+                if (isinstance(v, float) and v != v) or v is None:
+                    nan_cnt += int(c)
+                    continue
                 counters[v] = counters.get(v, 0) + int(c)
                 if len(counters) > capacity:
                     # decrement step: subtract the (capacity+1)-th
@@ -513,10 +524,9 @@ def heavy_hitters(
         # column keeps the input's Arrow type end-to-end
         yield pd.DataFrame(
             {
-                "v": pd.Series(
-                    list(counters.keys()) + [None], dtype=object
-                ),
+                "v": pd.Series(list(counters.keys()) + [None], dtype=object),
                 "nrows": [0] * len(counters) + [nrows],
+                "nan_cnt": [0] * len(counters) + [nan_cnt],
             }
         )
 
@@ -525,13 +535,16 @@ def heavy_hitters(
             [
                 T.StructField("v", key_type),
                 T.StructField("nrows", T.LongType()),
+                T.StructField("nan_cnt", T.LongType()),
             ]
         )
     ).localCheckpoint(eager=True)
     candidates = summary.filter(F.col("v").isNotNull()).select("v").distinct()
-    total = summary.agg(F.sum("nrows").alias("__n"))
+    total = summary.agg(
+        F.sum("nrows").alias("__n"), F.sum("nan_cnt").alias("__nan")
+    )
     scaled = int(round(min_freq * 1_000_000_000))
-    return (
+    hits = (
         vals.join(F.broadcast(candidates), "v", "left_semi")
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -543,6 +556,21 @@ def heavy_hitters(
             F.round(F.col("cnt") / F.col("__n"), 6).alias("freq"),
         )
     )
+    if not isinstance(key_type, (T.FloatType, T.DoubleType)):
+        return hits
+    # the exactly-counted NaN item, included iff it clears the same
+    # scaled-integer boundary as every other value
+    nan_row = (
+        total.filter(
+            F.col("__nan") * F.lit(1_000_000_000) >= F.col("__n") * F.lit(scaled)
+        )
+        .select(
+            F.lit(float("nan")).cast(key_type).alias(col),
+            F.col("__nan").alias("cnt"),
+            F.round(F.col("__nan") / F.col("__n"), 6).alias("freq"),
+        )
+    )
+    return hits.unionByName(nan_row)
 
 
 def cms_build(
@@ -818,6 +846,14 @@ def kll_sketch_states(
     vals = df.select(*by, F.col(col).alias("__v")).filter(
         F.col("__v").isNotNull()
     )
+    if isinstance(vals.schema["__v"].dataType, (T.FloatType, T.DoubleType)):
+        # NaN passes isNotNull but has no rank: inside the compactor
+        # buffers every comparison is False, Python's sort leaves them
+        # effectively unsorted, and compaction then promotes a
+        # non-alternating sample — the certified worst-case rank error
+        # would be silently void.  Quantiles are defined over ordered
+        # values only; NaN is excluded like NULL.
+        vals = vals.filter(~F.isnan(F.col("__v")))
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         states: dict = {}

@@ -460,3 +460,156 @@ def test_equi_depth_histogram_excludes_nulls(spark):
     exp = sorted(map(tuple, equi_depth_histogram(clean, "x", 4).collect()))
     assert got == exp
     assert sum(r[-1] for r in got) == 90
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """A NULL right ts can never be 'latest <= ts' (it would otherwise
+    sort NULLS FIRST and become the phantom predecessor); a NULL left
+    ts comes back unmatched rather than matched arbitrarily."""
+    import datetime as dt
+
+    from htsql_spark.operators.joins import asof_join
+
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, 10, ts("2024-01-01 10:00:00")), (2, 10, None)],
+        "pid long, k long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, None), (101, 10, ts("2024-01-01 11:00:00"))],
+        "rid long, k long, ts timestamp_ntz",
+    )
+    got = {r["pid"]: r["rid"] for r in asof_join(
+        left, right, on="k", right_cols=["rid"]).collect()}
+    # pid 1 has no real predecessor (rid 101 is later; rid 100 is
+    # null-ts) and pid 2 has no timestamp at all
+    assert got == {1: None, 2: None}
+    fwd = {r["pid"]: r["rid"] for r in asof_join(
+        left, right, on="k", right_cols=["rid"], direction="forward").collect()}
+    assert fwd == {1: 101, 2: None}
+
+
+def test_asof_equal_ts_ties_deterministic(spark):
+    """Several right rows sharing (key, ts): the match is a pure
+    function of the payload (max xxhash64), identical across runs and
+    physical row orders."""
+    import datetime as dt
+
+    from htsql_spark.operators.joins import asof_join
+
+    t = dt.datetime.fromisoformat("2024-01-01 10:00:00")
+    left = spark.createDataFrame(
+        [(1, 10, dt.datetime.fromisoformat("2024-01-01 11:00:00"))],
+        "pid long, k long, ts timestamp_ntz",
+    )
+    rows = [(100, 10, t), (101, 10, t), (102, 10, t)]
+    a = spark.createDataFrame(rows, "rid long, k long, ts timestamp_ntz")
+    b = spark.createDataFrame(rows[::-1], "rid long, k long, ts timestamp_ntz").repartition(3)
+    pick = lambda r: asof_join(left, r, on="k", right_cols=["rid"]).collect()[0]["rid"]
+    assert pick(a) == pick(b)
+
+
+def test_asof_nearest_per_side_tolerance(spark):
+    """'nearest' applies the tolerance PER SIDE before selection: when
+    the nearer candidate fails its bound, a within-tolerance match on
+    the other side wins instead of being discarded."""
+    import datetime as dt
+
+    from htsql_spark.operators.joins import asof_join
+
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, 10, ts("2024-01-01 12:00:00"))], "pid long, k long, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, ts("2024-01-01 10:30:00")),  # 90 min back (nearer)
+            (101, 10, ts("2024-01-01 13:40:00")),  # 100 min forward
+        ],
+        "rid long, k long, ts timestamp_ntz",
+    )
+    got = asof_join(
+        left, right, on="k", right_cols=["rid"],
+        direction="nearest", tolerance="105 minutes",
+    ).collect()[0]["rid"]
+    assert got == 100  # both in tolerance: nearest wins
+    got = asof_join(
+        left, right, on="k", right_cols=["rid"],
+        direction="nearest", tolerance="85 minutes",
+    ).collect()[0]["rid"]
+    assert got is None  # neither in tolerance
+    right2 = spark.createDataFrame(
+        [
+            (100, 10, ts("2024-01-01 10:00:00")),  # 120 min back (nearer? no: 120)
+            (101, 10, ts("2024-01-01 13:45:00")),  # 105 min forward — nearer AND in tol
+        ],
+        "rid long, k long, ts timestamp_ntz",
+    )
+    got = asof_join(
+        left, right2, on="k", right_cols=["rid"],
+        direction="nearest", tolerance="110 minutes",
+    ).collect()[0]["rid"]
+    assert got == 101
+    # the finding's shape: the NEARER side fails its bound, the other
+    # side is within its bound — the valid match must be returned
+    right3 = spark.createDataFrame(
+        [
+            (100, 10, ts("2024-01-01 10:30:00")),  # 90 min back, nearer
+            (101, 10, ts("2024-01-01 13:35:00")),  # 95 min forward
+        ],
+        "rid long, k long, ts timestamp_ntz",
+    )
+    got = asof_join(
+        left, right3, on="k", right_cols=["rid"],
+        direction="nearest", tolerance="89 minutes",
+    ).collect()[0]["rid"]
+    assert got is None
+    got = asof_join(
+        left.withColumn("ts", F.col("ts")), right3, on="k", right_cols=["rid"],
+        direction="nearest", tolerance="92 minutes",
+    ).collect()[0]["rid"]
+    # backward (90m) within 92m — nearest still backward
+    assert got == 100
+
+
+def test_asof_explicit_empty_right_cols(spark, tiny):
+    """right_cols=[] means 'just the matched timestamp', not 'all
+    right columns' (the falsy-default trap)."""
+    from htsql_spark.operators.joins import asof_join
+
+    left, right = tiny
+    out = asof_join(left, right, on="k", right_cols=[])
+    assert out.columns == [*left.columns, "r_ts"]
+
+
+def test_range_join_multi_bucket_covers_straddle(spark):
+    """A range pair straddling a bucket boundary is found when the
+    left side supplies the covered bucket list [b-1, b, b+1] — with a
+    single bucket column the pair is silently lost."""
+    import datetime as dt
+
+    from htsql_spark.operators.joins import range_join
+
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:01:00"))], "lid long, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(2, ts("2024-01-01 09:58:00"))], "rid long, ts timestamp_ntz"
+    )
+    cond = (
+        F.abs(
+            F.col("l.ts").cast("timestamp").cast("double")
+            - F.col("r.ts").cast("timestamp").cast("double")
+        )
+        <= 300
+    )
+    l, r = left.alias("l"), right.alias("r")
+    hour = lambda side: F.date_trunc("hour", F.col(f"{side}.ts")).cast("timestamp").cast("long")
+    single = range_join(l, r, cond, bucket=(hour("l"), hour("r"), "__b"))
+    assert single.count() == 0  # the straddle loss, kept as documentation
+    multi = range_join(
+        l, r, cond,
+        bucket=([hour("l") - 3600, hour("l"), hour("l") + 3600], hour("r"), "__b"),
+    )
+    assert [(x["lid"], x["rid"]) for x in multi.collect()] == [(1, 2)]

@@ -446,3 +446,34 @@ def test_heavy_hitters_native_key_no_string_roundtrip(spark):
     arr = spark.createDataFrame([([1, 2],)], "k array<int>")
     with pytest.raises(ValueError, match="unsupported key type"):
         S.heavy_hitters(arr, "k", min_freq=0.5)
+
+
+def test_heavy_hitters_nan_is_a_real_item(spark):
+    """NaN is a groupable Spark value (passes isNotNull; NaN == NaN in
+    grouping/joins): a NaN heavy hitter must be found exactly — raw
+    float('nan') dict keys would fragment its count across per-batch
+    counter entries and silently evict it."""
+    import math
+
+    from htsql_spark.operators.sketches import heavy_hitters
+
+    rows = [(float("nan"),)] * 60 + [(float(i),) for i in range(40)]
+    df = spark.createDataFrame(rows, "v double").repartition(8)
+    got = heavy_hitters(df, "v", min_freq=0.5).collect()
+    assert len(got) == 1
+    assert math.isnan(got[0]["v"]) and got[0]["cnt"] == 60
+    assert abs(got[0]["freq"] - 0.6) < 1e-9
+
+
+def test_kll_excludes_nan_like_null(spark):
+    """NaN has no rank: it is excluded from KLL sketches like NULL, so
+    the certified error bound stays valid and quantiles come from the
+    ordered values only."""
+    from htsql_spark.operators.sketches import kll_quantiles, kll_sketch_states
+
+    rows = [(float("nan"),)] * 50 + [(float(i),) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "v double").repartition(4)
+    states = kll_sketch_states(df, "v", k=256)
+    q = kll_quantiles(states, [0.5]).collect()[0]
+    # exact at this size: the median of 1..100, unpolluted by NaN
+    assert 49.0 <= q["p50"] <= 52.0

@@ -137,9 +137,22 @@ class Catalog:
                 if rname in tables[tkey].links:
                     # a SECOND fk from the same origin to this target
                     # (orders.o_custkey and orders.o_clerkkey both →
-                    # customer): setdefault alone would silently lose
-                    # the reverse traversal — disambiguate by the fk
-                    # columns instead (the reference's relabel spirit)
+                    # customer): BOTH reverse links go under _via_
+                    # names — if the first-declared fk silently kept
+                    # the bare name, which fk wins would depend on
+                    # YAML declaration order, and reordering links
+                    # would silently change query semantics.  The
+                    # bare name becomes unavailable (the reference's
+                    # AmbiguousArc → bind-error-on-use spirit).
+                    prev = tables[tkey].links.pop(rname)
+                    # only relabel a true twin (another REVERSE link
+                    # of the same fk pair) — a forward link of tkey
+                    # that happens to share the name keeps its slot
+                    if prev.target == okey and not prev.is_singular:
+                        pname = f"{rname}_via_{'_'.join(prev.target_cols)}"
+                        tables[tkey].links.setdefault(pname, prev)
+                    else:
+                        tables[tkey].links[rname] = prev
                     rname = f"{tables[okey].name}_via_{'_'.join(cols)}"
                 rev = Link(rname, tkey, okey, tcols, cols, is_singular=False)
                 tables[tkey].links.setdefault(rname, rev)

@@ -2145,7 +2145,12 @@ def _fm_mix(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     sources = {
         s: narrow.filter(F.col("__lbl") == s).select("doc_id") for s in fractions
     }
-    selected = mix_corpora(sources, fractions, "doc_id").select("doc_id")
+    try:
+        selected = mix_corpora(sources, fractions, "doc_id").select("doc_id")
+    except ValueError as exc:
+        # e.g. a named partition matching zero rows — surface as a
+        # language-level error, not a raw ZeroDivisionError/ValueError
+        raise CompileError(f"mix(): {exc}") from None
     keyc = cc.engine.fresh("__mk")
     flow.df = (
         flow.df.withColumn(keyc, key)

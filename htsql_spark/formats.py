@@ -38,11 +38,19 @@ def emit_json(df: DataFrame, meta: bool = False) -> bytes:
     # carries the full key set (toJSON()'s default DROPS null-valued
     # fields, giving rows inconsistent shapes and a meta schema that
     # lists fields absent from the data)
+    # backtick-quote names: an unaliased literal can yield a column
+    # named '2.5' or 'a.b', which bare F.col() would parse as
+    # struct-field access and fail with UNRESOLVED_COLUMN
     rows = [
         r.j
         for r in df.select(
             F.to_json(
-                F.struct(*[F.col(c) for c in df.columns]),
+                F.struct(
+                    *[
+                        F.col("`" + c.replace("`", "``") + "`")
+                        for c in df.columns
+                    ]
+                ),
                 {"ignoreNullFields": "false"},
             ).alias("j")
         ).collect()

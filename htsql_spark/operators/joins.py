@@ -178,6 +178,14 @@ def range_join(
     if bucket is not None:
         lb, rb, name = bucket
         if isinstance(lb, (list, tuple)):
+            if how != "inner":
+                # the explode replicates each left row once per
+                # candidate bucket; an outer join would null-pad every
+                # replica (len(lb) duplicates per unmatched row)
+                raise ValueError(
+                    "range_join: multi-bucket candidate lists support"
+                    " how='inner' only"
+                )
             l = left.withColumn(name, F.explode(F.array(*lb)))
         else:
             l = left.withColumn(name, lb)

@@ -141,6 +141,12 @@ def mix_corpora(
     if not active:
         raise ValueError("mix_corpora needs at least one positive fraction")
     counts = {s: sources[s].count() for s in active}
+    empty = sorted(s for s in active if counts[s] == 0)
+    if empty:
+        raise ValueError(
+            "mix_corpora: partition(s) with zero rows cannot satisfy a"
+            f" positive fraction: {', '.join(map(repr, empty))}"
+        )
     feasible_total = min(counts[s] / active[s] for s in active)
     out = None
     for name, frac in active.items():

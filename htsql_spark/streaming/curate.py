@@ -84,6 +84,25 @@ def _batch_id_base(spark: SparkSession, archive_path: str) -> int:
             stream.close()
         return int(raw or 0)
     base = 0
+    # legacy adoption: if THIS checkpoint already committed batches
+    # (archive produced by pre-marker code) the existing batch=N dirs
+    # were written under the identity mapping — base must stay 0 so a
+    # crash-retried in-flight batch overwrites its OWN old dir instead
+    # of duplicating its documents under batch=base+N.  max+1 is
+    # reserved for genuinely fresh checkpoints adopting a foreign
+    # archive.
+    commits = jvm.org.apache.hadoop.fs.Path(
+        f"{archive_path}__checkpoint", "commits"
+    )
+    if fs.exists(commits) and any(
+        s.getPath().getName().isdigit() for s in fs.listStatus(commits)
+    ):
+        out = fs.create(marker, True)
+        try:
+            out.write(b"0")
+        finally:
+            out.close()
+        return 0
     ap = jvm.org.apache.hadoop.fs.Path(archive_path)
     afs = ap.getFileSystem(conf)
     if afs.exists(ap):

@@ -613,3 +613,25 @@ def test_range_join_multi_bucket_covers_straddle(spark):
         bucket=([hour("l") - 3600, hour("l"), hour("l") + 3600], hour("r"), "__b"),
     )
     assert [(x["lid"], x["rid"]) for x in multi.collect()] == [(1, 2)]
+
+
+def test_range_join_multi_bucket_rejects_outer(spark):
+    """The multi-bucket candidate-list path explodes the left side
+    once per bucket; an outer join would null-pad every replica
+    (len(buckets) duplicates per unmatched row) — it must refuse
+    loudly rather than return duplicated rows."""
+    import pytest as _pytest
+
+    from htsql_spark.operators.joins import range_join
+
+    l = spark.range(5).withColumnRenamed("id", "a")
+    r = spark.range(5).withColumnRenamed("id", "b")
+    cond = F.abs(F.col("a") - F.col("b")) <= 1
+    with _pytest.raises(ValueError, match="inner"):
+        range_join(
+            l,
+            r,
+            cond,
+            bucket=([F.col("a") - 1, F.col("a")], F.col("b"), "__bk"),
+            how="left",
+        )

@@ -84,3 +84,41 @@ def test_default_catalog_unchanged(db):
     # the shipped catalog stays flat: no namespaces, bare names as ever
     assert db.catalog.namespaces() == set()
     assert len(db.produce("/region")) == 5
+
+
+def test_dual_fk_reverse_links_both_get_via_names(tmp_path):
+    """Two FKs from one origin to the same target: NEITHER reverse
+    link keeps the bare name (which fk won used to depend on YAML
+    declaration order — reordering links silently changed query
+    semantics).  Both traversals live under deterministic _via_
+    names; the bare spelling is simply absent (AmbiguousArc spirit:
+    no silent choice)."""
+    raw = {
+        "tables": {
+            "customer": {"pk": ["c_custkey"], "prefix": "c_"},
+            "orders": {
+                "pk": ["o_orderkey"],
+                "prefix": "o_",
+                "links": {
+                    "customer": {"cols": ["o_custkey"], "target": "customer"},
+                    "clerk": {"cols": ["o_clerkkey"], "target": "customer"},
+                },
+            },
+        }
+    }
+    path = tmp_path / "catalog.yaml"
+    path.write_text(yaml.safe_dump(raw, sort_keys=False))
+    cat = Catalog.from_yaml(str(path))
+    links = cat.tables["customer"].links
+    assert "orders" not in links
+    assert links["orders_via_o_custkey"].target_cols == ("o_custkey",)
+    assert links["orders_via_o_clerkkey"].target_cols == ("o_clerkkey",)
+    # declaration order must not matter: reversed declaration yields
+    # the same link set
+    raw["tables"]["orders"]["links"] = {
+        "clerk": {"cols": ["o_clerkkey"], "target": "customer"},
+        "customer": {"cols": ["o_custkey"], "target": "customer"},
+    }
+    path.write_text(yaml.safe_dump(raw, sort_keys=False))
+    cat2 = Catalog.from_yaml(str(path))
+    assert set(cat2.tables["customer"].links) == set(links)

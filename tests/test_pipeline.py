@@ -992,3 +992,20 @@ def test_bpe_encode_validation(spark):
         bpe_encode(docs, [("a",)])
     with pytest.raises(ValueError, match="reserved"):
         bpe_encode(docs, [("a b", "c")])
+
+
+def test_mix_zero_count_partition_is_named_error(spark, db):
+    """A positive fraction over an empty partition cannot be
+    satisfied — both the kernel and the language surface raise a
+    NAMED error, never a raw ZeroDivisionError."""
+    import pytest as _pytest
+
+    from htsql_spark import CompileError
+    from htsql_spark.operators import pipeline
+
+    en = spark.range(10).withColumnRenamed("id", "doc_id")
+    xx = en.filter("doc_id < 0")  # empty
+    with _pytest.raises(ValueError, match="'xx'"):
+        pipeline.mix_corpora({"en": en, "xx": xx}, {"en": 0.7, "xx": 0.3}, "doc_id")
+    with _pytest.raises(CompileError, match="mix"):
+        db.df("/documents.mix(lang, 'en', 0.7, 'no-such-lang', 0.3)")

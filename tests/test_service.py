@@ -360,3 +360,13 @@ def test_second_fk_to_same_target_gets_reverse_link(spark, tmp_path):
         )
     }
     assert got == {1: (2, 0), 2: (1, 3)}
+
+
+def test_emit_json_handles_dotted_and_numeric_column_names(db):
+    """Unaliased literals produce column names like '2.5'; bare
+    F.col() would parse the dot as struct-field access and fail with
+    UNRESOLVED_COLUMN — emit_json must backtick-quote every name."""
+    body = db.emit("/region{name, 2.5}?r_regionkey=0", "json")
+    data = json.loads(body.decode())["data"]
+    assert data and data[0]["2.5"] == 2.5
+    assert set(data[0]) == {"name", "2.5"}

@@ -1012,3 +1012,36 @@ def test_cdc_batch_blocked_by_held_lock(spark, tmp_path):
         spark, _cdc_rows(spark, [(1, "a", 1.0, 1, "I")]), snap_path, key="k"
     )
     assert spark.read.parquet(snap_path).count() == 1
+
+
+def test_batch_id_base_legacy_checkpoint_keeps_identity_mapping(spark, tmp_path):
+    """A checkpoint that ALREADY committed batches but has no base
+    marker (archive produced by pre-marker code) must map batch ids
+    identically (base=0): its existing batch=N dirs were written under
+    the identity mapping, so a crash-retried in-flight batch must
+    overwrite its OWN old dir, not duplicate the batch's documents
+    under batch=max+1+N.  max+1 is reserved for genuinely fresh
+    checkpoints adopting a foreign archive."""
+    import os
+
+    from htsql_spark.streaming.curate import _batch_id_base
+
+    archive = str(tmp_path / "arch")
+    os.makedirs(f"{archive}/batch=0")
+    os.makedirs(f"{archive}/batch=1")
+    # legacy: commits log exists, marker absent
+    os.makedirs(f"{archive}__checkpoint/commits")
+    with open(f"{archive}__checkpoint/commits/0", "w") as f:
+        f.write("v1\n{}")
+    with open(f"{archive}__checkpoint/commits/1", "w") as f:
+        f.write("v1\n{}")
+    assert _batch_id_base(spark, archive) == 0
+    # the decision is persisted: a retry reads the same base
+    assert _batch_id_base(spark, archive) == 0
+
+    # genuinely fresh checkpoint adopting a foreign archive → max+1
+    archive2 = str(tmp_path / "arch2")
+    os.makedirs(f"{archive2}/batch=0")
+    os.makedirs(f"{archive2}/batch=7")
+    assert _batch_id_base(spark, archive2) == 8
+    assert _batch_id_base(spark, archive2) == 8

@@ -326,9 +326,10 @@ def test_text_html_xml_truncation_marker(db):
 
 
 def test_second_fk_to_same_target_gets_reverse_link(spark, tmp_path):
-    """Two FKs from the same origin to the same target: the second
-    reverse traversal is disambiguated ('orders_via_<cols>'), not
-    silently dropped."""
+    """Two FKs from the same origin to the same target: BOTH reverse
+    traversals are disambiguated ('ords_via_<cols>') and the bare
+    name is absent — which FK owned it used to depend on YAML
+    declaration order."""
     import pandas as pd
     import yaml as _yaml
 
@@ -356,10 +357,16 @@ def test_second_fk_to_same_target_gets_reverse_link(spark, tmp_path):
     got = {
         r["c_id"]: (r["bought"], r["clerked"])
         for r in db2.produce(
-            "/cust{c_id, bought := count(ords), clerked := count(ords_via_clerk)}"
+            "/cust{c_id, bought := count(ords_via_buyer),"
+            " clerked := count(ords_via_clerk)}"
         )
     }
     assert got == {1: (2, 0), 2: (1, 3)}
+    # the bare reverse name no longer resolves — no silent choice
+    from htsql_spark import CompileError as _CE
+
+    with pytest.raises(_CE):
+        db2.df("/cust{c_id, count(ords)}")
 
 
 def test_emit_json_handles_dotted_and_numeric_column_names(db):

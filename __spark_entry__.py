@@ -2368,6 +2368,122 @@ def _lang_mix(spark, sf_dir):
     )
 
 
+def _lang_tumbling(spark, sf_dir):
+    """tumbling(interval) flow method through the parser — the
+    streaming family's first language surface (r9 verdict "What's
+    missing" #3): epoch-aligned tumbling-window aggregates lowered to
+    streaming.events.tumbling_counts, the SAME F.window plan the
+    stream_tumbling kernel runs (the watermark is a no-op over the
+    static table, so ALL windows emit — complete history, where the
+    stream emits the watermark-closed prefix).  Reshape output
+    composes like any flow (sieve/sort after)."""
+    from pyspark.sql import functions as F
+
+    df = _db(spark, sf_dir).df("/events.tumbling('1 day')")
+    return df.select(
+        "w_start", "w_end", "event_type", "n",
+        F.round("total", 4).alias("total"),
+    )
+
+
+def _lang_sessions(spark, sf_dir):
+    """sessions(gap) flow method through the parser: per-user
+    gap-based session windows lowered to streaming.events.
+    session_counts — the SAME F.session_window plan the
+    stream_session kernel runs, deterministic over the static table.
+    Oracle: the gaps-and-islands replay (session end = last ts +
+    gap)."""
+    return _db(spark, sf_dir).df("/events.sessions('30 minutes')")
+
+
+def _lang_anomalies(spark, sf_dir):
+    """anomalies(z) flow method through the parser: expanding
+    z-score outliers per event type, lowered to streaming.events.
+    expanding_anomalies — the value-identical declarative batch twin
+    of the stateful stream_anomaly kernel (same (ts, event_id)
+    processing order, same null→0.0 rule, same 6-decimal z
+    rounding).  The oracle is the stream_anomaly expanding-window
+    SQL verbatim."""
+    from pyspark.sql import functions as F
+
+    df = _db(spark, sf_dir).df("/events.anomalies(3.0)")
+    return df.select(
+        "event_id", "event_type", "value", "n_prior",
+        F.round("z", 4).alias("z4"),
+    )
+
+
+def _lang_distinct_count(spark, sf_dir):
+    """distinct_count(expr, group...) flow method through the parser
+    (r9 verdict "What's missing" #4 — sketch aggregates in the
+    language): approximate distinct users per event type via the
+    mergeable Datasketches HLL kernel (sketches.hll_distinct).  Audit
+    form like op_hll_distinct: the gate-checked VALUES are the exact
+    distinct count plus the sketch's bounded-error flag (lgK=14 ⇒
+    σ≈0.8%, flag at 5%) — a broken sketch path fails the flag, a
+    broken language lowering fails the join."""
+    from pyspark.sql import functions as F
+
+    df = _db(spark, sf_dir).df("/events.distinct_count(user_id, event_type)")
+    ev = _db(spark, sf_dir).table("events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return df.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_5pct"),
+    )
+
+
+def _lang_quantiles(spark, sf_dir):
+    """quantiles(expr, q...) flow method through the parser: global
+    approximate quantiles via the mergeable KLL sketch kernel
+    (sketches.kll_sketch_states/kll_quantiles, k=256).  Certificate
+    form like op_kll_quantiles: the gate-checked values are the exact
+    row count (n is exact by construction) plus the self-certified
+    rank-band checks — the true rank of each p50/p90 estimate lies
+    within the carried worst-case ``err`` of ceil(q·n)."""
+    from pyspark.sql import functions as F
+
+    df = _db(spark, sf_dir).df("/lineitem.quantiles(l_quantity, 0.5, 0.9)")
+    li = _db(spark, sf_dir).table("lineitem")
+    j = li.select("l_quantity").join(F.broadcast(df))  # 1-row cross
+    agg = j.agg(
+        F.first("n").alias("n"),
+        F.first("err").alias("err"),
+        *[
+            f
+            for q in ("50", "90")
+            for f in (
+                F.sum(
+                    (F.col("l_quantity") < F.col(f"p{q}")).cast("long")
+                ).alias(f"lt{q}"),
+                F.sum(
+                    (F.col("l_quantity") <= F.col(f"p{q}")).cast("long")
+                ).alias(f"le{q}"),
+            )
+        ],
+    )
+
+    def _cert(q: float, lt: str, le: str):
+        target = F.ceil(F.lit(q) * F.col("n") - F.lit(1e-9))
+        return (
+            ((F.col(lt) + 1 - F.col("err")) <= target)
+            & (target <= (F.col(le) + F.col("err")))
+        )
+
+    return agg.select(
+        F.col("n").alias("exact_n"),
+        _cert(0.5, "lt50", "le50").alias("cert_p50"),
+        _cert(0.9, "lt90", "le90").alias("cert_p90"),
+        (F.col("err") <= 0.05 * F.col("n")).alias("err_informative"),
+    )
+
+
 def _op_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup: argmax-to-centroid cells (the
     seeded deterministic cells, so the oracle replays the assignment
@@ -3371,6 +3487,17 @@ _QUERIES.update(
         "lang_cluster": _lang_cluster,
         # ninth wave: training mixture weights as a flow restrictor
         "lang_mix": _lang_mix,
+        # tenth wave (round 10): the streaming family reaches the
+        # language — tumbling/session windows and expanding-z-score
+        # anomalies as reshaping flow methods, batch-replayable over
+        # the static events table so exact DuckDB oracles exist —
+        # plus the sketch aggregates (HLL distinct, KLL quantiles) in
+        # audit/certificate form
+        "lang_tumbling": _lang_tumbling,
+        "lang_sessions": _lang_sessions,
+        "lang_anomalies": _lang_anomalies,
+        "lang_distinct_count": _lang_distinct_count,
+        "lang_quantiles": _lang_quantiles,
     }
 )
 
@@ -5601,6 +5728,33 @@ m AS (SELECT node, min(lbl) AS cid FROM cc GROUP BY 1)
 SELECT d.doc_id, CAST(coalesce(m.cid, d.doc_id) AS BIGINT) AS cluster_id
 FROM documents d LEFT JOIN m ON d.doc_id = m.node
 """
+    # tenth wave — the streaming family through the parser.  tumbling
+    # over the static table emits ALL windows (no watermark HAVING:
+    # the language sees complete history; F.window('1 day') is
+    # epoch-aligned, so date_trunc replays it exactly)
+    out["lang_tumbling"] = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+       CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS w_end,
+       event_type, count(*) AS n, round(sum(value), 4) AS total
+FROM events GROUP BY 1, 2, 3
+"""
+    # sessions(): the stream_session gaps-and-islands replay (session
+    # end = last ts + gap) — identical plan, identical oracle
+    out["lang_sessions"] = out["stream_session"]
+    # anomalies(): the stream_anomaly expanding-window SQL verbatim —
+    # the batch twin is value-identical to the stateful drain
+    out["lang_anomalies"] = out["stream_anomaly"]
+    # sketch aggregates in the language: audit/certificate forms (raw
+    # estimates are engine-specific; exact values + bound flags are
+    # the checkable contract, same as op_hll_distinct/op_kll_quantiles)
+    out["lang_distinct_count"] = (
+        "SELECT event_type, count(DISTINCT user_id) AS exact_distinct,"
+        " TRUE AS within_5pct FROM events GROUP BY 1"
+    )
+    out["lang_quantiles"] = (
+        "SELECT count(l_quantity) AS exact_n, TRUE AS cert_p50,"
+        " TRUE AS cert_p90, TRUE AS err_informative FROM lineitem"
+    )
     # z-order key: the Morton interleave is pure bit arithmetic, so
     # the oracle is the SAME sum-of-shifted-bits expression spelled
     # in SQL (bit b of x -> output bit 2b, bit b of y -> 2b+1)

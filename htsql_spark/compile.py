@@ -2441,6 +2441,176 @@ def _fm_transitions(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     )
 
 
+def _fm_interval_lit(args, i: int, method: str) -> str:
+    """A window/gap interval literal: 'N seconds|minutes|hours|days'.
+    Validated at compile time so a typo is a CompileError, not a
+    deep AnalysisException out of F.window."""
+    import re
+
+    s = _fm_str_lit(args, i, method)
+    if not re.fullmatch(r"[1-9]\d* (second|minute|hour|day)s?", s):
+        raise CompileError(
+            f"{method}() interval must be 'N seconds|minutes|hours|days',"
+            f" got {s!r}"
+        )
+    return s
+
+
+def _fm_tumbling(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """tumbling(interval) — reshape an events flow into epoch-aligned
+    tumbling-window aggregates (streaming.events.tumbling_counts, the
+    stream_tumbling kernel: the SAME F.window plan the stream runs):
+    attributes ``w_start`` / ``w_end`` / ``event_type`` / ``n`` /
+    ``total``.  Over a static table the watermark is a no-op, so ALL
+    windows emit — the language sees the complete history, where the
+    stream's availableNow drain emits the watermark-closed prefix.
+    Composes with a prior sieve and a following sieve/sort
+    (``/events?value>0 :tumbling('1 day')?n>5``).  One map-side-
+    combined shuffle on (window, event_type)."""
+    if len(args) != 1:
+        raise CompileError("tumbling(interval) takes exactly one interval literal")
+    window = _fm_interval_lit(args, 0, "tumbling")
+    from .streaming.events import tumbling_counts
+
+    cols = _fm_events_cols(v, "tumbling", ("ts", "event_type", "value"))
+    narrow = v.flow.df.select(*[F.col(c).alias(n) for n, c in cols.items()])
+    return _fm_reshape(
+        cc, v, "tumbling", tumbling_counts(narrow, window=window),
+        ["w_start", "w_end", "event_type", "n", "total"],
+    )
+
+
+def _fm_sessions(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """sessions([gap]) — reshape an events flow into per-user
+    gap-based session windows (streaming.events.session_counts, the
+    stream_session kernel — the SAME F.session_window plan the stream
+    runs, deterministic over a static table): attributes ``user_id``
+    / ``s_start`` / ``s_end`` / ``n``.  Default gap '30 minutes'.
+    One shuffle on user_id; session assembly is window-local."""
+    if len(args) > 1:
+        raise CompileError("sessions([gap]) takes at most one interval literal")
+    gap = _fm_interval_lit(args, 0, "sessions") if args else "30 minutes"
+    from .streaming.events import session_counts
+
+    cols = _fm_events_cols(v, "sessions", ("ts", "user_id"))
+    narrow = v.flow.df.select(*[F.col(c).alias(n) for n, c in cols.items()])
+    return _fm_reshape(
+        cc, v, "sessions", session_counts(narrow, gap=gap),
+        ["user_id", "s_start", "s_end", "n"],
+    )
+
+
+def _fm_anomalies(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """anomalies([z[, min_n]]) — reshape an events flow into its
+    anomalous rows: values whose expanding z-score against everything
+    seen EARLIER per event type (in (ts, event_id) order) exceeds
+    ``z`` (default 3.0) after at least ``min_n`` (default 10) prior
+    observations.  Lowers to streaming.events.expanding_anomalies,
+    the value-identical batch twin of the stateful stream_anomaly
+    kernel (streaming_anomalies) — attributes ``event_id`` /
+    ``event_type`` / ``value`` / ``n_prior`` / ``z``."""
+    if len(args) > 2:
+        raise CompileError("anomalies([z[, min_n]]) takes at most two arguments")
+    z = _fm_frac_lit(args, 0, "anomalies") if args else 3.0
+    if z <= 0:
+        raise CompileError("anomalies() z threshold must be positive")
+    min_n = _fm_int_lit(args, 1, 10, "anomalies")
+    if min_n < 2:
+        raise CompileError("anomalies() min_n must be at least 2")
+    from .streaming.events import expanding_anomalies
+
+    cols = _fm_events_cols(
+        v, "anomalies", ("ts", "event_id", "event_type", "value")
+    )
+    narrow = v.flow.df.select(*[F.col(c).alias(n) for n, c in cols.items()])
+    return _fm_reshape(
+        cc, v, "anomalies",
+        expanding_anomalies(narrow, z_threshold=z, min_n=min_n),
+        ["event_id", "event_type", "value", "n_prior", "z"],
+    )
+
+
+def _fm_distinct_count(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """distinct_count(expr[, group...]) — reshape the flow into
+    APPROXIMATE distinct counts of ``expr`` per group (mergeable
+    Datasketches HLL, operators.sketches.hll_distinct — the
+    op_hll_distinct kernel; lgK=14 ⇒ σ≈0.8%): attributes are the
+    group names plus ``approx_distinct``.  No groups → one global
+    row.  The approximate answer the exact ``count(^)`` quotient
+    cannot give at 100 TB: the shuffle moves per-group sketches, not
+    per-row keys.  Group arguments must be attribute names (they
+    become the output attributes)."""
+    if not args:
+        raise CompileError(
+            "distinct_count(expr[, group...]) takes a value expression"
+            " and optional group attribute names"
+        )
+    from .operators.sketches import hll_distinct
+
+    flow = v.flow
+    scope = ScopeRef(flow, flow.alias, flow.table)
+    expr = cc.scalar(ctx, scope, args[0]).col
+    groups: list[tuple[str, Column]] = []
+    for a in args[1:]:
+        if not isinstance(a, N.Identifier):
+            raise CompileError(
+                "distinct_count() group arguments must be attribute names"
+            )
+        groups.append((a.name, cc.scalar(ctx, scope, a).col))
+    if len({g for g, _ in groups}) != len(groups):
+        raise CompileError("distinct_count() names a group twice")
+    narrow = flow.df.select(
+        expr.alias("__dc"), *[c.alias(g) for g, c in groups]
+    )
+    res = hll_distinct(narrow, [g for g, _ in groups], "__dc", lgk=14)
+    return _fm_reshape(
+        cc, v, "distinct_count", res,
+        [g for g, _ in groups] + ["approx_distinct"],
+    )
+
+
+def _fm_quantiles(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """quantiles(expr, q1[, q2...]) — reshape the flow into one row of
+    APPROXIMATE quantile estimates of ``expr`` (mergeable KLL sketch,
+    operators.sketches.kll_sketch_states/kll_quantiles — the
+    op_kll_quantiles kernel, k=256): attributes ``n`` (exact),
+    ``err`` (the certified worst-case rank error) and one ``pXX``
+    estimate per requested quantile (``p50`` for 0.5).  One Arrow
+    pass builds bounded per-partition states; only serialized states
+    shuffle — the single-pass answer exact percentile() cannot give
+    at 100 TB without a full sort."""
+    if len(args) < 2:
+        raise CompileError(
+            "quantiles(expr, q1[, q2...]) takes a value expression and"
+            " at least one quantile literal"
+        )
+    from .operators.sketches import kll_merge, kll_quantiles, kll_sketch_states
+
+    flow = v.flow
+    scope = ScopeRef(flow, flow.alias, flow.table)
+    expr = cc.scalar(ctx, scope, args[0]).col
+    qs = [_fm_frac_lit(args, i, "quantiles") for i in range(1, len(args))]
+    for q in qs:
+        if not 0 < q <= 1:
+            raise CompileError("quantiles() fractions must be in (0, 1]")
+    if v.corr_outer:
+        # checked BEFORE the kernel: the sketch pass is EAGER like
+        # heavy_hitters — fail before burning its jobs
+        raise CompileError(
+            "quantiles() is not defined on a correlated sub-flow —"
+            " apply it to a top-level flow"
+        )
+    narrow = flow.df.select(expr.cast("double").alias("__qv"))
+    try:
+        res = kll_quantiles(
+            kll_merge(kll_sketch_states(narrow, "__qv", by=None, k=256)), qs
+        )
+    except ValueError as exc:  # e.g. duplicate quantiles
+        raise CompileError(f"quantiles(): {exc}") from None
+    names = [c for c in res.columns if c not in ("n", "err")]
+    return _fm_reshape(cc, v, "quantiles", res, ["n", "err"] + names)
+
+
 FLOW_METHODS = {
     "sort": _fm_sort,
     "limit": _fm_limit,
@@ -2477,6 +2647,11 @@ FLOW_METHODS = {
     "decontaminate": _fm_decontaminate,
     "cluster": _fm_cluster,
     "mix": _fm_mix,
+    "tumbling": _fm_tumbling,
+    "sessions": _fm_sessions,
+    "anomalies": _fm_anomalies,
+    "distinct_count": _fm_distinct_count,
+    "quantiles": _fm_quantiles,
 }
 
 

@@ -357,6 +357,55 @@ def streaming_anomalies(
     )
 
 
+def expanding_anomalies(
+    events: DataFrame, z_threshold: float = 3.0, min_n: int = 10
+) -> DataFrame:
+    """Batch-replay twin of :func:`streaming_anomalies`: the same
+    expanding z-score over everything seen EARLIER in (ts, event_id)
+    order, expressed declaratively as an unbounded-preceding window —
+    value-identical to one availableNow drain of the stateful stream
+    (both round z to 6 decimals; nulls count as 0.0 exactly like the
+    state update).  This is the form the QUERY LANGUAGE lowers to
+    (``/events.anomalies(3.0)``) — a static table has no state store,
+    and the window form keeps the whole computation inside Catalyst.
+
+    Scale: one shuffle on event_type; each type's timeline is a
+    single ordered partition (inherent to expanding statistics —
+    identical to the stream's per-key state), and types are few, so
+    parallelism comes from the type count, exactly like the
+    stateful form."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    xv = F.coalesce(F.col("value").cast("double"), F.lit(0.0))
+    pre = (
+        events.select("event_id", "event_type", "ts", "value", xv.alias("__xv"))
+        .withColumn("__npr", F.count(F.lit(1)).over(w))
+        .withColumn("__mean", F.avg("__xv").over(w))
+        .withColumn("__sd", F.stddev_samp("__xv").over(w))
+    )
+    z = F.round((F.col("__xv") - F.col("__mean")) / F.col("__sd"), 6)
+    return (
+        pre.withColumn("z", z)
+        .filter(
+            (F.col("__npr") >= min_n)
+            & (F.col("__sd") > 0)
+            & (F.abs(F.col("z")) > z_threshold)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.col("__npr").alias("n_prior"),
+            "z",
+        )
+    )
+
+
 def run_to_parquet(
     stream_df: DataFrame,
     path: str,

@@ -954,3 +954,141 @@ def test_flow_method_mix_matches_operator(db):
     assert abs(by["en"] / total - 0.7) < 0.05
     # unnamed partitions are excluded entirely
     assert set(by) == {"en", "de"}
+
+
+def test_flow_method_tumbling_matches_kernel(db):
+    """tumbling(interval) through the parser equals the
+    stream_tumbling kernel run in batch (all windows — no watermark
+    filter over a static table), and composes: the reshape output
+    sieves and sorts on its derived attributes."""
+    from htsql_spark.streaming.events import tumbling_counts
+
+    got = {
+        (str(r["w_start"]), str(r["w_end"]), r["event_type"], r["n"])
+        for r in db.produce("/events.tumbling('1 day')")
+    }
+    exp = {
+        (str(r["w_start"]), str(r["w_end"]), r["event_type"], r["n"])
+        for r in tumbling_counts(db.table("events")).collect()
+    }
+    assert got == exp
+    filtered = db.produce("/(events.tumbling('1 day')?n>5){event_type, n}")
+    assert filtered and all(r["n"] > 5 for r in filtered)
+    # non-day intervals work (epoch-aligned 6-hour windows)
+    assert len(db.produce("/events.tumbling('6 hours')")) >= len(got)
+
+
+def test_flow_method_sessions_matches_kernel(db):
+    """sessions(gap) equals session_counts in batch; default gap is
+    30 minutes."""
+    from htsql_spark.streaming.events import session_counts
+
+    got = {
+        (r["user_id"], str(r["s_start"]), str(r["s_end"]), r["n"])
+        for r in db.produce("/events.sessions('30 minutes')")
+    }
+    exp = {
+        (r["user_id"], str(r["s_start"]), str(r["s_end"]), r["n"])
+        for r in session_counts(db.table("events")).collect()
+    }
+    assert got == exp
+    assert {
+        (r["user_id"], str(r["s_start"]), str(r["s_end"]), r["n"])
+        for r in db.produce("/events.sessions()")
+    } == exp
+
+
+def test_flow_method_anomalies_matches_stateful_stream(db, spark):
+    """anomalies(z) — the declarative batch twin — is value-identical
+    to one availableNow drain of the STATEFUL streaming kernel (same
+    order, same null rule, same rounding)."""
+    import uuid
+
+    from htsql_spark import streaming
+    from htsql_spark.streaming.events import streaming_anomalies
+
+    got = {
+        (r["event_id"], r["event_type"], r["n_prior"], round(r["z"], 4))
+        for r in db.produce("/events.anomalies(3.0)")
+    }
+    name = f"t_langanom_{uuid.uuid4().hex[:8]}"
+    stream = streaming.read_events_stream(spark, db.data_dir)
+    streaming.run_to_memory(streaming_anomalies(stream), name, "append")
+    exp = {
+        (r["event_id"], r["event_type"], r["n_prior"], round(r["z"], 4))
+        for r in spark.table(name).collect()
+    }
+    assert got == exp
+    # threshold/min_n arguments restrict further
+    sub = {
+        r["event_id"] for r in db.produce("/events.anomalies(4.0, 20){event_id}")
+    }
+    assert sub <= {g[0] for g in got}
+
+
+def test_flow_method_distinct_count(db):
+    """distinct_count(expr, group...) estimates per-group distincts
+    within the HLL lgK=14 error bound; the global (no-group) form
+    yields one row."""
+    from pyspark.sql import functions as F
+
+    rows = db.produce("/events.distinct_count(user_id, event_type)")
+    exact = {
+        r["event_type"]: r["x"]
+        for r in db.table("events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        assert abs(r["approx_distinct"] - exact[r["event_type"]]) <= max(
+            2, 0.05 * exact[r["event_type"]]
+        )
+    g = db.produce("/events.distinct_count(user_id)")
+    total = db.table("events").select("user_id").distinct().count()
+    assert len(g) == 1 and abs(g[0]["approx_distinct"] - total) <= max(2, 0.05 * total)
+
+
+def test_flow_method_quantiles_certificate(db):
+    """quantiles(expr, q...) carries n (exact), err, and per-quantile
+    estimates whose true rank is within err of ceil(q*n)."""
+    rows = db.produce("/lineitem.quantiles(l_quantity, 0.5, 0.9)")
+    assert len(rows) == 1
+    r = rows[0]
+    vals = sorted(
+        x["l_quantity"] for x in db.table("lineitem").select("l_quantity").collect()
+    )
+    n = len(vals)
+    assert r["n"] == n
+    import math
+
+    for q, key in ((0.5, "p50"), (0.9, "p90")):
+        target = math.ceil(q * n - 1e-9)
+        lt = sum(1 for v in vals if v < r[key])
+        le = sum(1 for v in vals if v <= r[key])
+        assert lt + 1 - r["err"] <= target <= le + r["err"]
+
+
+def test_streaming_flow_method_errors(db):
+    """Compile-time validation: bad intervals, wrong table shape,
+    non-identifier groups, and duplicate quantiles are named
+    CompileErrors."""
+    import pytest as _pytest
+
+    from htsql_spark import CompileError
+
+    for q, pat in [
+        ("/events.tumbling('1 fortnight')", "interval"),
+        ("/events.tumbling()", "interval"),
+        ("/documents.tumbling('1 day')", "requires a flow"),
+        ("/events.sessions('0 minutes')", "interval"),
+        ("/lineitem.quantiles(l_quantity)", "quantile"),
+        ("/lineitem.quantiles(l_quantity, 0.5, 0.5)", "duplicate"),
+        ("/lineitem.quantiles(l_quantity, 1.5)", "0, 1"),
+        ("/events.distinct_count(user_id, user_id+1)", "attribute names"),
+        ("/events.distinct_count()", "value expression"),
+        ("/events.anomalies(3.0, 1)", "min_n"),
+    ]:
+        with _pytest.raises(CompileError, match=pat):
+            db.df(q)

@@ -73,6 +73,9 @@ ARROW_OK = {
     # KLL sketch build/merge/query are declared Arrow passes (states
     # shuffle, never values)
     "op_kll_quantiles",
+    # quantiles() lowers to the same KLL Arrow passes; the audit row
+    # then certifies the 1-row estimate against the exact rank band
+    "lang_quantiles",
 }
 
 #: nested-loop joins bounded by a broadcast single-row / tiny side:
@@ -121,6 +124,9 @@ NLJ_OK = {
     "op_skew_join",
     # the histogram crossJoins the single-row boundary aggregate
     "op_histogram",
+    # the quantile certificate crossJoins the broadcast 1-row KLL
+    # estimate row against lineitem (model-sized side, like detach)
+    "lang_quantiles",
     # bigram LM joins a broadcast single-row corpus-size aggregate
     # (same pattern as op_unigram_lm)
     "op_bigram_lm",

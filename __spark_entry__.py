@@ -905,6 +905,36 @@ def _op_theta_band(spark, sf_dir):
     return joins.customers_banded(_db(spark, sf_dir).table("customer"))
 
 
+def _op_theta_fact(spark, sf_dir):
+    """theta_join with a NON-broadcastable right side (the orders
+    fact table) — exercises the containment guard (r9 directive #6):
+    broadcast_right=False requires Catalyst to extract the equality
+    conjunct as the shuffle key (hash/sort-merge join + residual
+    inequality filter); a condition with no extractable key raises
+    instead of silently planning a nested loop.  The join strategy is
+    additionally locked by tests/test_plans.py.  Query: lines whose
+    extended price exceeds half their order's total."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators import joins
+
+    db = _db(spark, sf_dir)
+    li = db.table("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o = db.table("orders").select("o_orderkey", "o_totalprice")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_extendedprice") > F.col("o_totalprice") * 0.5
+    )
+    out = joins.theta_join(li, o, cond, broadcast_right=False)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 4).alias("price"),
+        F.round("o_totalprice", 4).alias("tot"),
+    )
+
+
 def _op_cube(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1003,6 +1033,7 @@ _QUERIES.update(
         "op_asof_nearest": _op_asof_nearest,
         "op_range_join": _op_range_join,
         "op_theta_band": _op_theta_band,
+        "op_theta_fact": _op_theta_fact,
         "op_tumbling_batch": _op_tumbling_batch,
         "op_cube": _op_cube,
         "op_rollup": _op_rollup,
@@ -2779,6 +2810,21 @@ def _op_kmeans(spark, sf_dir):
     return assigned.select("vec_id", "cluster")
 
 
+def _op_kmeans_portable(spark, sf_dir):
+    """Fixed-iteration integer-quantized Lloyd's k-means
+    (similarity.kmeans_portable) — the md5-portable twin that gives
+    the LAST no_oracle family a hash-checkable full-loop oracle (r9
+    directive #5): quantize → md5-ordered seeds → 2 unrolled
+    assign/update rounds, every step exact integer/IEEE arithmetic
+    DuckDB replays bit-for-bit (the float kernel op_kmeans stays
+    rows-only)."""
+    from htsql_spark.operators.similarity import kmeans_portable
+
+    return kmeans_portable(
+        _db(spark, sf_dir).table("embeddings"), k=4, iters=2, scale=1000
+    )
+
+
 def _op_kmeans_assign(spark, sf_dir):
     """The k-means ASSIGN kernel (Arrow GEMM argmax) against fixed
     seeded centroids — the one deterministic, SQL-expressible piece of
@@ -3379,6 +3425,7 @@ _QUERIES.update(
         "op_curate": _op_curate,
         "op_centroids": _op_centroids,
         "op_kmeans": _op_kmeans,
+        "op_kmeans_portable": _op_kmeans_portable,
         "op_kmeans_assign": _op_kmeans_assign,
         "op_kmeans_step": _op_kmeans_step,
         "op_quantize": _op_quantize,
@@ -4270,6 +4317,13 @@ WHERE p_size = 23
             " SELECT c_custkey AS custkey, c_acctbal AS bal, band"
             " FROM customer JOIN bands ON c_acctbal >= lo AND c_acctbal < hi"
         ),
+        "op_theta_fact": (
+            "SELECT l_orderkey, l_linenumber,"
+            " round(l_extendedprice, 4) AS price,"
+            " round(o_totalprice, 4) AS tot"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " AND l_extendedprice > o_totalprice * 0.5"
+        ),
         "op_cube": (
             "SELECT c_mktsegment, c_nationkey, count(*) AS n,"
             " round(sum(c_acctbal), 4) AS bal"
@@ -4752,6 +4806,7 @@ SELECT w_start, event_type, user_id, n, rnk FROM (
         "op_ann_append": _ann_ivfpq_oracle(),
         "op_kmeans_assign": _kmeans_assign_oracle(),
         "op_kmeans_step": _kmeans_step_oracle(),
+        "op_kmeans_portable": _KMEANS_PORTABLE_SQL,
         "op_winnow_portable": _WINNOW_PORTABLE_SQL,
         "op_simhash_portable": _SIMHASH_PORTABLE_SQL,
         "op_pack": _PACK_SQL,
@@ -5777,6 +5832,74 @@ FROM events GROUP BY 1, 2, 3
 # the windows whose end <= final watermark (max ts − 1 hour).  That
 # emission rule is plain epoch-bucket arithmetic DuckDB replays below
 # (same trick as the session gaps-and-islands oracle).
+
+# portable k-means: the full 2-iteration integer loop unrolled as
+# CTEs — quantize (floor(x*1000+0.5) after float->double promotion),
+# md5-ordered seeds, argmin with lowest-index ties (row_number ORDER
+# BY d, j), centroid update floor(exact-int-sum/count + 0.5), empty
+# clusters inheriting the previous round's centroid via LEFT JOIN +
+# coalesce.  Every step is exact integer or single-IEEE-division
+# arithmetic, so the iterative kernel hash-matches bit-for-bit.
+_KMEANS_PORTABLE_SQL = """
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+s AS (
+  SELECT qv, CAST(j AS INT) AS j FROM (
+    SELECT qv, row_number() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j FROM q
+  ) WHERE j < 4
+),
+d0 AS (
+  SELECT q.vec_id, q.qv, s.j,
+    list_sum(list_transform(range(1, len(q.qv) + 1),
+      i -> (q.qv[i] - s.qv[i]) * (q.qv[i] - s.qv[i]))) AS d
+  FROM q, s
+),
+a0 AS (
+  SELECT vec_id, qv, j AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+    FROM d0) WHERE rn = 1
+),
+u1 AS (
+  SELECT cluster AS j, t.range AS dim,
+    CAST(floor(CAST(sum(qv[t.range]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cv
+  FROM a0, range(1, 65) t GROUP BY 1, 2
+),
+c1m AS (SELECT j, list(cv ORDER BY dim) AS qv FROM u1 GROUP BY j),
+c1 AS (SELECT s.j, coalesce(c1m.qv, s.qv) AS qv FROM s LEFT JOIN c1m ON s.j = c1m.j),
+d1 AS (
+  SELECT q.vec_id, q.qv, c1.j,
+    list_sum(list_transform(range(1, len(q.qv) + 1),
+      i -> (q.qv[i] - c1.qv[i]) * (q.qv[i] - c1.qv[i]))) AS d
+  FROM q, c1
+),
+a1 AS (
+  SELECT vec_id, qv, j AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+    FROM d1) WHERE rn = 1
+),
+u2 AS (
+  SELECT cluster AS j, t.range AS dim,
+    CAST(floor(CAST(sum(qv[t.range]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cv
+  FROM a1, range(1, 65) t GROUP BY 1, 2
+),
+c2m AS (SELECT j, list(cv ORDER BY dim) AS qv FROM u2 GROUP BY j),
+c2 AS (SELECT c1.j, coalesce(c2m.qv, c1.qv) AS qv FROM c1 LEFT JOIN c2m ON c1.j = c2m.j),
+d2 AS (
+  SELECT q.vec_id, c2.j,
+    list_sum(list_transform(range(1, len(q.qv) + 1),
+      i -> (q.qv[i] - c2.qv[i]) * (q.qv[i] - c2.qv[i]))) AS d
+  FROM q, c2
+)
+SELECT vec_id, CAST(j AS INT) AS cluster FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+  FROM d2) WHERE rn = 1
+"""
+
 _STREAM_TUMBLING_SQL = """
 WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,

@@ -197,14 +197,44 @@ def range_join(
 
 def theta_join(
     left: DataFrame, right: DataFrame, condition: Column, how: str = "inner",
-    broadcast_right: bool = True,
+    broadcast_right: bool = True, allow_unbounded: bool = False,
 ) -> DataFrame:
     """Arbitrary-condition join.  At scale a theta join is a nested
-    loop; it is only viable when one side is small enough to
-    broadcast — which is the shape declared links (F16) take in
-    practice (band/dimension tables)."""
-    r = F.broadcast(right) if broadcast_right else right
-    return left.join(r, condition, how)
+    loop; containment comes in exactly three DECLARED shapes:
+
+    * ``broadcast_right=True`` (default) — the right side is
+      broadcast, so the nested loop stays node-local and the left
+      side never moves.  Only sane for model-sized right sides
+      (band/dimension tables), the shape declared links (F16) take.
+    * ``broadcast_right=False`` — the right side is too big to
+      broadcast; the condition must then carry at least one EQUALITY
+      conjunct, which Catalyst extracts as the hash key and plans a
+      shuffled equi join with the residual inequality as a post-join
+      filter.  This is ASSERTED against the physical plan: a
+      condition with no extractable key would otherwise silently
+      degenerate to a cartesian / all-executor nested loop — the
+      classic 100 TB query killer.
+    * ``allow_unbounded=True`` — explicit opt-in for the genuinely
+      unbounded big-big case (the documented small-corpus / exact
+      modes elsewhere in this package follow the same convention:
+      quadratic shapes exist only behind a loud flag).
+    """
+    if broadcast_right:
+        return left.join(F.broadcast(right), condition, how)
+    out = left.join(right, condition, how)
+    if not allow_unbounded:
+        # one driver-side planning pass (cached for the real action):
+        # verify Catalyst found a hash/sort-merge key in the condition
+        plan = out._jdf.queryExecution().sparkPlan().toString()
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            raise ValueError(
+                "theta_join: condition has no extractable equality"
+                " conjunct, so the non-broadcast join degenerates to a"
+                " nested loop; broadcast the small side"
+                " (broadcast_right=True), add an equi/band conjunct"
+                " (range_join), or opt in with allow_unbounded=True"
+            )
+    return out
 
 
 # ----------------------------------------------------------------------

@@ -935,6 +935,98 @@ def kmeans(
     return kmeans_assign(embs, cents, vec_col), [list(map(float, c)) for c in cents]
 
 
+def kmeans_portable(
+    embs: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fixed-iteration, integer-quantized Lloyd's k-means — the
+    PORTABLE twin of :func:`kmeans` (the md5-portable pattern: same
+    algorithm shape, every step exact integer/IEEE arithmetic an SQL
+    engine replays bit-for-bit, so the full iterative loop gains a
+    hash-checkable oracle).  Differences from the production kernel,
+    all in service of replayability: squared-Euclidean distance on
+    round-half-up quantized vectors (q = floor(x·scale + 0.5) after a
+    float→double promotion) instead of cosine on floats; seeding =
+    the k first rows in (md5(id), id) order (the same deterministic
+    order :func:`_first_seed` uses) instead of maximin; argmin ties
+    break to the LOWEST centroid index; centroid update =
+    floor(avg + 0.5) per dimension, empty clusters keeping their
+    previous centroid.
+
+    Scale shape is identical to the production loop: per iteration
+    one assign pass (the k·dim centroid matrix folds into native
+    array expressions — JVM-side, no Python) and one posexplode →
+    map-side-combined (cluster, dim) aggregation; only k·dim partial
+    means reach the driver per iteration.  Returns (id, cluster)."""
+    if k < 1 or iters < 0:
+        raise ValueError("kmeans_portable needs k >= 1 and iters >= 0")
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * float(scale) + 0.5).cast("long"),
+    )
+    q = embs.select(F.col(id_col), qv.alias("__q"))
+    seeds = [
+        [int(x) for x in r["__q"]]
+        for r in q.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    ]
+    if len(seeds) < k:
+        raise ValueError(f"kmeans_portable: corpus has fewer than k={k} rows")
+    cents = seeds
+
+    def _assign(cents_):
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__q"),
+                        F.array(*[F.lit(int(c)) for c in cv]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                for cv in cents_
+            ]
+        )
+        # argmin with lowest-index ties: array_position finds the
+        # FIRST occurrence of the minimum
+        return q.withColumn(
+            "cluster",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
+
+    assigned = _assign(cents)
+    for _ in range(iters):
+        upd = (
+            assigned.select("cluster", F.posexplode("__q").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            # explicit exact-integer sum / count instead of avg():
+            # both engines then perform the SAME single IEEE division
+            # (engine-internal avg accumulation orders could differ
+            # in the last ulp right at a floor boundary)
+            .agg(
+                F.floor(
+                    F.sum("v").cast("double") / F.count(F.lit(1)) + 0.5
+                )
+                .cast("long")
+                .alias("m")
+            )
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty clusters keep previous
+        for r in upd:
+            new[r["cluster"]][r["dim"]] = int(r["m"])
+        cents = new
+        assigned = _assign(cents)
+    return assigned.select(F.col(id_col), "cluster")
+
+
 def centroids(embs: DataFrame, label_col: str = "label") -> DataFrame:
     """Per-label element-wise mean vector, emitted long-form as
     (label, dim, centroid) — the k-means-update / class-prototype

@@ -1,0 +1,336 @@
+#!/usr/bin/env python
+"""Measured scaling curve for the heavy kernels (r9 judge directive
+#1): run each kernel at three derived scales (1x / 3x / 10x of the
+sf0.1 bench shapes) and fit the time-vs-rows exponent, converting the
+100 TB plan-shape claims into measured sub-quadratic evidence.
+
+/root/testdata is read-only and sf0.1 is its largest scale, so the
+larger inputs are DERIVED deterministically (the TESTDATA.md recipe
+spirit, same derivation family as __spark_entry__._zipf_docs):
+
+* documents — the Zipfian corpus generator over ``spark.range``
+  (identical md5-integer token derivation: log-uniform token ranks
+  over a 4095-word vocabulary, 40-99 tokens/doc, 20-way lang buckets,
+  doc_id%37 planted clones at ~2.7%% density), n_docs = 2000·s.
+* events — the sf0.1 events table replicated s× with disjoint
+  event_id/user_id ranges and a per-replica +i s timestamp shift
+  (written as ONE parquet file so the streaming reader's schema
+  probe works unchanged).
+* embeddings — deterministic md5-derived 64-dim vectors in [-1, 1),
+  n = 2000·s (the fixture's 500 vectors are too small to scale from).
+* edges — md5-derived directed graph, 3000·s nodes × 8 out-edges.
+
+Fixtures land under .scale_fixtures/ (gitignored).  Each (kernel,
+scale) is timed through the noop sink, one untimed warm run + the
+min of 2 timed runs (min, not median: with 2 samples the median IS
+the max, and the contaminating noise here is one-sided JVM/GC
+jitter).  Exponent = least-squares slope of log(time) vs log(rows).
+
+Usage: python scale_bench.py [--scales 1,3,10] [--kernels a,b,...]
+Prints one JSON line per kernel plus a summary table for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+FIX = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_fixtures")
+
+DOCS_BASE = 2000  # matches _ZIPF_N_DOCS, the benched zipf shape
+EMB_BASE = 2000
+NODES_BASE = 3000
+EDGE_DEG = 8
+
+
+# ----------------------------------------------------------------------
+# derived fixture generators (all deterministic md5-integer arithmetic)
+# ----------------------------------------------------------------------
+def _h32(F, s):
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def _h32b(F, s):
+    return F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long")
+
+
+def zipf_docs_range(spark, n_docs: int):
+    """__spark_entry__._zipf_docs' token derivation over spark.range —
+    the scale-curve variant (doc ids need not exist in any fixture
+    table; everything else is bit-identical)."""
+    from pyspark.sql import functions as F
+
+    widths = F.array(*[F.lit(1 << i) for i in range(12)])
+    base = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    n = (
+        F.lit(40)
+        + F.pmod(
+            _h32(F, F.concat(F.col("doc_id").cast("string"), F.lit(":n"))),
+            F.lit(60),
+        )
+    ).cast("int")
+
+    def tok(j):
+        s = F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), j.cast("string")
+        )
+        level = F.pmod(_h32(F, s), F.lit(12)).cast("int")
+        width = F.element_at(widths, level + 1)
+        rank = width + F.pmod(_h32b(F, s), width.cast("long")).cast("int")
+        return F.concat(F.lit("w"), rank.cast("string"))
+
+    text = F.array_join(F.transform(F.sequence(F.lit(1), n), tok), " ")
+    lang = F.concat(F.lit("z"), F.pmod(F.col("doc_id"), F.lit(20)).cast("string"))
+    docs = base.select("doc_id", text.alias("text"), lang.alias("lang"))
+    clones = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" q1 q2 q3")).alias("text"),
+        "lang",
+    )
+    return docs.unionByName(clones)
+
+
+def synth_embeddings(spark, n: int, dim: int = 64):
+    from pyspark.sql import functions as F
+
+    base = spark.range(n).withColumnRenamed("id", "vec_id")
+
+    def comp(j):
+        s = F.concat(F.col("vec_id").cast("string"), F.lit(":e"), j.cast("string"))
+        return (
+            (F.pmod(_h32(F, s), F.lit(2000)) - 1000).cast("double") / 1000.0
+        ).cast("float")
+
+    vec = F.transform(F.sequence(F.lit(1), F.lit(dim)), comp)
+    return base.select(
+        "vec_id",
+        vec.alias("embedding"),
+        F.pmod(F.col("vec_id"), F.lit(10)).cast("int").alias("label"),
+    )
+
+
+def synth_edges(spark, n_nodes: int, deg: int = EDGE_DEG):
+    from pyspark.sql import functions as F
+
+    e = spark.range(n_nodes * deg)
+    src = (F.col("id") % n_nodes).alias("src")
+    dst = F.pmod(_h32(F, F.concat(F.lit("e:"), F.col("id").cast("string"))), F.lit(n_nodes)).alias("dst")
+    return e.select(src, dst).filter(F.col("src") != F.col("dst"))
+
+
+def replicate_events(spark, copies: int, out_file: str):
+    """sf0.1 events replicated ``copies``x, written as ONE parquet
+    file (pyarrow) so read_events_stream's schema probe works."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from htsql_spark import HTSQL
+
+    ev = HTSQL(spark, SF_DIR).table("events").toPandas()
+    parts = []
+    for i in range(copies):
+        p = ev.copy()
+        p["event_id"] = p["event_id"] + i * 1_000_000_000
+        p["user_id"] = p["user_id"] + i * 1_000_000
+        p["ts"] = p["ts"] + pd.to_timedelta(i, unit="s")
+        parts.append(p)
+    allp = pd.concat(parts, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(allp, preserve_index=False), out_file)
+    return len(allp)
+
+
+def ensure_fixtures(spark, scales):
+    os.makedirs(FIX, exist_ok=True)
+    meta = {}
+    for s in scales:
+        d = os.path.join(FIX, f"s{s}")
+        os.makedirs(d, exist_ok=True)
+        mfile = os.path.join(d, "meta.json")
+        if os.path.exists(mfile):
+            meta[s] = json.load(open(mfile))
+            continue
+        docs = zipf_docs_range(spark, DOCS_BASE * s)
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        emb = synth_embeddings(spark, EMB_BASE * s)
+        emb.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        edges = synth_edges(spark, NODES_BASE * s)
+        edges.write.mode("overwrite").parquet(f"{d}/edges.parquet")
+        n_events = replicate_events(spark, s, f"{d}/events.parquet")
+        meta[s] = {
+            "docs": spark.read.parquet(f"{d}/documents.parquet").count(),
+            "embeddings": EMB_BASE * s,
+            "edges": spark.read.parquet(f"{d}/edges.parquet").count(),
+            "events": n_events,
+        }
+        json.dump(meta[s], open(mfile, "w"))
+    return meta
+
+
+# ----------------------------------------------------------------------
+# kernels — each (spark, dir) -> DataFrame, mirroring the benched rows
+# ----------------------------------------------------------------------
+def k_dedup_ngram(spark, d):
+    """op_dedup_ngram_zipf / lang_dedup_ngram kernel: bucketed capped
+    char-3-gram Jaccard pairs at the production cap."""
+    from htsql_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_bucket=200)
+
+
+def k_dedup_clusters(spark, d):
+    """lang_cluster / op_dedup_clusters: pair graph + large-star/
+    small-star contraction."""
+    from htsql_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_bucket=200)
+    return dedup_clusters(pairs)
+
+
+def k_winnow_fps(spark, d):
+    """winnow fingerprint build (scan-speed array algebra)."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.textstats import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return winnow_fingerprints(docs).groupBy("doc_id").agg(F.count("*").alias("n"))
+
+
+def k_winnow_pairs(spark, d):
+    """winnow overlap pairs at the production caps (the
+    op_winnow_pairs_zipf shape)."""
+    from htsql_spark.operators.textstats import winnow_overlap_pairs
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return winnow_overlap_pairs(docs, min_shared=3, max_postings=64)
+
+
+def k_dedup_incremental(spark, d):
+    """incremental banded dedup: 80% archive vs 20% incoming batch."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.dedup import incremental_dup_pairs
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    # 80/20 split; clones ride with the batch so cross-dups exist
+    archive = docs.filter(
+        (F.col("doc_id") < 500000) & (F.col("doc_id") % 5 != 4)
+    )
+    batch = docs.filter(
+        (F.col("doc_id") % 5 == 4) | (F.col("doc_id") >= 500000)
+    )
+    return incremental_dup_pairs(archive, batch, threshold=0.8)
+
+
+def k_pagerank(spark, d):
+    from htsql_spark.operators.analytics import pagerank
+
+    edges = spark.read.parquet(f"{d}/edges.parquet")
+    return pagerank(edges, iterations=5)
+
+
+def k_ann_index_build(spark, d):
+    from htsql_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    tag = os.path.basename(d)
+    table = f"scale_pq_codes_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    similarity.materialize_pq_index(emb, table, num_cells=16)
+    from pyspark.sql import functions as F
+
+    return spark.table(table).groupBy("cell").agg(F.count("*").alias("n"))
+
+
+def k_stream_join(spark, d):
+    """watermarked stream-stream interval join, availableNow drain."""
+    import uuid
+
+    from htsql_spark import streaming
+
+    name = f"t_scale_ssj_{uuid.uuid4().hex[:8]}"
+    stream = streaming.read_events_stream(spark, d)
+    streaming.run_to_memory(
+        streaming.purchases_join_clicks_stream(stream), name, "append"
+    )
+    return spark.table(name)
+
+
+KERNELS = {
+    "dedup_ngram": ("docs", k_dedup_ngram),
+    "dedup_clusters": ("docs", k_dedup_clusters),
+    "winnow_fps": ("docs", k_winnow_fps),
+    "winnow_pairs": ("docs", k_winnow_pairs),
+    "dedup_incremental": ("docs", k_dedup_incremental),
+    "pagerank": ("edges", k_pagerank),
+    "ann_index_build": ("embeddings", k_ann_index_build),
+    "stream_join": ("events", k_stream_join),
+}
+
+
+def _run_once(spark, fn, d) -> float:
+    t0 = time.perf_counter()
+    fn(spark, d).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    from htsql_spark import get_spark
+
+    scales = [1, 3, 10]
+    kernels = list(KERNELS)
+    for a in sys.argv[1:]:
+        if a.startswith("--scales"):
+            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+        if a.startswith("--kernels"):
+            kernels = a.split("=", 1)[1].split(",")
+
+    spark = get_spark("htsql-spark-scale", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    meta = ensure_fixtures(spark, scales)
+
+    size_key = {"docs": "docs", "edges": "edges", "embeddings": "embeddings", "events": "events"}
+    results = {}
+    for name in kernels:
+        axis, fn = KERNELS[name]
+        rows, times = [], []
+        for s in scales:
+            d = os.path.join(FIX, f"s{s}")
+            spark.catalog.clearCache()
+            _run_once(spark, fn, d)  # warm (codegen, shuffle files)
+            t = min(_run_once(spark, fn, d) for _ in range(2))
+            rows.append(meta[s][size_key[axis]])
+            times.append(round(t, 3))
+        # least-squares slope of log t vs log n
+        lx = [math.log(r) for r in rows]
+        ly = [math.log(max(t, 1e-3)) for t in times]
+        mx, my = sum(lx) / len(lx), sum(ly) / len(ly)
+        den = sum((x - mx) ** 2 for x in lx)
+        slope = (
+            sum((x - mx) * (y - my) for x, y in zip(lx, ly)) / den
+            if den > 0
+            else None  # single scale: no exponent (NaN is not JSON)
+        )
+        results[name] = {
+            "rows": rows,
+            "sec": times,
+            "exponent": round(slope, 3) if slope is not None else None,
+        }
+        print(json.dumps({"kernel": name, **results[name]}), flush=True)
+
+    print(json.dumps({"metric": "scale_curve", "scales": scales, "results": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -652,3 +652,45 @@ def test_stream_anomaly_state_is_fixed_width(spark):
     st = _parse_datatype_string(ev._ANOM_STATE)
     assert len(st.fields) == 3
     assert {f.dataType.typeName() for f in st.fields} <= {"long", "double"}
+
+
+def test_theta_join_nonbroadcast_extracts_equi_key(spark):
+    """theta_join(broadcast_right=False) with a mixed condition plans
+    a HASH-KEYED join (Catalyst extracts the equality conjunct; the
+    inequality is a residual filter) — never a nested loop.  A pure
+    inequality condition RAISES instead of silently planning a
+    cartesian; allow_unbounded=True is the explicit opt-in."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.joins import theta_join
+
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_extendedprice") > F.col("o_totalprice") * 0.5
+    )
+    out = theta_join(li, o, cond, broadcast_right=False)
+    phys = out._jdf.queryExecution().sparkPlan().toString()
+    assert "CartesianProduct" not in phys, phys
+    assert "BroadcastNestedLoopJoin" not in phys, phys
+    assert (
+        "SortMergeJoin" in phys
+        or "ShuffledHashJoin" in phys
+        or "BroadcastHashJoin" in phys
+    ), phys
+
+    bad = F.col("l_extendedprice") > F.col("o_totalprice") * 0.5
+    with _pytest.raises(ValueError, match="equality conjunct"):
+        theta_join(li, o, bad, broadcast_right=False)
+    # explicit opt-in still works (the documented small-corpus mode)
+    assert (
+        theta_join(li.limit(5), o.limit(5), bad, broadcast_right=False,
+                   allow_unbounded=True).count() >= 0
+    )

@@ -48,6 +48,30 @@ class HTSQL:
         self.spark = spark
         self.data_dir = data_dir.rstrip("/")
         self.catalog = catalog or Catalog.from_yaml()
+        # validated up front with named errors (reference: the tweak
+        # addons validate their parameters at configure time — a bad
+        # limit must not surface later as an opaque Spark error on
+        # the first query)
+        if autolimit is not None and (
+            not isinstance(autolimit, int)
+            or isinstance(autolimit, bool)
+            or autolimit < 1
+        ):
+            raise ValueError(
+                f"autolimit must be a positive integer or None, got"
+                f" {autolimit!r} (reference: tweak.autolimit's limit"
+                " parameter)"
+            )
+        if timeout is not None and (
+            not isinstance(timeout, (int, float))
+            or isinstance(timeout, bool)
+            or timeout <= 0
+        ):
+            raise ValueError(
+                f"timeout must be a positive number of seconds or None,"
+                f" got {timeout!r} (reference: tweak.timeout's timeout"
+                " parameter)"
+            )
         self.autolimit = autolimit  # reference: src/htsql/tweak/autolimit/
         self.timeout = timeout  # reference: src/htsql/tweak/timeout/
         #: reference-parity output ordering: the reference ALWAYS

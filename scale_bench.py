@@ -247,6 +247,12 @@ def k_ann_index_build(spark, d):
     tag = os.path.basename(d)
     table = f"scale_pq_codes_{tag}"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a fresh session's metastore does not know tables a PREVIOUS run
+    # created, but the managed location persists — clear it too
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), table)
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
     similarity.materialize_pq_index(emb, table, num_cells=16)
     from pyspark.sql import functions as F
 

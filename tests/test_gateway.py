@@ -118,3 +118,51 @@ def test_catalog_gateway_with_own_catalog(spark, tmp_path):
     assert len(db.produce("/mini(/region)")) == 5
     with pytest.raises(Exception):
         db.produce("/mini(/customer)")  # not in the sub-catalog
+
+
+def test_gateway_own_autolimit_applies_inside(spark):
+    """Per-gateway service config (reference: each gateway is an
+    independent catalog+connection): a gateway mounted with its own
+    autolimit truncates ITS results before they surface as a local
+    flow — and the local engine's (absent) autolimit does not undo
+    or double-apply it."""
+    from htsql_spark import HTSQL
+    from tests.conftest import SF_DIR
+
+    inner = HTSQL(spark, SF_DIR, autolimit=3)
+    db = HTSQL(spark, SF_DIR)
+    db.attach("lim", inner)
+    assert len(db.produce("/lim(/nation)")) == 3
+    # composition on top of the truncated gateway flow still works
+    rows = db.produce("/lim(/nation)?n_nationkey >= 0")
+    assert len(rows) <= 3
+
+
+def test_gateway_reattach_replaces(spark, tmp_path):
+    """Re-attaching an existing gateway name REPLACES the mount (the
+    documented semantics — a stale mount must not linger behind a
+    name the user has rebound)."""
+    import pandas as pd
+
+    from htsql_spark import HTSQL
+    from htsql_spark.catalog import Catalog
+    from tests.conftest import SF_DIR
+
+    d = tmp_path / "alt"
+    d.mkdir()
+    pd.DataFrame({"x": [1, 2]}).to_parquet(str(d / "things.parquet"))
+    db = HTSQL(spark, SF_DIR)
+    db.attach("alt", SF_DIR)
+    assert len(db.produce("/alt(/region)")) == 5
+    db.attach("alt", str(d), catalog=Catalog.from_files(str(d)))
+    assert len(db.produce("/alt(/things)")) == 2
+
+
+def test_gateway_scalar_and_format_pipe(gwdb):
+    """Gateway sub-queries accept any legal query (a scalar is a
+    1-row flow), and a format pipe on the OUTER query renders the
+    gateway result."""
+    rows = gwdb.produce("/mid(/2+2)")
+    assert len(rows) == 1 and list(rows[0].values()) == [4]
+    body = gwdb.emit("/mid(/region)/:csv")
+    assert body.startswith(b"r_regionkey")

@@ -2417,6 +2417,21 @@ def _lang_tumbling(spark, sf_dir):
     )
 
 
+def _lang_sliding(spark, sf_dir):
+    """sliding(window, slide) flow method through the parser:
+    overlapping epoch-aligned window aggregates lowered to
+    streaming.events.sliding_event_avg (the stream_sliding kernel).
+    Over the static table all windows emit; the oracle duplicates
+    each event into its two windows like the stream_sliding replay,
+    minus the watermark HAVING."""
+    from pyspark.sql import functions as F
+
+    df = _db(spark, sf_dir).df("/events.sliding('2 days', '1 day')")
+    return df.select(
+        "w_start", F.round("avg_value", 4).alias("avg_value"), "n"
+    )
+
+
 def _lang_sessions(spark, sf_dir):
     """sessions(gap) flow method through the parser: per-user
     gap-based session windows lowered to streaming.events.
@@ -3541,6 +3556,7 @@ _QUERIES.update(
         # plus the sketch aggregates (HLL distinct, KLL quantiles) in
         # audit/certificate form
         "lang_tumbling": _lang_tumbling,
+        "lang_sliding": _lang_sliding,
         "lang_sessions": _lang_sessions,
         "lang_anomalies": _lang_anomalies,
         "lang_distinct_count": _lang_distinct_count,
@@ -3578,160 +3594,58 @@ _QUERIES.update(
 # operator gets a hard driver verification.  Union r2..r6 remains all
 # oracle-backed queries.
 _GATE_ORDER = [
-    # kept flagships (op_dedup_embedding displaced by the third-wave
-    # lang rows — r6..r8 gate-green, its embedding_dup_pairs path
-    # untouched; "quotient" displaced to re-gate op_zorder_key, see
-    # below)
+    # kept flagships (whole-pipeline + quotient-fusion representatives)
     "agg_flagship", "tpch_q1",
     "op_curate", "op_dedup_pipeline",
-    # portable twins / kernel forms of the rows-only production ops
-    # (op_simhash_portable / op_kmeans_assign / op_kmeans_step
-    # displaced by the fourth-wave lang rows: r6..r8 gate-green,
-    # still oracle-replayed every pytest run; op_simhash_pairs_portable
-    # was later displaced too by the eighth wave — the simhash kernel
-    # stays gate-held by lang_dedup_simhash)
-    # r6 rows kept for breadth: CDC batch MERGE, Z-order clustering
-    # key, incremental winnowing, streaming CDC snapshot loop
-    # (op_kll_quantiles displaced r9: r6/r7/r8 gate-green,
-    # sketches.py untouched since r6; stream_quantiles displaced by
-    # the seventh wave — streaming stays gate-held by stream_cdc).
-    # op_zorder_key was briefly displaced mid-round on the WRONG
-    # claim that layout.py was untouched — the round's append-lock
-    # fix DID touch it — and is re-gated per the rotation policy
-    # (tests/test_rotation.py no longer exempts layout/skew);
-    # "quotient" is displaced instead (compile.py's quotient shape
-    # stays driver-covered via tpch_q1 and oracle-replayed in pytest).
-    "op_cdc_upsert", "op_zorder_key", "stream_cdc",
-    # (op_winnow_incremental displaced by the ninth wave's lang_mix:
-    # r6..r8 gate-green, textstats amply gate-held by the 4 winnow
-    # rows + op_classifier/op_entropy; oracle-replayed every pytest)
-    # ROUND-9 ROTATION (judge directive r8 #1/#3/#4/#5): the four new
-    # language-bridge rows (classify/dedup_minhash/tfidf/near through
-    # the parser), the ANN index split (build row + append row; the
-    # op_ann_ivfpq slot below now measures the query path only), the
-    # restored uncapped winnow kernel, and the two Zipfian
-    # derived-corpus twins.  op_classifier re-gates because
-    # classifier_scores was refactored over append_classifier_signals
-    # this round; op_entropy stays because append_entropy_signals'
-    # scratch-name contract changed.  Displaced (all gate-green r6+r7
-    # +r8 with code untouched this round; they stay oracle-replayed
-    # every pytest run): op_gopher (its append path is exercised by
-    # the gated lang_gopher), op_dsir, op_dup_spans,
-    # op_window_profile, op_lang_temperature, op_bigram_lm,
-    # op_langid_eval, op_hard_negatives, op_es_sample,
-    # op_kll_quantiles.
-    "lang_classify", "lang_dedup_minhash", "lang_tfidf", "lang_near",
-    "op_ann_index_build", "op_ann_append", "op_winnow_pairs_uncapped",
-    "op_dedup_ngram_zipf", "op_winnow_pairs_zipf", "op_classifier",
-    "op_entropy",
-    # ROUND-9 BRIDGE WIDENING, SECOND WAVE (r8 verdict "What's
-    # missing" #2 — language-surface breadth): stats()/pii()/
-    # sample()/split()/sessionize()/winnow() flow methods, each with
-    # its own oracle row.  lang_sessionize also hard-verifies the
-    # analytics.append_session_index refactor (op_sessionize shares
-    # the kernel and stays oracle-replayed in pytest); lang_split/
-    # lang_sample hard-verify the pipeline.split_expr refactor
-    # (op_split shares it).  Displaced (all gate-green r8 — several
-    # also r6/r7 — with their code untouched this round; all stay
-    # oracle-replayed every pytest run): stream_topk, stream_curate,
-    # stream_distinct, op_dedup_incremental, op_pagerank,
-    # op_skew_join.
-    "lang_stats", "lang_pii", "lang_sample",
-    "lang_split", "lang_sessionize", "lang_winnow",
-    # ROUND-9 BRIDGE WIDENING, THIRD WAVE: chunk()/repetition()/
-    # unigram()/dsir(target) flow methods — chunking, repetition
-    # quality, perplexity-proxy scoring, and domain-targeted DSIR
-    # resampling as language surface, each value-checked against the
-    # corresponding operator oracle (op_chunk / op_repetition /
-    # op_unigram_lm / op_dsir kernels).  Displaced (gate-green r8 or
-    # earlier with code untouched this round; oracle-replayed every
-    # pytest run): tpch_q17, tpch_q21 (tpch_q3 stays as the TPC-H
-    # composition representative — the lang_* rows exercise the same
-    # compile.py), op_zorder_key, op_dedup_embedding.
-    "lang_chunk", "lang_repetition", "lang_unigram", "lang_dsir",
-    # ROUND-9 BRIDGE WIDENING, FOURTH WAVE: the remaining dedup tiers
-    # (bucketed n-gram Jaccard, portable simhash) and token-budget
-    # selection as language surface — the dedup family is now fully
-    # reachable from the query language (exact/minhash/ngram/simhash).
-    "lang_dedup_ngram", "lang_dedup_simhash", "lang_budget",
-    # ROUND-9 BRIDGE WIDENING, FIFTH WAVE: the events-analytics family
-    # as the bridge's first RESHAPING flow methods — funnel() /
-    # retention() / transitions() replace the flow with a derived
-    # projection scope (kernel attributes), so selection / sieve /
-    # sort / limit compose after the reshape.  Displaced (all r8
-    # first-hard-row green with their modules — multimodal.py,
-    # olap.py — untouched this round; oracle-replayed every pytest
-    # run): op_audio_dedup, op_table_stats, op_zscore.
-    "lang_funnel", "lang_retention", "lang_transitions",
-    # ROUND-9 BRIDGE WIDENING, SIXTH WAVE: zscore(value, group...) —
-    # generic group-wise feature standardization of arbitrary
-    # expressions — plus dup_spans() (substring-dedup diagnostics)
-    # and pack(budget) (the GPT-style pre-training packing layout).
-    # op_zscore re-gates because group_zscore was refactored over the
-    # new shared append_zscore kernel (olap.py) the flow method
-    # lowers to.  Displaced (all r8 gate-green, their remaining
-    # modules each still held by other gated rows — similarity by
-    # op_ann_index_build/op_ann_append/op_ann_ivfpq, pipeline by
-    # op_curate/op_tfidf, analytics by op_cdc_upsert, streaming
-    # untouched this round and held by stream_cdc):
-    # op_ann_pq, op_bootstrap_ci, op_triangles, stream_anomaly.
-    "lang_zscore", "lang_dup_spans", "lang_pack", "op_zscore",
-    # ROUND-9 BRIDGE WIDENING, SEVENTH WAVE: profile() brings the
-    # analytic-window family to the language (the reference delegates
-    # this workload to hand-written backend SQL, SURVEY §2 F11/F20
-    # boundary) and hard-verifies the append_window_profile refactor
-    # op_window_profile now rides on; heavy_hitters(expr, f) reshapes
-    # to exact frequent items at Misra-Gries sketch cost;
-    # decontaminate(benchmark) is the first flow method with a
-    # FLOW-VALUED argument (eval-set decontamination as language).
-    # Displaced: op_dedup_ngram (its capped kernel is gate-held by
-    # lang_dedup_ngram + op_dedup_ngram_zipf this round),
-    # stream_quantiles (streaming untouched this round, held by
-    # stream_cdc; r6+ gate-green), lang_gopher (the resolution-order
-    # contract it pilots is exercised by every other lang_* row;
-    # lang_entropy stays — it pins the r9 unprefixed-appended-name
-    # fix).
-    "lang_profile", "lang_heavy_hitters", "lang_decontam",
-    # ROUND-9 BRIDGE WIDENING, EIGHTH WAVE: cluster() — near-dup
-    # cluster ids (the iterative large-star/small-star contraction)
-    # value-proven end-to-end against a recursive-CTE SQL oracle over
-    # the capped n-gram pair graph.  Displaced:
-    # op_simhash_pairs_portable (r6+ gate-green; the simhash kernel
-    # is gate-held by lang_dedup_simhash, whose oracle replays the
-    # same pair rule; dedup.py module coverage stays via
-    # op_dedup_pipeline / op_dedup_ngram_zipf).
-    "lang_cluster",
-    # ROUND-9 BRIDGE WIDENING, NINTH WAVE: mix(label, name, frac, ...)
-    # — deterministic training-mixture weights as a flow restrictor
-    # (the op_mix kernel; rates fixed by one compile-time count per
-    # partition, selection a pure md5 function of the key).
-    "lang_mix",
-    # streaming/curate.py changed late in the round (index self-heal,
-    # batch-id base marker, band-param threading, cache-leak fix) —
-    # its gate row rotates back in per the rotation policy's spirit
-    # (the module map only tracks operators/*, so the test would not
-    # force this).  Displaced: op_tfidf (pipeline stays gate-held by
-    # op_curate; the tfidf kernel by lang_tfidf, r9 gate-green).
-    "stream_curate",
-    # ROUND-8 ROTATION (judge directive r6/r7 #1): the last remaining
-    # of the 8 registry ops that had NEVER had a hard driver
-    # CORRECTNESS row before r8; op_ann_ivfpq now measures the
-    # query-only path over the materialized PQ code index.
-    "op_ann_ivfpq",
-    # LATE-ROUND KERNEL REVIEW ROTATION: the joins/sketches review
-    # changed semantics — asof_join (null-ts exclusion, deterministic
-    # payload-hash ties, per-side 'nearest' tolerance), heavy_hitters
-    # (exact NaN item), kll (NaN excluded like NULL) — so their rows
-    # take gate slots per the rotation policy.  Displaced: scan,
-    # tpch_q3 (compile shapes held by tpch_q1 + every lang row),
-    # op_winnow_portable, op_winnow_pairs_portable (textstats held by
-    # the uncapped/zipf winnow rows + op_classifier/op_entropy).
-    "op_asof_join", "op_asof_nearest", "op_heavy_hitters",
-    "op_kll_quantiles",
-    # r8 language-bridge pilot re-verified (compile.py changed again
-    # this round — the appended-name resolution order it pins must
-    # hold under the widened FLOW_METHODS table)
-    "lang_entropy",
+    # retained r6+ infra rows: CDC batch MERGE, streaming CDC
+    # snapshot loop, streaming dedup-ingest (curate.py changed again
+    # this round — the legacy batch-id-base adoption fix)
+    "op_cdc_upsert", "stream_cdc", "stream_curate",
+    # ROUND-10, directive #2/#3: the streaming family reaches the
+    # language (tumbling/session windows, expanding-z anomalies —
+    # batch-replayable with exact DuckDB oracles) and the sketch
+    # aggregates arrive as flow methods (HLL distinct, KLL quantiles
+    # in the established audit/certificate form)
+    "lang_tumbling", "lang_sliding", "lang_sessions", "lang_anomalies",
+    "lang_distinct_count", "lang_quantiles",
+    # ROUND-10, directive #5: the fixed-iteration integer-quantized
+    # k-means twin — the last no_oracle family gains a bit-for-bit
+    # hash-checkable full-loop oracle
+    "op_kmeans_portable",
+    # ROUND-10, directive #6: theta_join's containment guard at a
+    # non-broadcastable right side (equality-conjunct extraction
+    # asserted in the kernel AND locked by tests/test_plans.py)
+    "op_theta_fact",
+    # ROUND-10 ROTATION, directive #4: the 20 longest-stale rows —
+    # each one's most recent HARD driver record was r1–r3 (pytest
+    # value-replays them every run, but the driver-side record must
+    # not age indefinitely).  Language core F2–F18 witnesses, OLAP
+    # cube, set ops, PII scrub, mixture weights.
+    # (19 rotations: "quotient" yields its slot to lang_sliding —
+    # tpch_q1 already hard-verifies the quotient fusion every round)
+    "selection", "sieve", "wildcard", "nav_singular", "nav_plural",
+    "fork", "detach", "locator", "locator_text", "identity",
+    "define", "given_ref", "computed_link",
+    "op_cube", "op_set_union", "op_set_intersect", "op_set_except",
+    "op_pii", "op_mix",
+    # retained r9 rows whose modules changed THIS round (rotation
+    # policy, tests/test_rotation.py): joins.py (multi-bucket outer
+    # guard + theta containment) -> the asof rows; similarity.py
+    # (kmeans_portable) -> the ANN index/concurrency rows
+    "op_asof_join", "op_asof_nearest",
+    "op_ann_ivfpq", "op_ann_index_build", "op_ann_append",
+    # retained: the sketch kernels the new lang_distinct_count /
+    # lang_quantiles rows lower to (r9 NaN-semantics pins)
+    "op_heavy_hitters", "op_kll_quantiles",
+    # retained perf-tracked heavy text kernels (uncapped winnow, the
+    # Zipfian derived-corpus twins) + the textstats signal pins
+    "op_winnow_pairs_uncapped", "op_dedup_ngram_zipf",
+    "op_winnow_pairs_zipf", "op_classifier", "op_entropy",
+    # retained: shared-window zscore kernel, the full-corpus cluster
+    # graph, mix() (its zero-count partition fix landed this round),
+    # and the appended-name resolution-order pin (compile.py changed
+    # again: five new flow methods widen FLOW_METHODS to 40)
+    "op_zscore", "lang_cluster", "lang_mix", "lang_entropy",
 ]
 assert len(_GATE_ORDER) == 50 and len(set(_GATE_ORDER)) == 50
 _QUERIES = {k: _QUERIES[k] for k in _GATE_ORDER} | {
@@ -5792,6 +5706,18 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
        CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS w_end,
        event_type, count(*) AS n, round(sum(value), 4) AS total
 FROM events GROUP BY 1, 2, 3
+"""
+    # sliding(): each event duplicated into its two epoch-aligned
+    # windows, no watermark HAVING (complete history in batch)
+    out["lang_sliding"] = """
+WITH x AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, value FROM events
+  UNION ALL
+  SELECT CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS TIMESTAMP) AS w_start,
+         value FROM events
+)
+SELECT w_start, round(avg(value), 4) AS avg_value, count(*) AS n
+FROM x GROUP BY 1
 """
     # sessions(): the stream_session gaps-and-islands replay (session
     # end = last ts + gap) — identical plan, identical oracle

@@ -2480,6 +2480,31 @@ def _fm_tumbling(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     )
 
 
+def _fm_sliding(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """sliding(window, slide) — reshape an events flow into
+    OVERLAPPING epoch-aligned window aggregates (streaming.events.
+    sliding_event_avg, the stream_sliding kernel: the SAME
+    F.window(window, slide) plan the stream runs): attributes
+    ``w_start`` / ``avg_value`` / ``n``.  Each event lands in
+    window/slide windows; over a static table ALL windows emit
+    (complete history — the stream emits the watermark-closed
+    prefix)."""
+    if len(args) != 2:
+        raise CompileError(
+            "sliding(window, slide) takes exactly two interval literals"
+        )
+    window = _fm_interval_lit(args, 0, "sliding")
+    slide = _fm_interval_lit(args, 1, "sliding")
+    from .streaming.events import sliding_event_avg
+
+    cols = _fm_events_cols(v, "sliding", ("ts", "value"))
+    narrow = v.flow.df.select(*[F.col(c).alias(n) for n, c in cols.items()])
+    return _fm_reshape(
+        cc, v, "sliding", sliding_event_avg(narrow, window=window, slide=slide),
+        ["w_start", "avg_value", "n"],
+    )
+
+
 def _fm_sessions(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     """sessions([gap]) — reshape an events flow into per-user
     gap-based session windows (streaming.events.session_counts, the
@@ -2648,6 +2673,7 @@ FLOW_METHODS = {
     "cluster": _fm_cluster,
     "mix": _fm_mix,
     "tumbling": _fm_tumbling,
+    "sliding": _fm_sliding,
     "sessions": _fm_sessions,
     "anomalies": _fm_anomalies,
     "distinct_count": _fm_distinct_count,

@@ -1132,3 +1132,21 @@ def test_alias_wins_over_every_appended_attribute(db, query, key, attr):
     assert rows, query
     for r in rows:
         assert r[attr] == r[key] + 100, (query, dict(r))
+
+
+def test_flow_method_sliding_matches_kernel(db):
+    """sliding(window, slide) equals sliding_event_avg in batch (all
+    windows, no watermark filter), and the reshape composes."""
+    from htsql_spark.streaming.events import sliding_event_avg
+
+    got = {
+        (str(r["w_start"]), round(r["avg_value"], 6), r["n"])
+        for r in db.produce("/events.sliding('2 days', '1 day')")
+    }
+    exp = {
+        (str(r["w_start"]), round(r["avg_value"], 6), r["n"])
+        for r in sliding_event_avg(db.table("events")).collect()
+    }
+    assert got == exp
+    top = db.produce("/events.sliding('2 days', '1 day').sort(n-).limit(1){n}")
+    assert top[0]["n"] == max(t[2] for t in exp)

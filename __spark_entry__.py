@@ -2399,6 +2399,22 @@ def _lang_mix(spark, sf_dir):
     )
 
 
+def _lang_asof(spark, sf_dir):
+    """asof(other, on, ts, payload) flow method through the parser —
+    F16's as-of join reaches the language as the second
+    flow-valued-argument method (after decontaminate): each purchase
+    gets the latest same-user click at or before it (joins.asof_join,
+    the op_asof_join kernel; union + ordered window, never an
+    inequality join).  The fixture's click slice has no (user_id, ts)
+    ties at sf0.001/sf0.01, so DuckDB's ASOF LEFT JOIN replays it
+    value-for-value."""
+    return _db(spark, sf_dir).df(
+        "/(events?event_type='purchase')"
+        ".asof(events?event_type='click', user_id, ts, event_id)"
+        "{event_id, user_id, asof_ts, asof_event_id}"
+    )
+
+
 def _lang_tumbling(spark, sf_dir):
     """tumbling(interval) flow method through the parser — the
     streaming family's first language surface (r9 verdict "What's
@@ -3555,6 +3571,7 @@ _QUERIES.update(
         # the static events table so exact DuckDB oracles exist —
         # plus the sketch aggregates (HLL distinct, KLL quantiles) in
         # audit/certificate form
+        "lang_asof": _lang_asof,
         "lang_tumbling": _lang_tumbling,
         "lang_sliding": _lang_sliding,
         "lang_sessions": _lang_sessions,
@@ -3606,8 +3623,8 @@ _GATE_ORDER = [
     # batch-replayable with exact DuckDB oracles) and the sketch
     # aggregates arrive as flow methods (HLL distinct, KLL quantiles
     # in the established audit/certificate form)
-    "lang_tumbling", "lang_sliding", "lang_sessions", "lang_anomalies",
-    "lang_distinct_count", "lang_quantiles",
+    "lang_asof", "lang_tumbling", "lang_sliding", "lang_sessions",
+    "lang_anomalies", "lang_distinct_count", "lang_quantiles",
     # ROUND-10, directive #5: the fixed-iteration integer-quantized
     # k-means twin — the last no_oracle family gains a bit-for-bit
     # hash-checkable full-loop oracle
@@ -3621,12 +3638,14 @@ _GATE_ORDER = [
     # value-replays them every run, but the driver-side record must
     # not age indefinitely).  Language core F2–F18 witnesses, OLAP
     # cube, set ops, PII scrub, mixture weights.
-    # (19 rotations: "quotient" yields its slot to lang_sliding —
-    # tpch_q1 already hard-verifies the quotient fusion every round)
+    # (18 rotations: "quotient" and "op_set_intersect" yield their
+    # slots to lang_sliding / lang_asof — tpch_q1 hard-verifies the
+    # quotient fusion every round, and the set-op family keeps two
+    # gate witnesses)
     "selection", "sieve", "wildcard", "nav_singular", "nav_plural",
     "fork", "detach", "locator", "locator_text", "identity",
     "define", "given_ref", "computed_link",
-    "op_cube", "op_set_union", "op_set_intersect", "op_set_except",
+    "op_cube", "op_set_union", "op_set_except",
     "op_pii", "op_mix",
     # retained r9 rows whose modules changed THIS round (rotation
     # policy, tests/test_rotation.py): joins.py (multi-bucket outer
@@ -5706,6 +5725,16 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
        CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS w_end,
        event_type, count(*) AS n, round(sum(value), 4) AS total
 FROM events GROUP BY 1, 2, 3
+"""
+    # asof(): DuckDB's native ASOF LEFT JOIN replays the kernel
+    # value-for-value (no (user_id, ts) ties in the click slice, so
+    # the kernel's hash tiebreak never fires)
+    out["lang_asof"] = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+ c AS (SELECT user_id, ts, event_id AS pay FROM events
+       WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, c.ts AS asof_ts, c.pay AS asof_event_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
 """
     # sliding(): each event duplicated into its two epoch-aligned
     # windows, no watermark HAVING (complete history in batch)

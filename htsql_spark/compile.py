@@ -2330,6 +2330,84 @@ def _fm_decontaminate(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     return v
 
 
+def _fm_asof(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """asof(other, on, ts, payload[, direction]) — append the AS-OF
+    match from another flow: for each row, the ``payload`` of the
+    ``other`` row with an equal ``on`` key nearest in ``ts``
+    (operators.joins.asof_join — the op_asof_join kernel: tagged
+    union + ordered window, NEVER an inequality join).  Appends
+    ``asof_ts`` (the matched row's timestamp) and ``asof_<payload>``;
+    unmatched rows keep NULLs.  ``direction`` is 'backward' (default:
+    latest other.ts <= ts), 'forward', or 'nearest'.  The second
+    flow-valued-argument method after decontaminate():
+    ``/(events?event_type='purchase')
+    .asof(events?event_type='click', user_id, ts, event_id)``.
+    Completes F16's theta/range/as-of family in the language.
+
+    Scale: both sides narrow to (key, on, ts[, payload]) before the
+    union — one shuffle on the ``on`` key, one ordered window pass,
+    then an id-keyed join back that ships ids + two columns."""
+    if not 4 <= len(args) <= 5:
+        raise CompileError(
+            "asof(other, on, ts, payload[, direction]) takes a flow"
+            " argument, three attribute names and an optional direction"
+        )
+    from .operators.joins import asof_join
+
+    flow = v.flow
+    home = ScopeRef(cc.engine.home_flow(), "", None)
+    other = cc.eval(ctx, home, args[0])
+    if not isinstance(other, FlowV):
+        raise CompileError(
+            "asof() needs a flow argument (a table or a sieved table,"
+            " e.g. events?event_type='click')"
+        )
+    for i, what in ((1, "on"), (2, "ts"), (3, "payload")):
+        if not isinstance(args[i], N.Identifier):
+            raise CompileError(
+                f"asof() {what} argument must be an attribute name"
+            )
+    direction = (
+        _fm_str_lit(args, 4, "asof") if len(args) == 5 else "backward"
+    )
+    if direction not in ("backward", "forward", "nearest"):
+        raise CompileError(
+            "asof() direction must be 'backward', 'forward' or 'nearest'"
+        )
+    scope = ScopeRef(flow, flow.alias, flow.table)
+    oflow = other.flow
+    oscope = ScopeRef(oflow, oflow.alias, oflow.table)
+    l_on = cc.scalar(ctx, scope, args[1]).col
+    l_ts = cc.scalar(ctx, scope, args[2]).col
+    r_on = cc.scalar(ctx, oscope, args[1]).col
+    r_ts = cc.scalar(ctx, oscope, args[2]).col
+    payload = cc.scalar(ctx, oscope, args[3]).col
+    pname = args[3].name
+    key = _fm_survivor_key(
+        cc, ctx, v, [], "asof",
+        example="apply asof() to a flow whose table declares a pk",
+    )
+    prefix = cc.engine.fresh("__ao") + "_"
+    left = flow.df.select(
+        key.alias("__ak"), l_on.alias("__on"), l_ts.alias("__ts")
+    )
+    right = oflow.df.select(
+        r_on.alias("__on"), r_ts.alias("__ts"), payload.alias(f"{prefix}{pname}")
+    )
+    res = asof_join(
+        left, right, on="__on", left_ts="__ts", right_ts="__ts",
+        right_cols=[f"{prefix}{pname}"], direction=direction,
+    )
+    matched = res.select(
+        "__ak",
+        F.col("r___ts").alias(f"{prefix}ts"),
+        f"{prefix}{pname}",
+    )
+    _fm_join_back(cc, flow, key, matched, join_key="__ak")
+    _fm_register_extra(flow, [f"{prefix}ts", f"{prefix}{pname}"], prefix, "asof_")
+    return v
+
+
 def _fm_events_cols(v: FlowV, method: str, need: tuple[str, ...]) -> dict[str, str]:
     """The flow's physical event columns, required by the events-
     analytics flow methods (events-shaped flows)."""
@@ -2672,6 +2750,7 @@ FLOW_METHODS = {
     "decontaminate": _fm_decontaminate,
     "cluster": _fm_cluster,
     "mix": _fm_mix,
+    "asof": _fm_asof,
     "tumbling": _fm_tumbling,
     "sliding": _fm_sliding,
     "sessions": _fm_sessions,

@@ -1150,3 +1150,48 @@ def test_flow_method_sliding_matches_kernel(db):
     assert got == exp
     top = db.produce("/events.sliding('2 days', '1 day').sort(n-).limit(1){n}")
     assert top[0]["n"] == max(t[2] for t in exp)
+
+
+def test_flow_method_asof_matches_kernel(db, spark):
+    """asof(other, on, ts, payload) through the parser equals the
+    asof_join kernel demo (purchases_asof_clicks), composes after a
+    sieve, and supports 'forward'."""
+    from htsql_spark.operators.joins import purchases_asof_clicks
+
+    got = {
+        (r["event_id"], r["asof_event_id"], str(r["asof_ts"]))
+        for r in db.produce(
+            "/(events?event_type='purchase')"
+            ".asof(events?event_type='click', user_id, ts, event_id)"
+            "{event_id, asof_ts, asof_event_id}"
+        )
+    }
+    # the kernel demo prededuplicates (user, ts) ties; the fixture's
+    # click/purchase slices have none, so values agree exactly
+    exp = {
+        (r["event_id"], r["click_id"], str(r["click_ts"]))
+        for r in purchases_asof_clicks(db.table("events")).collect()
+    }
+    assert got == exp
+    fwd = db.produce(
+        "/(events?event_type='purchase')"
+        ".asof(events?event_type='click', user_id, ts, event_id, 'forward')"
+        "{event_id, user_id, ts, asof_ts}?!is_null(asof_ts)"
+    )
+    assert fwd and all(r["asof_ts"] >= r["ts"] for r in fwd)
+
+
+def test_flow_method_asof_errors(db):
+    import pytest as _pytest
+
+    from htsql_spark import CompileError
+
+    for q, pat in [
+        ("/events.asof(events, user_id, ts)", "takes a flow"),
+        ("/events.asof(5, user_id, ts, event_id)", "flow argument"),
+        ("/events.asof(events, user_id+1, ts, event_id)", "attribute name"),
+        ("/events.asof(events, user_id, ts, event_id, 'sideways')",
+         "backward"),
+    ]:
+        with _pytest.raises(CompileError, match=pat):
+            db.df(q)

@@ -1195,3 +1195,14 @@ def test_flow_method_asof_errors(db):
     ]:
         with _pytest.raises(CompileError, match=pat):
             db.df(q)
+
+
+def test_sketch_reshapes_on_empty_flows(db):
+    """Graceful empties (locked semantics): quantiles() over an empty
+    flow reshapes to ZERO rows (no state to query); global
+    distinct_count() yields one row with 0; grouped distinct_count()
+    yields zero rows (no groups)."""
+    assert db.df("/(lineitem?l_quantity<0).quantiles(l_quantity, 0.5)").count() == 0
+    g = db.produce("/(events?event_id<0).distinct_count(user_id)")
+    assert len(g) == 1 and g[0]["approx_distinct"] == 0
+    assert db.df("/(events?event_id<0).distinct_count(user_id, event_type)").count() == 0

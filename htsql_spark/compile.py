@@ -2383,6 +2383,13 @@ def _fm_asof(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     r_ts = cc.scalar(ctx, oscope, args[2]).col
     payload = cc.scalar(ctx, oscope, args[3]).col
     pname = args[3].name
+    if pname == "ts":
+        # the matched timestamp already comes back as asof_ts — a
+        # payload of the same name would silently collapse onto it
+        raise CompileError(
+            "asof() payload 'ts' collides with the appended asof_ts —"
+            " the matched timestamp is returned automatically"
+        )
     key = _fm_survivor_key(
         cc, ctx, v, [], "asof",
         example="apply asof() to a flow whose table declares a pk",

@@ -376,9 +376,14 @@ def expanding_anomalies(
     stateful form."""
     from pyspark.sql.window import Window
 
+    # nulls LAST: pandas sort_values puts NaT at the end, so the
+    # stateful kernel processes null-ts rows after every timestamped
+    # row — Spark's default asc_nulls_first would silently feed them
+    # into every row's prior statistics instead (DuckDB's ASC default
+    # is also NULLS LAST, so the oracle agrees)
     w = (
         Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     xv = F.coalesce(F.col("value").cast("double"), F.lit(0.0))

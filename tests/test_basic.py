@@ -1206,3 +1206,12 @@ def test_sketch_reshapes_on_empty_flows(db):
     g = db.produce("/(events?event_id<0).distinct_count(user_id)")
     assert len(g) == 1 and g[0]["approx_distinct"] == 0
     assert db.df("/(events?event_id<0).distinct_count(user_id, event_type)").count() == 0
+
+
+def test_flow_method_asof_payload_ts_collision_is_error(db):
+    import pytest as _pytest
+
+    from htsql_spark import CompileError
+
+    with _pytest.raises(CompileError, match="asof_ts"):
+        db.df("/events.asof(events, user_id, ts, ts)")

@@ -1045,3 +1045,33 @@ def test_batch_id_base_legacy_checkpoint_keeps_identity_mapping(spark, tmp_path)
     os.makedirs(f"{archive2}/batch=7")
     assert _batch_id_base(spark, archive2) == 8
     assert _batch_id_base(spark, archive2) == 8
+
+
+def test_expanding_anomalies_null_ts_ordering_matches_stateful(spark):
+    """Null timestamps sort LAST (pandas NaT order — what the
+    stateful kernel actually does), so they never pollute the prior
+    statistics of timestamped rows; they are still scored themselves,
+    against everything before them.  Spark's default nulls-FIRST
+    window order would silently invert this."""
+    import datetime as dt
+
+    from htsql_spark.streaming.events import expanding_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # 30 calm values then one spike, plus a NULL-ts row
+        *[
+            (i, "t", base + dt.timedelta(minutes=i), 10.0 + (i % 3) * 0.1)
+            for i in range(30)
+        ],
+        (30, "t", base + dt.timedelta(minutes=30), 500.0),  # spike
+        (31, "t", None, 500.0),  # null ts, same magnitude
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = {r["event_id"]: r for r in expanding_anomalies(df, 3.0, 10).collect()}
+    # the spike is flagged with n_prior = 30 (null-ts row NOT counted)
+    assert 30 in out and out[30]["n_prior"] == 30
+    # the null-ts row is scored LAST, against all 31 prior rows
+    assert 31 in out and out[31]["n_prior"] == 31

@@ -2546,6 +2546,53 @@ def _lang_quantiles(spark, sf_dir):
     )
 
 
+def _lang_quantiles_by(spark, sf_dir):
+    """quantiles(expr, q..., group...) — the GROUPED form through the
+    parser (one KLL state per group, merged at the group grain):
+    certificate form per group like op_kll_quantiles — exact per-group
+    count plus the self-certified rank-band checks."""
+    from pyspark.sql import functions as F
+
+    df = _db(spark, sf_dir).df(
+        "/lineitem.quantiles(l_quantity, 0.5, 0.9, l_returnflag)"
+    )
+    li = _db(spark, sf_dir).table("lineitem")
+    j = li.select("l_returnflag", "l_quantity").join(
+        F.broadcast(df), "l_returnflag"
+    )
+    agg = j.groupBy("l_returnflag").agg(
+        F.first("n").alias("n"),
+        F.first("err").alias("err"),
+        *[
+            f
+            for q in ("50", "90")
+            for f in (
+                F.sum(
+                    (F.col("l_quantity") < F.col(f"p{q}")).cast("long")
+                ).alias(f"lt{q}"),
+                F.sum(
+                    (F.col("l_quantity") <= F.col(f"p{q}")).cast("long")
+                ).alias(f"le{q}"),
+            )
+        ],
+    )
+
+    def _cert(q: float, lt: str, le: str):
+        target = F.ceil(F.lit(q) * F.col("n") - F.lit(1e-9))
+        return (
+            ((F.col(lt) + 1 - F.col("err")) <= target)
+            & (target <= (F.col(le) + F.col("err")))
+        )
+
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("exact_n"),
+        _cert(0.5, "lt50", "le50").alias("cert_p50"),
+        _cert(0.9, "lt90", "le90").alias("cert_p90"),
+        (F.col("err") <= 0.05 * F.col("n")).alias("err_informative"),
+    )
+
+
 def _op_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup: argmax-to-centroid cells (the
     seeded deterministic cells, so the oracle replays the assignment
@@ -3578,6 +3625,7 @@ _QUERIES.update(
         "lang_anomalies": _lang_anomalies,
         "lang_distinct_count": _lang_distinct_count,
         "lang_quantiles": _lang_quantiles,
+        "lang_quantiles_by": _lang_quantiles_by,
     }
 )
 
@@ -3625,6 +3673,7 @@ _GATE_ORDER = [
     # in the established audit/certificate form)
     "lang_asof", "lang_tumbling", "lang_sliding", "lang_sessions",
     "lang_anomalies", "lang_distinct_count", "lang_quantiles",
+    "lang_quantiles_by",
     # ROUND-10, directive #5: the fixed-iteration integer-quantized
     # k-means twin — the last no_oracle family gains a bit-for-bit
     # hash-checkable full-loop oracle
@@ -3651,7 +3700,10 @@ _GATE_ORDER = [
     # policy, tests/test_rotation.py): joins.py (multi-bucket outer
     # guard + theta containment) -> the asof rows; similarity.py
     # (kmeans_portable) -> the ANN index/concurrency rows
-    "op_asof_join", "op_asof_nearest",
+    # (op_asof_nearest yields its slot to the grouped-quantiles row:
+    # r9 gate-green, the nearest kernel path is exercised by the
+    # asof family's pytest parity suite every run)
+    "op_asof_join",
     "op_ann_ivfpq", "op_ann_index_build", "op_ann_append",
     # retained: the sketch kernels the new lang_distinct_count /
     # lang_quantiles rows lower to (r9 NaN-semantics pins)
@@ -5764,6 +5816,11 @@ FROM x GROUP BY 1
     out["lang_quantiles"] = (
         "SELECT count(l_quantity) AS exact_n, TRUE AS cert_p50,"
         " TRUE AS cert_p90, TRUE AS err_informative FROM lineitem"
+    )
+    out["lang_quantiles_by"] = (
+        "SELECT l_returnflag, count(l_quantity) AS exact_n,"
+        " TRUE AS cert_p50, TRUE AS cert_p90, TRUE AS err_informative"
+        " FROM lineitem GROUP BY 1"
     )
     # z-order key: the Morton interleave is pure bit arithmetic, so
     # the oracle is the SAME sum-of-shifted-bits expression spelled

@@ -2331,7 +2331,8 @@ def _fm_decontaminate(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
 
 
 def _fm_asof(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
-    """asof(other, on, ts, payload[, direction]) — append the AS-OF
+    """asof(other, on, ts, payload[, direction[, tolerance]]) —
+    append the AS-OF
     match from another flow: for each row, the ``payload`` of the
     ``other`` row with an equal ``on`` key nearest in ``ts``
     (operators.joins.asof_join — the op_asof_join kernel: tagged
@@ -2347,10 +2348,11 @@ def _fm_asof(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     Scale: both sides narrow to (key, on, ts[, payload]) before the
     union — one shuffle on the ``on`` key, one ordered window pass,
     then an id-keyed join back that ships ids + two columns."""
-    if not 4 <= len(args) <= 5:
+    if not 4 <= len(args) <= 6:
         raise CompileError(
             "asof(other, on, ts, payload[, direction]) takes a flow"
-            " argument, three attribute names and an optional direction"
+            " argument, three attribute names, an optional direction"
+            " and an optional tolerance interval"
         )
     from .operators.joins import asof_join
 
@@ -2368,12 +2370,15 @@ def _fm_asof(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
                 f"asof() {what} argument must be an attribute name"
             )
     direction = (
-        _fm_str_lit(args, 4, "asof") if len(args) == 5 else "backward"
+        _fm_str_lit(args, 4, "asof") if len(args) >= 5 else "backward"
     )
     if direction not in ("backward", "forward", "nearest"):
         raise CompileError(
             "asof() direction must be 'backward', 'forward' or 'nearest'"
         )
+    tolerance = (
+        _fm_interval_lit(args, 5, "asof") if len(args) == 6 else None
+    )
     scope = ScopeRef(flow, flow.alias, flow.table)
     oflow = other.flow
     oscope = ScopeRef(oflow, oflow.alias, oflow.table)
@@ -2404,6 +2409,7 @@ def _fm_asof(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     res = asof_join(
         left, right, on="__on", left_ts="__ts", right_ts="__ts",
         right_cols=[f"{prefix}{pname}"], direction=direction,
+        tolerance=tolerance,
     )
     matched = res.select(
         "__ak",
@@ -2680,26 +2686,54 @@ def _fm_distinct_count(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
 
 
 def _fm_quantiles(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
-    """quantiles(expr, q1[, q2...]) — reshape the flow into one row of
-    APPROXIMATE quantile estimates of ``expr`` (mergeable KLL sketch,
-    operators.sketches.kll_sketch_states/kll_quantiles — the
-    op_kll_quantiles kernel, k=256): attributes ``n`` (exact),
-    ``err`` (the certified worst-case rank error) and one ``pXX``
-    estimate per requested quantile (``p50`` for 0.5).  One Arrow
-    pass builds bounded per-partition states; only serialized states
-    shuffle — the single-pass answer exact percentile() cannot give
-    at 100 TB without a full sort."""
+    """quantiles(expr, q1[, q2...][, group...]) — reshape the flow
+    into APPROXIMATE quantile estimates of ``expr`` (mergeable KLL
+    sketch, operators.sketches.kll_sketch_states/kll_merge/
+    kll_quantiles — the op_kll_quantiles kernel, k=256): one row per
+    group (trailing attribute-name arguments; none → one global row)
+    with attributes ``n`` (exact), ``err`` (the certified worst-case
+    rank error) and one ``pXX`` estimate per requested quantile
+    (``p50`` for 0.5).  One Arrow pass builds bounded per-(partition,
+    group) states; only serialized states shuffle — the single-pass
+    answer exact percentile() cannot give at 100 TB without a full
+    sort."""
     if len(args) < 2:
         raise CompileError(
-            "quantiles(expr, q1[, q2...]) takes a value expression and"
-            " at least one quantile literal"
+            "quantiles(expr, q1[, q2...][, group...]) takes a value"
+            " expression and at least one quantile literal"
         )
     from .operators.sketches import kll_merge, kll_quantiles, kll_sketch_states
 
     flow = v.flow
     scope = ScopeRef(flow, flow.alias, flow.table)
     expr = cc.scalar(ctx, scope, args[0]).col
-    qs = [_fm_frac_lit(args, i, "quantiles") for i in range(1, len(args))]
+    # fractions first, then optional trailing group attribute names
+    import decimal
+
+    i = 1
+    qs: list[float] = []
+    while (
+        i < len(args)
+        and isinstance(args[i], N.Literal)
+        and isinstance(args[i].value, (int, float, decimal.Decimal))
+    ):
+        qs.append(_fm_frac_lit(args, i, "quantiles"))
+        i += 1
+    if not qs:
+        raise CompileError(
+            "quantiles(expr, q1[, q2...][, group...]) takes a value"
+            " expression and at least one quantile literal"
+        )
+    groups: list[tuple[str, Column]] = []
+    for a in args[i:]:
+        if not isinstance(a, N.Identifier):
+            raise CompileError(
+                "quantiles() group arguments must be attribute names"
+                " (after the quantile literals)"
+            )
+        groups.append((a.name, cc.scalar(ctx, scope, a).col))
+    if len({g for g, _ in groups}) != len(groups):
+        raise CompileError("quantiles() names a group twice")
     for q in qs:
         if not 0 < q <= 1:
             raise CompileError("quantiles() fractions must be in (0, 1]")
@@ -2710,15 +2744,22 @@ def _fm_quantiles(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
             "quantiles() is not defined on a correlated sub-flow —"
             " apply it to a top-level flow"
         )
-    narrow = flow.df.select(expr.cast("double").alias("__qv"))
+    gnames = [g for g, _ in groups]
+    narrow = flow.df.select(
+        expr.cast("double").alias("__qv"), *[c.alias(g) for g, c in groups]
+    )
     try:
         res = kll_quantiles(
-            kll_merge(kll_sketch_states(narrow, "__qv", by=None, k=256)), qs
+            kll_merge(
+                kll_sketch_states(narrow, "__qv", by=gnames or None, k=256),
+                by=gnames or None,
+            ),
+            qs,
         )
     except ValueError as exc:  # e.g. duplicate quantiles
         raise CompileError(f"quantiles(): {exc}") from None
-    names = [c for c in res.columns if c not in ("n", "err")]
-    return _fm_reshape(cc, v, "quantiles", res, ["n", "err"] + names)
+    names = [c for c in res.columns if c not in ("n", "err") and c not in gnames]
+    return _fm_reshape(cc, v, "quantiles", res, gnames + ["n", "err"] + names)
 
 
 FLOW_METHODS = {

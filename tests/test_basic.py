@@ -1215,3 +1215,44 @@ def test_flow_method_asof_payload_ts_collision_is_error(db):
 
     with _pytest.raises(CompileError, match="asof_ts"):
         db.df("/events.asof(events, user_id, ts, ts)")
+
+
+def test_flow_method_quantiles_grouped_and_asof_tolerance(db):
+    """Grouped quantiles: one row per group, exact n per group,
+    estimates within the carried rank band; asof tolerance discards
+    matches further than the interval."""
+    rows = {r["l_returnflag"]: r for r in db.produce(
+        "/lineitem.quantiles(l_quantity, 0.5, l_returnflag)"
+    )}
+    exact = {}
+    for x in db.produce("/lineitem{l_returnflag, l_quantity}"):
+        exact.setdefault(x["l_returnflag"], []).append(x["l_quantity"])
+    assert set(rows) == set(exact)
+    import math
+
+    for rf, r in rows.items():
+        vals = sorted(exact[rf])
+        assert r["n"] == len(vals)
+        target = math.ceil(0.5 * r["n"] - 1e-9)
+        lt = sum(1 for v in vals if v < r["p50"])
+        le = sum(1 for v in vals if v <= r["p50"])
+        assert lt + 1 - r["err"] <= target <= le + r["err"]
+    # tolerance: every surviving backward match is within the interval
+    tol = db.produce(
+        "/(events?event_type='purchase')"
+        ".asof(events?event_type='click', user_id, ts, event_id,"
+        " 'backward', '1 hour')"
+        "{ts, asof_ts}?!is_null(asof_ts)"
+    )
+    assert tol and all(
+        0 <= (r["ts"] - r["asof_ts"]).total_seconds() <= 3600 for r in tol
+    )
+    # groups must follow the quantile literals, and be attribute names
+    import pytest as _pytest
+
+    from htsql_spark import CompileError
+
+    with _pytest.raises(CompileError, match="group arguments"):
+        db.df("/lineitem.quantiles(l_quantity, 0.5, l_returnflag+1)")
+    with _pytest.raises(CompileError, match="quantile literal"):
+        db.df("/lineitem.quantiles(l_quantity, l_returnflag)")

@@ -2513,36 +2513,8 @@ def _lang_quantiles(spark, sf_dir):
 
     df = _db(spark, sf_dir).df("/lineitem.quantiles(l_quantity, 0.5, 0.9)")
     li = _db(spark, sf_dir).table("lineitem")
-    j = li.select("l_quantity").join(F.broadcast(df))  # 1-row cross
-    agg = j.agg(
-        F.first("n").alias("n"),
-        F.first("err").alias("err"),
-        *[
-            f
-            for q in ("50", "90")
-            for f in (
-                F.sum(
-                    (F.col("l_quantity") < F.col(f"p{q}")).cast("long")
-                ).alias(f"lt{q}"),
-                F.sum(
-                    (F.col("l_quantity") <= F.col(f"p{q}")).cast("long")
-                ).alias(f"le{q}"),
-            )
-        ],
-    )
-
-    def _cert(q: float, lt: str, le: str):
-        target = F.ceil(F.lit(q) * F.col("n") - F.lit(1e-9))
-        return (
-            ((F.col(lt) + 1 - F.col("err")) <= target)
-            & (target <= (F.col(le) + F.col("err")))
-        )
-
-    return agg.select(
-        F.col("n").alias("exact_n"),
-        _cert(0.5, "lt50", "le50").alias("cert_p50"),
-        _cert(0.9, "lt90", "le90").alias("cert_p90"),
-        (F.col("err") <= 0.05 * F.col("n")).alias("err_informative"),
+    return _kll_rank_certificate(
+        li.select("l_quantity"), "l_quantity", df, [0.5, 0.9]
     )
 
 
@@ -2557,39 +2529,9 @@ def _lang_quantiles_by(spark, sf_dir):
         "/lineitem.quantiles(l_quantity, 0.5, 0.9, l_returnflag)"
     )
     li = _db(spark, sf_dir).table("lineitem")
-    j = li.select("l_returnflag", "l_quantity").join(
-        F.broadcast(df), "l_returnflag"
-    )
-    agg = j.groupBy("l_returnflag").agg(
-        F.first("n").alias("n"),
-        F.first("err").alias("err"),
-        *[
-            f
-            for q in ("50", "90")
-            for f in (
-                F.sum(
-                    (F.col("l_quantity") < F.col(f"p{q}")).cast("long")
-                ).alias(f"lt{q}"),
-                F.sum(
-                    (F.col("l_quantity") <= F.col(f"p{q}")).cast("long")
-                ).alias(f"le{q}"),
-            )
-        ],
-    )
-
-    def _cert(q: float, lt: str, le: str):
-        target = F.ceil(F.lit(q) * F.col("n") - F.lit(1e-9))
-        return (
-            ((F.col(lt) + 1 - F.col("err")) <= target)
-            & (target <= (F.col(le) + F.col("err")))
-        )
-
-    return agg.select(
-        "l_returnflag",
-        F.col("n").alias("exact_n"),
-        _cert(0.5, "lt50", "le50").alias("cert_p50"),
-        _cert(0.9, "lt90", "le90").alias("cert_p90"),
-        (F.col("err") <= 0.05 * F.col("n")).alias("err_informative"),
+    return _kll_rank_certificate(
+        li.select("l_returnflag", "l_quantity"), "l_quantity", df,
+        [0.5, 0.9], group_cols=["l_returnflag"],
     )
 
 
@@ -3194,6 +3136,55 @@ def _op_skew_join(spark, sf_dir):
     )
 
 
+def _kll_rank_certificate(values, value_col, est, qs, group_cols=None):
+    """Shared certificate check for the KLL rows (op_kll_quantiles /
+    lang_quantiles / lang_quantiles_by): join the raw values against
+    the broadcast (model-sized) estimate rows and verify that the
+    true rank of each pXX estimate lies within the carried worst-case
+    ``err`` of ceil(q*n) — the exact query's integral rank target
+    (comparing against the raw fraction would over-reject when q*n is
+    fractional and the carried err is small).  ONE implementation on
+    purpose: the rank-band formula is gate-load-bearing, and three
+    drifting copies were flagged by the round-10 review."""
+    from pyspark.sql import functions as F
+
+    group_cols = list(group_cols or [])
+    j = (
+        values.join(F.broadcast(est), group_cols)
+        if group_cols
+        else values.join(F.broadcast(est))  # 1-row broadcast cross
+    )
+    labels = [(q, f"p{int(round(q * 100))}") for q in qs]
+    aggs = [F.first("n").alias("n"), F.first("err").alias("err")]
+    for q, name in labels:
+        aggs.append(
+            F.sum((F.col(value_col) < F.col(name)).cast("long")).alias(
+                f"lt{name}"
+            )
+        )
+        aggs.append(
+            F.sum((F.col(value_col) <= F.col(name)).cast("long")).alias(
+                f"le{name}"
+            )
+        )
+    grouped = j.groupBy(*group_cols) if group_cols else j.groupBy()
+    agg = grouped.agg(*aggs)
+
+    def _cert(q: float, name: str):
+        target = F.ceil(F.lit(q) * F.col("n") - F.lit(1e-9))
+        return (
+            ((F.col(f"lt{name}") + 1 - F.col("err")) <= target)
+            & (target <= (F.col(f"le{name}") + F.col("err")))
+        ).alias(f"cert_{name}")
+
+    return agg.select(
+        *group_cols,
+        F.col("n").alias("exact_n"),
+        *[_cert(q, name) for q, name in labels],
+        (F.col("err") <= 0.05 * F.col("n")).alias("err_informative"),
+    )
+
+
 def _op_edit_dedup(spark, sf_dir):
     """Fuzzy-match tier (dedup.edit_dup_pairs): pairs within 5
     Levenshtein edits, LSH-banded candidates + threshold-form
@@ -3342,45 +3333,9 @@ def _op_kll_quantiles(spark, sf_dir):
         li, "l_quantity", by=["l_returnflag", "l_linestatus"], k=256
     )
     qs = kll_quantiles(kll_merge(fine, by=["l_returnflag"]), [0.5, 0.9])
-    # exact rank band of each estimate: [count(< est) + 1, count(<= est)]
-    # widened by err must contain q*n (tied values make the band a range)
-    j = li.select("l_returnflag", "l_quantity").join(
-        F.broadcast(qs), "l_returnflag"
-    )
-    agg = j.groupBy("l_returnflag").agg(
-        F.first("n").alias("n"),
-        F.first("err").alias("err"),
-        *[
-            f
-            for q in ("50", "90")
-            for f in (
-                F.sum(
-                    (F.col("l_quantity") < F.col(f"p{q}")).cast("long")
-                ).alias(f"lt{q}"),
-                F.sum(
-                    (F.col("l_quantity") <= F.col(f"p{q}")).cast("long")
-                ).alias(f"le{q}"),
-            )
-        ],
-    )
-
-    def _cert(q: float, lt: str, le: str):
-        # integral target: the exact query answers rank ceil(q*n)
-        # (smallest cumulative weight >= q*n); comparing against the
-        # raw fraction over-rejects when q*n is fractional and the
-        # carried err is small
-        target = F.ceil(F.lit(q) * F.col("n") - F.lit(1e-9))
-        return (
-            ((F.col(lt) + 1 - F.col("err")) <= target)
-            & (target <= (F.col(le) + F.col("err")))
-        )
-
-    return agg.select(
-        "l_returnflag",
-        F.col("n").alias("exact_n"),
-        _cert(0.5, "lt50", "le50").alias("cert_p50"),
-        _cert(0.9, "lt90", "le90").alias("cert_p90"),
-        (F.col("err") <= 0.05 * F.col("n")).alias("err_informative"),
+    return _kll_rank_certificate(
+        li.select("l_returnflag", "l_quantity"), "l_quantity", qs,
+        [0.5, 0.9], group_cols=["l_returnflag"],
     )
 
 
@@ -5772,11 +5727,16 @@ FROM documents d LEFT JOIN m ON d.doc_id = m.node
     # over the static table emits ALL windows (no watermark HAVING:
     # the language sees complete history; F.window('1 day') is
     # epoch-aligned, so date_trunc replays it exactly)
+    # WHERE ts IS NOT NULL on all three: F.window / F.session_window
+    # generate no window for a null timestamp (Catalyst inserts the
+    # isnotnull filter), while a bare SQL GROUP BY would keep a NULL
+    # window group — latent divergence if the fixture ever gains
+    # null-ts events (the suite defends null ts elsewhere)
     out["lang_tumbling"] = """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
        CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS w_end,
        event_type, count(*) AS n, round(sum(value), 4) AS total
-FROM events GROUP BY 1, 2, 3
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
 """
     # asof(): DuckDB's native ASOF LEFT JOIN replays the kernel
     # value-for-value (no (user_id, ts) ties in the click slice, so
@@ -5791,18 +5751,22 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
     # sliding(): each event duplicated into its two epoch-aligned
     # windows, no watermark HAVING (complete history in batch)
     out["lang_sliding"] = """
-WITH x AS (
-  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, value FROM events
+WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+x AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, value FROM e
   UNION ALL
   SELECT CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS TIMESTAMP) AS w_start,
-         value FROM events
+         value FROM e
 )
 SELECT w_start, round(avg(value), 4) AS avg_value, count(*) AS n
 FROM x GROUP BY 1
 """
     # sessions(): the stream_session gaps-and-islands replay (session
     # end = last ts + gap) — identical plan, identical oracle
-    out["lang_sessions"] = out["stream_session"]
+    out["lang_sessions"] = out["stream_session"].replace(
+        "FROM events WINDOW",
+        "FROM events WHERE ts IS NOT NULL WINDOW",
+    )
     # anomalies(): the stream_anomaly expanding-window SQL verbatim —
     # the batch twin is value-identical to the stateful drain
     out["lang_anomalies"] = out["stream_anomaly"]

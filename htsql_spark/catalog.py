@@ -124,6 +124,7 @@ class Catalog:
             keys[tname] = td.qualified
         # second pass: links + reverse links (targets may be spelled
         # bare or namespace-qualified)
+        retired: set[tuple[str, str]] = set()  # (tkey, bare) → _via_ only
         for tname, spec in raw["tables"].items():
             okey = keys[tname]
             for lname, lspec in (spec.get("links") or {}).items():
@@ -134,7 +135,12 @@ class Catalog:
                 fwd = Link(lname, okey, tkey, cols, tcols, is_singular=True)
                 tables[okey].links[lname] = fwd
                 rname = tables[okey].name
-                if rname in tables[tkey].links:
+                if (tkey, rname) in retired:
+                    # a THIRD (or later) fk to the same target: the
+                    # bare name is already retired — it must not be
+                    # silently reclaimed (setdefault below would)
+                    rname = f"{tables[okey].name}_via_{'_'.join(cols)}"
+                elif rname in tables[tkey].links:
                     # a SECOND fk from the same origin to this target
                     # (orders.o_custkey and orders.o_clerkkey both →
                     # customer): BOTH reverse links go under _via_
@@ -151,6 +157,7 @@ class Catalog:
                     if prev.target == okey and not prev.is_singular:
                         pname = f"{rname}_via_{'_'.join(prev.target_cols)}"
                         tables[tkey].links.setdefault(pname, prev)
+                        retired.add((tkey, rname))
                     else:
                         tables[tkey].links[rname] = prev
                     rname = f"{tables[okey].name}_via_{'_'.join(cols)}"

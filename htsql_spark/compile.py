@@ -2672,6 +2672,14 @@ def _fm_distinct_count(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
             raise CompileError(
                 "distinct_count() group arguments must be attribute names"
             )
+        if a.name == "approx_distinct":
+            # would collide with the reshape's own output attribute at
+            # execution time (ambiguous column) — name it at compile
+            # time, before resolution
+            raise CompileError(
+                "distinct_count() group name 'approx_distinct' collides"
+                " with the output attribute"
+            )
         groups.append((a.name, cc.scalar(ctx, scope, a).col))
     if len({g for g, _ in groups}) != len(groups):
         raise CompileError("distinct_count() names a group twice")
@@ -2724,12 +2732,24 @@ def _fm_quantiles(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
             "quantiles(expr, q1[, q2...][, group...]) takes a value"
             " expression and at least one quantile literal"
         )
+    reserved = {"n", "err"} | {
+        ("p" + f"{q * 100:g}".replace(".", "_")) for q in qs
+    }
     groups: list[tuple[str, Column]] = []
     for a in args[i:]:
         if not isinstance(a, N.Identifier):
             raise CompileError(
                 "quantiles() group arguments must be attribute names"
                 " (after the quantile literals)"
+            )
+        if a.name in reserved:
+            # would collide with the reshape's own output attributes
+            # at execution time (ambiguous column) — name it at
+            # compile time, BEFORE resolution so the message is about
+            # the collision, not attribute existence
+            raise CompileError(
+                f"quantiles() group name {a.name!r} collides with an"
+                " output attribute (n / err / pXX)"
             )
         groups.append((a.name, cc.scalar(ctx, scope, a).col))
     if len({g for g, _ in groups}) != len(groups):

@@ -224,9 +224,23 @@ def theta_join(
     out = left.join(right, condition, how)
     if not allow_unbounded:
         # one driver-side planning pass (cached for the real action):
-        # verify Catalyst found a hash/sort-merge key in the condition
-        plan = out._jdf.queryExecution().sparkPlan().toString()
-        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        # verify Catalyst found a hash/sort-merge key in the condition.
+        # Inspect only THIS join's node — the root-most join in the
+        # plan tree — not the whole plan string: an upstream input may
+        # legitimately carry a sanctioned broadcast-1-row nested loop
+        # (detach/histogram pattern) or an allow_unbounded theta join,
+        # and a substring scan would false-positive on it.
+        node = out._jdf.queryExecution().sparkPlan()
+        stack, own = [node], None
+        while stack:
+            n = stack.pop()
+            name = n.nodeName()
+            if "Join" in name or name in ("CartesianProduct",):
+                own = name
+                break
+            for i in range(n.children().size()):
+                stack.append(n.children().apply(i))
+        if own in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             raise ValueError(
                 "theta_join: condition has no extractable equality"
                 " conjunct, so the non-broadcast join degenerates to a"

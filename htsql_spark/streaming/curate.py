@@ -84,18 +84,22 @@ def _batch_id_base(spark: SparkSession, archive_path: str) -> int:
             stream.close()
         return int(raw or 0)
     base = 0
-    # legacy adoption: if THIS checkpoint already committed batches
+    # legacy adoption: if THIS checkpoint already STARTED any batch
     # (archive produced by pre-marker code) the existing batch=N dirs
     # were written under the identity mapping — base must stay 0 so a
     # crash-retried in-flight batch overwrites its OWN old dir instead
-    # of duplicating its documents under batch=base+N.  max+1 is
-    # reserved for genuinely fresh checkpoints adopting a foreign
-    # archive.
-    commits = jvm.org.apache.hadoop.fs.Path(
-        f"{archive_path}__checkpoint", "commits"
+    # of duplicating its documents under batch=base+N.  The OFFSETS
+    # log is the witness, not commits/: a pre-marker run that crashed
+    # DURING its first batch has offsets/0 and archive/batch=0 but no
+    # commit yet — keying on commits/ would misclassify exactly that
+    # in-flight case as a foreign-archive adoption and duplicate the
+    # retried batch.  max+1 stays reserved for genuinely fresh
+    # checkpoints (no offsets log at all) adopting a foreign archive.
+    offsets = jvm.org.apache.hadoop.fs.Path(
+        f"{archive_path}__checkpoint", "offsets"
     )
-    if fs.exists(commits) and any(
-        s.getPath().getName().isdigit() for s in fs.listStatus(commits)
+    if fs.exists(offsets) and any(
+        s.getPath().getName().isdigit() for s in fs.listStatus(offsets)
     ):
         out = fs.create(marker, True)
         try:

@@ -393,20 +393,24 @@ def expanding_anomalies(
         .withColumn("__mean", F.avg("__xv").over(w))
         .withColumn("__sd", F.stddev_samp("__xv").over(w))
     )
-    z = F.round((F.col("__xv") - F.col("__mean")) / F.col("__sd"), 6)
+    # threshold on the UNROUNDED ratio (the stateful kernel and the
+    # SQL oracle both do); round only the OUTPUT — filtering on the
+    # rounded value would drop a row whose true |z| sits in
+    # (threshold, threshold + 5e-7]
+    zraw = (F.col("__xv") - F.col("__mean")) / F.col("__sd")
     return (
-        pre.withColumn("z", z)
+        pre.withColumn("__zraw", zraw)
         .filter(
             (F.col("__npr") >= min_n)
             & (F.col("__sd") > 0)
-            & (F.abs(F.col("z")) > z_threshold)
+            & (F.abs(F.col("__zraw")) > z_threshold)
         )
         .select(
             "event_id",
             "event_type",
             "value",
             F.col("__npr").alias("n_prior"),
-            "z",
+            F.round("__zraw", 6).alias("z"),
         )
     )
 

@@ -296,11 +296,25 @@ def main() -> None:
 
     scales = [1, 3, 10]
     kernels = list(KERNELS)
-    for a in sys.argv[1:]:
-        if a.startswith("--scales"):
-            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
-        if a.startswith("--kernels"):
-            kernels = a.split("=", 1)[1].split(",")
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        # accept both --flag=v and --flag v forms
+        if "=" in a:
+            flag, val = a.split("=", 1)
+        else:
+            flag, val = a, (argv[i + 1] if i + 1 < len(argv) else "")
+            if flag in ("--scales", "--kernels"):
+                i += 1
+        if flag == "--scales":
+            scales = [int(x) for x in val.split(",") if x]
+        elif flag == "--kernels":
+            kernels = [k for k in val.split(",") if k]
+        i += 1
+    unknown = [k for k in kernels if k not in KERNELS]
+    if unknown:
+        raise SystemExit(f"unknown kernels: {unknown}; have {list(KERNELS)}")
 
     spark = get_spark("htsql-spark-scale", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")

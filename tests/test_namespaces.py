@@ -122,3 +122,14 @@ def test_dual_fk_reverse_links_both_get_via_names(tmp_path):
     path.write_text(yaml.safe_dump(raw, sort_keys=False))
     cat2 = Catalog.from_yaml(str(path))
     assert set(cat2.tables["customer"].links) == set(links)
+    # a THIRD fk must not silently reclaim the retired bare name
+    # (round-10 review: the pop made it available to setdefault again)
+    raw["tables"]["orders"]["links"]["referrer"] = {
+        "cols": ["o_refkey"], "target": "customer",
+    }
+    path.write_text(yaml.safe_dump(raw, sort_keys=False))
+    cat3 = Catalog.from_yaml(str(path))
+    links3 = cat3.tables["customer"].links
+    assert "orders" not in links3
+    assert links3["orders_via_o_refkey"].target_cols == ("o_refkey",)
+    assert set(links3) == set(links) | {"orders_via_o_refkey"}

@@ -694,3 +694,28 @@ def test_theta_join_nonbroadcast_extracts_equi_key(spark):
         theta_join(li.limit(5), o.limit(5), bad, broadcast_right=False,
                    allow_unbounded=True).count() >= 0
     )
+
+
+def test_theta_join_guard_ignores_upstream_nested_loops(spark):
+    """The containment guard inspects ITS OWN join node only: an
+    upstream sanctioned broadcast-1-row nested loop (the
+    detach/histogram pattern) must not false-positive a perfectly
+    hash-keyed theta join."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.joins import theta_join
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    one = li.agg(F.max("l_extendedprice").alias("__mx"))
+    left = li.join(F.broadcast(one))  # sanctioned 1-row cross join
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_extendedprice") > F.col("o_totalprice") * 0.5
+    )
+    out = theta_join(left, o, cond, broadcast_right=False)
+    assert out.count() >= 0  # guard did not raise

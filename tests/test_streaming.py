@@ -1029,15 +1029,26 @@ def test_batch_id_base_legacy_checkpoint_keeps_identity_mapping(spark, tmp_path)
     archive = str(tmp_path / "arch")
     os.makedirs(f"{archive}/batch=0")
     os.makedirs(f"{archive}/batch=1")
-    # legacy: commits log exists, marker absent
-    os.makedirs(f"{archive}__checkpoint/commits")
-    with open(f"{archive}__checkpoint/commits/0", "w") as f:
+    # legacy: offsets log exists, marker absent
+    os.makedirs(f"{archive}__checkpoint/offsets")
+    with open(f"{archive}__checkpoint/offsets/0", "w") as f:
         f.write("v1\n{}")
-    with open(f"{archive}__checkpoint/commits/1", "w") as f:
+    with open(f"{archive}__checkpoint/offsets/1", "w") as f:
         f.write("v1\n{}")
     assert _batch_id_base(spark, archive) == 0
     # the decision is persisted: a retry reads the same base
     assert _batch_id_base(spark, archive) == 0
+
+    # the in-flight crash case: the FIRST batch started (offsets/0,
+    # archive/batch=0 written) but never committed — still the
+    # identity mapping, or the retried batch 0 would duplicate its
+    # documents under batch=1
+    archive3 = str(tmp_path / "arch3")
+    os.makedirs(f"{archive3}/batch=0")
+    os.makedirs(f"{archive3}__checkpoint/offsets")
+    with open(f"{archive3}__checkpoint/offsets/0", "w") as f:
+        f.write("v1\n{}")
+    assert _batch_id_base(spark, archive3) == 0
 
     # genuinely fresh checkpoint adopting a foreign archive → max+1
     archive2 = str(tmp_path / "arch2")

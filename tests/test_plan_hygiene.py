@@ -73,9 +73,10 @@ ARROW_OK = {
     # KLL sketch build/merge/query are declared Arrow passes (states
     # shuffle, never values)
     "op_kll_quantiles",
-    # quantiles() lowers to the same KLL Arrow passes; the audit row
-    # then certifies the 1-row estimate against the exact rank band
+    # quantiles() lowers to the same KLL Arrow passes; the audit rows
+    # then certify the estimates against the exact rank bands
     "lang_quantiles",
+    "lang_quantiles_by",
 }
 
 #: nested-loop joins bounded by a broadcast single-row / tiny side:

@@ -2415,6 +2415,20 @@ def _lang_asof(spark, sf_dir):
     )
 
 
+def _lang_asof_tol(spark, sf_dir):
+    """asof() with a tolerance interval through the parser: backward
+    matches further than 1 hour are discarded (merge_asof semantics —
+    for 'backward' all earlier candidates are even further, so
+    out-of-tolerance means unmatched).  The oracle is the plain ASOF
+    LEFT JOIN with the tolerance applied as a post-join CASE."""
+    return _db(spark, sf_dir).df(
+        "/(events?event_type='purchase')"
+        ".asof(events?event_type='click', user_id, ts, event_id,"
+        " 'backward', '1 hour')"
+        "{event_id, user_id, asof_ts, asof_event_id}"
+    )
+
+
 def _lang_tumbling(spark, sf_dir):
     """tumbling(interval) flow method through the parser — the
     streaming family's first language surface (r9 verdict "What's
@@ -3574,6 +3588,7 @@ _QUERIES.update(
         # plus the sketch aggregates (HLL distinct, KLL quantiles) in
         # audit/certificate form
         "lang_asof": _lang_asof,
+        "lang_asof_tol": _lang_asof_tol,
         "lang_tumbling": _lang_tumbling,
         "lang_sliding": _lang_sliding,
         "lang_sessions": _lang_sessions,
@@ -5737,6 +5752,19 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
        CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS w_end,
        event_type, count(*) AS n, round(sum(value), 4) AS total
 FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
+"""
+    # asof() with tolerance: backward's latest-match rule means an
+    # out-of-tolerance match implies NO in-tolerance match exists —
+    # the post-join CASE is exact
+    out["lang_asof_tol"] = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+ c AS (SELECT user_id, ts, event_id AS pay FROM events
+       WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+  CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.ts END AS asof_ts,
+  CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.pay END
+    AS asof_event_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
 """
     # asof(): DuckDB's native ASOF LEFT JOIN replays the kernel
     # value-for-value (no (user_id, ts) ties in the click slice, so

@@ -3162,13 +3162,17 @@ def _kll_rank_certificate(values, value_col, est, qs, group_cols=None):
     drifting copies were flagged by the round-10 review."""
     from pyspark.sql import functions as F
 
+    from htsql_spark.operators.sketches import kll_quantile_name
+
     group_cols = list(group_cols or [])
     j = (
         values.join(F.broadcast(est), group_cols)
         if group_cols
         else values.join(F.broadcast(est))  # 1-row broadcast cross
     )
-    labels = [(q, f"p{int(round(q * 100))}") for q in qs]
+    # the kernel's own naming formula — fractional-percent quantiles
+    # (q=0.255 → 'p25_5') certify with the same column the kernel emits
+    labels = [(q, kll_quantile_name(q)) for q in qs]
     aggs = [F.first("n").alias("n"), F.first("err").alias("err")]
     for q, name in labels:
         aggs.append(

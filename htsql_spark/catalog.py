@@ -28,6 +28,14 @@ import os
 from dataclasses import dataclass, field
 
 
+class CatalogError(ValueError):
+    """A malformed or ambiguous catalog declaration — raised at load
+    time so the mount fails loudly instead of a traversal silently
+    vanishing (the same rationale as the bare-name retirement below:
+    which arc survives a name collision must never depend on YAML
+    declaration order)."""
+
+
 @dataclass(frozen=True)
 class Link:
     """A navigable arc between two tables (reference:
@@ -156,12 +164,31 @@ class Catalog:
                     # that happens to share the name keeps its slot
                     if prev.target == okey and not prev.is_singular:
                         pname = f"{rname}_via_{'_'.join(prev.target_cols)}"
-                        tables[tkey].links.setdefault(pname, prev)
+                        if tables[tkey].links.get(pname, prev) is not prev:
+                            # the computed _via_ name collides with an
+                            # explicitly declared link (or two fks from
+                            # the same origin share identical cols):
+                            # dropping either arc silently is the same
+                            # loss class the bare-name retirement
+                            # exists to prevent — fail the load
+                            raise CatalogError(
+                                f"reverse link name {pname!r} on table"
+                                f" {tkey!r} collides with an existing"
+                                " link — rename the declared link or"
+                                " adjust the fk columns"
+                            )
+                        tables[tkey].links[pname] = prev
                         retired.add((tkey, rname))
                     else:
                         tables[tkey].links[rname] = prev
                     rname = f"{tables[okey].name}_via_{'_'.join(cols)}"
                 rev = Link(rname, tkey, okey, tcols, cols, is_singular=False)
+                if "_via_" in rname and rname in tables[tkey].links:
+                    raise CatalogError(
+                        f"reverse link name {rname!r} on table {tkey!r}"
+                        " collides with an existing link — rename the"
+                        " declared link or adjust the fk columns"
+                    )
                 tables[tkey].links.setdefault(rname, rev)
         return cls(tables, gateways=dict(raw.get("gateways") or {}))
 

@@ -2399,6 +2399,15 @@ def _fm_asof(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
         cc, ctx, v, [], "asof",
         example="apply asof() to a flow whose table declares a pk",
     )
+    if "asof_ts" in v.flow.extra:
+        # a second .asof() would re-register the public 'asof_ts' /
+        # 'asof_<payload>' names, silently shadowing the first call's
+        # appended attributes (same spirit as the payload=='ts' guard)
+        raise CompileError(
+            "asof() was already applied to this flow — rename the"
+            " first match with a selection ({..., prev := asof_ts})"
+            " before matching again"
+        )
     prefix = cc.engine.fresh("__ao") + "_"
     left = flow.df.select(
         key.alias("__ak"), l_on.alias("__on"), l_ts.alias("__ts")

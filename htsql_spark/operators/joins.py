@@ -218,11 +218,32 @@ def theta_join(
       unbounded big-big case (the documented small-corpus / exact
       modes elsewhere in this package follow the same convention:
       quadratic shapes exist only behind a loud flag).
+
+    The ``broadcast_right=False`` guard is BATCH-ONLY: it forces
+    analysis + physical planning at DataFrame-construction time,
+    which a streaming input cannot do (and pays a driver planning
+    pass per call).  Streaming callers must pick one of the two
+    declared containment shapes (``broadcast_right=True`` or
+    ``allow_unbounded=True``) instead — the guard raises a named
+    error rather than letting Spark fail deep inside planning.
+    Caveat: the inspected plan is the pre-AQE ``sparkPlan``; AQE can
+    later REPLACE a shuffled hash join with a broadcast join, but it
+    never turns an extracted-key join back into a nested loop, so a
+    pass here is conservative in the safe direction.
     """
     if broadcast_right:
         return left.join(F.broadcast(right), condition, how)
     out = left.join(right, condition, how)
     if not allow_unbounded:
+        if left.isStreaming or right.isStreaming:
+            raise ValueError(
+                "theta_join: the broadcast_right=False plan guard is"
+                " batch-only (it inspects the physical plan at"
+                " construction time, which a streaming DataFrame"
+                " cannot produce) — use broadcast_right=True for a"
+                " model-sized right side, or allow_unbounded=True to"
+                " opt in without the guard"
+            )
         # one driver-side planning pass (cached for the real action):
         # verify Catalyst found a hash/sort-merge key in the condition.
         # Inspect only THIS join's node — the root-most join in the

@@ -919,6 +919,17 @@ def kll_merge(
     return states.groupBy(*by).applyInPandas(merge_group, schema)
 
 
+def kll_quantile_name(q: float) -> str:
+    """The output-column name for quantile ``q`` (``p50`` for 0.5,
+    ``p25_5`` for 0.255).  SINGLE source of truth — the certificate
+    helpers that later resolve these columns import this formula, so
+    kernel and certificate can never drift (round-10 ADVICE)."""
+    pct = q * 100
+    if abs(pct - round(pct)) < 1e-9:
+        return f"p{int(round(pct))}"
+    return "p" + f"{pct:g}".replace(".", "_")
+
+
 def kll_quantiles(
     states: DataFrame,
     qs: list[float],
@@ -933,13 +944,7 @@ def kll_quantiles(
     for q in qs:
         if not (0 < q <= 1):
             raise ValueError(f"kll_quantiles: quantile {q} outside (0, 1]")
-    def _name(q: float) -> str:
-        pct = q * 100
-        if abs(pct - round(pct)) < 1e-9:
-            return f"p{int(round(pct))}"
-        return "p" + f"{pct:g}".replace(".", "_")
-
-    names = [_name(q) for q in qs]
+    names = [kll_quantile_name(q) for q in qs]
     if len(set(names)) != len(names):
         raise ValueError(f"kll_quantiles: duplicate quantiles {qs}")
     keep = [c for c in states.columns if c != state_col]

@@ -263,3 +263,21 @@ def test_kll_fuzz_certificate_under_random_splits(vals, k, n_splits, q):
     assert _cert_ok(vals, est, q, merged["err"]), (q, est, merged["err"])
     # serialization roundtrip is lossless at any state
     assert S._kll_deserialize(S._kll_serialize(merged)) == merged
+
+
+def test_kll_quantile_name_single_source():
+    """kll_quantile_name is the ONE naming formula (round-10 ADVICE:
+    the gate certificate derived its own f"p{int(round(q*100))}",
+    which diverges for fractional percents like 0.255)."""
+    from htsql_spark.operators.sketches import kll_quantile_name
+
+    assert kll_quantile_name(0.5) == "p50"
+    assert kll_quantile_name(0.999) == "p99_9"
+    assert kll_quantile_name(0.255) == "p25_5"
+    # the certificate helper resolves the SAME names the kernel emits
+    import inspect
+
+    import __spark_entry__ as entry
+
+    src = inspect.getsource(entry._kll_rank_certificate)
+    assert "kll_quantile_name" in src

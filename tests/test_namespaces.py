@@ -133,3 +133,51 @@ def test_dual_fk_reverse_links_both_get_via_names(tmp_path):
     assert "orders" not in links3
     assert links3["orders_via_o_refkey"].target_cols == ("o_refkey",)
     assert set(links3) == set(links) | {"orders_via_o_refkey"}
+
+
+def test_via_name_collision_is_a_load_error(tmp_path):
+    """A computed _via_ reverse-link name colliding with an existing
+    link is a NAMED load error, not a silent arc drop (round-10
+    ADVICE: setdefault used to discard the reverse traversal)."""
+    import yaml as _yaml
+
+    from htsql_spark.catalog import CatalogError
+
+    # (a) an explicitly declared link occupies the via-name the
+    # dual-fk relabel needs
+    raw = {
+        "tables": {
+            "customer": {
+                "pk": ["c_custkey"],
+                "prefix": "c_",
+                "links": {
+                    "orders_via_o_custkey": {
+                        "cols": ["c_ordkey"], "target": "orders",
+                    },
+                },
+            },
+            "orders": {
+                "pk": ["o_orderkey"],
+                "prefix": "o_",
+                "links": {
+                    "customer": {"cols": ["o_custkey"], "target": "customer"},
+                    "clerk": {"cols": ["o_clerkkey"], "target": "customer"},
+                },
+            },
+        }
+    }
+    path = tmp_path / "catalog.yaml"
+    path.write_text(_yaml.safe_dump(raw, sort_keys=False))
+    with pytest.raises(CatalogError, match="orders_via_o_custkey"):
+        Catalog.from_yaml(str(path))
+
+    # (b) two fks from the same origin with IDENTICAL cols yield the
+    # same via-name — previously one traversal silently vanished
+    raw["tables"]["customer"]["links"] = {}
+    raw["tables"]["orders"]["links"] = {
+        "customer": {"cols": ["o_custkey"], "target": "customer"},
+        "buyer": {"cols": ["o_custkey"], "target": "customer"},
+    }
+    path.write_text(_yaml.safe_dump(raw, sort_keys=False))
+    with pytest.raises(CatalogError, match="orders_via_o_custkey"):
+        Catalog.from_yaml(str(path))

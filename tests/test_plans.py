@@ -719,3 +719,29 @@ def test_theta_join_guard_ignores_upstream_nested_loops(spark):
     )
     out = theta_join(left, o, cond, broadcast_right=False)
     assert out.count() >= 0  # guard did not raise
+
+
+def test_theta_join_guard_is_batch_only(spark):
+    """The broadcast_right=False plan guard forces physical planning
+    at construction time, which a streaming input cannot do: it must
+    raise a NAMED error pointing at the two declared containment
+    shapes, not fail deep inside streaming planning (round-10
+    ADVICE).  broadcast_right=True stays streaming-legal."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.joins import theta_join
+    from tests.conftest import SF_DIR
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    ).select(F.col("value").alias("l_orderkey"), F.col("timestamp"))
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cond = F.col("l_orderkey") == F.col("o_orderkey")
+    with _pytest.raises(ValueError, match="batch-only"):
+        theta_join(stream, o, cond, broadcast_right=False)
+    # the broadcast containment shape still constructs on a stream
+    out = theta_join(stream, o.limit(10), cond, broadcast_right=True)
+    assert out.isStreaming

@@ -78,6 +78,15 @@ class TableDef:
     #: the name is unique across namespaces (ambiguity is a bind
     #: error, reference AmbiguousArc).
     namespace: str = ""
+    #: stream-mounted: the table's backing directory is ALSO a valid
+    #: Structured Streaming file source (a landing directory in a real
+    #: deployment).  Engine.df_stream() compiles queries over such a
+    #: table against readStream scans, so the same language query can
+    #: execute as a stream (availableNow drain or a live trigger) —
+    #: the execution-mode bridge on top of the batch-twin semantics
+    #: (SURVEY §3.6, beyond-reference surface).  Batch scans are
+    #: unaffected.
+    stream: bool = False
 
     @property
     def qualified(self) -> str:
@@ -127,6 +136,7 @@ class Catalog:
                 identity=tuple(spec.get("identity") or ()),
                 derived=spec.get("derived", "") or "",
                 namespace=ns,
+                stream=bool(spec.get("stream", False)),
             )
             tables[td.qualified] = td
             keys[tname] = td.qualified

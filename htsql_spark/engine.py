@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .catalog import Catalog
 from .compile import Compiler
-from .ir import Flow
+from .ir import CompileError, Flow
 from .parquet_ts import convert_nano_cols, nano_timestamp_fields
 from .syntax import parse
 from .syntax import nodes as N
@@ -86,6 +86,12 @@ class HTSQL:
         self.broadcast_tables = BROADCAST_TABLES
         self._counter = itertools.count()
         self._tables: dict[str, DataFrame] = {}
+        #: stream-execution compile mode (df_stream): while True,
+        #: stream-mounted tables scan via readStream; plain tables
+        #: still scan batch (stream-batch joins are legal and the
+        #: batch side is broadcast/state-joined by Spark)
+        self._stream_scan = False
+        self._stream_tables: dict[str, DataFrame] = {}
         #: named secondary engines (reference: src/htsql/tweak/gateway/
         #: — route a nested query to another mounted database)
         self.gateways: dict[str, "HTSQL"] = {}
@@ -125,6 +131,10 @@ class HTSQL:
         (which the JVM reader refuses) are read as nano longs
         (``spark.sql.legacy.parquet.nanosAsLong``) and converted to
         timestamps at the scan."""
+        if self._stream_scan:
+            tdef = self.catalog.tables.get(name)
+            if tdef is not None and tdef.stream:
+                return self.table_stream(name)
         if name not in self._tables:
             import os
 
@@ -159,6 +169,34 @@ class HTSQL:
                 raise KeyError(f"no source file for table {name!r} in {self.data_dir}")
             self._tables[name] = df
         return self._tables[name]
+
+    def table_stream(self, name: str) -> DataFrame:
+        """Streaming scan of a stream-mounted table (catalog
+        ``stream: true``): a readStream file source over the table's
+        backing directory with the SAME column contract as the batch
+        scan (nano-timestamp conversion included), except zone-less
+        timestamps are cast TIMESTAMP so they are watermark-eligible
+        (wall clock preserved under the UTC session — batch oracles
+        agree).  Plans are cached per engine like batch scans."""
+        if name not in self._stream_tables:
+            tdef = self.catalog.tables.get(name)
+            if tdef is None or not tdef.stream:
+                raise CompileError(
+                    f"table {name!r} is not stream-mounted — declare"
+                    " `stream: true` in catalog.yaml to expose it as a"
+                    " Structured Streaming source"
+                )
+            if tdef.derived:
+                raise CompileError(
+                    f"derived table {name!r} cannot be stream-mounted"
+                    " (it has no backing landing directory)"
+                )
+            from .streaming.events import read_table_stream
+
+            self._stream_tables[name] = read_table_stream(
+                self.spark, self.data_dir, tdef.name
+            )
+        return self._stream_tables[name]
 
     def fresh(self, prefix: str) -> str:
         return f"{prefix}{next(self._counter)}"
@@ -398,6 +436,110 @@ class HTSQL:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.format(format).save(path)
+
+    # -- streaming execution mode ---------------------------------------
+    def df_stream(self, query: str) -> DataFrame:
+        """Compile query text → STREAMING DataFrame: every
+        stream-mounted table (catalog ``stream: true``) scans via
+        readStream, so the same language query that the batch engine
+        answers over history executes as a Structured Stream over the
+        landing directory — the execution-mode bridge on top of the
+        oracle-proven batch twins (the reshape flow methods lower to
+        the very kernels the streaming module runs, watermark
+        included).  No autolimit (LIMIT is not streaming-legal) and
+        no format pipe (formats render the drained batch result —
+        run_stream/emit the result instead)."""
+        node = parse(query)
+        fmt, node = self._strip_format(node)
+        if fmt is not None:
+            raise CompileError(
+                f"format pipe /:{fmt} does not apply to a streaming"
+                " execution — drain with run_stream()/store_stream()"
+                " and format the batch result"
+            )
+        self._stream_scan = True
+        try:
+            df = Compiler(self).compile_query(node)
+        finally:
+            self._stream_scan = False
+        if not df.isStreaming:
+            raise CompileError(
+                "query touches no stream-mounted table — declare"
+                " `stream: true` on a table in catalog.yaml, or use"
+                " df() for batch execution"
+            )
+        return df
+
+    def store_stream(
+        self,
+        query: str,
+        path: str,
+        checkpoint: str | None = None,
+        output_mode: str | None = None,
+    ) -> None:
+        """Streaming write sink: execute a language query AS A STREAM
+        (readStream scans + availableNow trigger + checkpoint) and
+        persist the drained result as parquet at ``path``.
+
+        ``output_mode`` defaults by plan shape: aggregating queries
+        run ``complete`` (each micro-batch rewrites the full result —
+        exactly the batch answer once the drain finishes, including
+        the windows a watermark would still hold open in append mode),
+        non-aggregating ones run ``append`` (each micro-batch's new
+        rows land incrementally).  The sink is a foreachBatch parquet
+        writer, so the whole write stays distributed; the checkpoint
+        (default ``<path>.checkpoint``) makes re-runs incremental:
+        a second drain over an unchanged landing dir is a no-op and
+        new files are processed exactly once."""
+        sdf = self.df_stream(query)
+        if output_mode is None:
+            # analysis only (no execution): streaming plans analyze fine
+            plan = sdf._jdf.queryExecution().analyzed().toString()
+            output_mode = "complete" if "Aggregate" in plan else "append"
+        cp = checkpoint or path.rstrip("/") + ".checkpoint"
+        write_mode = "overwrite" if output_mode == "complete" else "append"
+
+        def _sink(bdf: DataFrame, epoch_id: int) -> None:
+            bdf.write.mode(write_mode).parquet(path)
+
+        q = (
+            sdf.writeStream.outputMode(output_mode)
+            .foreachBatch(_sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def run_stream(self, query: str, output_mode: str | None = None) -> DataFrame:
+        """Execute a language query as a stream (store_stream into a
+        scratch sink) and return the drained result as a BATCH
+        DataFrame — the serve path the parity tests and the driver
+        rows use.  The result is localCheckpoint-materialized so the
+        scratch sink can be reclaimed immediately."""
+        import os
+        import shutil
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="htsql_stream_")
+        try:
+            out = os.path.join(base, "out")
+            self.store_stream(
+                query,
+                out,
+                checkpoint=os.path.join(base, "checkpoint"),
+                output_mode=output_mode,
+            )
+            return self.spark.read.parquet(out).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    def produce_stream(self, query: str) -> list[dict]:
+        """run_stream + rows-as-dicts (the produce() twin)."""
+        return [
+            row.asDict(recursive=True)
+            for row in self.run_stream(query).collect()
+        ]
 
 
 def get_spark(app_name: str = "htsql-spark", cpus: int | None = None) -> SparkSession:

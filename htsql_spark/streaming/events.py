@@ -97,6 +97,55 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def read_table_stream(spark: SparkSession, data_dir: str, fname: str) -> DataFrame:
+    """General stream mount of any parquet-backed catalog table — the
+    source Engine.df_stream() compiles stream-mounted scans against
+    (catalog ``stream: true``).  The read schema is probed from the
+    existing batch file (one pyarrow footer read; a landing-directory
+    deployment would declare it), TIMESTAMP(NANOS) columns arrive as
+    raw longs and convert exactly like the batch reader, and every
+    zone-less timestamp is cast TIMESTAMP at this one boundary so the
+    columns are watermark-eligible — under the engine's UTC session
+    timezone the wall clock (and therefore every batch-twin oracle
+    value) is preserved."""
+    import glob as globlib
+
+    from ..parquet_ts import declared_type, from_nano_long, timestamp_fields
+
+    glob = f"{fname}.parquet"
+    files = sorted(globlib.glob(f"{data_dir}/{glob}"))
+    if not files:
+        raise FileNotFoundError(
+            f"no file matching {glob!r} in {data_dir} to probe the"
+            " stream schema; write one first"
+        )
+    ts_fields = timestamp_fields(files[0])
+    ts_meta = {name: (unit, tz) for name, unit, tz in ts_fields}
+    # probe the batch schema WITHOUT triggering a scan, then redeclare
+    # the timestamp columns per the shared contract (nano → long)
+    batch_schema = spark.read.parquet(files[0]).schema
+    fields = [
+        T.StructField(
+            f.name,
+            declared_type(*ts_meta[f.name]) if f.name in ts_meta else f.dataType,
+            f.nullable,
+        )
+        for f in batch_schema.fields
+    ]
+    raw = (
+        spark.readStream.schema(T.StructType(fields))
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", glob)
+        .parquet(data_dir)
+    )
+    for name, unit, tz in ts_fields:
+        if unit == "ns":
+            raw = raw.withColumn(name, from_nano_long(name, tz))
+        if not tz:
+            raw = raw.withColumn(name, F.col(name).cast("timestamp"))
+    return raw
+
+
 def tumbling_counts(
     events: DataFrame, window: str = "1 day", watermark: str = "1 hour"
 ) -> DataFrame:

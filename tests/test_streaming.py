@@ -1086,3 +1086,73 @@ def test_expanding_anomalies_null_ts_ordering_matches_stateful(spark):
     assert 30 in out and out[30]["n_prior"] == 30
     # the null-ts row is scored LAST, against all 31 prior rows
     assert 31 in out and out[31]["n_prior"] == 31
+
+
+# ---------------------------------------------------------------------------
+# round 11: streaming EXECUTION of language queries (engine.df_stream /
+# store_stream / run_stream) — the same query text the batch engine
+# answers runs as an actual Structured Stream (readStream scans +
+# availableNow + checkpoint) and drains to the identical result
+# ---------------------------------------------------------------------------
+def _norm_rows(df):
+    return sorted(tuple(map(str, r)) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "/events.tumbling('1 day')",
+        "/events.sliding('2 days', '1 day')",
+        "/events.sessions('30 minutes')",
+        "/(events?value>4.9){event_id, event_type, value}",
+    ],
+    ids=["tumbling", "sliding", "sessions", "filter_project"],
+)
+def test_stream_execution_drains_to_batch_result(db, q):
+    """Drain parity: run_stream(q) (an actual readStream execution,
+    complete-mode drain for aggregates / append for row streams)
+    equals df(q) value-for-value.  The one sanctioned difference is
+    the event-time column type — TIMESTAMP (watermark-eligible) on
+    the stream vs TIMESTAMP_NTZ in batch; the UTC session preserves
+    the wall clock so the VALUES agree."""
+    streamed = db.run_stream(q)
+    batch = db.df(q)
+    assert streamed.columns == batch.columns
+    assert _norm_rows(streamed) == _norm_rows(batch)
+
+
+def test_df_stream_is_streaming_and_guarded(db):
+    sdf = db.df_stream("/events.tumbling('1 day')")
+    assert sdf.isStreaming
+    from htsql_spark import CompileError
+
+    with pytest.raises(CompileError, match="no stream-mounted table"):
+        db.df_stream("/region")
+    with pytest.raises(CompileError, match="format pipe"):
+        db.df_stream("/events/:csv")
+
+
+def test_stream_execution_joins_batch_dimension(db):
+    """A stream-batch join from the language: the stream-mounted
+    events side scans readStream while the customer navigation stays
+    a batch scan (Spark plans the mixed join) — nav attributes
+    resolve identically to batch."""
+    q = "/(events?event_type='purchase'){event_id, customer.nation.name :as nat}"
+    streamed = db.run_stream(q)
+    batch = db.df(q)
+    assert streamed.columns == batch.columns == ["event_id", "nat"]
+    assert _norm_rows(streamed) == _norm_rows(batch)
+
+
+def test_store_stream_checkpoint_is_incremental(db, tmp_path):
+    """A second availableNow drain over an UNCHANGED landing dir with
+    the same checkpoint processes nothing new: the append-mode sink
+    does not duplicate rows (exactly-once file accounting)."""
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    q = "/(events?value>4.9){event_id, value}"
+    db.store_stream(q, out, checkpoint=cp)
+    n1 = db.spark.read.parquet(out).count()
+    db.store_stream(q, out, checkpoint=cp)
+    n2 = db.spark.read.parquet(out).count()
+    assert n1 == n2 == db.df(q).count()

@@ -2489,6 +2489,33 @@ def _lang_anomalies(spark, sf_dir):
     )
 
 
+def _lang_freq(spark, sf_dir):
+    """freq(expr, group...) flow method through the parser (r10
+    verdict next #5 — the last API-only sketch family, CMS, reaches
+    the language): grouped point-frequency estimates of event_type
+    per user via ONE Count-Min matrix (compile.py::_fm_freq lowering
+    to sketches.cms_build/cms_estimate; groups fold into the hashed
+    composite so the matrix is d·w longs at any corpus size).
+    Certificate form like op_cms: the gate-checked values are the
+    exact counts plus the CMS guarantees — never an underestimate,
+    overestimate within the carried additive bound ``err`` = ⌈ε·n⌉."""
+    from pyspark.sql import functions as F
+
+    df = _db(spark, sf_dir).df("/events.freq(event_type, user_id)")
+    ev = _db(spark, sf_dir).table("events")
+    exact = ev.groupBy(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_type").alias("item"),
+    ).agg(F.count(F.lit(1)).alias("exact_n"))
+    return df.join(exact, ["user_id", "item"]).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "item",
+        "exact_n",
+        (F.col("est_n") >= F.col("exact_n")).alias("never_under"),
+        (F.col("est_n") <= F.col("exact_n") + F.col("err")).alias("within_eps"),
+    )
+
+
 def _stream_lang_tumbling(spark, sf_dir):
     """Streaming EXECUTION of a language query (r10 verdict next #1 —
     the execution-mode bridge): engine.run_stream compiles
@@ -3660,6 +3687,9 @@ _QUERIES.update(
         "stream_lang_tumbling": _stream_lang_tumbling,
         "stream_lang_sessions": _stream_lang_sessions,
         "stream_lang_filter": _stream_lang_filter,
+        # round 11: CMS point-frequency in the language (certificate
+        # form — exact counts + the never-under / within-ε·n bounds)
+        "lang_freq": _lang_freq,
     }
 )
 
@@ -5869,6 +5899,14 @@ FROM x GROUP BY 1
     out["stream_lang_sessions"] = out["lang_sessions"]
     out["stream_lang_filter"] = (
         "SELECT event_id, event_type, value FROM events WHERE value > 4.9"
+    )
+    # freq() in the language: certificate form (raw CMS estimates are
+    # hash-layout-specific; the exact counts + bound flags are the
+    # checkable contract, same as op_cms)
+    out["lang_freq"] = (
+        "SELECT user_id, event_type AS item, count(*) AS exact_n,"
+        " TRUE AS never_under, TRUE AS within_eps"
+        " FROM events GROUP BY 1, 2"
     )
     # sketch aggregates in the language: audit/certificate forms (raw
     # estimates are engine-specific; exact values + bound flags are

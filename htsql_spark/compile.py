@@ -2791,6 +2791,83 @@ def _fm_quantiles(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     return _fm_reshape(cc, v, "quantiles", res, gnames + ["n", "err"] + names)
 
 
+def _fm_freq(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """freq(expr[, group...]) — reshape the flow into APPROXIMATE
+    point-frequency estimates of ``expr`` per group (Count-Min
+    Sketch, operators.sketches.cms_build/cms_estimate — the op_cms
+    kernel; ε=0.01, δ=1e-4): one row per observed (group..., expr)
+    combination with attributes ``item`` (the expr value as text),
+    ``est_n`` (the CMS estimate — never an underestimate), ``n``
+    (the exact total row count) and ``err`` (the additive bound
+    ⌈ε·n⌉, so ``true ≤ est_n ≤ true + err`` with probability ≥ 1−δ).
+    Self-certifying like quantiles(); completes the sketch family's
+    language surface (HLL distinct_count, KLL quantiles, Misra-Gries
+    heavy_hitters, CMS freq).  Groups fold into the hashed composite,
+    so ONE depth×width matrix (a model artifact) answers every
+    grouped query — d·w longs of state at any corpus size, where the
+    exact groupBy shuffles every distinct key.  The matrix build is
+    EAGER (one Arrow pass + a tiny merge at compile time, like
+    heavy_hitters/budget); the estimate pass is map-side only."""
+    if not args:
+        raise CompileError(
+            "freq(expr[, group...]) takes a value expression and"
+            " optional group attribute names"
+        )
+    from .operators.sketches import cms_build, cms_estimate
+
+    if v.corr_outer:
+        # checked BEFORE the kernel: the sketch pass is EAGER — fail
+        # before burning its jobs
+        raise CompileError(
+            "freq() is not defined on a correlated sub-flow —"
+            " apply it to a top-level flow"
+        )
+    flow = v.flow
+    scope = ScopeRef(flow, flow.alias, flow.table)
+    expr = cc.scalar(ctx, scope, args[0]).col
+    reserved = {"item", "est_n", "n", "err"}
+    groups: list[tuple[str, Column]] = []
+    for a in args[1:]:
+        if not isinstance(a, N.Identifier):
+            raise CompileError(
+                "freq() group arguments must be attribute names"
+            )
+        if a.name in reserved:
+            raise CompileError(
+                f"freq() group name {a.name!r} collides with an output"
+                " attribute (item / est_n / n / err)"
+            )
+        groups.append((a.name, cc.scalar(ctx, scope, a).col))
+    if len({g for g, _ in groups}) != len(groups):
+        raise CompileError("freq() names a group twice")
+    gnames = [g for g, _ in groups]
+    # composite probe key: groups fold into the hashed value so one
+    # matrix serves every group (null-safe: coalesce to a sentinel
+    # that cannot collide with real text through the \x1f separator)
+    parts = [c.cast("string") for _, c in groups] + [expr.cast("string")]
+    composite = F.concat_ws(
+        "\x1f", *[F.coalesce(p, F.lit("\x00")) for p in parts]
+    )
+    narrow = flow.df.select(
+        composite.alias("__ck"),
+        *[c.cast("string").alias(g) for g, c in groups],
+        expr.cast("string").alias("item"),
+    )
+    eps, delta = 0.01, 1e-4
+    matrix, _depth, _width = cms_build(narrow, "__ck", eps=eps, delta=delta)
+    import math as _math
+
+    n_total = int(sum(matrix[0]))  # row sums of the matrix ARE n
+    err = int(_math.ceil(eps * n_total))
+    est = cms_estimate(
+        narrow.dropDuplicates(["__ck"]), "__ck", matrix, flag="est_n"
+    ).select(
+        *gnames, "item", "est_n",
+        F.lit(n_total).alias("n"), F.lit(err).alias("err"),
+    )
+    return _fm_reshape(cc, v, "freq", est, gnames + ["item", "est_n", "n", "err"])
+
+
 FLOW_METHODS = {
     "sort": _fm_sort,
     "limit": _fm_limit,
@@ -2834,6 +2911,7 @@ FLOW_METHODS = {
     "anomalies": _fm_anomalies,
     "distinct_count": _fm_distinct_count,
     "quantiles": _fm_quantiles,
+    "freq": _fm_freq,
 }
 
 

@@ -1070,6 +1070,39 @@ def test_flow_method_quantiles_certificate(db):
         assert lt + 1 - r["err"] <= target <= le + r["err"]
 
 
+def test_flow_method_freq_certificate(db):
+    """freq(expr, group...) carries est_n (never an underestimate),
+    exact n and the additive bound err=ceil(eps*n); composition with
+    a prior sieve and the global (no-group) form both hold."""
+    from pyspark.sql import functions as F
+
+    rows = db.produce("/events.freq(event_type)")
+    ev = db.table("events")
+    exact = {
+        r["event_type"]: r["x"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("x")).collect()
+    }
+    n = ev.count()
+    assert {r["item"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["n"] == n
+        assert exact[r["item"]] <= r["est_n"] <= exact[r["item"]] + r["err"]
+    # grouped: one row per observed (user_id, event_type) combo
+    g = db.produce("/(events?value>0).freq(event_type, user_id)")
+    flt = ev.filter(F.col("value") > 0)
+    combos = flt.select("user_id", "event_type").distinct().count()
+    assert len(g) == combos
+    gex = {
+        (str(r["user_id"]), r["event_type"]): r["x"]
+        for r in flt.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    }
+    for r in g:
+        key = (r["user_id"], r["item"])
+        assert gex[key] <= r["est_n"] <= gex[key] + r["err"]
+
+
 def test_streaming_flow_method_errors(db):
     """Compile-time validation: bad intervals, wrong table shape,
     non-identifier groups, and duplicate quantiles are named

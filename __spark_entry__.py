@@ -3725,62 +3725,49 @@ _QUERIES.update(
 _GATE_ORDER = [
     # kept flagships (whole-pipeline + quotient-fusion representatives)
     "agg_flagship", "tpch_q1",
-    "op_curate", "op_dedup_pipeline",
-    # retained r6+ infra rows: CDC batch MERGE, streaming CDC
-    # snapshot loop, streaming dedup-ingest (curate.py changed again
-    # this round — the legacy batch-id-base adoption fix)
-    "op_cdc_upsert", "stream_cdc", "stream_curate",
-    # ROUND-10, directive #2/#3: the streaming family reaches the
-    # language (tumbling/session windows, expanding-z anomalies —
-    # batch-replayable with exact DuckDB oracles) and the sketch
-    # aggregates arrive as flow methods (HLL distinct, KLL quantiles
-    # in the established audit/certificate form)
-    "lang_asof", "lang_tumbling", "lang_sliding", "lang_sessions",
-    "lang_anomalies", "lang_distinct_count", "lang_quantiles",
-    "lang_quantiles_by",
-    # ROUND-10, directive #5: the fixed-iteration integer-quantized
-    # k-means twin — the last no_oracle family gains a bit-for-bit
-    # hash-checkable full-loop oracle
-    "op_kmeans_portable",
-    # ROUND-10, directive #6: theta_join's containment guard at a
-    # non-broadcastable right side (equality-conjunct extraction
-    # asserted in the kernel AND locked by tests/test_plans.py)
-    "op_theta_fact",
-    # ROUND-10 ROTATION, directive #4: the 20 longest-stale rows —
-    # each one's most recent HARD driver record was r1–r3 (pytest
-    # value-replays them every run, but the driver-side record must
-    # not age indefinitely).  Language core F2–F18 witnesses, OLAP
-    # cube, set ops, PII scrub, mixture weights.
-    # (18 rotations: "quotient" and "op_set_intersect" yield their
-    # slots to lang_sliding / lang_asof — tpch_q1 hard-verifies the
-    # quotient fusion every round, and the set-op family keeps two
-    # gate witnesses)
-    "selection", "sieve", "wildcard", "nav_singular", "nav_plural",
-    "fork", "detach", "locator", "locator_text", "identity",
-    "define", "given_ref", "computed_link",
-    "op_cube", "op_set_union", "op_set_except",
-    "op_pii", "op_mix",
-    # retained r9 rows whose modules changed THIS round (rotation
-    # policy, tests/test_rotation.py): joins.py (multi-bucket outer
-    # guard + theta containment) -> the asof rows; similarity.py
-    # (kmeans_portable) -> the ANN index/concurrency rows
-    # (op_asof_nearest yields its slot to the grouped-quantiles row:
-    # r9 gate-green, the nearest kernel path is exercised by the
-    # asof family's pytest parity suite every run)
-    "op_asof_join",
-    "op_ann_ivfpq", "op_ann_index_build", "op_ann_append",
-    # retained: the sketch kernels the new lang_distinct_count /
-    # lang_quantiles rows lower to (r9 NaN-semantics pins)
-    "op_heavy_hitters", "op_kll_quantiles",
-    # retained perf-tracked heavy text kernels (uncapped winnow, the
-    # Zipfian derived-corpus twins) + the textstats signal pins
-    "op_winnow_pairs_uncapped", "op_dedup_ngram_zipf",
-    "op_winnow_pairs_zipf", "op_classifier", "op_entropy",
-    # retained: shared-window zscore kernel, the full-corpus cluster
-    # graph, mix() (its zero-count partition fix landed this round),
-    # and the appended-name resolution-order pin (compile.py changed
-    # again: five new flow methods widen FLOW_METHODS to 40)
-    "op_zscore", "lang_cluster", "lang_mix", "lang_entropy",
+    # ROUND-11, directive #1: streaming EXECUTION of language queries
+    # — the same query text runs as an actual Structured Stream
+    # (readStream scan + availableNow drain + checkpointed
+    # foreachBatch sink) and is proven by the batch twins' oracles
+    "stream_lang_tumbling", "stream_lang_sessions", "stream_lang_filter",
+    # ROUND-11, directive #2: lang_asof_tol's first hard driver record
+    # (added after the r10 gate ran); directive #5: CMS freq() in the
+    # language (certificate form)
+    "lang_asof_tol", "lang_freq",
+    # rotation policy (tests/test_rotation.py) for the modules changed
+    # this round: joins.py (streaming guard on the theta containment)
+    # -> op_theta_fact + the two STALE joins rows below; sketches.py
+    # (kll_quantile_name single-source) -> op_cms (also the kernel
+    # lang_freq lowers to)
+    "op_theta_fact", "op_cms",
+    # ROUND-11 ROTATION, directive #2: 42 of the 62 rows whose most
+    # recent HARD driver record is r1–r3 (pytest value-replays them
+    # every run, but the driver-side record must not age
+    # indefinitely).  Joins family first (doubles as the changed-
+    # module policy witness):
+    "op_range_join", "op_theta_band",
+    # aggregate family (r1–r2 records)
+    "agg_sum_count", "agg_minmax", "agg_exists", "agg_every", "agg_stats",
+    # scalar-function families (r1–r2 records)
+    "fn_text", "fn_date", "fn_if", "in_set", "fn_scalar", "fn_null",
+    "fn_datearith", "fn_array",
+    # core-language / nested-output witnesses (r1–r3 records)
+    "sort_limit", "events_json", "events_nav",
+    "nested_segment_flat", "topk_per_parent_flat",
+    # TPC-H cluster (r2–r3 records; the remaining eight rotate r12)
+    "tpch_q2", "tpch_q5", "tpch_q6", "tpch_q8", "tpch_q12",
+    "tpch_q15", "tpch_q18", "tpch_q19", "tpch_q22",
+    # streaming kernels (r2–r3 records; the module changed this round
+    # — read_table_stream generalizes the source)
+    "stream_tumbling", "stream_session", "stream_join",
+    # set ops keep a rotating witness
+    "op_set_intersect",
+    # analytics reshapes (r2 records)
+    "op_sessionize", "op_funnel", "op_retention", "op_transitions",
+    # pipeline sampling family (r2–r3 records)
+    "op_split", "op_sample_stratified", "op_weighted_sample",
+    # dedup exact (r2 record)
+    "op_dedup_exact",
 ]
 assert len(_GATE_ORDER) == 50 and len(set(_GATE_ORDER)) == 50
 _QUERIES = {k: _QUERIES[k] for k in _GATE_ORDER} | {

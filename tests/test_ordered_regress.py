@@ -90,6 +90,17 @@ QUERIES = [
     "/events.funnel('view','click','purchase')",
     "/events.transitions()?n>=45",
     "/documents.heavy_hitters(lang, 0.15)",
+    # --- round-10/11 reshapes: the streaming-family flow methods and
+    # the sketch freq() carry the same implicit KERNEL order; asof()
+    # is an APPENDER, so the flow keeps its PK order
+    "/events.tumbling('1 day')?n>11",
+    "/events.sliding('2 days', '1 day')?n>75",
+    "/events.sessions('30 minutes')?n>2",
+    "/events.anomalies(2.2)",
+    "/events.freq(event_type)",
+    "/(events?event_type='purchase')"
+    ".asof(events?event_type='click', user_id, ts, event_id)"
+    "{event_id, asof_event_id}?event_id<200",
 ]
 
 

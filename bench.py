@@ -23,6 +23,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+#: Bench tier (r10 judge directive #7 — keep drift detection cheap
+#: enough to run per-commit as the registry grows):
+#:   full (default, what the driver runs) — every registry row;
+#:   hot — only HOT_SET below (the heavy perf-tracked kernels plus
+#:         flagship representatives), ~1/6 the wall clock.
+#: BOTH tiers report "hot_total" next to "value" so hot-tier runs
+#: compare directly against the hot slice of any full recording.
+TIER = os.environ.get("SPARK_GRAFT_BENCH_TIER", "full")
+
+#: The heavy/perf-tracked kernels (the 5 most expensive rows audited
+#: every round + the dedup/ANN/graph/stream families whose plans
+#: carry scale risk) and a few cheap flagships as canaries.
+HOT_SET = [
+    "agg_flagship", "tpch_q1", "tpch_q9", "tpch_q21",
+    "lang_cluster", "op_dedup_ngram", "lang_dedup_ngram",
+    "op_dedup_clusters", "op_winnow_pairs_portable",
+    "op_winnow_pairs_uncapped", "op_winnow_incremental",
+    "op_dedup_simhash", "op_simhash_pairs", "op_dedup_minhash",
+    "op_dedup_incremental", "op_dedup_embedding", "op_dedup_pipeline",
+    "stream_join", "stream_cdc", "op_pagerank", "op_triangles",
+    "op_ann_ivfpq", "op_ann_index_build", "op_kmeans_portable",
+    "op_curate", "lang_quantiles_by", "op_theta_fact",
+    "stream_lang_tumbling", "lang_freq",
+]
+
 #: Per r5 judge directive #3 the bench covers the FULL registry: every
 #: __spark_entry__.queries() entry gets a median-of-3 row, so a perf
 #: regression in any family (scalar, locator, set-op, format — the 71
@@ -179,6 +204,9 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] + [
         n for n in qs if n not in set(HEADLINE)
     ]
+    if TIER == "hot":
+        hot = set(HOT_SET)
+        names = [n for n in names if n in hot]
 
     # warm-up: JVM + parquet footer caches, one light query
     qs["scan"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -231,12 +259,17 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     total = round(sum(timings.values()), 3)
+    hot_total = round(
+        sum(v for n, v in timings.items() if n in set(HOT_SET)), 3
+    )
     base = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "tier": TIER,
+        "hot_total": hot_total,
     }
     # full payload (positions + reruns instrumentation) goes to the
     # FILE; the stdout line is kept as small as possible because the
@@ -247,7 +280,10 @@ def main() -> None:
         base | {"positions": positions, "reruns": reruns},
         separators=(",", ":"),
     )
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    # the hot tier must never clobber the full sweep's committed
+    # per-query priors (drift detection reads BENCH.json first)
+    out_name = "BENCH.json" if TIER == "full" else "BENCH_hot.json"
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name)
     with open(out_path, "w") as fh:
         fh.write(full + "\n")
     # LAST and ONLY stdout line: the compact required payload

@@ -273,6 +273,130 @@ def k_stream_join(spark, d):
     return spark.table(name)
 
 
+def _events_batch(spark, d):
+    """Batch read of the derived events file with the engine's
+    nano-timestamp conversion (the replica is written by pyarrow in
+    ns, exactly like the fixture)."""
+    from htsql_spark.parquet_ts import convert_nano_cols, nano_timestamp_fields
+
+    f = f"{d}/events.parquet"
+    return convert_nano_cols(spark.read.parquet(f), nano_timestamp_fields(f))
+
+
+def k_asof(spark, d):
+    """op_asof_join / lang_asof lowering: tagged union + ONE ordered
+    window over the on-key — never an inequality join, so the curve
+    should track the sort cost of the events table."""
+    from htsql_spark.operators.joins import purchases_asof_clicks
+
+    return purchases_asof_clicks(_events_batch(spark, d))
+
+
+def k_theta_fact(spark, d):
+    """op_theta_fact shape at scale: non-broadcast theta join whose
+    equality conjunct Catalyst must extract as the hash key (the
+    kernel RAISES if it ever degenerates to a nested loop), with the
+    inequality left as a residual filter."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.joins import theta_join
+
+    ev = _events_batch(spark, d).select("event_id", "user_id", "value")
+    right = (
+        _events_batch(spark, d)
+        .groupBy(F.col("user_id").alias("r_uid"))
+        .agg(F.avg("value").alias("avg_v"))
+    )
+    cond = (F.col("user_id") == F.col("r_uid")) & (
+        F.col("value") > F.col("avg_v")
+    )
+    return theta_join(ev, right, cond, broadcast_right=False)
+
+
+def k_sessionize_skew(spark, d):
+    """sessionize under planted hot-user skew: ~30% of ALL events
+    remapped to one user — the window partition everyone fears at
+    100 TB.  The kernel's (user, ts) window keeps the hot partition
+    one-node but bounded by the remap fraction; the curve shows
+    whether that bound holds."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.analytics import sessionize
+
+    ev = _events_batch(spark, d)
+    skew = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 < 3, F.lit(1)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    return sessionize(skew, gap_minutes=45)
+
+
+def k_funnel_skew(spark, d):
+    """funnel under the same planted hot-user skew (per-user event
+    arrays stay array-local; the hot user's array grows linearly)."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.analytics import funnel
+
+    ev = _events_batch(spark, d)
+    skew = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 < 3, F.lit(1)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    return funnel(skew, ["view", "click", "purchase"])
+
+
+def k_kll_build(spark, d):
+    """KLL sketch build+merge+quantiles per event type (the
+    lang_quantiles_by lowering): one Arrow pass of bounded
+    per-(partition, group) states, only serialized states shuffle."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.sketches import (
+        kll_merge,
+        kll_quantiles,
+        kll_sketch_states,
+    )
+
+    ev = _events_batch(spark, d).select(
+        F.col("value").cast("double").alias("v"), "event_type"
+    )
+    return kll_quantiles(
+        kll_merge(
+            kll_sketch_states(ev, "v", by=["event_type"], k=256),
+            by=["event_type"],
+        ),
+        [0.5, 0.9, 0.99],
+    )
+
+
+def k_hll_build(spark, d):
+    """HLL distinct-count build per event type (the
+    lang_distinct_count lowering): mergeable per-partition sketches,
+    k·2^lgK bytes of shuffle regardless of row count."""
+    from htsql_spark.operators.sketches import hll_distinct
+
+    ev = _events_batch(spark, d).select("user_id", "event_type")
+    return hll_distinct(ev, ["event_type"], "user_id", lgk=14)
+
+
+def k_multimodal_decode(spark, d):
+    """The multimodal Arrow path at scale: planted-format image bytes
+    synthesized per doc_id, then REALLY decoded (header parse, zlib
+    inflate, channel means) inside mapInPandas batches — the
+    op_multimodal row's kernel over the derived corpus."""
+    from htsql_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return multimodal.image_features(
+        multimodal.image_assets_from_documents(docs)
+    )
+
+
 KERNELS = {
     "dedup_ngram": ("docs", k_dedup_ngram),
     "dedup_clusters": ("docs", k_dedup_clusters),
@@ -282,6 +406,15 @@ KERNELS = {
     "pagerank": ("edges", k_pagerank),
     "ann_index_build": ("embeddings", k_ann_index_build),
     "stream_join": ("events", k_stream_join),
+    # round-11 additions (r10 judge directive #4): the families whose
+    # scale posture previously rested on plan shape alone
+    "asof": ("events", k_asof),
+    "theta_fact": ("events", k_theta_fact),
+    "sessionize_skew": ("events", k_sessionize_skew),
+    "funnel_skew": ("events", k_funnel_skew),
+    "kll_build": ("events", k_kll_build),
+    "hll_build": ("events", k_hll_build),
+    "multimodal_decode": ("docs", k_multimodal_decode),
 }
 
 

@@ -2489,6 +2489,24 @@ def _lang_anomalies(spark, sf_dir):
     )
 
 
+def _stream_lang_anomalies(spark, sf_dir):
+    """Streaming execution of '/events.anomalies(3.0)' — under stream
+    compilation the flow method lowers to the STATEFUL kernel itself
+    (streaming.events.streaming_anomalies, applyInPandasWithState:
+    expanding (n, Σx, Σx²) per event type in the state store) instead
+    of the batch twin's unbounded-preceding window, which is not
+    streaming-legal.  One availableNow drain is value-identical to
+    the batch twin, so lang_anomalies' expanding-window SQL oracle
+    replays the drained stream verbatim."""
+    from pyspark.sql import functions as F
+
+    df = _db(spark, sf_dir).run_stream("/events.anomalies(3.0)")
+    return df.select(
+        "event_id", "event_type", "value", "n_prior",
+        F.round("z", 4).alias("z4"),
+    )
+
+
 def _lang_freq(spark, sf_dir):
     """freq(expr, group...) flow method through the parser (r10
     verdict next #5 — the last API-only sketch family, CMS, reaches
@@ -3687,6 +3705,7 @@ _QUERIES.update(
         "stream_lang_tumbling": _stream_lang_tumbling,
         "stream_lang_sessions": _stream_lang_sessions,
         "stream_lang_filter": _stream_lang_filter,
+        "stream_lang_anomalies": _stream_lang_anomalies,
         # round 11: CMS point-frequency in the language (certificate
         # form — exact counts + the never-under / within-ε·n bounds)
         "lang_freq": _lang_freq,
@@ -5883,6 +5902,7 @@ FROM x GROUP BY 1
     # must equal the batch twin, so the batch twins' own oracles prove
     # the execution-mode bridge end to end
     out["stream_lang_tumbling"] = out["lang_tumbling"]
+    out["stream_lang_anomalies"] = out["lang_anomalies"]
     out["stream_lang_sessions"] = out["lang_sessions"]
     out["stream_lang_filter"] = (
         "SELECT event_id, event_type, value FROM events WHERE value > 4.9"

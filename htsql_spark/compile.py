@@ -2642,15 +2642,26 @@ def _fm_anomalies(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     min_n = _fm_int_lit(args, 1, 10, "anomalies")
     if min_n < 2:
         raise CompileError("anomalies() min_n must be at least 2")
-    from .streaming.events import expanding_anomalies
-
     cols = _fm_events_cols(
         v, "anomalies", ("ts", "event_id", "event_type", "value")
     )
     narrow = v.flow.df.select(*[F.col(c).alias(n) for n, c in cols.items()])
+    if narrow.isStreaming:
+        # streaming execution mode (engine.df_stream): the unbounded-
+        # preceding window of the batch twin is not streaming-legal,
+        # so lower to the STATEFUL kernel itself — expanding (n, Σx,
+        # Σx²) per event type in the state store; one availableNow
+        # drain is value-identical to the batch twin (the r7-locked
+        # (ts, event_id) in-batch ordering)
+        from .streaming.events import streaming_anomalies
+
+        res = streaming_anomalies(narrow, z_threshold=z, min_n=min_n)
+    else:
+        from .streaming.events import expanding_anomalies
+
+        res = expanding_anomalies(narrow, z_threshold=z, min_n=min_n)
     return _fm_reshape(
-        cc, v, "anomalies",
-        expanding_anomalies(narrow, z_threshold=z, min_n=min_n),
+        cc, v, "anomalies", res,
         ["event_id", "event_type", "value", "n_prior", "z"],
     )
 

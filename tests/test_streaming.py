@@ -1105,8 +1105,12 @@ def _norm_rows(df):
         "/events.sliding('2 days', '1 day')",
         "/events.sessions('30 minutes')",
         "/(events?value>4.9){event_id, event_type, value}",
+        # anomalies() lowers to the STATEFUL kernel under stream
+        # compilation (applyInPandasWithState) — one availableNow
+        # drain equals the batch twin's unbounded-window values
+        "/events.anomalies(3.0)",
     ],
-    ids=["tumbling", "sliding", "sessions", "filter_project"],
+    ids=["tumbling", "sliding", "sessions", "filter_project", "anomalies"],
 )
 def test_stream_execution_drains_to_batch_result(db, q):
     """Drain parity: run_stream(q) (an actual readStream execution,

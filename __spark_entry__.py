@@ -2507,6 +2507,19 @@ def _stream_lang_anomalies(spark, sf_dir):
     )
 
 
+def _stream_lang_enrich(spark, sf_dir):
+    """Streaming execution of a stream-BATCH navigation: the
+    stream-mounted events side scans readStream while the
+    customer→nation navigation stays a batch scan — Spark plans the
+    mixed join (stateless broadcast lookups per micro-batch, no state
+    store), and the language's singular-link left-join semantics
+    survive the execution-mode switch verbatim."""
+    return _db(spark, sf_dir).run_stream(
+        "/(events?event_type='purchase')"
+        "{event_id, user_id, customer.nation.name :as nat}"
+    )
+
+
 def _lang_freq(spark, sf_dir):
     """freq(expr, group...) flow method through the parser (r10
     verdict next #5 — the last API-only sketch family, CMS, reaches
@@ -3706,6 +3719,7 @@ _QUERIES.update(
         "stream_lang_sessions": _stream_lang_sessions,
         "stream_lang_filter": _stream_lang_filter,
         "stream_lang_anomalies": _stream_lang_anomalies,
+        "stream_lang_enrich": _stream_lang_enrich,
         # round 11: CMS point-frequency in the language (certificate
         # form — exact counts + the never-under / within-ε·n bounds)
         "lang_freq": _lang_freq,
@@ -5903,6 +5917,12 @@ FROM x GROUP BY 1
     # the execution-mode bridge end to end
     out["stream_lang_tumbling"] = out["lang_tumbling"]
     out["stream_lang_anomalies"] = out["lang_anomalies"]
+    out["stream_lang_enrich"] = (
+        "SELECT event_id, user_id, n_name AS nat FROM events"
+        " LEFT JOIN customer ON user_id = c_custkey"
+        " LEFT JOIN nation ON c_nationkey = n_nationkey"
+        " WHERE event_type = 'purchase'"
+    )
     out["stream_lang_sessions"] = out["lang_sessions"]
     out["stream_lang_filter"] = (
         "SELECT event_id, event_type, value FROM events WHERE value > 4.9"

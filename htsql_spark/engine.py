@@ -470,6 +470,53 @@ class HTSQL:
             )
         return df
 
+    def start_stream(
+        self,
+        query: str,
+        path: str,
+        checkpoint: str | None = None,
+        output_mode: str | None = None,
+        trigger: dict | None = None,
+    ):
+        """Start a language query as a LIVE Structured Stream writing
+        parquet at ``path`` and return the running ``StreamingQuery``
+        (non-blocking — the serve path; ``store_stream`` is the
+        blocking availableNow drain built on this).
+
+        ``output_mode`` defaults by plan shape: aggregating queries
+        run ``complete`` (each micro-batch rewrites the full result —
+        exactly the batch answer at every instant), stateful
+        ``anomalies()`` and non-aggregating queries run ``append``
+        (each micro-batch's new rows land incrementally).  The sink
+        is a foreachBatch parquet writer, so the whole write stays
+        distributed; the checkpoint (default ``<path>.checkpoint``)
+        gives exactly-once file accounting across restarts.
+        ``trigger`` is passed to ``writeStream.trigger`` verbatim
+        (default ``{"availableNow": True}``; pass
+        ``{"processingTime": "10 seconds"}`` for a live cadence)."""
+        sdf = self.df_stream(query)
+        if output_mode is None:
+            # analysis only (no execution): streaming plans analyze
+            # fine, and the stateful kernels declare their own mode
+            plan = sdf._jdf.queryExecution().analyzed().toString()
+            if "FlatMapGroupsInPandasWithState" in plan:
+                output_mode = "append"
+            else:
+                output_mode = "complete" if "Aggregate" in plan else "append"
+        cp = checkpoint or path.rstrip("/") + ".checkpoint"
+        write_mode = "overwrite" if output_mode == "complete" else "append"
+
+        def _sink(bdf: DataFrame, epoch_id: int) -> None:
+            bdf.write.mode(write_mode).parquet(path)
+
+        return (
+            sdf.writeStream.outputMode(output_mode)
+            .foreachBatch(_sink)
+            .option("checkpointLocation", cp)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
     def store_stream(
         self,
         query: str,
@@ -479,35 +526,12 @@ class HTSQL:
     ) -> None:
         """Streaming write sink: execute a language query AS A STREAM
         (readStream scans + availableNow trigger + checkpoint) and
-        persist the drained result as parquet at ``path``.
-
-        ``output_mode`` defaults by plan shape: aggregating queries
-        run ``complete`` (each micro-batch rewrites the full result —
-        exactly the batch answer once the drain finishes, including
-        the windows a watermark would still hold open in append mode),
-        non-aggregating ones run ``append`` (each micro-batch's new
-        rows land incrementally).  The sink is a foreachBatch parquet
-        writer, so the whole write stays distributed; the checkpoint
-        (default ``<path>.checkpoint``) makes re-runs incremental:
-        a second drain over an unchanged landing dir is a no-op and
-        new files are processed exactly once."""
-        sdf = self.df_stream(query)
-        if output_mode is None:
-            # analysis only (no execution): streaming plans analyze fine
-            plan = sdf._jdf.queryExecution().analyzed().toString()
-            output_mode = "complete" if "Aggregate" in plan else "append"
-        cp = checkpoint or path.rstrip("/") + ".checkpoint"
-        write_mode = "overwrite" if output_mode == "complete" else "append"
-
-        def _sink(bdf: DataFrame, epoch_id: int) -> None:
-            bdf.write.mode(write_mode).parquet(path)
-
-        q = (
-            sdf.writeStream.outputMode(output_mode)
-            .foreachBatch(_sink)
-            .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
+        persist the drained result as parquet at ``path`` — the
+        blocking drain over :meth:`start_stream`.  Re-runs over an
+        unchanged landing dir are no-ops (exactly-once file
+        accounting via the checkpoint)."""
+        q = self.start_stream(
+            query, path, checkpoint=checkpoint, output_mode=output_mode
         )
         q.awaitTermination()
 

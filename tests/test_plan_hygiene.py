@@ -77,6 +77,8 @@ ARROW_OK = {
     # then certify the estimates against the exact rank bands
     "lang_quantiles",
     "lang_quantiles_by",
+    # freq() lowers to the same CMS Arrow passes as op_cms
+    "lang_freq",
 }
 
 #: nested-loop joins bounded by a broadcast single-row / tiny side:

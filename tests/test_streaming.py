@@ -1160,3 +1160,23 @@ def test_store_stream_checkpoint_is_incremental(db, tmp_path):
     db.store_stream(q, out, checkpoint=cp)
     n2 = db.spark.read.parquet(out).count()
     assert n1 == n2 == db.df(q).count()
+
+
+def test_start_stream_live_trigger_parity(db, tmp_path):
+    """The non-blocking serve path: start_stream with a LIVE
+    processingTime trigger, drain everything currently in the landing
+    dir (processAllAvailable), stop — the parquet sink holds exactly
+    the batch answer (complete-mode rewrite per micro-batch)."""
+    out = str(tmp_path / "out")
+    q = "/events.tumbling('1 day')"
+    sq = db.start_stream(
+        q, out, checkpoint=str(tmp_path / "cp"),
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    got = db.spark.read.parquet(out)
+    batch = db.df(q)
+    assert _norm_rows(got) == _norm_rows(batch)

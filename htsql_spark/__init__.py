@@ -7,7 +7,7 @@ Reference for semantics (NOT architecture):
 prometheusresearch/htsql 2.3.3 — see SURVEY.md.
 """
 
-from .catalog import Catalog  # noqa: F401
+from .catalog import Catalog, CatalogError  # noqa: F401
 from .engine import HTSQL, get_spark  # noqa: F401
 from .ir import CompileError  # noqa: F401
 from .wsgi import WSGI  # noqa: F401

@@ -384,6 +384,22 @@ def k_hll_build(spark, d):
     return hll_distinct(ev, ["event_type"], "user_id", lgk=14)
 
 
+def k_cms_build(spark, d):
+    """CMS matrix build (the freq()/op_cms lowering): per-partition
+    partial matrices in one Arrow pass, merged in a single tiny
+    group — d·w longs of state regardless of row count, so the curve
+    should be scan-dominated like the other sketch builds."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.sketches import cms_build, cms_estimate
+
+    ev = _events_batch(spark, d).select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    mat, _d, _w = cms_build(ev, "u", eps=0.01, delta=1e-4)
+    return cms_estimate(ev.dropDuplicates(["u"]), "u", mat)
+
+
 def k_multimodal_decode(spark, d):
     """The multimodal Arrow path at scale: planted-format image bytes
     synthesized per doc_id, then REALLY decoded (header parse, zlib
@@ -414,6 +430,7 @@ KERNELS = {
     "funnel_skew": ("events", k_funnel_skew),
     "kll_build": ("events", k_kll_build),
     "hll_build": ("events", k_hll_build),
+    "cms_build": ("events", k_cms_build),
     "multimodal_decode": ("docs", k_multimodal_decode),
 }
 

@@ -1180,3 +1180,11 @@ def test_start_stream_live_trigger_parity(db, tmp_path):
     got = db.spark.read.parquet(out)
     batch = db.df(q)
     assert _norm_rows(got) == _norm_rows(batch)
+
+
+def test_produce_stream_rows(db):
+    """produce_stream is the rows-as-dicts twin of run_stream."""
+    rows = db.produce_stream("/(events?value>4.97){event_id, value}")
+    exp = db.produce("/(events?value>4.97){event_id, value}")
+    key = lambda r: r["event_id"]
+    assert sorted(rows, key=key) == sorted(exp, key=key) and rows

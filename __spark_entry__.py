@@ -2535,10 +2535,17 @@ def _lang_freq(spark, sf_dir):
     df = _db(spark, sf_dir).df("/events.freq(event_type, user_id)")
     ev = _db(spark, sf_dir).table("events")
     exact = ev.groupBy(
-        F.col("user_id").cast("string").alias("user_id"),
-        F.col("event_type").alias("item"),
+        F.col("user_id").cast("string").alias("g_uid"),
+        F.col("event_type").alias("g_item"),
     ).agg(F.count(F.lit(1)).alias("exact_n"))
-    return df.join(exact, ["user_id", "item"]).select(
+    # NULL-SAFE equi join (round-11 review): the oracle's GROUP BY
+    # keeps NULL groups, so a NULL event_type/user_id in a future
+    # fixture must certify too, not silently drop out of the join
+    return df.join(
+        exact,
+        df["user_id"].eqNullSafe(exact["g_uid"])
+        & df["item"].eqNullSafe(exact["g_item"]),
+    ).select(
         F.col("user_id").cast("long").alias("user_id"),
         "item",
         "exact_n",

@@ -1999,6 +1999,7 @@ def _fm_budget(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     1000 rows), like the operator itself."""
     if not args or len(args) > 2:
         raise CompileError("budget(n_tokens[, key]) takes 1 or 2 arguments")
+    _fm_require_batch(v, "budget")
     from .operators.pipeline import select_token_budget
 
     n = _fm_int_lit(args, 0, 0, "budget")
@@ -2126,6 +2127,7 @@ def _fm_mix(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
             "mix(label, name1, frac1[, name2, frac2, ...]) takes a"
             " label expression and (name, fraction) literal pairs"
         )
+    _fm_require_batch(v, "mix")
     from .operators.pipeline import mix_corpora
 
     flow = v.flow
@@ -2177,6 +2179,7 @@ def _fm_cluster(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     (never all-pairs) and only (id, id) edges shuffle."""
     if len(args) > 1:
         raise CompileError("cluster([key]) takes at most one argument")
+    _fm_require_batch(v, "cluster")
     from .operators.dedup import dedup_clusters, ngram_jaccard_pairs
 
     flow = v.flow
@@ -2274,6 +2277,7 @@ def _fm_heavy_hitters(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
             "heavy_hitters() is not defined on a correlated sub-flow —"
             " apply it to a top-level flow"
         )
+    _fm_require_batch(v, "heavy_hitters")
     from .operators.sketches import heavy_hitters
 
     flow = v.flow
@@ -2441,6 +2445,22 @@ def _fm_events_cols(v: FlowV, method: str, need: tuple[str, ...]) -> dict[str, s
             + " columns (e.g. /events)"
         )
     return {c: flow.scope_col(c) for c in need}
+
+
+def _fm_require_batch(v: FlowV, method: str) -> None:
+    """The EAGER model-state flow methods run compile-time Spark jobs
+    (sketch builds, per-partition counts, iterative contractions) a
+    streaming flow cannot execute — under df_stream they must fail as
+    a NAMED CompileError naming the remedy, not as the kernel's
+    opaque 'Queries with streaming sources must be executed with
+    writeStream.start()' (round-11 review; same spirit as the
+    theta_join batch-only guard)."""
+    if v.flow.df.isStreaming:
+        raise CompileError(
+            f"{method}() is batch-only — it runs compile-time model"
+            " jobs a stream cannot execute; drain the stream first"
+            " (run_stream) or query the batch mount"
+        )
 
 
 def _fm_reshape(cc: Compiler, v: FlowV, method: str, res, names: list[str]) -> FlowV:
@@ -2752,9 +2772,12 @@ def _fm_quantiles(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
             "quantiles(expr, q1[, q2...][, group...]) takes a value"
             " expression and at least one quantile literal"
         )
-    reserved = {"n", "err"} | {
-        ("p" + f"{q * 100:g}".replace(".", "_")) for q in qs
-    }
+    from .operators.sketches import kll_quantile_name
+
+    # the kernel's own formula — the collision check must reserve
+    # exactly the names the kernel will emit (round-11 review: one
+    # hand-rolled copy had survived the r10 single-sourcing)
+    reserved = {"n", "err"} | {kll_quantile_name(q) for q in qs}
     groups: list[tuple[str, Column]] = []
     for a in args[i:]:
         if not isinstance(a, N.Identifier):
@@ -2784,6 +2807,7 @@ def _fm_quantiles(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
             "quantiles() is not defined on a correlated sub-flow —"
             " apply it to a top-level flow"
         )
+    _fm_require_batch(v, "quantiles")
     gnames = [g for g, _ in groups]
     narrow = flow.df.select(
         expr.cast("double").alias("__qv"), *[c.alias(g) for g, c in groups]
@@ -2833,6 +2857,7 @@ def _fm_freq(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
             "freq() is not defined on a correlated sub-flow —"
             " apply it to a top-level flow"
         )
+    _fm_require_batch(v, "freq")
     flow = v.flow
     scope = ScopeRef(flow, flow.alias, flow.table)
     expr = cc.scalar(ctx, scope, args[0]).col

@@ -86,11 +86,17 @@ class HTSQL:
         self.broadcast_tables = BROADCAST_TABLES
         self._counter = itertools.count()
         self._tables: dict[str, DataFrame] = {}
-        #: stream-execution compile mode (df_stream): while True,
+        #: stream-execution compile mode (df_stream): while set,
         #: stream-mounted tables scan via readStream; plain tables
         #: still scan batch (stream-batch joins are legal and the
-        #: batch side is broadcast/state-joined by Spark)
-        self._stream_scan = False
+        #: batch side is broadcast/state-joined by Spark).  THREAD-
+        #: LOCAL: one engine is documented as safely shareable by a
+        #: concurrent WSGI server, so a df_stream compile on one
+        #: thread must never flip another thread's batch compile
+        #: into streaming scans (round-11 review).
+        import threading
+
+        self._stream_mode = threading.local()
         self._stream_tables: dict[str, DataFrame] = {}
         #: named secondary engines (reference: src/htsql/tweak/gateway/
         #: — route a nested query to another mounted database)
@@ -131,7 +137,7 @@ class HTSQL:
         (which the JVM reader refuses) are read as nano longs
         (``spark.sql.legacy.parquet.nanosAsLong``) and converted to
         timestamps at the scan."""
-        if self._stream_scan:
+        if getattr(self._stream_mode, "on", False):
             tdef = self.catalog.tables.get(name)
             if tdef is not None and tdef.stream:
                 return self.table_stream(name)
@@ -457,11 +463,21 @@ class HTSQL:
                 " execution — drain with run_stream()/store_stream()"
                 " and format the batch result"
             )
-        self._stream_scan = True
+        if self.ordered:
+            # ordered mode injects a global orderBy at finalize, which
+            # streaming rejects in append mode — and a drained parquet
+            # sink cannot carry a row order anyway.  (An EXPLICIT
+            # .sort() after an aggregate stays legal: complete mode
+            # supports post-aggregation sorting.)
+            raise CompileError(
+                "ordered mode does not apply to streaming execution —"
+                " drain first (run_stream) and sort the batch result"
+            )
+        self._stream_mode.on = True
         try:
             df = Compiler(self).compile_query(node)
         finally:
-            self._stream_scan = False
+            self._stream_mode.on = False
         if not df.isStreaming:
             raise CompileError(
                 "query touches no stream-mounted table — declare"
@@ -496,13 +512,16 @@ class HTSQL:
         ``{"processingTime": "10 seconds"}`` for a live cadence)."""
         sdf = self.df_stream(query)
         if output_mode is None:
-            # analysis only (no execution): streaming plans analyze
-            # fine, and the stateful kernels declare their own mode
-            plan = sdf._jdf.queryExecution().analyzed().toString()
-            if "FlatMapGroupsInPandasWithState" in plan:
-                output_mode = "append"
-            else:
-                output_mode = "complete" if "Aggregate" in plan else "append"
+            output_mode = self._stream_output_mode(sdf)
+        if output_mode not in ("complete", "append"):
+            # 'update' would append superseded versions of the same
+            # group to the parquet sink — silently stale duplicates
+            raise CompileError(
+                f"output_mode {output_mode!r} is not supported by the"
+                " parquet drain sink — use 'complete' (aggregates) or"
+                " 'append' (row streams), or foreachBatch your own"
+                " update-mode sink on df_stream()"
+            )
         cp = checkpoint or path.rstrip("/") + ".checkpoint"
         write_mode = "overwrite" if output_mode == "complete" else "append"
 
@@ -516,6 +535,28 @@ class HTSQL:
             .trigger(**(trigger or {"availableNow": True}))
             .start()
         )
+
+    @staticmethod
+    def _stream_output_mode(sdf: DataFrame) -> str:
+        """Default output mode by ANALYZED-PLAN SHAPE (no execution):
+        walk the logical tree's node names — a substring scan over the
+        plan string would false-positive on user aliases like
+        ``:as myAggregate`` (round-11 review).  Stateful kernels
+        (applyInPandasWithState) declare their own append contract;
+        aggregates drain complete (the final rewrite IS the batch
+        answer); everything else appends."""
+        node = sdf._jdf.queryExecution().analyzed()
+        stack, has_agg = [node], False
+        while stack:
+            n = stack.pop()
+            name = n.nodeName()
+            if name == "FlatMapGroupsInPandasWithState":
+                return "append"
+            if name == "Aggregate":
+                has_agg = True
+            for i in range(n.children().size()):
+                stack.append(n.children().apply(i))
+        return "complete" if has_agg else "append"
 
     def store_stream(
         self,

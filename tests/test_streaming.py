@@ -1188,3 +1188,71 @@ def test_produce_stream_rows(db):
     exp = db.produce("/(events?value>4.97){event_id, value}")
     key = lambda r: r["event_id"]
     assert sorted(rows, key=key) == sorted(exp, key=key) and rows
+
+
+# ---------------------------------------------------------------------------
+# round-11 review fixes
+# ---------------------------------------------------------------------------
+def test_stream_compile_mode_is_thread_local(db):
+    """A df_stream compile on one thread must never flip another
+    thread's batch compile into streaming scans (one engine is
+    documented as shareable by a concurrent WSGI server)."""
+    import threading
+
+    res = {}
+    db._stream_mode.on = True  # simulate mid-compile state on this thread
+    try:
+        t = threading.Thread(
+            target=lambda: res.update(
+                df=db.df("/(events?value>4.9){event_id}")
+            )
+        )
+        t.start()
+        t.join()
+    finally:
+        db._stream_mode.on = False
+    assert not res["df"].isStreaming
+
+
+def test_store_stream_rejects_update_mode(db, tmp_path):
+    """'update' would append superseded group versions to the parquet
+    sink — named error, not silent stale duplicates."""
+    from htsql_spark import CompileError
+
+    with pytest.raises(CompileError, match="update"):
+        db.store_stream(
+            "/events.tumbling('1 day')", str(tmp_path / "o"),
+            output_mode="update",
+        )
+
+
+def test_output_mode_detection_ignores_alias_names(db):
+    """Output-mode auto-detection walks plan NODES: a user alias
+    containing 'Aggregate' must not flip a row stream to complete
+    mode (which Spark would reject)."""
+    q = "/(events?value>4.9){event_id, value :as myAggregate}"
+    assert db._stream_output_mode(db.df_stream(q)) == "append"
+    streamed = db.run_stream(q)
+    assert _norm_rows(streamed) == _norm_rows(db.df(q))
+
+
+def test_eager_flow_methods_are_batch_only_on_streams(db):
+    """The eager model-state methods fail a df_stream compile with a
+    NAMED error (not the kernel's opaque writeStream AnalysisException)."""
+    from htsql_spark import CompileError
+
+    for q in (
+        "/events.heavy_hitters(event_type)",
+        "/events.freq(event_type)",
+        "/events.quantiles(value, 0.5)",
+    ):
+        with pytest.raises(CompileError, match="batch-only"):
+            db.df_stream(q)
+
+
+def test_ordered_mode_rejects_streaming_execution(spark):
+    from htsql_spark import HTSQL, CompileError
+
+    odb = HTSQL(spark, SF_DIR, ordered=True)
+    with pytest.raises(CompileError, match="ordered mode"):
+        odb.df_stream("/events.tumbling('1 day')")

@@ -2594,6 +2594,21 @@ def _stream_lang_sessions(spark, sf_dir):
     )
 
 
+def _stream_lang_sliding(spark, sf_dir):
+    """Streaming execution of '/events.sliding(...)' (see
+    _stream_lang_tumbling) — the overlapping-window aggregate drains
+    complete-mode to exactly the batch twin; lang_sliding's
+    duplicate-into-both-windows oracle replays it verbatim."""
+    from pyspark.sql import functions as F
+
+    df = _db(spark, sf_dir).run_stream("/events.sliding('2 days', '1 day')")
+    return df.select(
+        F.col("w_start").cast("timestamp_ntz").alias("w_start"),
+        F.round("avg_value", 4).alias("avg_value"),
+        "n",
+    )
+
+
 def _stream_lang_filter(spark, sf_dir):
     """Streaming execution of a NON-aggregating language query: the
     sieve+selection runs per micro-batch and the foreachBatch sink
@@ -3724,6 +3739,7 @@ _QUERIES.update(
         # batch twins' own oracles
         "stream_lang_tumbling": _stream_lang_tumbling,
         "stream_lang_sessions": _stream_lang_sessions,
+        "stream_lang_sliding": _stream_lang_sliding,
         "stream_lang_filter": _stream_lang_filter,
         "stream_lang_anomalies": _stream_lang_anomalies,
         "stream_lang_enrich": _stream_lang_enrich,
@@ -5931,6 +5947,7 @@ FROM x GROUP BY 1
         " WHERE event_type = 'purchase'"
     )
     out["stream_lang_sessions"] = out["lang_sessions"]
+    out["stream_lang_sliding"] = out["lang_sliding"]
     out["stream_lang_filter"] = (
         "SELECT event_id, event_type, value FROM events WHERE value > 4.9"
     )

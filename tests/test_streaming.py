@@ -1109,8 +1109,15 @@ def _norm_rows(df):
         # compilation (applyInPandasWithState) — one availableNow
         # drain equals the batch twin's unbounded-window values
         "/events.anomalies(3.0)",
+        # distinct_count()'s HLL applyInPandas plan is streaming-legal
+        # (mergeable sketch states ARE a streaming aggregate) — the
+        # drain carries the same estimate the batch reshape computes
+        "/events.distinct_count(user_id, event_type)",
     ],
-    ids=["tumbling", "sliding", "sessions", "filter_project", "anomalies"],
+    ids=[
+        "tumbling", "sliding", "sessions", "filter_project",
+        "anomalies", "distinct_count",
+    ],
 )
 def test_stream_execution_drains_to_batch_result(db, q):
     """Drain parity: run_stream(q) (an actual readStream execution,
@@ -1256,3 +1263,15 @@ def test_ordered_mode_rejects_streaming_execution(spark):
     odb = HTSQL(spark, SF_DIR, ordered=True)
     with pytest.raises(CompileError, match="ordered mode"):
         odb.df_stream("/events.tumbling('1 day')")
+
+
+def test_window_reshapes_fail_at_drain_with_spark_streaming_error(db):
+    """The row-window reshapes (transitions/sessionize/asof lowerings
+    use LEAD/LAG/row windows) are NOT streaming-legal; they compile
+    (lazy) and must fail the drain with Spark's own named streaming
+    error — documented behavior, locked so a silent semantic change
+    in a future lowering is caught."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException, match="STREAMING|streaming"):
+        db.run_stream("/events.transitions()")

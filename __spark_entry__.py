@@ -2609,6 +2609,31 @@ def _stream_lang_sliding(spark, sf_dir):
     )
 
 
+def _stream_lang_distinct_count(spark, sf_dir):
+    """Streaming execution of '/events.distinct_count(...)' — the
+    mergeable HLL sketch states ARE a streaming aggregate, so the
+    reshape runs on the stream unchanged and one availableNow drain
+    carries the same estimate the batch reshape computes.  Audit form
+    like lang_distinct_count: exact distincts + the 5% bound flag."""
+    from pyspark.sql import functions as F
+
+    df = _db(spark, sf_dir).run_stream(
+        "/events.distinct_count(user_id, event_type)"
+    )
+    ev = _db(spark, sf_dir).table("events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return df.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_5pct"),
+    )
+
+
 def _stream_lang_filter(spark, sf_dir):
     """Streaming execution of a NON-aggregating language query: the
     sieve+selection runs per micro-batch and the foreachBatch sink
@@ -3740,6 +3765,7 @@ _QUERIES.update(
         "stream_lang_tumbling": _stream_lang_tumbling,
         "stream_lang_sessions": _stream_lang_sessions,
         "stream_lang_sliding": _stream_lang_sliding,
+        "stream_lang_distinct_count": _stream_lang_distinct_count,
         "stream_lang_filter": _stream_lang_filter,
         "stream_lang_anomalies": _stream_lang_anomalies,
         "stream_lang_enrich": _stream_lang_enrich,
@@ -5966,6 +5992,8 @@ FROM x GROUP BY 1
         "SELECT event_type, count(DISTINCT user_id) AS exact_distinct,"
         " TRUE AS within_5pct FROM events GROUP BY 1"
     )
+    # the streamed drain carries the same HLL estimate → same audit
+    out["stream_lang_distinct_count"] = out["lang_distinct_count"]
     out["lang_quantiles"] = (
         "SELECT count(l_quantity) AS exact_n, TRUE AS cert_p50,"
         " TRUE AS cert_p90, TRUE AS err_informative FROM lineitem"

@@ -2554,6 +2554,18 @@ def _lang_freq(spark, sf_dir):
     )
 
 
+def _lang_hist(spark, sf_dir):
+    """hist(expr, buckets) flow method through the parser — the
+    equi-depth histogram reshape (compile.py::_fm_hist lowering to
+    olap.equi_depth_histogram, the op_histogram kernel) composed
+    after a sieve: exact interpolated quintile boundaries + bucket
+    counts over the filtered orders, oracle-replayed bit-for-bit by
+    DuckDB's quantile_cont."""
+    return _db(spark, sf_dir).df(
+        "/(orders?o_orderstatus='F').hist(o_totalprice, 5)"
+    )
+
+
 def _stream_lang_tumbling(spark, sf_dir):
     """Streaming EXECUTION of a language query (r10 verdict next #1 —
     the execution-mode bridge): engine.run_stream compiles
@@ -3771,7 +3783,9 @@ _QUERIES.update(
         "stream_lang_enrich": _stream_lang_enrich,
         # round 11: CMS point-frequency in the language (certificate
         # form — exact counts + the never-under / within-ε·n bounds)
+        # and the equi-depth histogram reshape
         "lang_freq": _lang_freq,
+        "lang_hist": _lang_hist,
     }
 )
 
@@ -5977,6 +5991,26 @@ FROM x GROUP BY 1
     out["stream_lang_filter"] = (
         "SELECT event_id, event_type, value FROM events WHERE value > 4.9"
     )
+    # hist() in the language: the op_histogram shape composed after a
+    # sieve — quantile_cont replays the boundaries bit-for-bit
+    out["lang_hist"] = """
+WITH f AS (SELECT o_totalprice AS v FROM orders WHERE o_orderstatus = 'F'),
+b AS (
+  SELECT quantile_cont(v, [0.2, 0.4, 0.6, 0.8]) AS q,
+         min(v) AS mn, max(v) AS mx
+  FROM f
+), t AS (
+  SELECT CAST((v > q[1]) AS INT) + CAST((v > q[2]) AS INT)
+       + CAST((v > q[3]) AS INT) + CAST((v > q[4]) AS INT) AS bucket,
+         [mn] || q || [mx] AS edges
+  FROM f, b
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       round(edges[bucket + 1], 4) AS lo,
+       round(edges[bucket + 2], 4) AS hi,
+       count(*) AS n
+FROM t GROUP BY 1, 2, 3
+"""
     # freq() in the language: certificate form (raw CMS estimates are
     # hash-layout-specific; the exact counts + bound flags are the
     # checkable contract, same as op_cms)

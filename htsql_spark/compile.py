@@ -2904,6 +2904,36 @@ def _fm_freq(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     return _fm_reshape(cc, v, "freq", est, gnames + ["item", "est_n", "n", "err"])
 
 
+def _fm_hist(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """hist(expr[, buckets]) — reshape the flow into the EXACT
+    equi-depth histogram of ``expr`` (operators.olap.
+    equi_depth_histogram, the op_histogram kernel): attributes
+    ``bucket`` / ``lo`` / ``hi`` / ``n``, default 4 buckets.
+    Boundaries are exact interpolated percentiles (ANSI quantile_cont
+    semantics — oracle-replayable bit-for-bit); NULLs are excluded.
+    Lazy (no compile-time job): one single-row boundary aggregate
+    broadcast back over the flow, then a map-side-combined count —
+    the ANALYZE-style distribution profile as language surface.  The
+    exact percentile sorts within groups at 100 TB; the kernel
+    documents the approx_percentile swap at identical plan shape."""
+    if not args or len(args) > 2:
+        raise CompileError(
+            "hist(expr[, buckets]) takes a value expression and an"
+            " optional bucket-count literal"
+        )
+    from .operators.olap import equi_depth_histogram
+
+    flow = v.flow
+    scope = ScopeRef(flow, flow.alias, flow.table)
+    expr = cc.scalar(ctx, scope, args[0]).col
+    buckets = _fm_int_lit(args, 1, 4, "hist")
+    if buckets < 1:
+        raise CompileError("hist() bucket count must be at least 1")
+    narrow = flow.df.select(expr.alias("__h"))
+    res = equi_depth_histogram(narrow, "__h", buckets=buckets)
+    return _fm_reshape(cc, v, "hist", res, ["bucket", "lo", "hi", "n"])
+
+
 FLOW_METHODS = {
     "sort": _fm_sort,
     "limit": _fm_limit,
@@ -2948,6 +2978,7 @@ FLOW_METHODS = {
     "distinct_count": _fm_distinct_count,
     "quantiles": _fm_quantiles,
     "freq": _fm_freq,
+    "hist": _fm_hist,
 }
 
 

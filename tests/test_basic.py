@@ -1289,3 +1289,22 @@ def test_flow_method_quantiles_grouped_and_asof_tolerance(db):
         db.df("/lineitem.quantiles(l_quantity, 0.5, l_returnflag+1)")
     with _pytest.raises(CompileError, match="quantile literal"):
         db.df("/lineitem.quantiles(l_quantity, l_returnflag)")
+
+
+def test_flow_method_hist(db):
+    """hist(expr, buckets) is the equi-depth histogram reshape:
+    bucket counts sum to the non-null row count, edges are monotone
+    and the kernel composes after a sieve."""
+    rows = db.produce("/(orders?o_totalprice>0).hist(o_totalprice, 4)")
+    assert {r["bucket"] for r in rows} == {0, 1, 2, 3}
+    n_total = db.produce(
+        "/{n := count(orders?o_totalprice>0)}"
+    )[0]["n"]
+    assert sum(r["n"] for r in rows) == n_total
+    srt = sorted(rows, key=lambda r: r["bucket"])
+    for a, b in zip(srt, srt[1:]):
+        assert a["lo"] <= a["hi"] <= b["lo"] <= b["hi"]
+    # equi-depth: buckets within one row of each other is too strict
+    # for interpolated ties, but within 10% of n/4 holds easily
+    for r in rows:
+        assert abs(r["n"] - n_total / 4) <= max(2, 0.1 * n_total / 4)

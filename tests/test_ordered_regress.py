@@ -98,6 +98,7 @@ QUERIES = [
     "/events.sessions('30 minutes')?n>2",
     "/events.anomalies(2.2)",
     "/events.freq(event_type)",
+    "/(orders?o_orderstatus='F').hist(o_totalprice, 5)",
     "/(events?event_type='purchase')"
     ".asof(events?event_type='click', user_id, ts, event_id)"
     "{event_id, asof_event_id}?event_id<200",

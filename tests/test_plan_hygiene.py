@@ -127,6 +127,7 @@ NLJ_OK = {
     "op_skew_join",
     # the histogram crossJoins the single-row boundary aggregate
     "op_histogram",
+    "lang_hist",
     # the quantile certificate crossJoins the broadcast 1-row KLL
     # estimate row against lineitem (model-sized side, like detach)
     "lang_quantiles",

@@ -2646,6 +2646,23 @@ def _stream_lang_distinct_count(spark, sf_dir):
     )
 
 
+def _stream_lang_quantiles(spark, sf_dir):
+    """Streaming execution of the grouped quantiles() reshape — the
+    KLL path is fully lazy (mapInPandas states + applyInPandas merge)
+    and its mergeable states ARE a streaming aggregate, so the
+    reshape drains complete-mode with parity.  Certificate form like
+    lang_quantiles_by: exact per-group counts + the self-certified
+    rank-band checks on the drained estimates."""
+    df = _db(spark, sf_dir).run_stream(
+        "/events.quantiles(value, 0.5, 0.9, event_type)"
+    )
+    ev = _db(spark, sf_dir).table("events")
+    return _kll_rank_certificate(
+        ev.select("event_type", "value"), "value", df,
+        [0.5, 0.9], group_cols=["event_type"],
+    )
+
+
 def _stream_lang_filter(spark, sf_dir):
     """Streaming execution of a NON-aggregating language query: the
     sieve+selection runs per micro-batch and the foreachBatch sink
@@ -3778,6 +3795,7 @@ _QUERIES.update(
         "stream_lang_sessions": _stream_lang_sessions,
         "stream_lang_sliding": _stream_lang_sliding,
         "stream_lang_distinct_count": _stream_lang_distinct_count,
+        "stream_lang_quantiles": _stream_lang_quantiles,
         "stream_lang_filter": _stream_lang_filter,
         "stream_lang_anomalies": _stream_lang_anomalies,
         "stream_lang_enrich": _stream_lang_enrich,
@@ -6036,6 +6054,12 @@ FROM t GROUP BY 1, 2, 3
         "SELECT l_returnflag, count(l_quantity) AS exact_n,"
         " TRUE AS cert_p50, TRUE AS cert_p90, TRUE AS err_informative"
         " FROM lineitem GROUP BY 1"
+    )
+    # the streamed drain carries KLL estimates certified the same way
+    out["stream_lang_quantiles"] = (
+        "SELECT event_type, count(value) AS exact_n,"
+        " TRUE AS cert_p50, TRUE AS cert_p90, TRUE AS err_informative"
+        " FROM events GROUP BY 1"
     )
     # z-order key: the Morton interleave is pure bit arithmetic, so
     # the oracle is the SAME sum-of-shifted-bits expression spelled

@@ -2801,13 +2801,15 @@ def _fm_quantiles(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
         if not 0 < q <= 1:
             raise CompileError("quantiles() fractions must be in (0, 1]")
     if v.corr_outer:
-        # checked BEFORE the kernel: the sketch pass is EAGER like
-        # heavy_hitters — fail before burning its jobs
+        # checked BEFORE the kernel (reshape scope, like funnel)
         raise CompileError(
             "quantiles() is not defined on a correlated sub-flow —"
             " apply it to a top-level flow"
         )
-    _fm_require_batch(v, "quantiles")
+    # NO batch-only guard: the KLL path is fully lazy (mapInPandas
+    # states + applyInPandas merge — no driver action), and like the
+    # HLL reshape its mergeable states ARE a streaming aggregate: the
+    # reshape streams with drain parity (locked in test_streaming)
     gnames = [g for g, _ in groups]
     narrow = flow.df.select(
         expr.cast("double").alias("__qv"), *[c.alias(g) for g, c in groups]

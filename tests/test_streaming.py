@@ -1109,14 +1109,15 @@ def _norm_rows(df):
         # compilation (applyInPandasWithState) — one availableNow
         # drain equals the batch twin's unbounded-window values
         "/events.anomalies(3.0)",
-        # distinct_count()'s HLL applyInPandas plan is streaming-legal
-        # (mergeable sketch states ARE a streaming aggregate) — the
-        # drain carries the same estimate the batch reshape computes
+        # the mergeable-sketch reshapes are streaming-legal as-is
+        # (their states ARE a streaming aggregate) — the drains carry
+        # the same estimates the batch reshapes compute
         "/events.distinct_count(user_id, event_type)",
+        "/events.quantiles(value, 0.5, 0.9, event_type)",
     ],
     ids=[
         "tumbling", "sliding", "sessions", "filter_project",
-        "anomalies", "distinct_count",
+        "anomalies", "distinct_count", "quantiles",
     ],
 )
 def test_stream_execution_drains_to_batch_result(db, q):
@@ -1251,7 +1252,6 @@ def test_eager_flow_methods_are_batch_only_on_streams(db):
     for q in (
         "/events.heavy_hitters(event_type)",
         "/events.freq(event_type)",
-        "/events.quantiles(value, 0.5)",
     ):
         with pytest.raises(CompileError, match="batch-only"):
             db.df_stream(q)

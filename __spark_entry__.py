@@ -2535,18 +2535,20 @@ def _lang_freq(spark, sf_dir):
     df = _db(spark, sf_dir).df("/events.freq(event_type, user_id)")
     ev = _db(spark, sf_dir).table("events")
     exact = ev.groupBy(
-        F.col("user_id").cast("string").alias("g_uid"),
+        F.col("user_id").alias("g_uid"),
         F.col("event_type").alias("g_item"),
     ).agg(F.count(F.lit(1)).alias("exact_n"))
     # NULL-SAFE equi join (round-11 review): the oracle's GROUP BY
     # keeps NULL groups, so a NULL event_type/user_id in a future
-    # fixture must certify too, not silently drop out of the join
+    # fixture must certify too, not silently drop out of the join.
+    # Since round 12 freq() preserves the group column's ORIGINAL
+    # type (round-11 advice), the join is native-typed.
     return df.join(
         exact,
         df["user_id"].eqNullSafe(exact["g_uid"])
         & df["item"].eqNullSafe(exact["g_item"]),
     ).select(
-        F.col("user_id").cast("long").alias("user_id"),
+        df["user_id"],
         "item",
         "exact_n",
         (F.col("est_n") >= F.col("exact_n")).alias("never_under"),
@@ -2582,6 +2584,29 @@ def _stream_lang_tumbling(spark, sf_dir):
     from pyspark.sql import functions as F
 
     df = _db(spark, sf_dir).run_stream("/events.tumbling('1 day')")
+    return df.select(
+        F.col("w_start").cast("timestamp_ntz").alias("w_start"),
+        F.col("w_end").cast("timestamp_ntz").alias("w_end"),
+        "event_type", "n", F.round("total", 4).alias("total"),
+    )
+
+
+def _stream_lang_update(spark, sf_dir):
+    """UPDATE-mode streaming drain of a keyed aggregate (r11 verdict
+    next #1 — scale-safe LIVE serving): run_stream with keys= lowers
+    the sink to a per-epoch keyed MERGE (engine.start_stream →
+    streaming.snapshot.apply_cdc_batch: broadcast key-set anti join,
+    atomic two-rename swap, dataset lock), so each micro-batch costs
+    O(changed groups) instead of rewriting the whole result like
+    complete mode — the live-dashboard shape for a big keyed
+    aggregate.  At drain end the snapshot must equal the batch twin,
+    so lang_tumbling's oracle proves the MERGE loop end to end."""
+    from pyspark.sql import functions as F
+
+    df = _db(spark, sf_dir).run_stream(
+        "/events.tumbling('1 day')",
+        keys=["w_start", "w_end", "event_type"],
+    )
     return df.select(
         F.col("w_start").cast("timestamp_ntz").alias("w_start"),
         F.col("w_end").cast("timestamp_ntz").alias("w_end"),
@@ -3792,6 +3817,7 @@ _QUERIES.update(
         # checkpointed foreachBatch parquet sink) and is proven by the
         # batch twins' own oracles
         "stream_lang_tumbling": _stream_lang_tumbling,
+        "stream_lang_update": _stream_lang_update,
         "stream_lang_sessions": _stream_lang_sessions,
         "stream_lang_sliding": _stream_lang_sliding,
         "stream_lang_distinct_count": _stream_lang_distinct_count,
@@ -5997,6 +6023,9 @@ FROM x GROUP BY 1
     # must equal the batch twin, so the batch twins' own oracles prove
     # the execution-mode bridge end to end
     out["stream_lang_tumbling"] = out["lang_tumbling"]
+    # update-mode drain: per-epoch keyed MERGE converges to the same
+    # final state complete mode rewrites — same batch-twin oracle
+    out["stream_lang_update"] = out["lang_tumbling"]
     out["stream_lang_anomalies"] = out["lang_anomalies"]
     out["stream_lang_enrich"] = (
         "SELECT event_id, user_id, n_name AS nat FROM events"

@@ -241,6 +241,20 @@ class Catalog:
             base, ext = os.path.splitext(fn)
             if ext in (".parquet", ".csv", ".json", ".orc", ".txt") and base not in tables:
                 tables[base] = TableDef(name=base, pk=())
+            elif (
+                ext == ""
+                and "__" not in fn
+                and fn not in tables
+                and os.path.isdir(os.path.join(data_dir, fn))
+                and any(
+                    g.endswith(".parquet")
+                    for g in os.listdir(os.path.join(data_dir, fn))
+                )
+            ):
+                # directory landing mount: {name}/ with accumulated
+                # parquet files (a streaming landing zone); "__" names
+                # are sink/maintenance internals (__epochs, __staging)
+                tables[fn] = TableDef(name=fn, pk=())
         return cls(tables)
 
     def __getitem__(self, name: str) -> TableDef:

@@ -2880,15 +2880,27 @@ def _fm_freq(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
         raise CompileError("freq() names a group twice")
     gnames = [g for g, _ in groups]
     # composite probe key: groups fold into the hashed value so one
-    # matrix serves every group (null-safe: coalesce to a sentinel
-    # that cannot collide with real text through the \x1f separator)
+    # matrix serves every group.  The encoding must be INJECTIVE for
+    # arbitrary strings (round-11 review: a separator-joined concat
+    # lets a value CONTAINING the separator alias a different
+    # combination, collapsing two distinct (group..., item) rows into
+    # one merged estimate) — so each part is length-prefixed
+    # ('S<len>:<text>', NULL → 'N'): the digit run ends at the first
+    # ':' and the length then delimits the text, so decoding is
+    # unambiguous for any value, separators and sentinels included.
+    def _piece(p: Column) -> Column:
+        return F.when(p.isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("S"), F.length(p).cast("string"), F.lit(":"), p)
+        )
+
     parts = [c.cast("string") for _, c in groups] + [expr.cast("string")]
-    composite = F.concat_ws(
-        "\x1f", *[F.coalesce(p, F.lit("\x00")) for p in parts]
-    )
+    composite = F.concat(*[_piece(p) for p in parts])
+    # group attributes keep their ORIGINAL type in the output (round-11
+    # review: only the probe key needs the string fold — a text-cast
+    # group column breaks downstream numeric sieves on it)
     narrow = flow.df.select(
         composite.alias("__ck"),
-        *[c.cast("string").alias(g) for g, c in groups],
+        *[c.alias(g) for g, c in groups],
         expr.cast("string").alias("item"),
     )
     eps, delta = 0.01, 1e-4
@@ -2923,6 +2935,12 @@ def _fm_hist(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
             "hist(expr[, buckets]) takes a value expression and an"
             " optional bucket-count literal"
         )
+    # the boundary-aggregate broadcast back over the flow is a join
+    # between two streaming frames — never streaming-legal, so fail
+    # at compile with the named remedy like freq()/heavy_hitters()
+    # (round-11 review), not at drain with Spark's opaque
+    # AnalysisException
+    _fm_require_batch(v, "hist")
     from .operators.olap import equi_depth_histogram
 
     flow = v.flow

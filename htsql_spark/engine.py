@@ -155,9 +155,25 @@ class HTSQL:
             # real multi-schema mount is a gateway per directory)
             fname = tdef.name if tdef is not None else name
             pq = f"{self.data_dir}/{fname}.parquet"
+            pqdir = f"{self.data_dir}/{fname}"
             if os.path.exists(pq):
                 df = self.spark.read.parquet(pq)
                 df = convert_nano_cols(df, nano_timestamp_fields(pq))
+            elif os.path.isdir(pqdir) and any(
+                f.endswith(".parquet") for f in os.listdir(pqdir)
+            ):
+                # directory landing mount: {name}/ accumulating many
+                # parquet files (the streaming landing-zone shape —
+                # micro-batches append files, batch queries read the
+                # whole directory); nano-timestamp contract probed
+                # from one footer like the single-file mount
+                first = sorted(
+                    f for f in os.listdir(pqdir) if f.endswith(".parquet")
+                )[0]
+                df = self.spark.read.parquet(pqdir)
+                df = convert_nano_cols(
+                    df, nano_timestamp_fields(f"{pqdir}/{first}")
+                )
             elif os.path.exists(f"{self.data_dir}/{fname}.csv"):
                 df = self.spark.read.csv(
                     f"{self.data_dir}/{fname}.csv", header=True, inferSchema=True
@@ -493,6 +509,7 @@ class HTSQL:
         checkpoint: str | None = None,
         output_mode: str | None = None,
         trigger: dict | None = None,
+        keys: list[str] | None = None,
     ):
         """Start a language query as a LIVE Structured Stream writing
         parquet at ``path`` and return the running ``StreamingQuery``
@@ -500,33 +517,96 @@ class HTSQL:
         blocking availableNow drain built on this).
 
         ``output_mode`` defaults by plan shape: aggregating queries
-        run ``complete`` (each micro-batch rewrites the full result —
-        exactly the batch answer at every instant), stateful
-        ``anomalies()`` and non-aggregating queries run ``append``
-        (each micro-batch's new rows land incrementally).  The sink
-        is a foreachBatch parquet writer, so the whole write stays
-        distributed; the checkpoint (default ``<path>.checkpoint``)
-        gives exactly-once file accounting across restarts.
+        run ``complete``, stateful ``anomalies()`` and non-aggregating
+        queries run ``append``; passing ``keys=[...]`` (the grouping
+        attribute names) selects ``update`` — the scale shape for a
+        LIVE keyed aggregate, where each micro-batch MERGEs only the
+        CHANGED groups into the snapshot instead of rewriting the
+        world.  All three sinks are distributed foreachBatch writers
+        hardened for live serving (round-11 verdict #1):
+
+        * ``complete`` stages each epoch and swaps it in atomically
+          (two checked renames, ``operators.layout.replace_dataset``)
+          — a reader never observes a half-written epoch (it sees the
+          previous epoch, the new one, or a momentary retryable miss
+          during the rename pair), and a crash mid-write keeps the
+          previous epoch.
+        * ``append`` is idempotent PER BATCH: each epoch's rows land
+          as ``epoch-<id>-*`` files moved in from a staged write, and
+          a retry of the same epoch (foreachBatch is at-least-once —
+          a crash between the write and the checkpoint commit
+          redelivers it) first removes that epoch's files, so
+          restarts never duplicate rows.
+        * ``update`` MERGEs by ``keys`` via the CDC upsert loop
+          (``streaming.snapshot.apply_cdc_batch``: broadcast key-set
+          anti join — the snapshot side is never shuffled — plus the
+          same atomic swap and dataset lock), so at drain end the
+          snapshot equals the complete-mode answer while each epoch
+          paid O(changed groups), not O(all groups).
+
+        The checkpoint (default ``<path>.checkpoint``) gives
+        exactly-once file accounting across restarts and re-drains.
         ``trigger`` is passed to ``writeStream.trigger`` verbatim
         (default ``{"availableNow": True}``; pass
         ``{"processingTime": "10 seconds"}`` for a live cadence)."""
         sdf = self.df_stream(query)
         if output_mode is None:
-            output_mode = self._stream_output_mode(sdf)
-        if output_mode not in ("complete", "append"):
-            # 'update' would append superseded versions of the same
-            # group to the parquet sink — silently stale duplicates
+            output_mode = (
+                "update" if keys else self._stream_output_mode(sdf)
+            )
+        if output_mode == "update":
+            if not keys:
+                raise CompileError(
+                    "update mode needs keys=[...] naming the grouping"
+                    " attributes — the sink MERGEs each micro-batch's"
+                    " changed groups into the snapshot by key"
+                )
+            missing = [k for k in keys if k not in sdf.columns]
+            if missing:
+                raise CompileError(
+                    f"update-mode keys {missing} are not attributes of"
+                    f" the query result (has: {sdf.columns})"
+                )
+            clash = [c for c in ("__cdc_ts", "__cdc_op") if c in sdf.columns]
+            if clash:
+                raise CompileError(
+                    f"update-mode sink reserves column names {clash}"
+                )
+        elif output_mode not in ("complete", "append"):
             raise CompileError(
                 f"output_mode {output_mode!r} is not supported by the"
-                " parquet drain sink — use 'complete' (aggregates) or"
-                " 'append' (row streams), or foreachBatch your own"
-                " update-mode sink on df_stream()"
+                " parquet drain sink — use 'complete' (aggregates),"
+                " 'append' (row streams), or 'update' with keys=[...]"
+                " (live keyed aggregates)"
             )
         cp = checkpoint or path.rstrip("/") + ".checkpoint"
-        write_mode = "overwrite" if output_mode == "complete" else "append"
 
-        def _sink(bdf: DataFrame, epoch_id: int) -> None:
-            bdf.write.mode(write_mode).parquet(path)
+        if output_mode == "complete":
+            staging = path.rstrip("/") + "__epoch"
+
+            def _sink(bdf: DataFrame, epoch_id: int) -> None:
+                from .operators.layout import replace_dataset
+
+                bdf.write.mode("overwrite").parquet(staging)
+                replace_dataset(bdf.sparkSession, staging, path)
+
+        elif output_mode == "update":
+
+            def _sink(bdf: DataFrame, epoch_id: int) -> None:
+                from .streaming.snapshot import apply_cdc_batch
+
+                batch = bdf.withColumn(
+                    "__cdc_op", F.lit("U")
+                ).withColumn("__cdc_ts", F.lit(int(epoch_id)))
+                apply_cdc_batch(
+                    bdf.sparkSession, batch, path, key=list(keys),
+                    ts_col="__cdc_ts", op_col="__cdc_op",
+                )
+
+        else:  # append
+
+            def _sink(bdf: DataFrame, epoch_id: int) -> None:
+                _append_epoch(bdf, path, int(epoch_id))
 
         return (
             sdf.writeStream.outputMode(output_mode)
@@ -546,16 +626,34 @@ class HTSQL:
         aggregates drain complete (the final rewrite IS the batch
         answer); everything else appends."""
         node = sdf._jdf.queryExecution().analyzed()
-        stack, has_agg = [node], False
+        # full walk, carrying "an Aggregate sits ABOVE me" down each
+        # root-to-leaf path (round-11 review: returning 'append' at the
+        # FIRST stateful node mis-modes an aggregate composed OVER
+        # anomalies() — Spark then rejects the start with a generic
+        # watermark error; the composition is never streaming-legal,
+        # so name it here instead)
+        stack, has_agg, stateful = [(node, False)], False, False
         while stack:
-            n = stack.pop()
+            n, agg_above = stack.pop()
             name = n.nodeName()
             if name == "FlatMapGroupsInPandasWithState":
-                return "append"
+                if agg_above:
+                    raise CompileError(
+                        "an aggregate over a stateful anomalies() stream"
+                        " is not streaming-legal (the state kernel's"
+                        " append rows cannot feed a streaming aggregate"
+                        " without a watermark) — drain the anomalies"
+                        " stream first (run_stream) and aggregate the"
+                        " batch result"
+                    )
+                stateful = True
             if name == "Aggregate":
                 has_agg = True
+                agg_above = True
             for i in range(n.children().size()):
-                stack.append(n.children().apply(i))
+                stack.append((n.children().apply(i), agg_above))
+        if stateful:
+            return "append"
         return "complete" if has_agg else "append"
 
     def store_stream(
@@ -564,6 +662,7 @@ class HTSQL:
         path: str,
         checkpoint: str | None = None,
         output_mode: str | None = None,
+        keys: list[str] | None = None,
     ) -> None:
         """Streaming write sink: execute a language query AS A STREAM
         (readStream scans + availableNow trigger + checkpoint) and
@@ -572,11 +671,17 @@ class HTSQL:
         unchanged landing dir are no-ops (exactly-once file
         accounting via the checkpoint)."""
         q = self.start_stream(
-            query, path, checkpoint=checkpoint, output_mode=output_mode
+            query, path, checkpoint=checkpoint, output_mode=output_mode,
+            keys=keys,
         )
         q.awaitTermination()
 
-    def run_stream(self, query: str, output_mode: str | None = None) -> DataFrame:
+    def run_stream(
+        self,
+        query: str,
+        output_mode: str | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
         """Execute a language query as a stream (store_stream into a
         scratch sink) and return the drained result as a BATCH
         DataFrame — the serve path the parity tests and the driver
@@ -594,6 +699,7 @@ class HTSQL:
                 out,
                 checkpoint=os.path.join(base, "checkpoint"),
                 output_mode=output_mode,
+                keys=keys,
             )
             return self.spark.read.parquet(out).localCheckpoint(eager=True)
         finally:
@@ -605,6 +711,47 @@ class HTSQL:
             row.asDict(recursive=True)
             for row in self.run_stream(query).collect()
         ]
+
+
+def _append_epoch(bdf: DataFrame, path: str, epoch_id: int) -> None:
+    """Idempotent per-batch append for the streaming parquet sink:
+    stage the epoch's rows with ``mode('overwrite')`` (a retry simply
+    re-stages), remove any ``epoch-<id>-*`` files a crashed prior
+    attempt of THIS epoch left in the sink, then move the staged part
+    files in under epoch-tagged names.  foreachBatch is at-least-once
+    — a crash between the parquet write and the checkpoint commit
+    redelivers the same epoch_id with the same rows (round-11 review:
+    a plain ``mode('append')`` write duplicated them) — so the delete
+    + tagged-rename makes the retry converge to exactly one copy.
+    Epochs are serialized by the streaming engine, so the staging
+    subdirectory is never contended; readers of ``path`` may see a
+    prefix of an in-flight epoch's files (append semantics: every
+    row visible is final), never a duplicate."""
+    spark = bdf.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    dst = HPath(path)
+    fs = dst.getFileSystem(conf)
+    staging = f"{path.rstrip('/')}__epochs/{epoch_id}"
+    bdf.write.mode("overwrite").parquet(staging)
+    fs.mkdirs(dst)
+    tag = f"epoch-{epoch_id:020d}-"
+    for s in fs.listStatus(dst):
+        name = s.getPath().getName()
+        if not s.isDirectory() and name.startswith(tag):
+            fs.delete(s.getPath(), False)
+    for s in fs.listStatus(HPath(staging)):
+        name = s.getPath().getName()
+        if s.isDirectory() or not name.startswith("part-"):
+            continue
+        target = HPath(str(dst) + "/" + tag + name)
+        if not fs.rename(s.getPath(), target):
+            raise IOError(
+                f"_append_epoch: rename into {path} failed for {name}"
+                f" (epoch {epoch_id})"
+            )
+    fs.delete(HPath(staging), True)
 
 
 def get_spark(app_name: str = "htsql-spark", cpus: int | None = None) -> SparkSession:

@@ -457,7 +457,7 @@ def scd2(
 def apply_cdc(
     base: DataFrame,
     changes: DataFrame,
-    key: str,
+    key: str | list[str],
     ts_col: str = "ts",
     op_col: str = "op",
     delete_op: str = "D",
@@ -487,14 +487,16 @@ def apply_cdc(
     resolve reproducibly; producers that need a different tie order
     should encode it in ``ts_col`` (a (ts, seq) epoch works).
     """
-    if key not in base.columns:
-        raise ValueError(f"apply_cdc: key {key!r} not in base columns")
+    keys = [key] if isinstance(key, str) else list(key)
+    for k in keys:
+        if k not in base.columns:
+            raise ValueError(f"apply_cdc: key {k!r} not in base columns")
     missing = (set(base.columns) | {ts_col, op_col}) - set(changes.columns)
     if missing:
         raise ValueError(
             f"apply_cdc: changes is missing columns {sorted(missing)}"
         )
-    w = Window.partitionBy(key).orderBy(
+    w = Window.partitionBy(*keys).orderBy(
         F.col(ts_col).desc(), F.col(op_col).desc()
     )
     latest = (
@@ -503,8 +505,8 @@ def apply_cdc(
         .drop("__rn")
     )
     survivors = latest.filter(F.col(op_col) != delete_op).select(*base.columns)
-    touched = latest.select(key)
+    touched = latest.select(*keys)
     if broadcast_keys:
         touched = F.broadcast(touched)
-    untouched = base.join(touched, on=key, how="left_anti")
+    untouched = base.join(touched, on=keys, how="left_anti")
     return untouched.unionByName(survivors)

@@ -492,3 +492,51 @@ def compact_dataset(
         return _count_parts(src)
     finally:
         release_dataset_lock(spark, path)
+
+
+def replace_dataset(spark, staging: str, path: str, backup_suffix: str = "__preswap") -> None:
+    """Atomically replace the dataset at ``path`` with the one staged
+    at ``staging`` — the two-rename + backup discipline of
+    :func:`compact_dataset` factored out for every epoch-rewrite
+    consumer (the streaming complete-mode drain sink uses this so a
+    reader never observes a half-written epoch and a crash mid-swap
+    keeps the previous epoch; ``apply_cdc_batch`` runs the same
+    sequence under its dataset lock).
+
+    Crash states and their recovery, all handled ON ENTRY of the next
+    call: (a) backup present while ``path`` is missing — crashed
+    between the two renames; the backup IS the dataset and is
+    restored first.  (b) staging leftover — never swapped in; the
+    caller overwrote it anyway (``mode('overwrite')``), so nothing to
+    do here.  Hadoop ``rename`` reports failure by RETURN VALUE: both
+    renames are checked, and a failed second rename restores the
+    backup and raises instead of leaving ``path`` empty."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(conf)
+    stg = jvm.org.apache.hadoop.fs.Path(staging)
+    backup = jvm.org.apache.hadoop.fs.Path(path + backup_suffix)
+    if not fs.exists(stg):
+        raise FileNotFoundError(f"replace_dataset: nothing staged at {staging}")
+    if not fs.exists(src) and fs.exists(backup):
+        # crashed between the two renames on a PREVIOUS swap: restore
+        # so the pre-swap state is what this swap replaces
+        fs.rename(backup, src)
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    had_src = fs.exists(src)
+    if had_src and not fs.rename(src, backup):
+        raise IOError(
+            f"replace_dataset: rename({path}, {backup_suffix}) failed"
+            " — dataset left untouched"
+        )
+    if not fs.rename(stg, src):
+        if had_src:
+            fs.rename(backup, src)  # put the previous epoch back
+        raise IOError(
+            f"replace_dataset: rename(staging, {path}) failed —"
+            " dataset restored from backup"
+        )
+    fs.delete(backup, True)
+    spark.catalog.refreshByPath(path)

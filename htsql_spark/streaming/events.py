@@ -115,6 +115,15 @@ def read_table_stream(spark: SparkSession, data_dir: str, fname: str) -> DataFra
     glob = f"{fname}.parquet"
     files = sorted(globlib.glob(f"{data_dir}/{glob}"))
     if not files:
+        # directory landing mount ({data_dir}/{fname}/ accumulating
+        # many parquet files — the multi-micro-batch landing-zone
+        # shape the batch scan also reads); each file is one
+        # maxFilesPerTrigger=1 micro-batch
+        files = sorted(globlib.glob(f"{data_dir}/{fname}/*.parquet"))
+        if files:
+            data_dir = f"{data_dir}/{fname}"
+            glob = "*.parquet"
+    if not files:
         raise FileNotFoundError(
             f"no file matching {glob!r} in {data_dir} to probe the"
             " stream schema; write one first"

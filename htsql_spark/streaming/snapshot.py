@@ -24,14 +24,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.analytics import apply_cdc
-from ..operators.layout import acquire_dataset_lock, release_dataset_lock
+from ..operators.layout import (
+    acquire_dataset_lock,
+    release_dataset_lock,
+    replace_dataset,
+)
 
 
 def apply_cdc_batch(
     spark: SparkSession,
     batch: DataFrame,
     snapshot_path: str,
-    key: str,
+    key: str | list[str],
     ts_col: str = "ts",
     op_col: str = "op",
     delete_op: str = "D",
@@ -71,40 +75,21 @@ def apply_cdc_batch(
             op_col=op_col,
             delete_op=delete_op,
         )
-        staging = jvm.org.apache.hadoop.fs.Path(snapshot_path + "__staging")
-        if fs.exists(staging):
-            fs.delete(staging, True)  # crashed attempt, never swapped in
+        staging = snapshot_path + "__staging"
+        # mode('overwrite') discards a crashed attempt's leftover
+        # staging; the swap itself is layout.replace_dataset — the
+        # checked two-rename + backup discipline (a failed rename
+        # restores the snapshot and raises; an unchecked false would
+        # leave the path empty and the next batch's bootstrap would
+        # silently reinitialize from one change batch)
         (
             new_snap.repartition(snapshot_files)
             .write.mode("overwrite")
-            .parquet(str(staging))
+            .parquet(staging)
         )
-        if fs.exists(backup):
-            fs.delete(backup, True)
-        had_src = fs.exists(src)
-        # Hadoop rename reports failure by RETURN VALUE, not exception:
-        # an unchecked false from rename(staging, src) followed by the
-        # backup delete would leave the path EMPTY — and the next
-        # batch's missing-snapshot bootstrap would then silently
-        # reinitialize the snapshot from one change batch (data loss).
-        # Check every rename; on a failed swap, restore the backup and
-        # raise loudly instead.
-        if had_src and not fs.rename(src, backup):
-            raise IOError(
-                f"apply_cdc_batch: rename({snapshot_path}, __presnap)"
-                " failed — snapshot left untouched"
-            )
-        if not fs.rename(staging, src):
-            if had_src:
-                fs.rename(backup, src)  # put the snapshot back
-            raise IOError(
-                f"apply_cdc_batch: rename(__staging, {snapshot_path})"
-                " failed — snapshot restored from backup"
-            )
-        fs.delete(backup, True)
-        # refresh only this path's cached entries — clearCache() would
-        # wipe every cached table in the session per micro-batch
-        spark.catalog.refreshByPath(snapshot_path)
+        replace_dataset(
+            spark, staging, snapshot_path, backup_suffix="__presnap"
+        )
     finally:
         release_dataset_lock(spark, snapshot_path)
 
@@ -113,7 +98,7 @@ def run_cdc_snapshot(
     spark: SparkSession,
     stream: DataFrame,
     snapshot_path: str,
-    key: str,
+    key: str | list[str],
     ts_col: str = "ts",
     op_col: str = "op",
     delete_op: str = "D",

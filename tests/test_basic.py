@@ -1099,7 +1099,7 @@ def test_flow_method_freq_certificate(db):
         .collect()
     }
     for r in g:
-        key = (r["user_id"], r["item"])
+        key = (str(r["user_id"]), r["item"])
         assert gex[key] <= r["est_n"] <= gex[key] + r["err"]
 
 
@@ -1308,3 +1308,52 @@ def test_flow_method_hist(db):
     # for interpolated ties, but within 10% of n/4 holds easily
     for r in rows:
         assert abs(r["n"] - n_total / 4) <= max(2, 0.1 * n_total / 4)
+
+
+def test_freq_composite_encoding_is_injective(spark, tmp_path):
+    """round-11 advice: a separator-joined composite let a value
+    CONTAINING the separator alias a different (group, item)
+    combination — ('a\\x1fb', 'c') and ('a', 'b\\x1fc') collapsed to
+    one row with a merged estimate.  The length-prefixed encoding
+    keeps them distinct, with the sentinel and separator as ordinary
+    text."""
+    from htsql_spark import HTSQL
+    from htsql_spark.catalog import Catalog
+
+    rows = (
+        [("a\x1fb", "c")] * 3
+        + [("a", "b\x1fc")] * 5
+        + [("\x00", "z")] * 2
+        + [(None, "z")] * 4
+    )
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["g", "x"]).to_parquet(
+        str(tmp_path / "t.parquet")
+    )
+    db2 = HTSQL(spark, str(tmp_path), catalog=Catalog.from_files(str(tmp_path)))
+    got = {
+        (r["g"], r["item"]): r["est_n"]
+        for r in db2.produce("/t.freq(x, g)")
+    }
+    assert len(got) == 4
+    for k, exact in {
+        ("a\x1fb", "c"): 3,
+        ("a", "b\x1fc"): 5,
+        ("\x00", "z"): 2,
+        (None, "z"): 4,
+    }.items():
+        assert exact <= got[k] <= exact + 1, (k, got[k])
+
+
+def test_freq_group_column_keeps_its_type(db):
+    """round-11 advice: freq() used to cast group attributes to text
+    in the OUTPUT (only the probe key needs the string fold) — a
+    numeric sieve on the group column then compared as text.  The
+    group column now keeps the flow's type."""
+    df = db.df("/events.freq(event_type, user_id)")
+    ev_type = dict(db.table("events").dtypes)["user_id"]
+    assert dict(df.dtypes)["user_id"] == ev_type
+    # and a numeric sieve on it works numerically
+    rows = db.produce("/events.freq(event_type, user_id)?user_id>=10")
+    assert rows and all(r["user_id"] >= 10 for r in rows)

@@ -2429,6 +2429,48 @@ def _lang_asof_tol(spark, sf_dir):
     )
 
 
+_WITHIN_Q = (
+    "/(events?event_type='purchase').within(events?event_type='click',"
+    " user_id, ts, event_id, event_id, '24 hours')"
+)
+
+
+def _lang_within(spark, sf_dir):
+    """within(other, on, ts, payload, other_payload, interval) flow
+    method through the parser (r11 verdict next #3 — the interval
+    join reaches the language): every (purchase, click) pair of the
+    same user with the click in the purchase's preceding 24 hours
+    (compile.py::_fm_within lowering to streaming.events.
+    interval_join — the stream_join kernel's shape).  Unlike asof()
+    this emits ALL matches as a new row grain, and the same query
+    text is streaming-legal on BOTH sides (see stream_lang_join).
+    The oracle is the plain ANSI range-predicate join."""
+    return _db(spark, sf_dir).df(_WITHIN_Q)
+
+
+def _stream_lang_join(spark, sf_dir):
+    """STREAM-STREAM interval join of a language query (r11 verdict
+    next #3): the same within() query text as lang_within executes
+    with BOTH sides scanning via readStream — compile lowers to the
+    watermarked stream-stream interval join (state evicted once rows
+    age past the window: bounded state at any rate), the availableNow
+    drain appends each batch's matches, and the result equals the
+    batch twin row for row, proven by the same ANSI oracle.  Closes
+    the last kernel family that was API-only (the stream_join kernel
+    has been oracle-green since r2; now the language reaches it).
+    Event-time cast back to NTZ = the batch contract type."""
+    from pyspark.sql import functions as F
+
+    df = _db(spark, sf_dir).run_stream(_WITHIN_Q)
+    return df.select(
+        "user_id",
+        F.col("l_ts").cast("timestamp_ntz").alias("l_ts"),
+        "l_event_id",
+        F.col("r_ts").cast("timestamp_ntz").alias("r_ts"),
+        "r_event_id",
+    )
+
+
 def _lang_tumbling(spark, sf_dir):
     """tumbling(interval) flow method through the parser — the
     streaming family's first language surface (r9 verdict "What's
@@ -3804,6 +3846,8 @@ _QUERIES.update(
         # audit/certificate form
         "lang_asof": _lang_asof,
         "lang_asof_tol": _lang_asof_tol,
+        "lang_within": _lang_within,
+        "stream_lang_join": _stream_lang_join,
         "lang_tumbling": _lang_tumbling,
         "lang_sliding": _lang_sliding,
         "lang_sessions": _lang_sessions,
@@ -5997,6 +6041,18 @@ WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
 SELECT p.event_id, p.user_id, c.ts AS asof_ts, c.pay AS asof_event_id
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
 """
+    # within(): the interval join as a plain ANSI range-predicate
+    # join — all (purchase, click) pairs of one user within 24 hours
+    out["lang_within"] = """
+SELECT p.user_id, p.ts AS l_ts, p.event_id AS l_event_id,
+       c.ts AS r_ts, c.event_id AS r_event_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 24 HOURS
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+    # the stream-stream drain appends exactly the batch pairs
+    out["stream_lang_join"] = out["lang_within"]
     # sliding(): each event duplicated into its two epoch-aligned
     # windows, no watermark HAVING (complete history in batch)
     out["lang_sliding"] = """

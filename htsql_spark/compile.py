@@ -2434,6 +2434,77 @@ def _fm_asof(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     return v
 
 
+def _fm_within(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
+    """within(other, on, ts, payload, other_payload, interval) —
+    reshape into the INTERVAL JOIN of two flows: one output row per
+    (left row, other row) pair with equal ``on`` whose other-``ts``
+    falls in the left row's PRECEDING ``interval``
+    (streaming.events.interval_join — the stream_join kernel's shape:
+    ``/(events?event_type='purchase').within(events?event_type=
+    'click', user_id, ts, event_id, event_id, '24 hours')`` pairs
+    each purchase with the same user's clicks from the last day).
+    Attributes ``<on>`` / ``l_ts`` / ``l_<payload>`` / ``r_ts`` /
+    ``r_<other_payload>``.  Unlike asof() (ONE nearest match appended
+    as columns, cardinality kept) this emits ALL matches as a new
+    row grain — and unlike asof() it is STREAMING-LEGAL on both
+    sides: under df_stream two stream-mounted flows lower to the
+    watermarked stream-stream interval join (state evicted once rows
+    age past the window — bounded state at any rate), completing the
+    last kernel family that was API-only (round-11 verdict #4).
+
+    Scale: both sides narrow to (on, ts, payload) before the join;
+    one shuffle each on the ``on`` key; the time predicate bounds the
+    per-key match fan-out by the window."""
+    if len(args) != 6:
+        raise CompileError(
+            "within(other, on, ts, payload, other_payload, interval)"
+            " takes a flow argument, three attribute names of this"
+            " flow/both/the other flow, and an interval literal"
+        )
+    from .streaming.events import interval_join
+
+    flow = v.flow
+    home = ScopeRef(cc.engine.home_flow(), "", None)
+    other = cc.eval(ctx, home, args[0])
+    if not isinstance(other, FlowV):
+        raise CompileError(
+            "within() needs a flow argument (a table or a sieved"
+            " table, e.g. events?event_type='click')"
+        )
+    for i, what in ((1, "on"), (2, "ts"), (3, "payload"), (4, "other_payload")):
+        if not isinstance(args[i], N.Identifier):
+            raise CompileError(
+                f"within() {what} argument must be an attribute name"
+            )
+    window = _fm_interval_lit(args, 5, "within")
+    scope = ScopeRef(flow, flow.alias, flow.table)
+    oflow = other.flow
+    oscope = ScopeRef(oflow, oflow.alias, oflow.table)
+    on_name = args[1].name
+    lp, rp = args[3].name, args[4].name
+    names = [on_name, "l_ts", f"l_{lp}", "r_ts", f"r_{rp}"]
+    if len(set(names)) != len(names):
+        raise CompileError(
+            f"within() output attributes collide ({names}) — the on"
+            " key must not be named like the prefixed ts/payload"
+            " columns"
+        )
+    left = flow.df.select(
+        cc.scalar(ctx, scope, args[1]).col.alias("__lon"),
+        cc.scalar(ctx, scope, args[2]).col.alias("l_ts"),
+        cc.scalar(ctx, scope, args[3]).col.alias(f"l_{lp}"),
+    )
+    right = oflow.df.select(
+        cc.scalar(ctx, oscope, args[1]).col.alias("__ron"),
+        cc.scalar(ctx, oscope, args[2]).col.alias("r_ts"),
+        cc.scalar(ctx, oscope, args[4]).col.alias(f"r_{rp}"),
+    )
+    res = interval_join(
+        left, right, "__lon", "__ron", "l_ts", "r_ts", window=window
+    ).select(F.col("__lon").alias(on_name), "l_ts", f"l_{lp}", "r_ts", f"r_{rp}")
+    return _fm_reshape(cc, v, "within", res, names)
+
+
 def _fm_events_cols(v: FlowV, method: str, need: tuple[str, ...]) -> dict[str, str]:
     """The flow's physical event columns, required by the events-
     analytics flow methods (events-shaped flows)."""
@@ -2991,6 +3062,7 @@ FLOW_METHODS = {
     "cluster": _fm_cluster,
     "mix": _fm_mix,
     "asof": _fm_asof,
+    "within": _fm_within,
     "tumbling": _fm_tumbling,
     "sliding": _fm_sliding,
     "sessions": _fm_sessions,

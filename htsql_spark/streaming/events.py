@@ -238,6 +238,47 @@ def purchases_join_clicks_stream(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    window: str = "24 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Generalized interval join — the kernel under
+    :func:`purchases_join_clicks_stream` and the language's
+    ``within()`` flow method: each left row pairs with EVERY right
+    row of equal key whose timestamp falls in the left row's
+    PRECEDING ``window`` (``right_ts ∈ [left_ts − window, left_ts]``).
+    Works identically over batch frames (a Catalyst range join) and
+    streams: any STREAMING side gets its event-time cast TIMESTAMP
+    and a watermark, and the two-sided time-range condition lets the
+    stream-stream join's state store evict rows once they can no
+    longer match — the bounded-state requirement for any
+    stream-stream join at a 100 TB rate.  Inner join: NULL keys never
+    match (ANSI equality), so the batch twin is oracle-expressible as
+    a plain range-predicate join."""
+    if left.isStreaming or right.isStreaming:
+        # event-time columns must be TIMESTAMP for watermark/state
+        # bookkeeping; the cast is a no-op wall-clock-wise under the
+        # engine's UTC session (same boundary as read_table_stream)
+        left = left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
+        right = right.withColumn(right_ts, F.col(right_ts).cast("timestamp"))
+        if left.isStreaming:
+            left = left.withWatermark(left_ts, watermark)
+        if right.isStreaming:
+            right = right.withWatermark(right_ts, watermark)
+    cond = (
+        (left[left_on] == right[right_on])
+        & (right[right_ts] <= left[left_ts])
+        & (right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {window}"))
+    )
+    return left.join(right, cond, "inner")
+
+
 def enrich_with_dim(stream: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
     """Stream-static dimension enrichment — the canonical streaming
     lookup join.  Stateless (no watermark, no state store): each

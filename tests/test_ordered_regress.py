@@ -102,6 +102,10 @@ QUERIES = [
     "/(events?event_type='purchase')"
     ".asof(events?event_type='click', user_id, ts, event_id)"
     "{event_id, asof_event_id}?event_id<200",
+    # --- round-12: within() interval join — a reshape, so implicit
+    # KERNEL order (on, l_ts, l_payload, r_ts, r_payload)
+    "/(events?event_type='purchase').within(events?event_type='click',"
+    " user_id, ts, event_id, event_id, '24 hours')?user_id<5",
 ]
 
 

@@ -1114,10 +1114,15 @@ def _norm_rows(df):
         # the same estimates the batch reshapes compute
         "/events.distinct_count(user_id, event_type)",
         "/events.quantiles(value, 0.5, 0.9, event_type)",
+        # stream-STREAM interval join (round 12): both sides scan via
+        # readStream and lower to the watermarked interval join
+        "/(events?event_type='purchase').within("
+        "events?event_type='click', user_id, ts, event_id, event_id,"
+        " '24 hours')",
     ],
     ids=[
         "tumbling", "sliding", "sessions", "filter_project",
-        "anomalies", "distinct_count", "quantiles",
+        "anomalies", "distinct_count", "quantiles", "within_join",
     ],
 )
 def test_stream_execution_drains_to_batch_result(db, q):

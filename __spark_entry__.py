@@ -2802,6 +2802,66 @@ def _lang_quantiles_by(spark, sf_dir):
     )
 
 
+def _lang_quantiles_multi(spark, sf_dir):
+    """quantiles({expr, name := expr}, q..., group...) — the MULTI-
+    EXPRESSION form (r11 verdict next #7): one KLL pipeline per listed
+    value expression, rows labeled by 'attr', each row carrying its
+    own exact n / rank-err certificate.  Certified per attr with the
+    same shared rank-band check as lang_quantiles_by."""
+    from pyspark.sql import functions as F
+
+    df = _db(spark, sf_dir).df(
+        "/lineitem.quantiles({l_quantity, price := l_extendedprice},"
+        " 0.5, 0.9, l_returnflag)"
+    )
+    li = _db(spark, sf_dir).table("lineitem")
+    outs = []
+    for attr, col in (("l_quantity", "l_quantity"), ("price", "l_extendedprice")):
+        est = df.filter(F.col("attr") == attr).drop("attr")
+        cert = _kll_rank_certificate(
+            li.select("l_returnflag", col), col, est,
+            [0.5, 0.9], group_cols=["l_returnflag"],
+        )
+        outs.append(
+            cert.select(
+                F.lit(attr).alias("attr"), "l_returnflag", "exact_n",
+                "cert_p50", "cert_p90", "err_informative",
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def _lang_freq_multi(spark, sf_dir):
+    """freq({expr, name := expr}[, group...]) — the MULTI-EXPRESSION
+    form (r11 verdict next #7): one CMS matrix per listed expression,
+    rows labeled by 'attr' with per-matrix exact-n/err certificates.
+    Certificate form like lang_freq: exact counts per (attr, item)
+    plus the never-underestimate / within-bound flags."""
+    from pyspark.sql import functions as F
+
+    df = _db(spark, sf_dir).df("/events.freq({event_type, hour := hour(ts)})")
+    ev = _db(spark, sf_dir).table("events")
+    exact = (
+        ev.select(F.lit("event_type").alias("g_attr"),
+                  F.col("event_type").alias("g_item"))
+        .unionByName(
+            ev.select(F.lit("hour").alias("g_attr"),
+                      F.hour("ts").cast("string").alias("g_item"))
+        )
+        .groupBy("g_attr", "g_item")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return df.join(
+        exact,
+        df["attr"].eqNullSafe(exact["g_attr"])
+        & df["item"].eqNullSafe(exact["g_item"]),
+    ).select(
+        "attr", "item", "exact_n",
+        (F.col("est_n") >= F.col("exact_n")).alias("never_under"),
+        (F.col("est_n") <= F.col("exact_n") + F.col("err")).alias("within_eps"),
+    )
+
+
 def _op_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup: argmax-to-centroid cells (the
     seeded deterministic cells, so the oracle replays the assignment
@@ -3855,6 +3915,8 @@ _QUERIES.update(
         "lang_distinct_count": _lang_distinct_count,
         "lang_quantiles": _lang_quantiles,
         "lang_quantiles_by": _lang_quantiles_by,
+        "lang_quantiles_multi": _lang_quantiles_multi,
+        "lang_freq_multi": _lang_freq_multi,
         # round 11: streaming EXECUTION of language queries — the same
         # query text runs as an actual Structured Stream (readStream
         # scan of the stream-mounted events table, availableNow drain,
@@ -6139,6 +6201,25 @@ FROM t GROUP BY 1, 2, 3
         "SELECT l_returnflag, count(l_quantity) AS exact_n,"
         " TRUE AS cert_p50, TRUE AS cert_p90, TRUE AS err_informative"
         " FROM lineitem GROUP BY 1"
+    )
+    # multi-expression quantiles: per-(attr, group) certificates
+    out["lang_quantiles_multi"] = (
+        "SELECT 'l_quantity' AS attr, l_returnflag,"
+        " count(l_quantity) AS exact_n, TRUE AS cert_p50,"
+        " TRUE AS cert_p90, TRUE AS err_informative"
+        " FROM lineitem GROUP BY 2"
+        " UNION ALL"
+        " SELECT 'price', l_returnflag, count(l_extendedprice),"
+        " TRUE, TRUE, TRUE FROM lineitem GROUP BY 2"
+    )
+    # multi-expression freq: per-(attr, item) certificates
+    out["lang_freq_multi"] = (
+        "WITH x AS ("
+        " SELECT 'event_type' AS attr, event_type AS item FROM events"
+        " UNION ALL"
+        " SELECT 'hour', CAST(hour(ts) AS VARCHAR) FROM events)"
+        " SELECT attr, item, count(*) AS exact_n,"
+        " TRUE AS never_under, TRUE AS within_eps FROM x GROUP BY 1, 2"
     )
     # the streamed drain carries KLL estimates certified the same way
     out["stream_lang_quantiles"] = (

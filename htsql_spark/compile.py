@@ -2804,6 +2804,30 @@ def _fm_distinct_count(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     )
 
 
+def _fm_value_list(cc: Compiler, ctx: Ctx, scope: ScopeRef, node, method: str):
+    """A ``{expr, name := expr, ...}`` selection argument of a sketch
+    reshape (the multi-expression form, round-11 verdict next #7 —
+    like the agg family's mapped selections): returns ``[(name,
+    Column)]``.  Bare items must be attribute names (the name IS the
+    output label); computed expressions need an alias."""
+    out: list[tuple[str, Column]] = []
+    for item in node.items:
+        if isinstance(item, N.Identifier):
+            out.append((item.name, cc.scalar(ctx, scope, item).col))
+        elif isinstance(item, N.Assignment):
+            out.append((item.name, cc.scalar(ctx, scope, item.expr).col))
+        else:
+            raise CompileError(
+                f"{method}() selection items must be attribute names"
+                " or aliased expressions (name := expr)"
+            )
+    if len({n for n, _ in out}) != len(out):
+        raise CompileError(f"{method}() names a value expression twice")
+    if not out:
+        raise CompileError(f"{method}() selection list is empty")
+    return out
+
+
 def _fm_quantiles(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     """quantiles(expr, q1[, q2...][, group...]) — reshape the flow
     into APPROXIMATE quantile estimates of ``expr`` (mergeable KLL
@@ -2815,7 +2839,14 @@ def _fm_quantiles(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     (``p50`` for 0.5).  One Arrow pass builds bounded per-(partition,
     group) states; only serialized states shuffle — the single-pass
     answer exact percentile() cannot give at 100 TB without a full
-    sort."""
+    sort.
+
+    Multi-expression form (round-11 verdict next #7):
+    ``quantiles({a, b := expr}, q1[, ...][, group...])`` sketches
+    EVERY listed expression — one output row per (group..., value
+    expression) with a leading ``attr`` label column, each row
+    carrying its own exact ``n``/``err`` (null counts differ per
+    expression, so the certificates are per-attr)."""
     if len(args) < 2:
         raise CompileError(
             "quantiles(expr, q1[, q2...][, group...]) takes a value"
@@ -2825,7 +2856,10 @@ def _fm_quantiles(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
 
     flow = v.flow
     scope = ScopeRef(flow, flow.alias, flow.table)
-    expr = cc.scalar(ctx, scope, args[0]).col
+    if isinstance(args[0], N.Selection):
+        exprs = _fm_value_list(cc, ctx, scope, args[0], "quantiles")
+    else:
+        exprs = [(None, cc.scalar(ctx, scope, args[0]).col)]
     # fractions first, then optional trailing group attribute names
     import decimal
 
@@ -2848,7 +2882,10 @@ def _fm_quantiles(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     # the kernel's own formula — the collision check must reserve
     # exactly the names the kernel will emit (round-11 review: one
     # hand-rolled copy had survived the r10 single-sourcing)
+    multi = len(exprs) > 1 or exprs[0][0] is not None
     reserved = {"n", "err"} | {kll_quantile_name(q) for q in qs}
+    if multi:
+        reserved.add("attr")
     groups: list[tuple[str, Column]] = []
     for a in args[i:]:
         if not isinstance(a, N.Identifier):
@@ -2863,11 +2900,17 @@ def _fm_quantiles(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
             # the collision, not attribute existence
             raise CompileError(
                 f"quantiles() group name {a.name!r} collides with an"
-                " output attribute (n / err / pXX)"
+                " output attribute (n / err / pXX"
+                + (" / attr" if multi else "") + ")"
             )
         groups.append((a.name, cc.scalar(ctx, scope, a).col))
     if len({g for g, _ in groups}) != len(groups):
         raise CompileError("quantiles() names a group twice")
+    if multi and any(name in reserved for name, _ in exprs):
+        raise CompileError(
+            "quantiles() value-expression name collides with an"
+            " output attribute (n / err / pXX / attr) — alias it"
+        )
     for q in qs:
         if not 0 < q <= 1:
             raise CompileError("quantiles() fractions must be in (0, 1]")
@@ -2877,26 +2920,64 @@ def _fm_quantiles(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
             "quantiles() is not defined on a correlated sub-flow —"
             " apply it to a top-level flow"
         )
-    # NO batch-only guard: the KLL path is fully lazy (mapInPandas
-    # states + applyInPandas merge — no driver action), and like the
-    # HLL reshape its mergeable states ARE a streaming aggregate: the
-    # reshape streams with drain parity (locked in test_streaming)
-    gnames = [g for g, _ in groups]
-    narrow = flow.df.select(
-        expr.cast("double").alias("__qv"), *[c.alias(g) for g, c in groups]
-    )
-    try:
-        res = kll_quantiles(
-            kll_merge(
-                kll_sketch_states(narrow, "__qv", by=gnames or None, k=256),
-                by=gnames or None,
-            ),
-            qs,
+    # NO batch-only guard for the SINGLE-expression form: the KLL path
+    # is fully lazy (mapInPandas states + applyInPandas merge — no
+    # driver action), and like the HLL reshape its mergeable states
+    # ARE a streaming aggregate: the reshape streams with drain parity
+    # (locked in test_streaming).  The MULTI-expression form unions
+    # one streaming aggregate per expression — never streaming-legal
+    # (Spark allows at most one streaming aggregation per query), so
+    # it fails here with the named remedy.
+    if multi and v.flow.df.isStreaming:
+        raise CompileError(
+            "multi-expression quantiles() is batch-only — it unions"
+            " one streaming aggregate per expression; drain the stream"
+            " first (run_stream) or sketch one expression per query"
         )
-    except ValueError as exc:  # e.g. duplicate quantiles
-        raise CompileError(f"quantiles(): {exc}") from None
-    names = [c for c in res.columns if c not in ("n", "err") and c not in gnames]
-    return _fm_reshape(cc, v, "quantiles", res, gnames + ["n", "err"] + names)
+    gnames = [g for g, _ in groups]
+
+    def _one(expr: Column):
+        narrow = flow.df.select(
+            expr.cast("double").alias("__qv"), *[c.alias(g) for g, c in groups]
+        )
+        try:
+            return kll_quantiles(
+                kll_merge(
+                    kll_sketch_states(narrow, "__qv", by=gnames or None, k=256),
+                    by=gnames or None,
+                ),
+                qs,
+            )
+        except ValueError as exc:  # e.g. duplicate quantiles
+            raise CompileError(f"quantiles(): {exc}") from None
+
+    if not multi:
+        res = _one(exprs[0][1])
+        names = [
+            c for c in res.columns if c not in ("n", "err") and c not in gnames
+        ]
+        return _fm_reshape(cc, v, "quantiles", res, gnames + ["n", "err"] + names)
+    # multi-expression: one KLL pipeline per value expression (each
+    # pipeline is the same lazy Arrow pass; the union keeps every
+    # row's n/err certificate per-attr, since null counts differ),
+    # labeled by a leading 'attr' column
+    parts = []
+    pnames: list[str] | None = None
+    for name, expr in exprs:
+        r = _one(expr)
+        if pnames is None:
+            pnames = [
+                c for c in r.columns if c not in ("n", "err") and c not in gnames
+            ]
+        parts.append(
+            r.select(*gnames, F.lit(name).alias("attr"), "n", "err", *pnames)
+        )
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return _fm_reshape(
+        cc, v, "quantiles", res, gnames + ["attr", "n", "err"] + pnames
+    )
 
 
 def _fm_freq(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
@@ -2933,8 +3014,22 @@ def _fm_freq(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     _fm_require_batch(v, "freq")
     flow = v.flow
     scope = ScopeRef(flow, flow.alias, flow.table)
-    expr = cc.scalar(ctx, scope, args[0]).col
+    if isinstance(args[0], N.Selection):
+        # multi-expression form (round-11 verdict next #7): one CMS
+        # matrix per listed expression, rows labeled by 'attr' — each
+        # matrix keeps its own exact-n/err certificate
+        exprs = _fm_value_list(cc, ctx, scope, args[0], "freq")
+    else:
+        exprs = [(None, cc.scalar(ctx, scope, args[0]).col)]
+    multi = len(exprs) > 1 or exprs[0][0] is not None
     reserved = {"item", "est_n", "n", "err"}
+    if multi:
+        reserved.add("attr")
+        if any(name in reserved for name, _ in exprs):
+            raise CompileError(
+                "freq() value-expression name collides with an output"
+                " attribute (attr / item / est_n / n / err) — alias it"
+            )
     groups: list[tuple[str, Column]] = []
     for a in args[1:]:
         if not isinstance(a, N.Identifier):
@@ -2964,29 +3059,44 @@ def _fm_freq(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
             F.concat(F.lit("S"), F.length(p).cast("string"), F.lit(":"), p)
         )
 
-    parts = [c.cast("string") for _, c in groups] + [expr.cast("string")]
-    composite = F.concat(*[_piece(p) for p in parts])
-    # group attributes keep their ORIGINAL type in the output (round-11
-    # review: only the probe key needs the string fold — a text-cast
-    # group column breaks downstream numeric sieves on it)
-    narrow = flow.df.select(
-        composite.alias("__ck"),
-        *[c.alias(g) for g, c in groups],
-        expr.cast("string").alias("item"),
-    )
     eps, delta = 0.01, 1e-4
-    matrix, _depth, _width = cms_build(narrow, "__ck", eps=eps, delta=delta)
     import math as _math
 
-    n_total = int(sum(matrix[0]))  # row sums of the matrix ARE n
-    err = int(_math.ceil(eps * n_total))
-    est = cms_estimate(
-        narrow.dropDuplicates(["__ck"]), "__ck", matrix, flag="est_n"
-    ).select(
-        *gnames, "item", "est_n",
-        F.lit(n_total).alias("n"), F.lit(err).alias("err"),
+    def _one(expr: Column, label: str | None):
+        parts = [c.cast("string") for _, c in groups] + [expr.cast("string")]
+        composite = F.concat(*[_piece(p) for p in parts])
+        # group attributes keep their ORIGINAL type in the output
+        # (round-11 review: only the probe key needs the string fold —
+        # a text-cast group column breaks downstream numeric sieves)
+        narrow = flow.df.select(
+            composite.alias("__ck"),
+            *[c.alias(g) for g, c in groups],
+            expr.cast("string").alias("item"),
+        )
+        matrix, _depth, _width = cms_build(narrow, "__ck", eps=eps, delta=delta)
+        n_total = int(sum(matrix[0]))  # row sums of the matrix ARE n
+        err = int(_math.ceil(eps * n_total))
+        est = cms_estimate(
+            narrow.dropDuplicates(["__ck"]), "__ck", matrix, flag="est_n"
+        )
+        label_cols = [F.lit(label).alias("attr")] if label is not None else []
+        return est.select(
+            *gnames, *label_cols, "item", "est_n",
+            F.lit(n_total).alias("n"), F.lit(err).alias("err"),
+        )
+
+    if not multi:
+        est = _one(exprs[0][1], None)
+        return _fm_reshape(
+            cc, v, "freq", est, gnames + ["item", "est_n", "n", "err"]
+        )
+    parts_out = [_one(expr, name) for name, expr in exprs]
+    est = parts_out[0]
+    for p in parts_out[1:]:
+        est = est.unionByName(p)
+    return _fm_reshape(
+        cc, v, "freq", est, gnames + ["attr", "item", "est_n", "n", "err"]
     )
-    return _fm_reshape(cc, v, "freq", est, gnames + ["item", "est_n", "n", "err"])
 
 
 def _fm_hist(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):

@@ -106,6 +106,10 @@ QUERIES = [
     # KERNEL order (on, l_ts, l_payload, r_ts, r_payload)
     "/(events?event_type='purchase').within(events?event_type='click',"
     " user_id, ts, event_id, event_id, '24 hours')?user_id<5",
+    # --- round-12: multi-expression quantiles — kernel order
+    # (groups, attr, n, err, pXX)
+    "/lineitem.quantiles({l_quantity, price := l_extendedprice},"
+    " 0.5, l_returnflag)",
 ]
 
 

@@ -79,6 +79,10 @@ ARROW_OK = {
     "lang_quantiles_by",
     # freq() lowers to the same CMS Arrow passes as op_cms
     "lang_freq",
+    # multi-expression forms: one KLL/CMS Arrow pipeline per listed
+    # value expression, unioned under an 'attr' label
+    "lang_quantiles_multi",
+    "lang_freq_multi",
 }
 
 #: nested-loop joins bounded by a broadcast single-row / tiny side:
@@ -207,6 +211,12 @@ def test_no_hidden_caching(plans, name):
 #: the exceptions below are deliberate, each with its reason — when
 #: adding one, say WHY the extra scans don't multiply corpus cost.
 SCAN_BUDGET = {
+    # multi-expression sketch reshapes: ONE pass per listed value
+    # expression by design (same total IO as N single calls — the
+    # pipelines don't share a scan so each keeps its own exact-n/err
+    # certificate), plus the registry row's per-attr certificate join
+    "lang_quantiles_multi": 4,
+    "lang_freq_multi": 4,
     # heavy-hitter detection (2 passes) + hot/cold split of big AND
     # small sides over one explode leg — documented multi-pass shape;
     # the passes are over the fact table once each, not per-key

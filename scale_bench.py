@@ -273,6 +273,78 @@ def k_stream_join(spark, d):
     return spark.table(name)
 
 
+def _drain_landing(spark, d):
+    """Landing directory for the STREAMING-DRAIN kernels (r11 verdict
+    next #5): the s{N} events replica (N× the base rows) sliced into
+    N TIME-ORDERED files of FIXED base size, mtimes ascending — with
+    maxFilesPerTrigger=1 each file is one micro-batch, so a drain
+    over s{N} runs N micro-batches of constant batch size.  An
+    exponent ≈ 1.0 of drain time vs total rows then proves per-batch
+    cost tracks BATCH SIZE (state updates bounded by the batch's
+    touched keys), not accumulated stream history; a super-linear
+    segment would expose history-proportional per-batch work (e.g. a
+    state store rewriting its whole store every batch)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(d, "events_land")
+    mfile = os.path.join(out, "_landing_meta.json")
+    if os.path.exists(mfile):
+        return out
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(f"{d}/events.parquet")
+    order = pa.compute.sort_indices(t.column("ts"))
+    t = t.take(order)
+    # the fixture dir name s{N} IS the replication factor: N batches
+    # of base size
+    batches = max(1, int(os.path.basename(d)[1:]))
+    size = (len(t) + batches - 1) // batches
+    for i in range(batches):
+        chunk = t.slice(i * size, size)
+        fp = os.path.join(out, f"chunk{i:04d}.parquet")
+        pq.write_table(chunk, fp)
+        os.utime(fp, (1_700_000_000 + i * 100,) * 2)
+    json.dump({"batches": batches, "rows": len(t)}, open(mfile, "w"))
+    return out
+
+
+def _drain_engine(spark, d):
+    from htsql_spark import HTSQL
+    from htsql_spark.catalog import Catalog, TableDef
+
+    _drain_landing(spark, d)
+    return HTSQL(
+        spark, d,
+        catalog=Catalog(
+            {"events": TableDef(name="events_land", pk=("event_id",), stream=True)}
+        ),
+    )
+
+
+def k_stream_drain_anomalies(spark, d):
+    """availableNow drain of the STATEFUL anomalies kernel
+    (applyInPandasWithState) over N fixed-size micro-batches: per
+    batch the state store loads/updates only the touched user keys
+    (each ≤ batch-size keys), so drain time should be linear in the
+    number of batches — flat per-batch cost as history grows."""
+    return _drain_engine(spark, d).run_stream("/events.anomalies(3.0)")
+
+
+def k_stream_drain_sessions(spark, d):
+    """availableNow drain of the session_window gap-merge aggregate
+    over N fixed-size micro-batches in APPEND mode — the 100 TB shape
+    for a streaming sessionizer: each batch merges only the sessions
+    its keys touch and EMITS only the sessions the advancing
+    watermark closed (bounded per-batch output), where complete mode
+    would rewrite the whole accumulated result every epoch (per-batch
+    cost ∝ history by construction — the known non-scalable shape the
+    update/append sinks exist to avoid).  Time-ordered files keep the
+    watermark monotone so no rows drop."""
+    return _drain_engine(spark, d).run_stream(
+        "/events.sessions('30 minutes')", output_mode="append"
+    )
+
+
 def _events_batch(spark, d):
     """Batch read of the derived events file with the engine's
     nano-timestamp conversion (the replica is written by pyarrow in
@@ -432,6 +504,11 @@ KERNELS = {
     "hll_build": ("events", k_hll_build),
     "cms_build": ("events", k_cms_build),
     "multimodal_decode": ("docs", k_multimodal_decode),
+    # round-12 additions (r11 verdict next #5): micro-batch scaling of
+    # the streaming DRAIN path — N fixed-size batches, cost must track
+    # batch size, not accumulated history
+    "stream_drain_anomalies": ("events", k_stream_drain_anomalies),
+    "stream_drain_sessions": ("events", k_stream_drain_sessions),
 }
 
 

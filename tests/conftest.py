@@ -36,3 +36,11 @@ def duck():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     return con
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "full: full-registry tier (non-gated replay/hygiene rows) — "
+        "excluded by the smoke run `pytest tests -m 'not full'`",
+    )

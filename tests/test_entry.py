@@ -76,7 +76,21 @@ def _assert_driver_representable(name, sdf, odf):
                 )
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+def _tiered(names):
+    """Smoke/full tiering (r11 verdict next #6 — keep the replay
+    runnable per-commit as the registry grows): rows OUTSIDE the
+    current 50-slot driver gate window carry the ``full`` marker, so
+    ``pytest -m "not full"`` replays exactly the gate window (the
+    rows the next driver run will hash) plus every unit/golden suite,
+    while the unmarked default still runs the complete registry."""
+    gate = set(entry_mod._GATE_ORDER)
+    return [
+        n if n in gate else pytest.param(n, marks=pytest.mark.full)
+        for n in names
+    ]
+
+
+@pytest.mark.parametrize("name", _tiered(sorted(ORACLES)))
 def test_query_matches_oracle(spark, duck, name):
     df = QUERIES[name](spark, SF_DIR)
     sdf = df.toPandas()
@@ -94,7 +108,7 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"first mismatches: {mismatches[:3]}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+@pytest.mark.parametrize("name", _tiered(sorted(set(QUERIES) - set(ORACLES))))
 def test_query_runs_rows_only(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0

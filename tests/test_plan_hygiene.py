@@ -156,6 +156,18 @@ CACHE_OK = {
 
 BATCH = sorted(set(entry_mod.queries()) - SKIP)
 
+_GATE = set(entry_mod._GATE_ORDER)
+
+#: smoke/full tiering (r11 verdict next #6, same scheme as
+#: tests/test_entry.py): rows outside the current driver gate window
+#: carry the `full` marker so `pytest -m "not full"` sweeps exactly
+#: the plans the next driver run will execute.
+def _tiered(names):
+    return [
+        n if n in _GATE else pytest.param(n, marks=pytest.mark.full)
+        for n in names
+    ]
+
 
 @pytest.fixture(scope="module")
 def plans(spark):
@@ -170,16 +182,23 @@ def plans(spark):
     # no-op when the module runs alone.
     spark.catalog.clearCache()
     qs = entry_mod.queries()
-    out = {}
-    for name in BATCH:
-        df = qs[name](spark, SF_DIR)
-        out[name] = df._jdf.queryExecution().executedPlan().toString()
-    return out
+    cache: dict[str, str] = {}
+
+    # LAZY per-name compile (r11 verdict next #6): under the smoke
+    # tier (-m "not full") only the gated plans are requested, so the
+    # fixture must not pay the full-registry compile up front
+    def get(name: str) -> str:
+        if name not in cache:
+            df = qs[name](spark, SF_DIR)
+            cache[name] = df._jdf.queryExecution().executedPlan().toString()
+        return cache[name]
+
+    return get
 
 
-@pytest.mark.parametrize("name", BATCH)
+@pytest.mark.parametrize("name", _tiered(BATCH))
 def test_no_unbounded_cartesian(plans, name):
-    plan = plans[name]
+    plan = plans(name)
     assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
     if name not in NLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, (
@@ -187,9 +206,9 @@ def test_no_unbounded_cartesian(plans, name):
         )
 
 
-@pytest.mark.parametrize("name", BATCH)
+@pytest.mark.parametrize("name", _tiered(BATCH))
 def test_no_rowwise_python_udf(plans, name):
-    plan = plans[name]
+    plan = plans(name)
     # BatchEvalPython = row-at-a-time Python UDF (pickled row loop);
     # ArrowEvalPython / *InPandas are the sanctioned Arrow path
     assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF\n{plan}"
@@ -198,9 +217,9 @@ def test_no_rowwise_python_udf(plans, name):
             assert marker not in plan, f"{name}: undeclared Python stage\n{plan}"
 
 
-@pytest.mark.parametrize("name", [n for n in BATCH if n not in CACHE_OK])
+@pytest.mark.parametrize("name", _tiered([n for n in BATCH if n not in CACHE_OK]))
 def test_no_hidden_caching(plans, name):
-    assert "InMemoryRelation" not in plans[name], f"{name}: hidden cache"
+    assert "InMemoryRelation" not in plans(name), f"{name}: hidden cache"
 
 
 #: per-source scan budget: a DataFrame referenced N times re-expands
@@ -260,12 +279,12 @@ SCAN_BUDGET = {
 }
 
 
-@pytest.mark.parametrize("name", BATCH)
+@pytest.mark.parametrize("name", _tiered(BATCH))
 def test_scan_budget(plans, name):
     import collections
     import re
 
-    tables = re.findall(r"(\w+)\.parquet", plans[name])
+    tables = re.findall(r"(\w+)\.parquet", plans(name))
     if not tables:
         return
     src, cnt = collections.Counter(tables).most_common(1)[0]

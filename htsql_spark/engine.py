@@ -166,7 +166,12 @@ class HTSQL:
                 # parquet files (the streaming landing-zone shape —
                 # micro-batches append files, batch queries read the
                 # whole directory); nano-timestamp contract probed
-                # from one footer like the single-file mount
+                # from one footer like the single-file mount.  The
+                # file listing is frozen when the table is first
+                # resolved (standard Spark file-index behavior) — for
+                # files landed later, construct a fresh engine or
+                # query the stream mount, which discovers new files
+                # per micro-batch
                 first = sorted(
                     f for f in os.listdir(pqdir) if f.endswith(".parquet")
                 )[0]

@@ -1587,3 +1587,97 @@ def test_multi_expression_quantiles_is_batch_only(db):
 
     with pytest.raises(CompileError, match="multi-expression quantiles"):
         db.df_stream("/events.quantiles({value, dbl := value*2}, 0.5)")
+
+
+def test_update_mode_live_processing_time(spark, tmp_path):
+    """LIVE serving end to end (not an availableNow drain): a
+    processingTime-triggered update-mode stream serves a keyed
+    aggregate snapshot while new files land in the directory mount —
+    the snapshot converges to the batch answer over everything
+    landed, each epoch MERGing only changed groups.  The reader polls
+    the SERVED path concurrently (retry-on-miss per the atomic-swap
+    contract), so this also exercises mid-epoch reads on the live
+    path."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from htsql_spark import HTSQL
+    from htsql_spark.catalog import Catalog, TableDef
+
+    land = tmp_path / "events"
+    land.mkdir()
+    from pyspark.sql import Window
+
+    base = HTSQL(spark, SF_DIR)
+    ev = base.table("events")
+    n = ev.count()
+    # deterministic time-ordered split (limit+subtract re-evaluates
+    # the limit and can disagree with what was already written)
+    ranked = ev.withColumn(
+        "__rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    half = ranked.filter(F.col("__rn") <= n // 2).drop("__rn")
+    rest = ranked.filter(F.col("__rn") > n // 2).drop("__rn")
+
+    def drop(df, name, mtime):
+        scratch = str(tmp_path / f"scratch_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(scratch)
+        src = glob.glob(f"{scratch}/part-*.parquet")[0]
+        dst = str(land / f"{name}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (mtime, mtime))
+
+    drop(half, "chunk0", 1_700_000_000)
+    cat = Catalog(
+        {"events": TableDef(name="events", pk=("event_id",), stream=True)}
+    )
+    db2 = HTSQL(spark, str(tmp_path), catalog=cat)
+    out = str(tmp_path / "serve")
+    q = db2.start_stream(
+        "/events.tumbling('1 day')",
+        out,
+        checkpoint=str(tmp_path / "cp"),
+        keys=["w_start", "w_end", "event_type"],
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        def served_total(deadline=60):
+            end = time.time() + deadline
+            last = None
+            while time.time() < end:
+                try:
+                    last = (
+                        spark.read.parquet(out)
+                        .agg(F.sum("n").alias("t"))
+                        .collect()[0]["t"]
+                    )
+                except Exception:
+                    time.sleep(0.5)
+                    continue
+                yield last
+                time.sleep(0.5)
+            yield last
+
+        # converge on the first half
+        want_half = n // 2
+        for t in served_total():
+            if t == want_half:
+                break
+        assert t == want_half, f"first-half snapshot never converged ({t})"
+        # land the second half WHILE the stream is live
+        drop(rest, "chunk1", 1_700_000_100)
+        for t in served_total():
+            if t == n:
+                break
+        assert t == n, f"live snapshot never caught up ({t} != {n})"
+    finally:
+        q.stop()
+    # FRESH engine for the batch twin: a batch scan freezes its file
+    # listing when the table is first resolved (db2 resolved it before
+    # chunk1 landed — standard Spark file-index behavior)
+    db3 = HTSQL(spark, str(tmp_path), catalog=cat)
+    batch = db3.df("/events.tumbling('1 day')")
+    streamed = spark.read.parquet(out)
+    assert _norm_rows(streamed.select(*batch.columns)) == _norm_rows(batch)

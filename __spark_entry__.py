@@ -2831,6 +2831,41 @@ def _lang_quantiles_multi(spark, sf_dir):
     return outs[0].unionByName(outs[1])
 
 
+def _lang_distinct_count_multi(spark, sf_dir):
+    """distinct_count({expr, name := expr}[, group...]) — the MULTI-
+    EXPRESSION form (round 12, completing the sketch family's
+    selection-list surface): one HLL aggregate per listed expression
+    under an 'attr' label.  Audit form like lang_distinct_count:
+    exact distincts per (group, attr) + the 5% bound flag."""
+    from pyspark.sql import functions as F
+
+    df = _db(spark, sf_dir).df(
+        "/events.distinct_count({user_id, eid := event_id}, event_type)"
+    )
+    ev = _db(spark, sf_dir).table("events")
+    exact = (
+        ev.select("event_type", F.lit("user_id").alias("g_attr"),
+                  F.col("user_id").cast("string").alias("v"))
+        .unionByName(
+            ev.select("event_type", F.lit("eid").alias("g_attr"),
+                      F.col("event_id").cast("string").alias("v"))
+        )
+        .groupBy("event_type", "g_attr")
+        .agg(F.countDistinct("v").alias("exact_distinct"))
+    )
+    return df.join(
+        exact,
+        (df["event_type"] == exact["event_type"])
+        & (df["attr"] == exact["g_attr"]),
+    ).select(
+        df["event_type"], "attr", "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_5pct"),
+    )
+
+
 def _lang_freq_multi(spark, sf_dir):
     """freq({expr, name := expr}[, group...]) — the MULTI-EXPRESSION
     form (r11 verdict next #7): one CMS matrix per listed expression,
@@ -3917,6 +3952,7 @@ _QUERIES.update(
         "lang_quantiles_by": _lang_quantiles_by,
         "lang_quantiles_multi": _lang_quantiles_multi,
         "lang_freq_multi": _lang_freq_multi,
+        "lang_distinct_count_multi": _lang_distinct_count_multi,
         # round 11: streaming EXECUTION of language queries — the same
         # query text runs as an actual Structured Stream (readStream
         # scan of the stream-mounted events table, availableNow drain,
@@ -6185,6 +6221,18 @@ FROM t GROUP BY 1, 2, 3
         " UNION ALL"
         " SELECT 'price', l_returnflag, count(l_extendedprice),"
         " TRUE, TRUE, TRUE FROM lineitem GROUP BY 2"
+    )
+    # multi-expression distinct_count: per-(group, attr) certificates
+    out["lang_distinct_count_multi"] = (
+        "WITH x AS ("
+        " SELECT event_type, 'user_id' AS attr,"
+        " CAST(user_id AS VARCHAR) AS v FROM events"
+        " UNION ALL"
+        " SELECT event_type, 'eid', CAST(event_id AS VARCHAR)"
+        " FROM events)"
+        " SELECT event_type, attr,"
+        " count(DISTINCT v) AS exact_distinct, TRUE AS within_5pct"
+        " FROM x GROUP BY 1, 2"
     )
     # multi-expression freq: per-(attr, item) certificates
     out["lang_freq_multi"] = (

@@ -2776,31 +2776,71 @@ def _fm_distinct_count(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
 
     flow = v.flow
     scope = ScopeRef(flow, flow.alias, flow.table)
-    expr = cc.scalar(ctx, scope, args[0]).col
+    if isinstance(args[0], N.Selection):
+        # multi-expression form, like quantiles()/freq() (round 12):
+        # one HLL aggregate per listed expression under an 'attr'
+        # label — each expression keeps its own sketch accuracy
+        exprs = _fm_value_list(cc, ctx, scope, args[0], "distinct_count")
+    else:
+        exprs = [(None, cc.scalar(ctx, scope, args[0]).col)]
+    multi = len(exprs) > 1 or exprs[0][0] is not None
+    reserved = {"approx_distinct"} | ({"attr"} if multi else set())
+    if multi and any(name in reserved for name, _ in exprs):
+        raise CompileError(
+            "distinct_count() value-expression name collides with an"
+            " output attribute (attr / approx_distinct) — alias it"
+        )
     groups: list[tuple[str, Column]] = []
     for a in args[1:]:
         if not isinstance(a, N.Identifier):
             raise CompileError(
                 "distinct_count() group arguments must be attribute names"
             )
-        if a.name == "approx_distinct":
+        if a.name in reserved:
             # would collide with the reshape's own output attribute at
             # execution time (ambiguous column) — name it at compile
             # time, before resolution
             raise CompileError(
-                "distinct_count() group name 'approx_distinct' collides"
-                " with the output attribute"
+                f"distinct_count() group name {a.name!r} collides"
+                " with an output attribute"
             )
         groups.append((a.name, cc.scalar(ctx, scope, a).col))
     if len({g for g, _ in groups}) != len(groups):
         raise CompileError("distinct_count() names a group twice")
-    narrow = flow.df.select(
-        expr.alias("__dc"), *[c.alias(g) for g, c in groups]
-    )
-    res = hll_distinct(narrow, [g for g, _ in groups], "__dc", lgk=14)
+    gnames = [g for g, _ in groups]
+
+    def _one(expr: Column):
+        narrow = flow.df.select(
+            expr.alias("__dc"), *[c.alias(g) for g, c in groups]
+        )
+        return hll_distinct(narrow, gnames, "__dc", lgk=14)
+
+    if not multi:
+        return _fm_reshape(
+            cc, v, "distinct_count", _one(exprs[0][1]),
+            gnames + ["approx_distinct"],
+        )
+    # the single-expression HLL streams as-is (its states ARE a
+    # streaming aggregate), but the multi form UNIONS one streaming
+    # aggregate per expression — never streaming-legal
+    if v.flow.df.isStreaming:
+        raise CompileError(
+            "multi-expression distinct_count() is batch-only — it"
+            " unions one streaming aggregate per expression; drain the"
+            " stream first (run_stream) or sketch one expression per"
+            " query"
+        )
+    parts = [
+        _one(expr).select(
+            *gnames, F.lit(name).alias("attr"), "approx_distinct"
+        )
+        for name, expr in exprs
+    ]
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
     return _fm_reshape(
-        cc, v, "distinct_count", res,
-        [g for g, _ in groups] + ["approx_distinct"],
+        cc, v, "distinct_count", res, gnames + ["attr", "approx_distinct"]
     )
 
 

@@ -236,6 +236,7 @@ SCAN_BUDGET = {
     # certificate), plus the registry row's per-attr certificate join
     "lang_quantiles_multi": 4,
     "lang_freq_multi": 4,
+    "lang_distinct_count_multi": 4,
     # heavy-hitter detection (2 passes) + hot/cold split of big AND
     # small sides over one explode leg — documented multi-pass shape;
     # the passes are over the fact table once each, not per-key

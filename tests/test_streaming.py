@@ -1681,3 +1681,13 @@ def test_update_mode_live_processing_time(spark, tmp_path):
     batch = db3.df("/events.tumbling('1 day')")
     streamed = spark.read.parquet(out)
     assert _norm_rows(streamed.select(*batch.columns)) == _norm_rows(batch)
+
+
+def test_multi_expression_distinct_count_is_batch_only(db):
+    """Multi-expression distinct_count() unions one streaming
+    aggregate per expression — batch-only with the named remedy, like
+    multi-expression quantiles() (the single form keeps streaming)."""
+    from htsql_spark.ir import CompileError
+
+    with pytest.raises(CompileError, match="multi-expression distinct_count"):
+        db.df_stream("/events.distinct_count({user_id, event_id})")

@@ -2853,10 +2853,12 @@ def _lang_distinct_count_multi(spark, sf_dir):
         .groupBy("event_type", "g_attr")
         .agg(F.countDistinct("v").alias("exact_distinct"))
     )
+    # NULL-SAFE like the sibling certificate joins (round-11 review /
+    # round-12 re-review): a NULL event_type group must certify too
     return df.join(
         exact,
-        (df["event_type"] == exact["event_type"])
-        & (df["attr"] == exact["g_attr"]),
+        df["event_type"].eqNullSafe(exact["event_type"])
+        & df["attr"].eqNullSafe(exact["g_attr"]),
     ).select(
         df["event_type"], "attr", "exact_distinct",
         (

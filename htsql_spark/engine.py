@@ -547,7 +547,12 @@ class HTSQL:
           anti join — the snapshot side is never shuffled — plus the
           same atomic swap and dataset lock), so at drain end the
           snapshot equals the complete-mode answer while each epoch
-          paid O(changed groups), not O(all groups).
+          paid O(changed groups), not O(all groups).  ``keys`` must
+          be the FULL set of grouping attributes (under-identifying
+          keys are rejected at the first epoch that emits duplicate
+          key rows) and must be STABLE group identities — merging
+          session windows rename their group across epochs and are
+          not update-servable; drain those complete.
 
         The checkpoint (default ``<path>.checkpoint``) gives
         exactly-once file accounting across restarts and re-drains.
@@ -584,16 +589,40 @@ class HTSQL:
                 " 'append' (row streams), or 'update' with keys=[...]"
                 " (live keyed aggregates)"
             )
+        elif keys:
+            # keys with an explicit non-update mode would be silently
+            # ignored — the caller asked to MERGE, so refuse loudly
+            # (round-12 review)
+            raise CompileError(
+                f"keys={keys!r} only applies to update mode — drop"
+                f" keys for output_mode {output_mode!r}, or drop the"
+                " explicit output_mode to get the keyed MERGE sink"
+            )
         cp = checkpoint or path.rstrip("/") + ".checkpoint"
 
         if output_mode == "complete":
             staging = path.rstrip("/") + "__epoch"
 
             def _sink(bdf: DataFrame, epoch_id: int) -> None:
-                from .operators.layout import replace_dataset
+                from .operators.layout import (
+                    acquire_dataset_lock,
+                    release_dataset_lock,
+                    replace_dataset,
+                )
 
-                bdf.write.mode("overwrite").parquet(staging)
-                replace_dataset(bdf.sparkSession, staging, path)
+                # writer exclusion like every other writer of this
+                # path (round-12 review): a concurrent compaction's
+                # rename pair interleaving with this epoch's swap
+                # could lose the epoch or mix datasets
+                sess = bdf.sparkSession
+                acquire_dataset_lock(
+                    sess, path, owner=f"stream_complete_epoch({path})"
+                )
+                try:
+                    bdf.write.mode("overwrite").parquet(staging)
+                    replace_dataset(sess, staging, path)
+                finally:
+                    release_dataset_lock(sess, path)
 
         elif output_mode == "update":
 
@@ -602,7 +631,28 @@ class HTSQL:
 
                 batch = bdf.withColumn(
                     "__cdc_op", F.lit("U")
-                ).withColumn("__cdc_ts", F.lit(int(epoch_id)))
+                ).withColumn("__cdc_ts", F.lit(int(epoch_id))).localCheckpoint(
+                    eager=True
+                )
+                # keys must uniquely identify the aggregate's groups:
+                # update mode emits ONE row per changed group per
+                # epoch, so duplicate keys within a batch mean the
+                # keys under-identify the grouping and the MERGE
+                # would keep one arbitrary row per key — fail loudly
+                # instead of converging to a silently wrong snapshot
+                # (round-12 review).  The batch is localCheckpointed
+                # above so this extra pass doesn't recompute the
+                # micro-batch.
+                dup = (
+                    batch.groupBy(*keys).count().filter(F.col("count") > 1)
+                )
+                if dup.limit(1).count():
+                    raise ValueError(
+                        f"update-mode keys {list(keys)} do not uniquely"
+                        " identify the query's groups (an epoch emitted"
+                        " multiple rows per key) — pass the FULL set of"
+                        " grouping attributes"
+                    )
                 apply_cdc_batch(
                     bdf.sparkSession, batch, path, key=list(keys),
                     ts_col="__cdc_ts", op_col="__cdc_op",

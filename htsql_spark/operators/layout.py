@@ -521,9 +521,18 @@ def replace_dataset(spark, staging: str, path: str, backup_suffix: str = "__pres
         raise FileNotFoundError(f"replace_dataset: nothing staged at {staging}")
     if not fs.exists(src) and fs.exists(backup):
         # crashed between the two renames on a PREVIOUS swap: restore
-        # so the pre-swap state is what this swap replaces
-        fs.rename(backup, src)
+        # so the pre-swap state is what this swap replaces.  The
+        # recovery rename must be CHECKED like every other rename
+        # (round-12 review): an unchecked false here followed by the
+        # backup delete below would destroy the only copy
+        if not fs.rename(backup, src):
+            raise IOError(
+                f"replace_dataset: recovery rename({backup}, {path})"
+                " failed — backup left in place, nothing replaced"
+            )
     if fs.exists(backup):
+        # src exists too: leftover from a crash AFTER the second
+        # rename but before the backup delete — stale, safe to drop
         fs.delete(backup, True)
     had_src = fs.exists(src)
     if had_src and not fs.rename(src, backup):

@@ -210,30 +210,23 @@ def purchases_join_clicks_stream(
     watermarks so the join state store evicts rows once they can no
     longer match (bounded state — the 100 TB-rate requirement for any
     stream-stream join)."""
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", watermark)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
     )
-    clicks = (
-        events.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", watermark)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
     )
-    cond = (
-        (purchases["p_user"] == clicks["c_user"])
-        & (clicks["c_ts"] <= purchases["p_ts"])
-        & (clicks["c_ts"] >= purchases["p_ts"] - F.expr(f"INTERVAL {window}"))
-    )
-    return purchases.join(clicks, cond, "inner").select(
+    # ONE copy of the state-eviction-critical range predicate +
+    # watermark handling (round-12 review): this kernel and the
+    # language's within() both run interval_join
+    return interval_join(
+        purchases, clicks, "p_user", "c_user", "p_ts", "c_ts",
+        window=window, watermark=watermark,
+    ).select(
         "purchase_id", F.col("p_user").alias("user_id"), "click_id", "p_ts", "c_ts"
     )
 

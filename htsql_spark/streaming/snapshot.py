@@ -58,8 +58,15 @@ def apply_cdc_batch(
         backup = jvm.org.apache.hadoop.fs.Path(snapshot_path + "__presnap")
         if not fs.exists(src) and fs.exists(backup):
             # crashed between the two swap renames: the backup IS the
-            # snapshot — restore before anything else
-            fs.rename(backup, src)
+            # snapshot — restore before anything else.  CHECKED
+            # (round-12 review): an unchecked false would make the
+            # missing-snapshot bootstrap below silently reinitialize
+            # the snapshot from this one change batch
+            if not fs.rename(backup, src):
+                raise IOError(
+                    f"apply_cdc_batch: recovery rename(__presnap,"
+                    f" {snapshot_path}) failed — snapshot not applied"
+                )
         base_cols = [c for c in batch.columns if c not in (ts_col, op_col)]
         if fs.exists(src):
             base = spark.read.parquet(snapshot_path)

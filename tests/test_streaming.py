@@ -1540,8 +1540,9 @@ def test_update_mode_multibatch_drain(spark, tmp_path):
 
 
 def test_update_mode_guards(db):
-    """update mode without keys, unknown keys, and reserved sink
-    column names are NAMED compile errors."""
+    """update mode without keys, unknown keys, keys alongside a
+    non-update mode, and reserved sink column names are NAMED compile
+    errors; under-identifying keys fail the drain loudly."""
     from htsql_spark.ir import CompileError
 
     with pytest.raises(CompileError, match="keys"):
@@ -1550,6 +1551,18 @@ def test_update_mode_guards(db):
         db.run_stream(
             "/events.tumbling('1 day')", keys=["no_such_col"]
         )
+    # keys + explicit non-update mode would silently drop the MERGE
+    # the caller asked for (round-12 review)
+    with pytest.raises(CompileError, match="only applies to update"):
+        db.run_stream(
+            "/events.tumbling('1 day')", output_mode="append",
+            keys=["w_start", "w_end", "event_type"],
+        )
+    # a key SUBSET under-identifies the groups: one epoch emits many
+    # rows per event_type, and a silent MERGE would keep an arbitrary
+    # one — must fail loudly at drain (round-12 review)
+    with pytest.raises(Exception, match="uniquely identify"):
+        db.run_stream("/events.tumbling('1 day')", keys=["event_type"])
 
 
 def test_stream_output_mode_agg_over_stateful_raises(db):

@@ -4025,7 +4025,11 @@ _GATE_ORDER = [
     "agg_count_distinct", "agg_percentile", "meta_links",
     "op_asof_forward", "op_multimodal", "op_pack", "op_vocab",
     "op_split_leakfree", "op_tumbling_batch", "op_centroids",
-    "op_unigram_lm",
+    # built mid-round AFTER the first r12 window draft: gets its hard
+    # record THIS round instead of aging post-window (the r11 lesson);
+    # displaces one r4-freshen slot (op_unigram_lm stays at its r4
+    # record — still within the no-older-than-r4 bar)
+    "lang_distinct_count_multi",
 ]
 assert len(_GATE_ORDER) == 50 and len(set(_GATE_ORDER)) == 50
 _QUERIES = {k: _QUERIES[k] for k in _GATE_ORDER} | {

@@ -1704,3 +1704,33 @@ def test_multi_expression_distinct_count_is_batch_only(db):
 
     with pytest.raises(CompileError, match="multi-expression distinct_count"):
         db.df_stream("/events.distinct_count({user_id, event_id})")
+
+
+def test_within_stream_static(spark):
+    """within() with a STREAM left side and a STATIC right side (a
+    second batch mount of the same backing file): the interval_join
+    kernel watermarks only the streaming side and Spark runs a
+    stateless stream-static range join — drain equals the all-batch
+    twin.  Completes the within() execution matrix (batch/batch,
+    stream/stream, stream/static)."""
+    from htsql_spark import HTSQL
+    from htsql_spark.catalog import Catalog, TableDef
+
+    cat = Catalog(
+        {
+            "events": TableDef(name="events", pk=("event_id",), stream=True),
+            "events_hist": TableDef(name="events", pk=("event_id",)),
+        }
+    )
+    db2 = HTSQL(spark, SF_DIR, catalog=cat)
+    q = (
+        "/(events?event_type='purchase').within("
+        "events_hist?event_type='click', user_id, ts, event_id,"
+        " event_id, '24 hours')"
+    )
+    sdf = db2.df_stream(q)
+    assert sdf.isStreaming
+    streamed = db2.run_stream(q)
+    batch = db2.df(q)
+    assert streamed.columns == batch.columns
+    assert _norm_rows(streamed) == _norm_rows(batch)

@@ -46,6 +46,10 @@ HOT_SET = [
     "op_ann_ivfpq", "op_ann_index_build", "op_kmeans_portable",
     "op_curate", "lang_quantiles_by", "op_theta_fact",
     "stream_lang_tumbling", "lang_freq",
+    # round-12 heavy additions: the update-mode MERGE drain and the
+    # stream-stream interval-join drain (each measurement is a full
+    # checkpointed drain), plus the batch interval join as a canary
+    "stream_lang_update", "stream_lang_join", "lang_within",
 ]
 
 #: Per r5 judge directive #3 the bench covers the FULL registry: every

@@ -1734,3 +1734,37 @@ def test_within_stream_static(spark):
     batch = db2.df(q)
     assert streamed.columns == batch.columns
     assert _norm_rows(streamed) == _norm_rows(batch)
+
+
+def test_append_sink_compacts_and_keeps_appending(spark, tmp_path):
+    """The append sink's epoch-tagged files accumulate one file set
+    per micro-batch — the small-file problem every landing zone hits
+    at scale.  compact_dataset shares the sink's dataset-lock
+    discipline, so maintenance runs safely between drains: rows are
+    preserved, the file count drops, and LATER epochs keep appending
+    idempotently after the rewrite (their retry-delete matches no
+    compacted file, so a redelivery still converges)."""
+    import glob
+
+    from htsql_spark.engine import _append_epoch
+    from htsql_spark.operators.layout import compact_dataset
+
+    path = str(tmp_path / "sink")
+    for epoch in range(6):
+        bdf = spark.range(100).withColumn(
+            "v", F.col("id") + epoch * 1000
+        )
+        _append_epoch(bdf, path, epoch)
+    files_before = len(glob.glob(f"{path}/epoch-*"))
+    assert files_before >= 6
+    total = spark.read.parquet(path).count()
+    n_files = compact_dataset(spark, path, target_files=2)
+    assert n_files <= 2
+    assert spark.read.parquet(path).count() == total
+    # the stream keeps going: a NEW epoch appends after compaction...
+    bdf = spark.range(100).withColumn("v", F.col("id") + 9000)
+    _append_epoch(bdf, path, 9)
+    assert spark.read.parquet(path).count() == total + 100
+    # ...and its crash-redelivery still converges to one copy
+    _append_epoch(bdf, path, 9)
+    assert spark.read.parquet(path).count() == total + 100

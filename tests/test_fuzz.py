@@ -498,3 +498,62 @@ def test_fuzz_flow_method_chains(db):
         once = {r["doc_id"] for r in db.produce(f"/documents{tier}{{doc_id}}")}
         twice = {r["doc_id"] for r in db.produce(f"/documents{tier}{tier}{{doc_id}}")}
         assert once == twice, tier
+
+
+@pytest.mark.parametrize("dummy", [0])  # keep hypothesis fixtures happy
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # join key
+            st.integers(0, 1000),       # ts offset (seconds)
+            st.integers(0, 99),         # payload
+        ),
+        max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 99)),
+        max_size=25,
+    ),
+    window=st.integers(min_value=1, max_value=500),
+)
+def test_fuzz_interval_join_matches_bruteforce(spark, dummy, left, right, window):
+    """interval_join (the within()/stream_join kernel) against the
+    obviously-correct double loop: every equal-key pair with
+    right.ts ∈ [left.ts − window, left.ts], bounds INCLUSIVE on both
+    ends — adversarial coverage of ties, boundary-exact offsets,
+    empty sides and duplicate keys that a fixture corpus misses."""
+    import datetime
+
+    from htsql_spark.streaming.events import interval_join
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(off):
+        return base + datetime.timedelta(seconds=off)
+
+    ldf = spark.createDataFrame(
+        [(k, ts(o), p) for k, o, p in left],
+        "lk int, lts timestamp, lp int",
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts(o), p) for k, o, p in right],
+        "rk int, rts timestamp, rp int",
+    )
+    got = sorted(
+        tuple(r)
+        for r in interval_join(
+            ldf, rdf, "lk", "rk", "lts", "rts", window=f"{window} seconds"
+        ).collect()
+    )
+    exp = sorted(
+        (lk, ts(lo), lp, rk, ts(ro), rp)
+        for lk, lo, lp in left
+        for rk, ro, rp in right
+        if lk == rk and ro <= lo and ro >= lo - window
+    )
+    assert got == exp

@@ -557,3 +557,65 @@ def test_fuzz_interval_join_matches_bruteforce(spark, dummy, left, right, window
         if lk == rk and ro <= lo and ro >= lo - window
     )
     assert got == exp
+
+
+@pytest.mark.parametrize("dummy", [0])
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.dictionaries(
+        st.tuples(st.integers(0, 2), st.integers(0, 2)),
+        st.integers(0, 99),
+        max_size=8,
+    ),
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 2),              # k1
+            st.integers(0, 2),              # k2
+            st.integers(0, 20),             # ts
+            st.sampled_from(["U", "I", "D"]),
+        ),
+        max_size=20,
+    ),
+)
+def test_fuzz_apply_cdc_multikey_matches_dict_fold(spark, dummy, base, changes):
+    """Multi-column-key apply_cdc (new in round 12) against the
+    obviously-correct dict fold: per key the LATEST change wins
+    (ts desc, then op desc — 'U' beats 'I' beats 'D' on ties),
+    non-deletes upsert, deletes remove, untouched base rows survive.
+    The payload is a function of (ts, op) so identical-ranked ties
+    are value-identical and the window's arbitrary pick is harmless."""
+    from htsql_spark.operators.analytics import apply_cdc
+
+    def payload(ts_, op_):
+        return ts_ * 10 + {"U": 2, "I": 1, "D": 0}[op_]
+
+    bdf = spark.createDataFrame(
+        [(k1, k2, v) for (k1, k2), v in base.items()] or [],
+        "k1 int, k2 int, v int",
+    )
+    cdf = spark.createDataFrame(
+        [(k1, k2, payload(ts_, op_), ts_, op_) for k1, k2, ts_, op_ in changes]
+        or [],
+        "k1 int, k2 int, v int, ts int, op string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in apply_cdc(bdf, cdf, key=["k1", "k2"], ts_col="ts", op_col="op").collect()
+    )
+    latest = {}
+    for k1, k2, ts_, op_ in changes:
+        cur = latest.get((k1, k2))
+        if cur is None or (ts_, op_) > (cur[0], cur[1]):
+            latest[(k1, k2)] = (ts_, op_)
+    snap = {k: v for k, v in base.items()}
+    for key, (ts_, op_) in latest.items():
+        if op_ == "D":
+            snap.pop(key, None)
+        else:
+            snap[key] = payload(ts_, op_)
+    exp = sorted((k1, k2, v) for (k1, k2), v in snap.items())
+    assert got == exp

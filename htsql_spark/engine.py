@@ -792,9 +792,13 @@ def _append_epoch(bdf: DataFrame, path: str, epoch_id: int) -> None:
     bdf.write.mode("overwrite").parquet(staging)
     fs.mkdirs(dst)
     tag = f"epoch-{epoch_id:020d}-"
-    for s in fs.listStatus(dst):
-        name = s.getPath().getName()
-        if not s.isDirectory() and name.startswith(tag):
+    # stale-file cleanup is scoped to THIS epoch's tag via a
+    # server-side glob — a full listStatus of the sink would cost
+    # O(total files) per micro-batch, turning a long-running append
+    # stream quadratic in its own history
+    stale = fs.globStatus(HPath(str(dst) + "/" + tag + "*"))
+    for s in stale or []:
+        if not s.isDirectory():
             fs.delete(s.getPath(), False)
     for s in fs.listStatus(HPath(staging)):
         name = s.getPath().getName()

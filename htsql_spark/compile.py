@@ -2455,11 +2455,13 @@ def _fm_within(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     Scale: both sides narrow to (on, ts, payload) before the join;
     one shuffle each on the ``on`` key; the time predicate bounds the
     per-key match fan-out by the window."""
-    if len(args) != 6:
+    if not 6 <= len(args) <= 7:
         raise CompileError(
-            "within(other, on, ts, payload, other_payload, interval)"
-            " takes a flow argument, three attribute names of this"
-            " flow/both/the other flow, and an interval literal"
+            "within(other, on, ts, payload, other_payload, interval"
+            "[, watermark]) takes a flow argument, three attribute"
+            " names of this flow/both/the other flow, an interval"
+            " literal and an optional watermark interval (streaming"
+            " state-eviction bound, default '1 hour')"
         )
     from .streaming.events import interval_join
 
@@ -2477,6 +2479,9 @@ def _fm_within(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
                 f"within() {what} argument must be an attribute name"
             )
     window = _fm_interval_lit(args, 5, "within")
+    watermark = (
+        _fm_interval_lit(args, 6, "within") if len(args) == 7 else "1 hour"
+    )
     scope = ScopeRef(flow, flow.alias, flow.table)
     oflow = other.flow
     oscope = ScopeRef(oflow, oflow.alias, oflow.table)
@@ -2500,7 +2505,8 @@ def _fm_within(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
         cc.scalar(ctx, oscope, args[4]).col.alias(f"r_{rp}"),
     )
     res = interval_join(
-        left, right, "__lon", "__ron", "l_ts", "r_ts", window=window
+        left, right, "__lon", "__ron", "l_ts", "r_ts",
+        window=window, watermark=watermark,
     ).select(F.col("__lon").alias(on_name), "l_ts", f"l_{lp}", "r_ts", f"r_{rp}")
     return _fm_reshape(cc, v, "within", res, names)
 

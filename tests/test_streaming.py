@@ -1768,3 +1768,18 @@ def test_append_sink_compacts_and_keeps_appending(spark, tmp_path):
     # ...and its crash-redelivery still converges to one copy
     _append_epoch(bdf, path, 9)
     assert spark.read.parquet(path).count() == total + 100
+
+
+def test_within_custom_watermark(db):
+    """within()'s optional 7th argument sets the streaming
+    state-eviction watermark; the single-batch drain still equals the
+    batch twin (the watermark only bounds out-of-order tolerance on a
+    LIVE multi-batch stream)."""
+    q = (
+        "/(events?event_type='purchase').within("
+        "events?event_type='click', user_id, ts, event_id, event_id,"
+        " '24 hours', '2 hours')"
+    )
+    streamed = db.run_stream(q)
+    batch = db.df(q)
+    assert _norm_rows(streamed) == _norm_rows(batch)

@@ -28,6 +28,17 @@ import os
 from dataclasses import dataclass, field
 
 
+# directory-name suffixes the sinks and maintenance passes create as
+# SIBLINGS of a dataset (staging, backups, checkpoints, bucket
+# metadata) — landing-mount discovery skips exactly these, nothing
+# else, so a user table legitimately named e.g. user__events mounts
+_INTERNAL_SUFFIXES = (
+    "__epochs", "__epoch", "__preswap", "__presnap", "__staging",
+    "__checkpoint", "__compacting", "__precompact", "__lock",
+    "__buckets", "__bstage", "__bback",
+)
+
+
 class CatalogError(ValueError):
     """A malformed or ambiguous catalog declaration — raised at load
     time so the mount fails loudly instead of a traversal silently
@@ -243,7 +254,7 @@ class Catalog:
                 tables[base] = TableDef(name=base, pk=())
             elif (
                 ext == ""
-                and "__" not in fn
+                and not fn.endswith(_INTERNAL_SUFFIXES)
                 and fn not in tables
                 and os.path.isdir(os.path.join(data_dir, fn))
                 and any(
@@ -252,8 +263,11 @@ class Catalog:
                 )
             ):
                 # directory landing mount: {name}/ with accumulated
-                # parquet files (a streaming landing zone); "__" names
-                # are sink/maintenance internals (__epochs, __staging)
+                # parquet files (a streaming landing zone).  Only the
+                # KNOWN sink/maintenance suffixes are internal — a
+                # substring test on "__" would silently unmount a
+                # legitimately named dir like user__events (round-12
+                # advice)
                 tables[fn] = TableDef(name=fn, pk=())
         return cls(tables)
 

@@ -165,20 +165,35 @@ class HTSQL:
                 # directory landing mount: {name}/ accumulating many
                 # parquet files (the streaming landing-zone shape —
                 # micro-batches append files, batch queries read the
-                # whole directory); nano-timestamp contract probed
-                # from one footer like the single-file mount.  The
-                # file listing is frozen when the table is first
-                # resolved (standard Spark file-index behavior) — for
-                # files landed later, construct a fresh engine or
-                # query the stream mount, which discovers new files
-                # per micro-batch
-                first = sorted(
+                # whole directory).  The nano-timestamp contract
+                # assumes HOMOGENEOUS writers (every file agrees on
+                # which columns are TIMESTAMP(NANOS)); that contract
+                # is VALIDATED by probing the first/middle/last
+                # footers — a dir mixing nano and non-nano physical
+                # types for the same column fails loudly here instead
+                # of silently mis-converting part of the data
+                # (round-12 advice).  The file listing is frozen when
+                # the table is first resolved (standard Spark
+                # file-index behavior) — for files landed later,
+                # construct a fresh engine or query the stream mount,
+                # which discovers new files per micro-batch
+                names = sorted(
                     f for f in os.listdir(pqdir) if f.endswith(".parquet")
-                )[0]
-                df = self.spark.read.parquet(pqdir)
-                df = convert_nano_cols(
-                    df, nano_timestamp_fields(f"{pqdir}/{first}")
                 )
+                probes = sorted({names[0], names[len(names) // 2], names[-1]})
+                fields = nano_timestamp_fields(f"{pqdir}/{probes[0]}")
+                for other in probes[1:]:
+                    got = nano_timestamp_fields(f"{pqdir}/{other}")
+                    if got != fields:
+                        raise ValueError(
+                            f"landing mount {pqdir}: heterogeneous"
+                            " parquet timestamp physical types —"
+                            f" {probes[0]} has nano columns {fields}"
+                            f" but {other} has {got}; the directory"
+                            " mount requires homogeneous writers"
+                        )
+                df = self.spark.read.parquet(pqdir)
+                df = convert_nano_cols(df, fields)
             elif os.path.exists(f"{self.data_dir}/{fname}.csv"):
                 df = self.spark.read.csv(
                     f"{self.data_dir}/{fname}.csv", header=True, inferSchema=True
@@ -643,8 +658,15 @@ class HTSQL:
                 # (round-12 review).  The batch is localCheckpointed
                 # above so this extra pass doesn't recompute the
                 # micro-batch.
+                # the aggregate is aliased to a reserved name: a
+                # grouping key literally named 'count' would make a
+                # bare F.col("count") ambiguous and fail the epoch
+                # with an unrelated AnalysisException (round-12
+                # advice)
                 dup = (
-                    batch.groupBy(*keys).count().filter(F.col("count") > 1)
+                    batch.groupBy(*keys)
+                    .agg(F.count(F.lit(1)).alias("__dup_n"))
+                    .filter(F.col("__dup_n") > 1)
                 )
                 if dup.limit(1).count():
                     raise ValueError(
@@ -707,6 +729,19 @@ class HTSQL:
                 agg_above = True
             for i in range(n.children().size()):
                 stack.append((n.children().apply(i), agg_above))
+        if stateful and has_agg:
+            # the ancestor walk above catches aggregate-OVER-stateful;
+            # this catches the two in SEPARATE branches (a join of an
+            # aggregate with anomalies()) — the aggregate branch needs
+            # complete/update while the state kernel declares append,
+            # so no single output mode is streaming-legal and Spark
+            # would surface a generic error at start (round-12 advice)
+            raise CompileError(
+                "a plan combining a streaming aggregate with a stateful"
+                " anomalies() kernel (in any branches) has no legal"
+                " output mode — drain the anomalies stream first"
+                " (run_stream) and compose the batch results"
+            )
         if stateful:
             return "append"
         return "complete" if has_agg else "append"

@@ -2899,6 +2899,20 @@ def _lang_freq_multi(spark, sf_dir):
     )
 
 
+def _lang_heavy_hitters_multi(spark, sf_dir):
+    """heavy_hitters({expr, name := expr}, min_freq) — the MULTI-
+    EXPRESSION form (r12 verdict next #7, the last sketch reshape
+    still single-expression): one Misra-Gries candidates + exact
+    recount pass per listed expression, rows labeled by 'attr', items
+    cast to text so the passes union into one flow.  Output is EXACT
+    (like lang_heavy_hitters), so the oracle is the plain GROUP BY
+    truth per attr with the same scaled-integer boundary rule and
+    per-attr non-null totals."""
+    return _db(spark, sf_dir).df(
+        "/events.heavy_hitters({event_type, h := hour(ts)}, 0.04)"
+    )
+
+
 def _op_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup: argmax-to-centroid cells (the
     seeded deterministic cells, so the oracle replays the assignment
@@ -3954,6 +3968,7 @@ _QUERIES.update(
         "lang_quantiles_by": _lang_quantiles_by,
         "lang_quantiles_multi": _lang_quantiles_multi,
         "lang_freq_multi": _lang_freq_multi,
+        "lang_heavy_hitters_multi": _lang_heavy_hitters_multi,
         "lang_distinct_count_multi": _lang_distinct_count_multi,
         # round 11: streaming EXECUTION of language queries — the same
         # query text runs as an actual Structured Stream (readStream
@@ -6248,6 +6263,23 @@ FROM t GROUP BY 1, 2, 3
         " SELECT 'hour', CAST(hour(ts) AS VARCHAR) FROM events)"
         " SELECT attr, item, count(*) AS exact_n,"
         " TRUE AS never_under, TRUE AS within_eps FROM x GROUP BY 1, 2"
+    )
+    # multi-expression heavy_hitters: exact GROUP BY truth per attr,
+    # per-attr non-null totals, the same scaled-integer boundary rule
+    # (cnt·10⁹ ≥ n·round(min_freq·10⁹)) as lang_heavy_hitters
+    out["lang_heavy_hitters_multi"] = (
+        "WITH x AS ("
+        " SELECT 'event_type' AS attr, event_type AS item FROM events"
+        " WHERE event_type IS NOT NULL"
+        " UNION ALL"
+        " SELECT 'h', CAST(hour(ts) AS VARCHAR) FROM events"
+        " WHERE ts IS NOT NULL),"
+        " c AS (SELECT attr, item, count(*) AS cnt FROM x GROUP BY 1, 2),"
+        " t AS (SELECT attr, sum(cnt) AS n FROM c GROUP BY 1)"
+        " SELECT c.attr, c.item, c.cnt,"
+        " round(c.cnt * 1.0 / t.n, 6) AS freq"
+        " FROM c JOIN t ON c.attr = t.attr"
+        " WHERE c.cnt * 1000000000 >= t.n * 40000000"
     )
     # the streamed drain carries KLL estimates certified the same way
     out["stream_lang_quantiles"] = (

@@ -2264,7 +2264,14 @@ def _fm_heavy_hitters(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
     (operators.sketches.heavy_hitters: per-partition Misra-Gries
     summaries + a broadcast-restricted recount — the full distinct-
     value table is never shuffled).  Attributes ``item`` / ``cnt`` /
-    ``freq``; projection-scope output like funnel()."""
+    ``freq``; projection-scope output like funnel().
+
+    Multi-expression form (round-12 verdict next #7, closing the
+    sketch family's symmetry): ``heavy_hitters({a, b := expr}[,
+    min_freq])`` runs one Misra-Gries pass per listed expression and
+    labels rows with ``attr``; items are cast to text so the per-
+    expression results union into one flow (same contract as the
+    multi-expression ``freq()``)."""
     if not args or len(args) > 2:
         raise CompileError(
             "heavy_hitters(expr[, min_freq]) takes 1 or 2 arguments"
@@ -2282,10 +2289,31 @@ def _fm_heavy_hitters(cc: Compiler, ctx: Ctx, outer: ScopeRef, v: FlowV, args):
 
     flow = v.flow
     scope = ScopeRef(flow, flow.alias, flow.table)
-    expr = cc.scalar(ctx, scope, args[0]).col
     min_freq = _fm_frac_lit(args, 1, "heavy_hitters") if len(args) == 2 else 0.01
     if not 0 < min_freq <= 1:
         raise CompileError("heavy_hitters() needs min_freq in (0, 1]")
+    if isinstance(args[0], N.Selection):
+        exprs = _fm_value_list(cc, ctx, scope, args[0], "heavy_hitters")
+        if any(name in ("attr", "item", "cnt", "freq") for name, _ in exprs):
+            raise CompileError(
+                "heavy_hitters() value-expression name collides with an"
+                " output attribute (attr / item / cnt / freq) — alias it"
+            )
+        parts = []
+        for name, expr in exprs:
+            narrow = flow.df.select(expr.cast("string").alias("item"))
+            parts.append(
+                heavy_hitters(narrow, "item", min_freq=min_freq).select(
+                    F.lit(name).alias("attr"), "item", "cnt", "freq"
+                )
+            )
+        res = parts[0]
+        for p in parts[1:]:
+            res = res.unionByName(p)
+        return _fm_reshape(
+            cc, v, "heavy_hitters", res, ["attr", "item", "cnt", "freq"]
+        )
+    expr = cc.scalar(ctx, scope, args[0]).col
     narrow = flow.df.select(expr.alias("item"))
     res = heavy_hitters(narrow, "item", min_freq=min_freq)
     return _fm_reshape(cc, v, "heavy_hitters", res, ["item", "cnt", "freq"])

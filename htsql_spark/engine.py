@@ -530,6 +530,7 @@ class HTSQL:
         output_mode: str | None = None,
         trigger: dict | None = None,
         keys: list[str] | None = None,
+        buckets: int | None = None,
     ):
         """Start a language query as a LIVE Structured Stream writing
         parquet at ``path`` and return the running ``StreamingQuery``
@@ -560,14 +561,24 @@ class HTSQL:
         * ``update`` MERGEs by ``keys`` via the CDC upsert loop
           (``streaming.snapshot.apply_cdc_batch``: broadcast key-set
           anti join — the snapshot side is never shuffled — plus the
-          same atomic swap and dataset lock), so at drain end the
-          snapshot equals the complete-mode answer while each epoch
-          paid O(changed groups), not O(all groups).  ``keys`` must
-          be the FULL set of grouping attributes (under-identifying
-          keys are rejected at the first epoch that emits duplicate
-          key rows) and must be STABLE group identities — merging
-          session windows rename their group across epochs and are
-          not update-servable; drain those complete.
+          same checked-rename swap discipline and dataset lock), so
+          at drain end the snapshot equals the complete-mode answer
+          while each epoch pays O(changed groups) in BOTH compute and
+          I/O: the snapshot is hash-bucketed on ``keys`` into
+          ``buckets`` hive directories (default 32; size so one
+          bucket is a few hundred MB at the target scale) and an
+          epoch rewrites only the buckets containing touched keys —
+          untouched buckets' files are not read, not listed, and not
+          rewritten.  Pass ``buckets=0`` for the legacy flat layout
+          (full rewrite per epoch).  The on-disk dataset carries an
+          ``htsql__bucket`` partition column (reserved name); read it
+          back via ``streaming.snapshot.read_snapshot`` (run_stream
+          does).  ``keys`` must be the FULL set of grouping
+          attributes (under-identifying keys are rejected at the
+          first epoch that emits duplicate key rows) and must be
+          STABLE group identities — merging session windows rename
+          their group across epochs and are not update-servable;
+          drain those complete.
 
         The checkpoint (default ``<path>.checkpoint``) gives
         exactly-once file accounting across restarts and re-drains.
@@ -592,7 +603,13 @@ class HTSQL:
                     f"update-mode keys {missing} are not attributes of"
                     f" the query result (has: {sdf.columns})"
                 )
-            clash = [c for c in ("__cdc_ts", "__cdc_op") if c in sdf.columns]
+            from .streaming.snapshot import BUCKET_COL
+
+            clash = [
+                c
+                for c in ("__cdc_ts", "__cdc_op", BUCKET_COL)
+                if c in sdf.columns
+            ]
             if clash:
                 raise CompileError(
                     f"update-mode sink reserves column names {clash}"
@@ -612,6 +629,13 @@ class HTSQL:
                 f"keys={keys!r} only applies to update mode — drop"
                 f" keys for output_mode {output_mode!r}, or drop the"
                 " explicit output_mode to get the keyed MERGE sink"
+            )
+        if buckets is not None and output_mode != "update":
+            # silently ignoring a layout request would be the same
+            # trap as ignored keys — refuse loudly
+            raise CompileError(
+                f"buckets={buckets!r} only applies to the update-mode"
+                f" keyed MERGE sink, not output_mode {output_mode!r}"
             )
         cp = checkpoint or path.rstrip("/") + ".checkpoint"
 
@@ -640,6 +664,7 @@ class HTSQL:
                     release_dataset_lock(sess, path)
 
         elif output_mode == "update":
+            n_buckets = 32 if buckets is None else int(buckets)
 
             def _sink(bdf: DataFrame, epoch_id: int) -> None:
                 from .streaming.snapshot import apply_cdc_batch
@@ -678,6 +703,7 @@ class HTSQL:
                 apply_cdc_batch(
                     bdf.sparkSession, batch, path, key=list(keys),
                     ts_col="__cdc_ts", op_col="__cdc_op",
+                    buckets=n_buckets or None,
                 )
 
         else:  # append
@@ -753,6 +779,7 @@ class HTSQL:
         checkpoint: str | None = None,
         output_mode: str | None = None,
         keys: list[str] | None = None,
+        buckets: int | None = None,
     ) -> None:
         """Streaming write sink: execute a language query AS A STREAM
         (readStream scans + availableNow trigger + checkpoint) and
@@ -762,7 +789,7 @@ class HTSQL:
         accounting via the checkpoint)."""
         q = self.start_stream(
             query, path, checkpoint=checkpoint, output_mode=output_mode,
-            keys=keys,
+            keys=keys, buckets=buckets,
         )
         q.awaitTermination()
 
@@ -771,6 +798,7 @@ class HTSQL:
         query: str,
         output_mode: str | None = None,
         keys: list[str] | None = None,
+        buckets: int | None = None,
     ) -> DataFrame:
         """Execute a language query as a stream (store_stream into a
         scratch sink) and return the drained result as a BATCH
@@ -790,8 +818,13 @@ class HTSQL:
                 checkpoint=os.path.join(base, "checkpoint"),
                 output_mode=output_mode,
                 keys=keys,
+                buckets=buckets,
             )
-            return self.spark.read.parquet(out).localCheckpoint(eager=True)
+            # read_snapshot strips the update sink's htsql__bucket
+            # partition column; a no-op for the other sinks' layouts
+            from .streaming.snapshot import read_snapshot
+
+            return read_snapshot(self.spark, out).localCheckpoint(eager=True)
         finally:
             shutil.rmtree(base, ignore_errors=True)
 

@@ -485,6 +485,64 @@ def k_multimodal_decode(spark, d):
     )
 
 
+def _update_snapshot_fixture(spark, d):
+    """Bucketed keyed-snapshot fixture for the update-sink kernel:
+    G = 200k·s groups in 32·s buckets — CONSTANT rows per bucket, the
+    documented sizing rule (buckets scale with the snapshot so one
+    bucket stays a few hundred MB at 100 TB).  Built once per scale
+    dir and cached like the landing fixture."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.streaming.snapshot import apply_cdc_batch
+
+    s = max(1, int(os.path.basename(d)[1:]))
+    path = os.path.join(d, "update_snap")
+    mfile = os.path.join(d, "update_snap_meta.json")
+    if os.path.exists(mfile):
+        return path
+    shutil.rmtree(path, ignore_errors=True)  # partial build
+    boot = (
+        spark.range(200_000 * s)
+        .select(
+            F.concat(F.lit("g"), F.col("id")).alias("k"),
+            F.col("id").alias("n"),
+        )
+        .withColumn("op", F.lit("U"))
+        .withColumn("ts", F.lit(0))
+    )
+    apply_cdc_batch(spark, boot, path, key="k", buckets=32 * s)
+    json.dump({"groups": 200_000 * s}, open(mfile, "w"))
+    return path
+
+
+def k_update_sink_epoch(spark, d):
+    """Per-epoch cost of the bucket-scoped update-mode MERGE
+    (engine.start_stream keys=[...] → snapshot.apply_cdc_batch with
+    the bucketed layout) as the TOTAL group count grows with fixed
+    -size change batches: each epoch upserts 10 keys, so it touches
+    ≤10 of the 32·s buckets and rewrites only those directories.
+    Bucket size is constant by the sizing rule, so the curve must be
+    FLAT (exponent ≈ 0) — the r12 layout rewrote the whole snapshot
+    per epoch, an exponent of 1 on this axis.  Three epochs per
+    timing amortize the per-epoch fixed sink overhead."""
+    from pyspark.sql import functions as F
+
+    from htsql_spark.streaming.snapshot import apply_cdc_batch
+
+    path = _update_snapshot_fixture(spark, d)
+    for epoch in (1, 2, 3):
+        batch = (
+            spark.createDataFrame(
+                [(f"g{i * 37}", epoch * 1000 + i) for i in range(10)],
+                "k string, n long",
+            )
+            .withColumn("op", F.lit("U"))
+            .withColumn("ts", F.lit(epoch))
+        )
+        apply_cdc_batch(spark, batch, path, key="k")
+    return spark.range(1)
+
+
 KERNELS = {
     "dedup_ngram": ("docs", k_dedup_ngram),
     "dedup_clusters": ("docs", k_dedup_clusters),
@@ -509,6 +567,10 @@ KERNELS = {
     # batch size, not accumulated history
     "stream_drain_anomalies": ("events", k_stream_drain_anomalies),
     "stream_drain_sessions": ("events", k_stream_drain_sessions),
+    # round-13 addition (r12 verdict next #1): the live keyed sink's
+    # per-epoch I/O vs snapshot size — must be flat under the
+    # bucket-scoped MERGE
+    "update_sink_epoch": ("events", k_update_sink_epoch),
 }
 
 

@@ -1014,6 +1014,183 @@ def test_cdc_batch_blocked_by_held_lock(spark, tmp_path):
     assert spark.read.parquet(snap_path).count() == 1
 
 
+def _kv_batch(spark, epoch, rows):
+    return (
+        spark.createDataFrame(rows, "k string, n long")
+        .withColumn("op", F.lit("U"))
+        .withColumn("ts", F.lit(epoch))
+    )
+
+
+def _bucket_dirs_state(path):
+    import glob
+    import hashlib
+    import os
+
+    state = {}
+    for d in sorted(glob.glob(f"{path}/htsql__bucket=*")):
+        files = {}
+        for f in sorted(glob.glob(f"{d}/*")):
+            with open(f, "rb") as fh:
+                files[os.path.basename(f)] = (
+                    os.path.getmtime(f),
+                    hashlib.md5(fh.read()).hexdigest(),
+                )
+        state[os.path.basename(d)] = files
+    return state
+
+
+def test_cdc_bucketed_scoped_epoch_untouched_buckets_identical(spark, tmp_path):
+    """The bucket-scoped MERGE claim, at the kernel level: an epoch
+    touching 3 of 200 keys rewrites at most 3 of the 8 bucket dirs —
+    every other bucket's files stay BYTE-IDENTICAL (same mtime, same
+    md5: not even re-written with equal content) — and a redelivered
+    epoch is a fixed point."""
+    from htsql_spark.streaming.snapshot import apply_cdc_batch, read_snapshot
+
+    path = str(tmp_path / "snap")
+    apply_cdc_batch(
+        spark,
+        _kv_batch(spark, 0, [(f"key{i}", i) for i in range(200)]),
+        path, key="k", buckets=8,
+    )
+    before = _bucket_dirs_state(path)
+    assert len(before) >= 6
+    ep1 = _kv_batch(spark, 1, [("key0", 1000), ("key5", 1500), ("key7", 1700)])
+    apply_cdc_batch(spark, ep1, path, key="k")
+    after = _bucket_dirs_state(path)
+    changed = [d for d in before if after.get(d) != before[d]]
+    untouched = [d for d in before if after.get(d) == before[d]]
+    assert len(changed) <= 3, f"epoch rewrote {changed}"
+    assert len(untouched) >= len(before) - 3
+    got = {r["k"]: r["n"] for r in read_snapshot(spark, path).collect()}
+    assert len(got) == 200
+    assert (got["key0"], got["key5"], got["key7"], got["key9"]) == (
+        1000, 1500, 1700, 9,
+    )
+    apply_cdc_batch(spark, ep1, path, key="k")  # crash-retry redelivery
+    got2 = {r["k"]: r["n"] for r in read_snapshot(spark, path).collect()}
+    assert got2 == got
+
+
+def test_cdc_bucketed_delete_and_full_rewrite_fallback(spark, tmp_path):
+    """Deletes remove rows from their bucket (an all-deleted bucket
+    drops its directory), and a batch touching >= half the buckets
+    takes the single full-rewrite path instead of swapping every
+    bucket individually — same final state either way."""
+    from htsql_spark.streaming.snapshot import apply_cdc_batch, read_snapshot
+
+    path = str(tmp_path / "snap")
+    apply_cdc_batch(
+        spark,
+        _kv_batch(spark, 0, [(f"key{i}", i) for i in range(200)]),
+        path, key="k", buckets=8,
+    )
+    dele = (
+        spark.createDataFrame([("key0", 0)], "k string, n long")
+        .withColumn("op", F.lit("D"))
+        .withColumn("ts", F.lit(1))
+    )
+    apply_cdc_batch(spark, dele, path, key="k")
+    got = {r["k"]: r["n"] for r in read_snapshot(spark, path).collect()}
+    assert "key0" not in got and len(got) == 199
+    # wide batch → full rewrite fallback (touches all 8 buckets)
+    apply_cdc_batch(
+        spark,
+        _kv_batch(spark, 2, [(f"key{i}", i * 2) for i in range(0, 200, 2)]),
+        path, key="k",
+    )
+    got = {r["k"]: r["n"] for r in read_snapshot(spark, path).collect()}
+    assert len(got) == 200 and got["key0"] == 0 and got["key2"] == 4
+    assert got["key1"] == 1  # odd keys untouched by the wide batch
+
+
+def test_cdc_bucketed_migration_and_layout_pinning(spark, tmp_path):
+    """A bucketed call on an existing FLAT snapshot migrates it (one
+    full rewrite, marker written); thereafter the marker pins the
+    layout — omitting buckets keeps it, changing n or the key set is
+    a named error."""
+    import glob
+
+    import pytest as _pytest
+
+    from htsql_spark.streaming.snapshot import apply_cdc_batch, read_snapshot
+
+    path = str(tmp_path / "snap")
+    apply_cdc_batch(spark, _kv_batch(spark, 0, [("a", 1), ("b", 2)]), path, key="k")
+    assert not glob.glob(f"{path}/htsql__bucket=*")  # flat
+    apply_cdc_batch(
+        spark, _kv_batch(spark, 1, [("a", 9)]), path, key="k", buckets=4
+    )
+    assert glob.glob(f"{path}/htsql__bucket=*")  # migrated
+    assert {r["k"]: r["n"] for r in read_snapshot(spark, path).collect()} == {
+        "a": 9, "b": 2,
+    }
+    apply_cdc_batch(spark, _kv_batch(spark, 2, [("b", 7)]), path, key="k")
+    assert {r["k"]: r["n"] for r in read_snapshot(spark, path).collect()} == {
+        "a": 9, "b": 7,
+    }
+    with _pytest.raises(ValueError, match="pinned"):
+        apply_cdc_batch(
+            spark, _kv_batch(spark, 3, [("a", 1)]), path, key="k", buckets=16
+        )
+    with _pytest.raises(ValueError, match="diverge"):
+        apply_cdc_batch(
+            spark, _kv_batch(spark, 3, [("a", 1)]), path, key=["k", "n"]
+        )
+
+
+def test_cdc_bucketed_crash_recovery_both_windows(spark, tmp_path):
+    """Per-bucket swap crash states recover on the next epoch's
+    entry: a `.bck-K` with the live bucket MISSING (crashed between
+    the renames) is restored; a `.bck-K` with the live bucket PRESENT
+    (crashed after the swap, before cleanup) is discarded as stale."""
+    import glob
+    import shutil
+
+    from htsql_spark.streaming.snapshot import apply_cdc_batch, read_snapshot
+
+    path = str(tmp_path / "snap")
+    apply_cdc_batch(
+        spark,
+        _kv_batch(spark, 0, [(f"key{i}", i) for i in range(50)]),
+        path, key="k", buckets=4,
+    )
+    # crashed between renames: live bucket moved to backup, staged
+    # replacement never arrived
+    victim = sorted(glob.glob(f"{path}/htsql__bucket=*"))[0]
+    k = victim.rsplit("=", 1)[1]
+    shutil.move(victim, f"{path}/.bck-{k}")
+    apply_cdc_batch(spark, _kv_batch(spark, 1, [("key1", 111)]), path, key="k")
+    assert not glob.glob(f"{path}/.bck-*")
+    got = {r["k"]: r["n"] for r in read_snapshot(spark, path).collect()}
+    assert len(got) == 50 and got["key1"] == 111
+    # crashed after the swap: both live and backup present
+    victim = sorted(glob.glob(f"{path}/htsql__bucket=*"))[0]
+    k = victim.rsplit("=", 1)[1]
+    shutil.copytree(victim, f"{path}/.bck-{k}")
+    apply_cdc_batch(spark, _kv_batch(spark, 2, [("key1", 112)]), path, key="k")
+    assert not glob.glob(f"{path}/.bck-*")
+    got = {r["k"]: r["n"] for r in read_snapshot(spark, path).collect()}
+    assert len(got) == 50 and got["key1"] == 112
+
+
+def test_cdc_bucketed_reserved_column_rejected(spark, tmp_path):
+    """A change batch already carrying the reserved htsql__bucket
+    column is refused (the layout column is an implementation detail,
+    not data)."""
+    import pytest as _pytest
+
+    from htsql_spark.streaming.snapshot import apply_cdc_batch
+
+    path = str(tmp_path / "snap")
+    bad = _kv_batch(spark, 0, [("a", 1)]).withColumn(
+        "htsql__bucket", F.lit(0)
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        apply_cdc_batch(spark, bad, path, key="k", buckets=4)
+
+
 def test_batch_id_base_legacy_checkpoint_keeps_identity_mapping(spark, tmp_path):
     """A checkpoint that ALREADY committed batches but has no base
     marker (archive produced by pre-marker code) must map batch ids
@@ -1527,16 +1704,76 @@ def test_update_mode_multibatch_drain(spark, tmp_path):
     q = "/events.tumbling('1 day')"
     out = str(tmp_path / "snap")
     cp = str(tmp_path / "cp")
-    db2.store_stream(
-        q, out, checkpoint=cp,
-        keys=["w_start", "w_end", "event_type"],
-    )
+
+    # observe the snapshot's bucket directories BETWEEN epochs: a
+    # foreachBatch epoch must leave every untouched bucket's files
+    # byte-identical (the bucket-scoped MERGE claim — O(changed
+    # groups) I/O per epoch, not a full snapshot rewrite)
+    import hashlib
+
+    def bucket_state():
+        state = {}
+        for d in sorted(glob.glob(f"{out}/htsql__bucket=*")):
+            files = {}
+            for f in sorted(glob.glob(f"{d}/*")):
+                with open(f, "rb") as fh:
+                    files[os.path.basename(f)] = (
+                        os.path.getmtime(f),
+                        hashlib.md5(fh.read()).hexdigest(),
+                    )
+            state[os.path.basename(d)] = files
+        return state
+
+    # capture the snapshot's bucket layout at every epoch boundary by
+    # wrapping the sink's MERGE body (deterministic — no polling race
+    # with the swap renames)
+    from htsql_spark.streaming import snapshot as snap_mod
+
+    epoch_states = []
+    real_apply = snap_mod.apply_cdc_batch
+
+    def spying_apply(*args, **kwargs):
+        epoch_states.append(bucket_state())
+        real_apply(*args, **kwargs)
+        epoch_states.append(bucket_state())
+
+    snap_mod.apply_cdc_batch = spying_apply
+    try:
+        db2.store_stream(
+            q, out, checkpoint=cp,
+            keys=["w_start", "w_end", "event_type"],
+        )
+    finally:
+        snap_mod.apply_cdc_batch = real_apply
+
     offsets = glob.glob(f"{cp}/offsets/*")
     assert len(offsets) >= 4, f"expected >=4 micro-batches, got {offsets}"
-    streamed = spark.read.parquet(out)
+    from htsql_spark.streaming.snapshot import read_snapshot
+
+    streamed = read_snapshot(spark, out)
     batch = db2.df(q)
     assert sorted(streamed.columns) == sorted(batch.columns)
     assert _norm_rows(streamed.select(*batch.columns)) == _norm_rows(batch)
+    # the drain wrote a BUCKETED snapshot...
+    assert glob.glob(f"{out}/htsql__bucket=*"), "snapshot is not bucketed"
+    # ...and across observed epoch transitions, some non-empty bucket
+    # survived untouched with byte-identical files (the events fixture
+    # spans many days split into 4 time-ordered chunks, so later
+    # epochs touch only their boundary windows' buckets)
+    carried = 0
+    changed_somewhere = False
+    pairs = list(zip(epoch_states[0::2], epoch_states[1::2]))
+    assert len(pairs) >= 4, f"expected >=4 sink epochs, saw {len(pairs)}"
+    for before, after in pairs:
+        if not before:
+            continue  # bootstrap epoch: no snapshot yet
+        for d, files in before.items():
+            if files and after.get(d) == files:
+                carried += 1
+            elif after.get(d) != files:
+                changed_somewhere = True
+    assert carried > 0, "no untouched bucket survived an epoch byte-identical"
+    assert changed_somewhere, "no bucket ever changed across epochs"
 
 
 def test_update_mode_guards(db):

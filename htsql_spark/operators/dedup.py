@@ -521,31 +521,44 @@ def simhash_signatures(
     ``token_hash='md5'`` uses the top 60 bits of md5 instead of
     xxhash64 — slower, but bit-identical in any engine with md5, so
     the whole signature is value-checkable against a SQL oracle
-    (signature bits ≥ 60 are then always 0: the sum of all-(-1) never
-    goes positive)."""
+    (signature bits ≥ 60 are then always 0: a zero bit count never
+    satisfies 2c > n).
+
+    r13: the per-token bit vector is the raw bit ((h >> i) & 1), not
+    a ±1 ``when`` branch — pure shift/and arithmetic with no
+    conditional per (token × bit).  The ±1 sum s_i relates to the
+    bit count c_i by s_i = 2·c_i − n (n = token count), so the sign
+    test s_i > 0 becomes 2·c_i > n: identical signature bits, ~⅓
+    less per-element work in the fold (measured on the sf0.1
+    signature pass)."""
     from ..operators.textstats import _gram_hash
 
     toks = F.array_distinct(_tokens(F.col("text")))
     hashes = F.transform(toks, lambda t: _gram_hash(t, token_hash))
+    # slot bits+1 counts tokens (constant 1 per token) so n rides the
+    # same fold — a second size(toks) reference would re-tokenize the
+    # document (higher-order-function bodies are outside codegen CSE)
     bitvecs = F.transform(
         hashes,
         lambda h: F.array(
             *[
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int")
                 for i in range(bits)
-            ]
+            ],
+            F.lit(1),
         ),
     )
-    sums = F.aggregate(
+    counts = F.aggregate(
         bitvecs,
-        F.array_repeat(F.lit(0), bits),
+        F.array_repeat(F.lit(0), bits + 1),
         lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
     )
-    d = docs.select(F.col("doc_id"), sums.alias("__bs"))
+    d = docs.select(F.col("doc_id"), counts.alias("__bc"))
+    n = F.element_at(F.col("__bc"), bits + 1)
     out = None
     for i in range(bits):
         term = F.when(
-            F.element_at(F.col("__bs"), i + 1) > 0,
+            F.element_at(F.col("__bc"), i + 1) * 2 > n,
             F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
         out = term if out is None else out + term
@@ -671,8 +684,23 @@ def _ngram_scored_pairs(
     each) — the pin holds only the CAP-BOUNDED bucket survivors'
     (id, lang, lbucket, grams) rows; measured 19.6 → 13.6 s at
     sf0.1.  (The prune-before-join plan shape is asserted on
-    :func:`_ngram_pruned`, upstream of this pin's lineage cut.)"""
-    d = _ngram_pruned(docs, n, max_bucket).localCheckpoint(eager=False)
+    :func:`_ngram_pruned`, upstream of this pin's lineage cut.)
+
+    Per-pair work is ONE ``array_intersect``: the gram arrays are
+    distinct, so |A∪B| = |A|+|B|−|A∩B| with the per-doc sizes
+    precomputed in the pinned table — the ``array_union`` pass (the
+    other half of each pair's array traffic) is gone.  The division
+    itself happens in :func:`ngram_jaccard_pairs` AFTER the pair
+    checkpoint, so the intersect is evaluated exactly once per pair
+    (inlining the |A∩B| term twice into the jaccard expression
+    re-evaluates it — conditional branches are excluded from
+    codegen subexpression elimination).  Output: (a, b, __i, __s) =
+    ids, |A∩B|, |A|+|B|."""
+    d = (
+        _ngram_pruned(docs, n, max_bucket)
+        .withColumn("__gn", F.size("g"))
+        .localCheckpoint(eager=False)
+    )
     l, r = d.alias("l"), d.alias("r")
     pairs = l.join(
         r,
@@ -680,11 +708,11 @@ def _ngram_scored_pairs(
         & (F.col("l.lbucket") == F.col("r.lbucket"))
         & (F.col("l.doc_id") < F.col("r.doc_id")),
     )
-    jac = jaccard(F.col("l.g"), F.col("r.g"))
     return pairs.select(
         F.col("l.doc_id").alias("a"),
         F.col("r.doc_id").alias("b"),
-        F.round(jac, 6).alias("jaccard"),
+        F.size(F.array_intersect(F.col("l.g"), F.col("r.g"))).alias("__i"),
+        (F.col("l.__gn") + F.col("r.__gn")).alias("__s"),
     )
 
 
@@ -693,16 +721,26 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Pairs with character-n-gram Jaccard ≥ ``threshold`` — see
     :func:`_ngram_scored_pairs` for the bucketing/cap plan."""
-    # score each pair exactly ONCE: Catalyst pushes the threshold
-    # predicate back into the projection (alias substitution), which
-    # re-evaluates the whole set comparison in the Filter AND the
-    # Project — measured 2.4× on this join (68 s vs 29 s at sf0.1).
-    # The lazy local checkpoint materializes only the tiny
-    # (a, b, jaccard) rows (24 bytes each — the gram arrays are gone)
-    # and the filter then reads those, never the arrays.
+    # the lazy local checkpoint materializes only the tiny
+    # (a, b, |A∩B|, |A|+|B|) rows (32 bytes each — the gram arrays
+    # are gone) and BOTH the jaccard projection and the threshold
+    # filter then read those materialized ints: the set comparison
+    # runs exactly once per pair.  (Pre-r13 shape: jaccard computed
+    # before the checkpoint with intersect+union — the union pass
+    # was pure overhead given distinct arrays, and without the
+    # checkpoint the pushed-back filter predicate re-evaluated the
+    # whole comparison in Filter AND Project, measured 2.4× — 68 s
+    # vs 29 s at sf0.1.)  |A∪B| = __s − __i ≥ 1 whenever __s > 0
+    # (arrays are distinct), and __s = 0 ⟺ both arrays empty — the
+    # same guard the old when(union > 0) expressed.
     scored = _ngram_scored_pairs(docs, n, max_bucket)
-    return scored.localCheckpoint(eager=False).filter(
-        F.col("jaccard") >= threshold
+    jac = F.when(
+        F.col("__s") > 0, F.col("__i") / (F.col("__s") - F.col("__i"))
+    ).otherwise(0.0)
+    return (
+        scored.localCheckpoint(eager=False)
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -1043,18 +1081,34 @@ def dedup_clusters(
         0,
     )
 
+    # Convergence check (r13): the per-round probe is a metadata-speed
+    # count of the just-severed parquet; only when two consecutive
+    # rounds have EQUAL counts is set equality confirmed with one
+    # left-anti probe.  Exact, like the old two-exceptAll check (each
+    # round's output is .distinct()ed, so ``new`` is a set: |new|=|E|
+    # ∧ new∖E=∅ ⟹ new=E even against a round-0 multiset, since a
+    # duplicate in E would force |set(E)| < |new| while new ⊆ set(E))
+    # — but the steady-state rounds pay one count job instead of two
+    # full-shuffle exceptAll passes over the edge set (guide §2.4),
+    # and the anti-join runs at most on count-plateau rounds.
+    n_prev = E.count()
     for rnd in range(1, max_iters + 1):
         new = _sever(_small_star(_large_star(E)), rnd)
-        moved = (
-            new.exceptAll(E).union(E.exceptAll(new)).limit(1).count()
+        n_new = new.count()
+        converged = n_new == n_prev and (
+            new.join(E, ["u", "v"], "left_anti").limit(1).count() == 0
         )
         E = new
-        if moved == 0:
+        n_prev = n_new
+        if converged:
             break
 
-    # terminal state: stars (leaf → root); roots label themselves
+    # terminal state: stars (leaf → root); roots label themselves.
+    # No distinct on the self-label branch: the terminal groupBy-min
+    # is duplicate-insensitive, so the extra pre-union exchange the
+    # distinct cost bought nothing (guide §2.4).
     labels = E.select("u", F.col("v").alias("lbl")).union(
-        E.select(F.col("v").alias("u"), F.col("v").alias("lbl")).distinct()
+        E.select(F.col("v").alias("u"), F.col("v").alias("lbl"))
     )
     return (
         labels.groupBy("u")

@@ -711,13 +711,36 @@ class HTSQL:
             def _sink(bdf: DataFrame, epoch_id: int) -> None:
                 _append_epoch(bdf, path, int(epoch_id))
 
-        return (
-            sdf.writeStream.outputMode(output_mode)
-            .foreachBatch(_sink)
-            .option("checkpointLocation", cp)
-            .trigger(**(trigger or {"availableNow": True}))
-            .start()
+        # scale-adaptive shuffle/state partitioning: derive the
+        # stream's partition count from the mounted data size instead
+        # of inheriting the session constant (guide §2.2 — the state
+        # store commits one delta file per partition per operator per
+        # micro-batch, so a small landing dir under the session
+        # default pays hundreds of commits per batch for nothing,
+        # while a large one is sized by bytes and capped by the
+        # cluster's parallelism budget).  StreamExecution clones the
+        # session at start, and Spark pins the value into the
+        # checkpoint's offset-log metadata, so restarts of an
+        # existing checkpoint keep their original count.
+        from .streaming.events import (
+            _has_python_stateful,
+            _stream_conf,
+            derive_stream_partitions,
         )
+
+        parts = derive_stream_partitions(
+            self.spark,
+            self.data_dir,
+            compute_floor=_has_python_stateful(sdf),
+        )
+        with _stream_conf(self.spark, parts):
+            return (
+                sdf.writeStream.outputMode(output_mode)
+                .foreachBatch(_sink)
+                .option("checkpointLocation", cp)
+                .trigger(**(trigger or {"availableNow": True}))
+                .start()
+            )
 
     @staticmethod
     def _stream_output_mode(sdf: DataFrame) -> str:
@@ -888,7 +911,7 @@ def get_spark(app_name: str = "htsql-spark", cpus: int | None = None) -> SparkSe
     import os
 
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    return (
+    b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
@@ -900,5 +923,12 @@ def get_spark(app_name: str = "htsql-spark", cpus: int | None = None) -> SparkSe
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    # deployment-specific overrides without code edits (e.g. cluster
+    # memory/codec tuning, A/B of planner flags):
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            b = b.config(k.strip(), v.strip())
+    return b.getOrCreate()

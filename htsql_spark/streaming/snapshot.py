@@ -385,6 +385,7 @@ def run_cdc_snapshot(
     delete_op: str = "D",
     snapshot_files: int = 8,
     buckets: int | None = None,
+    source_dir: str | None = None,
 ) -> None:
     """Drive :func:`apply_cdc_batch` from a Structured Streaming
     change source with ``availableNow`` (drain the backlog, then
@@ -394,7 +395,11 @@ def run_cdc_snapshot(
     earlier one's regardless of ts — CDC logs replay in order), and
     within a batch by (``ts_col``, ``op_col`` desc) per apply_cdc's
     contract.  ``buckets=N`` selects the hash-bucketed snapshot
-    layout (per-epoch I/O scoped to touched buckets)."""
+    layout (per-epoch I/O scoped to touched buckets).
+    ``source_dir``: when given, shuffle/state partitions are derived
+    from the source data size (events.derive_stream_partitions)
+    instead of the session default."""
+    from .events import _stream_conf, derive_stream_partitions
 
     def process(batch: DataFrame, batch_id: int) -> None:
         apply_cdc_batch(
@@ -409,10 +414,16 @@ def run_cdc_snapshot(
             buckets=buckets,
         )
 
-    (
-        stream.writeStream.foreachBatch(process)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{snapshot_path}__checkpoint")
-        .start()
-        .awaitTermination()
+    parts = (
+        derive_stream_partitions(spark, source_dir)
+        if source_dir is not None
+        else None
     )
+    with _stream_conf(spark, parts):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{snapshot_path}__checkpoint")
+            .start()
+        )
+    q.awaitTermination()

@@ -2020,3 +2020,95 @@ def test_within_custom_watermark(db):
     streamed = db.run_stream(q)
     batch = db.df(q)
     assert _norm_rows(streamed) == _norm_rows(batch)
+
+
+def test_derive_stream_partitions(spark, tmp_path, monkeypatch):
+    """Scale-adaptive stream partitioning (r13): partitions derive
+    from source bytes (ceil(bytes/target), floor 1, cap 8×cores),
+    Python-stateful plans floor at defaultParallelism (compute-bound
+    — data-sized partitioning would serialize the per-group pandas
+    calls), the env override wins, and _stream_conf restores the
+    session conf after the start window."""
+    from htsql_spark.streaming.events import (
+        _stream_conf,
+        derive_stream_partitions,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "f.bin").write_bytes(b"x" * 1024)
+    # 1 KB / 64 MB → 1 partition, regardless of the session default
+    assert derive_stream_partitions(spark, str(small)) == 1
+    # compute floor: never below defaultParallelism for Python-stateful
+    assert (
+        derive_stream_partitions(spark, str(small), compute_floor=True)
+        == par
+    )
+    # bytes-proportional in the middle, capped at 8×cores
+    assert (
+        derive_stream_partitions(
+            spark, str(small), target_bytes=256
+        )
+        == 4
+    )
+    assert (
+        derive_stream_partitions(spark, str(small), target_bytes=1)
+        == 8 * par
+    )
+    # env override wins over the derivation
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTITIONS", "7")
+    assert derive_stream_partitions(spark, str(small)) == 7
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_PARTITIONS")
+    # the conf window is temporary: value set inside, restored after
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with _stream_conf(spark, 3):
+        assert spark.conf.get(key) == "3"
+    assert spark.conf.get(key) == before
+    with _stream_conf(spark, None):
+        assert spark.conf.get(key) == before
+    assert spark.conf.get(key) == before
+
+
+def test_stream_partitions_pin_into_checkpoint(spark, tmp_path):
+    """The derived partition count is pinned by Spark's offset-log
+    metadata: a re-drain of the SAME checkpoint under a different
+    session conf keeps the original state partitioning (no state-dir
+    mismatch), and the drained values stay correct."""
+    import os
+
+    from htsql_spark import streaming
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    src = streaming.read_events_stream(spark, sf)
+    agg = streaming.tumbling_counts(src)
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_pin_a")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    first = spark.table("t_pin_a").count()
+    assert first > 0
+    # re-drain same checkpoint with a wildly different session value:
+    # Spark must reuse the checkpointed shuffle-partition count
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        q2 = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("t_pin_b")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

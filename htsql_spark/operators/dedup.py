@@ -226,28 +226,49 @@ def _band_table(
     )
 
 
+def _bucket_pairs(
+    df: DataFrame, bucket_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (a, b) id pairs (a < b) co-occurring in any bucket —
+    the shared candidate generator behind the LSH band tables
+    (round 13: grouped posting-list pair generation instead of the
+    bucket self-join).  ONE shuffle groups each bucket's sorted id
+    list; the pairs then stream out task-locally (posexplode + slice
+    — peak memory is one bucket's id list, never a materialized pair
+    array, so a giant bucket degrades like the old streaming join
+    rather than buffering its quadratic pair set).  The self-join
+    shape evaluated the upstream banding subtree once PER SIDE (no
+    CSE across join inputs) and shuffled the band table twice; this
+    shape computes it once and shuffles it once."""
+    g = (
+        df.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    return (
+        g.select(F.posexplode("__ids").alias("__i", "a"), F.col("__ids"))
+        .select(
+            "a",
+            F.explode(
+                F.slice(F.col("__ids"), F.col("__i") + F.lit(2), F.size("__ids"))
+            ).alias("b"),
+        )
+        .distinct()
+    )
+
+
 def minhash_candidates(
     docs: DataFrame, k: int = 3, num_hashes: int = 32, bands: int = 8
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 minhash band.
 
     shingle → minhash(num_hashes) → bands of rows r=num_hashes/bands →
-    explode (band_idx, band_hash) → self-join per bucket.
-    Returns (a, b) with a < b, distinct.
+    explode (band_idx, band_hash) → grouped per-bucket pair
+    generation (:func:`_bucket_pairs` — one shuffle, signature pass
+    evaluated once; the old bucket self-join paid the minhash pass
+    once per join side).  Returns (a, b) with a < b, distinct.
     """
-    band = _band_table(docs, k, num_hashes, bands)
-    left = band.alias("l")
-    right = band.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.h") == F.col("r.h"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .distinct()
-    )
+    return _bucket_pairs(_band_table(docs, k, num_hashes, bands), ["band", "h"])
 
 
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
@@ -429,16 +450,7 @@ def incremental_dup_pairs(
     cands = [cross]
     if within_incoming:
         cands.append(
-            ib.alias("l")
-            .join(
-                ib.alias("r"),
-                (F.col("l.band") == F.col("r.band"))
-                & (F.col("l.h") == F.col("r.h"))
-                & (F.col("l.doc_id") < F.col("r.doc_id")),
-            )
-            .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-            .distinct()
-            .withColumn("origin", F.lit("within"))
+            _bucket_pairs(ib, ["band", "h"]).withColumn("origin", F.lit("within"))
         )
     allc = cands[0] if len(cands) == 1 else cands[0].unionByName(cands[1])
     # feeds the id prunes AND the verify joins.  Eager localCheckpoint,
@@ -1215,11 +1227,14 @@ def edit_dup_pairs(
     semi-join-pruned id→text lookup, never through the banding
     shuffle.  Returns (a, b, edits) with a < b.
 
-    The band table is pinned (eager localCheckpoint) before its
-    self-join: a raw self-join evaluates the minhash signature — the
-    dominant CPU cost — once PER SIDE (no common-subexpression reuse
-    across join inputs), and the candidate table then feeds two more
-    consumers (ids, verify).  Measured 4.5 s → ~2.5 s at sf0.1.
+    The band table is pinned (eager localCheckpoint) because the
+    candidate table feeds three consumers (two id-prune sides and
+    the verify join) and each re-derives the pair generation from
+    the pinned blocks instead of re-running the minhash signature —
+    the dominant CPU cost.  Round 13: the bucket self-join became
+    grouped posting-list pair generation (:func:`_bucket_pairs`),
+    dropping the second band-table shuffle and the per-join-side
+    signature evaluation.
     """
     # _band_table reads the fixed (doc_id, text) shape — normalize the
     # caller's column names first so non-default id_col/text_col band
@@ -1229,18 +1244,7 @@ def edit_dup_pairs(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     band = _band_table(normed, k, num_hashes, bands).localCheckpoint(eager=True)
-    left = band.alias("l")
-    right = band.alias("r")
-    cands = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.h") == F.col("r.h"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .distinct()
-    )
+    cands = _bucket_pairs(band, ["band", "h"])
     ids = (
         cands.select(F.col("a").alias(id_col))
         .union(cands.select("b"))

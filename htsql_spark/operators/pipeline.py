@@ -492,13 +492,23 @@ def ngram_contamination(
     tagged = base.select(
         F.col(key), F.col("split"), F.explode(F.array_distinct(grams)).alias("g")
     )
+    # tagged feeds THREE subtrees (train postings count, the pruned
+    # train side, the eval side) — unpinned, the md5 gram-generation
+    # pass (the dominant CPU cost) evaluates once per subtree; pinned,
+    # the narrow (id, split, 32-hex-gram) rows materialize once
+    tagged = tagged.localCheckpoint(eager=True)
     tr = tagged.filter(F.col("split") == train).select(
         F.col(key).alias("train_id"), "g"
     )
-    postings = tr.groupBy("g").agg(F.count(F.lit(1)).alias("__n"))
-    tr = tr.join(postings.filter(F.col("__n") <= max_postings), "g").select(
-        "train_id", "g"
+    # anti join against the (tiny, boilerplate-only) over-cap gram
+    # set: broadcastable, unlike the keep set which is ~every gram
+    hot = (
+        tr.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_postings)
+        .select("g")
     )
+    tr = tr.join(hot, "g", "left_anti")
     ev = tagged.filter(F.col("split").isin(list(eval_splits))).select(
         F.col(key).alias("eval_id"), F.col("split").alias("eval_split"), "g"
     )

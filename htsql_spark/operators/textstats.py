@@ -167,28 +167,49 @@ def winnow_overlap_pairs(
     homogeneous corpus (the synthetic fixture shares a small
     vocabulary: ~90% of all doc pairs genuinely share ≥2 fps at any
     cap) the candidate set is legitimately near-quadratic; on a real
-    corpus the df distribution is the operator's safety valve."""
+    corpus the df distribution is the operator's safety valve.
+
+    Shape (round 13): grouped posting-list pair generation instead of
+    the fp self-join — ONE shuffle groups each retained fingerprint's
+    sorted posting list, and the a<b pairs stream out of the list
+    task-locally (posexplode + slice: peak memory is one posting list,
+    never a materialized pair array).  The hot-fp prune stays
+    count-based and runs BEFORE any list is collected, so a
+    boilerplate fingerprint costs a counter, not an executor buffer;
+    the (tiny) over-cap fp set anti-joins broadcast-style against the
+    fingerprint table.  The self-join shape paid three evaluations of
+    the rolling-hash pass (no CSE across join inputs) plus two
+    shuffles of the pruned table; this shape pins the (id, fp) rows
+    once and shuffles them once."""
     fps = winnow_fingerprints(docs, k, w, text_col, id_col, gram_hash)
-    postings = fps.groupBy("fp").agg(F.count("*").alias("__n"))
-    pruned = fps.join(postings.filter(F.col("__n") <= max_postings), "fp").select(
-        id_col, "fp"
+    # fps feeds the posting-count prune AND the grouped pair
+    # generator — pin the narrow (id, fp) rows so the rolling-hash
+    # pass runs once (measured 28.5 s -> ~14 s at sf0.1 for the old
+    # 3-consumer shape; 2 consumers here, same rationale)
+    fps = fps.localCheckpoint(eager=True)
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_postings)
+        .select("fp")
     )
-    # the pruned posting table feeds BOTH sides of the self-join, and
-    # fps additionally feeds the posting-count subtree — unpinned, the
-    # full rolling-hash fingerprint pass evaluates 3x (no CSE across
-    # join inputs; same pitfall as edit_dup_pairs' band table,
-    # SCALE.md round-4 notes).  Eager pin: small (id, fp) rows only
-    # (measured 28.5 s -> ~14 s at sf0.1)
-    pruned = pruned.localCheckpoint(eager=True)
-    x, y = pruned.alias("x"), pruned.alias("y")
+    posts = (
+        fps.join(hot, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    pairs = posts.select(
+        F.posexplode("__ids").alias("__i", "a"), F.col("__ids")
+    ).select(
+        "a",
+        F.explode(
+            F.slice(F.col("__ids"), F.col("__i") + F.lit(2), F.size("__ids"))
+        ).alias("b"),
+    )
     return (
-        x.join(
-            y,
-            (F.col("x.fp") == F.col("y.fp"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        )
-        .groupBy(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
-        .agg(F.count("*").alias("shared_fps"))
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
 

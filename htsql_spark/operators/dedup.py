@@ -1132,11 +1132,19 @@ def dedup_clusters(
 def exact_dup_pairs(docs: DataFrame) -> DataFrame:
     """(a, b) candidate pairs from exact-fingerprint groups: each
     duplicate links to its group minimum (a star per group — one
-    shuffle on the fingerprint, pair count = dups, never quadratic)."""
+    shuffle on the fingerprint, pair count = dups, never quadratic).
+
+    The group minimum comes from a window over the fingerprint
+    partitioning rather than a groupBy + self-join back: the join
+    shape evaluated the md5 fingerprint projection once per join
+    input (no CSE across join inputs) and shuffled it twice; the
+    window reads one shuffled pass."""
+    from pyspark.sql import Window
+
     fp = docs.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
-    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("a"))
+    a = F.min("doc_id").over(Window.partitionBy("fp"))
     return (
-        fp.join(keep, "fp")
+        fp.withColumn("a", a)
         .filter(F.col("doc_id") != F.col("a"))
         .select("a", F.col("doc_id").alias("b"))
     )

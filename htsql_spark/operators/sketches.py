@@ -580,11 +580,18 @@ def cms_build(
     (depth = ceil(ln 1/δ) independent xxhash64 rows, width = ceil(e/ε))
     supporting point-frequency estimates with the classic guarantee
     ``true ≤ est ≤ true + ε·n`` (upper bound with probability ≥ 1−δ
-    per query).  Same build pattern as the bloom: per-partition
-    partial matrices in one Arrow pass, added together in a single
-    tiny merge group — the matrix is a model artifact (d·w longs),
-    row data never leaves its partition.  Returns (matrix, depth,
-    width)."""
+    per query).  A CMS cell count is just the exact count of rows
+    hashing to (r, c), and the matrix has at most d·w non-empty cells
+    regardless of corpus size — so the build is a plain
+    ``groupBy(r, c).count()`` that stays inside whole-stage codegen
+    end-to-end: the map side partial-aggregates each partition down
+    to ≤ d·w rows (the same per-partition state the old Arrow pass
+    kept in numpy), one tiny shuffle merges them, and the driver
+    assembles the matrix from ≤ d·w result rows (model-sized, the
+    same boundary as the old single-row head()).  Replaces the former
+    mapInPandas partial-matrix + applyInPandas merge: identical
+    counts, no JVM↔Python crossing of row data.  Returns (matrix,
+    depth, width)."""
     depth = max(1, math.ceil(math.log(1.0 / delta)))
     width = max(8, math.ceil(math.e / eps))
     pos = df.select(
@@ -603,39 +610,10 @@ def cms_build(
         ).alias("p")
     ).select("p.r", "p.c")
 
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mat = np.zeros((depth, width), dtype=np.int64)
-        seen = False
-        for pdf in batches:
-            np.add.at(
-                mat,
-                (pdf["r"].to_numpy(np.int64), pdf["c"].to_numpy(np.int64)),
-                1,
-            )
-            seen = True
-        if seen:
-            yield pd.DataFrame(
-                {"g": [0], "flat": [mat.reshape(-1).tolist()]}
-            )
-
-    part = pos.mapInPandas(partials, "g int, flat array<bigint>")
-    seed = df.sparkSession.createDataFrame(
-        [(0, [0] * (depth * width))], "g int, flat array<bigint>"
-    )
-
-    def merge(_key, pdf):
-        acc = np.sum(
-            [np.asarray(x, dtype=np.int64) for x in pdf["flat"]], axis=0
-        )
-        return pd.DataFrame({"flat": [acc.tolist()]})
-
-    row = (
-        part.unionByName(seed)
-        .groupBy("g")
-        .applyInPandas(merge, "flat array<bigint>")
-        .head()
-    )
-    mat = np.asarray(row["flat"], dtype=np.int64).reshape(depth, width)
+    cells = pos.groupBy("r", "c").agg(F.count(F.lit(1)).alias("n")).collect()
+    mat = np.zeros((depth, width), dtype=np.int64)
+    for row in cells:
+        mat[row["r"], row["c"]] = row["n"]
     return mat.tolist(), depth, width
 
 

@@ -4032,8 +4032,15 @@ _GATE_ORDER = [
     "stream_running_totals", "tpch_q13", "op_ann_bruteforce",
     "op_ann_ivf", "op_ann_lsh", "op_contamination_ngram",
     "op_repetition", "stream_dedup", "stream_sliding", "tpch_q10",
-    "tpch_q11", "tpch_q14", "tpch_q16", "tpch_q20", "tpch_q4",
+    "tpch_q11", "tpch_q20", "tpch_q4",
     "tpch_q7",
+    # ROUND-13 changed-code witnesses (tests/test_rotation.py policy):
+    # the optimization round restructured olap.table_stats (per-column
+    # two-phase NDV, no Expand/SortAggregate) and sketches.cms_build
+    # (pure groupBy count matrix, Arrow passes removed) — both kernels
+    # get hard driver rows the round they changed; displaces tpch_q14
+    # + tpch_q16, whose latest hard records are r12 (fully fresh)
+    "op_table_stats", "op_cms",
     # freshen the next-oldest (r4) tier with family breadth: agg
     # variants, metadata, asof direction, multimodal, packing,
     # pipeline LM/vocab/splits, batch-twin windowing, kmeans partials

@@ -52,8 +52,8 @@ def except_(a: DataFrame, b: DataFrame, all: bool = False) -> DataFrame:
 def table_stats(
     df: DataFrame, cols: list[str] | None = None, exact_ndv: bool = True
 ) -> DataFrame:
-    """ANALYZE-style per-column table profile in ONE aggregation pass:
-    row count, null count + fraction, distinct count, min and max
+    """ANALYZE-style per-column table profile: row count, null count
+    + fraction, distinct count, min and max
     (stringified so heterogeneous columns share a schema).  The
     statistics every planner / data-quality monitor wants before
     touching a new table (the reference's `/meta` exposes schema

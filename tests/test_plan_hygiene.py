@@ -126,8 +126,10 @@ NLJ_OK = {
     "tpch_q16",
     "tpch_q20",
     # heavy_hitters crossJoins the single-row broadcast total count
+    # (the multi form runs one such pass per listed expression)
     "op_heavy_hitters",
     "lang_heavy_hitters",
+    "lang_heavy_hitters_multi",
     "op_skew_join",
     # the histogram crossJoins the single-row boundary aggregate
     "op_histogram",
@@ -266,6 +268,11 @@ SCAN_BUDGET = {
     "op_contamination_ngram": 6,
     # broadcast single-row corpus-size aggregate + n-gram legs
     "op_bigram_lm": 5,
+    # exact-NDV profile: one hash-agg pass for the plain statistics
+    # + one single-column (pruned) count_distinct pass per profiled
+    # column — the split that removed the Expand×(cols+1)
+    # SortAggregate (olap.table_stats docstring; 6 = 1 + 5 columns)
+    "op_table_stats": 6,
     # multi-path dimension references (query semantics)
     "tpch_q2": 4,
     "op_edit_dedup": 4,

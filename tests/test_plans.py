@@ -382,13 +382,32 @@ def test_zscore_single_window(db):
     assert plan.count("Join") == 0, plan
 
 
-def test_table_stats_single_pass(db):
-    """table_stats: every column's count/null/ndv/min/max folds into
-    ONE scan (multi-distinct Expand allowed), no joins, no per-column
-    re-reads."""
+def test_table_stats_shape(db):
+    """table_stats exact_ndv=True (r13 optimization): the plain
+    statistics fold into one pass and each column's exact NDV runs as
+    its OWN pruned single-column two-phase hash count_distinct — no
+    Expand (the old single-agg multi-distinct shape sorted a
+    rows×(cols+1) expansion), the NDV side table joins back by
+    BROADCAST.  Scans = 1 + #cols by design (each NDV scan reads one
+    column; see olap.table_stats docstring)."""
     from htsql_spark.operators import olap
 
-    plan = physical(olap.table_stats(db.table("orders")))
+    orders = db.table("orders")
+    ncols = len(orders.columns)
+    plan = physical(olap.table_stats(orders))
+    assert "Expand" not in plan, plan
+    assert plan.count("Scan ") == 1 + ncols, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_table_stats_hll_single_pass(db):
+    """table_stats exact_ndv=False (the documented 100 TB path):
+    mergeable HLL NDV collapses the profile back into ONE scan, no
+    joins."""
+    from htsql_spark.operators import olap
+
+    plan = physical(olap.table_stats(db.table("orders"), exact_ndv=False))
     assert plan.count("Scan ") == 1, plan
     assert plan.count("Join") == 0, plan
 

@@ -274,6 +274,16 @@ def main() -> None:
         "sf": sf,
         "tier": TIER,
         "hot_total": hot_total,
+        # r14 (r13 verdict "what's wrong" #3): the driver captures a
+        # BOUNDED stdout tail, and the r12 line outgrew it — the tail
+        # kept the END of the line, losing the leading "value" and
+        # breaking round-over-round totals.  Duplicate the totals as
+        # TRAILING keys ("n" rows, "total_sec" = value) so any
+        # future truncated capture still carries the aggregates
+        # textually at the tail, regex-recoverable.  Additions-only;
+        # still exactly ONE stdout JSON line (the driver contract).
+        "n": len(timings),
+        "total_sec": total,
     }
     # full payload (positions + reruns instrumentation) goes to the
     # FILE; the stdout line is kept as small as possible because the

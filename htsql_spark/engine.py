@@ -726,11 +726,18 @@ class HTSQL:
             _has_python_stateful,
             _stream_conf,
             derive_stream_partitions,
+            stream_source_paths,
         )
 
+        # size by the STREAM'S OWN file sources (from the analyzed
+        # plan), not the whole mounted data_dir — a small stream
+        # co-mounted with a large batch warehouse must not inherit
+        # the warehouse's partition count (r13 advice).  data_dir is
+        # the fallback when no file source is identifiable.
+        srcs = stream_source_paths(sdf) or [self.data_dir]
         parts = derive_stream_partitions(
             self.spark,
-            self.data_dir,
+            *srcs,
             compute_floor=_has_python_stateful(sdf),
         )
         with _stream_conf(self.spark, parts):

@@ -49,7 +49,7 @@ def _has_python_stateful(df: DataFrame) -> bool:
 
 def derive_stream_partitions(
     spark: SparkSession,
-    *paths: str,
+    *paths: "str | tuple[str, str | None]",
     target_bytes: int = 64 * 1024 * 1024,
     per_core_cap: int = 8,
     compute_floor: bool = False,
@@ -76,6 +76,21 @@ def derive_stream_partitions(
     pandas calls) where data-sized partitioning would serialize the
     compute; state-store commit overhead is secondary there.
 
+    Sources are sized through the Hadoop FileSystem API (r14; the r13
+    ``os.walk`` silently totalled 0 bytes for any non-local URI —
+    hdfs://, s3a://, abfs:// — and 0 derived 1 partition, serializing
+    a potentially huge stream and PINNING that 1 into the new
+    checkpoint's offset log).  When the listing fails or totals 0
+    bytes the derivation returns **None** — callers fall back to the
+    session default rather than collapsing to 1 (``_stream_conf(None)``
+    is a no-op).
+
+    Each element of ``paths`` is a plain path or a ``(path, glob)``
+    pair (the file source's ``pathGlobFilter``) — with a glob only the
+    matching files under the path are counted, so a stream co-mounted
+    with a big batch warehouse in the SAME directory is sized by its
+    own files, not the warehouse's.
+
     ``SPARK_GRAFT_STREAM_PARTITIONS`` overrides the derivation (any
     positive integer), for deployments that know better."""
     import math
@@ -85,16 +100,25 @@ def derive_stream_partitions(
     if forced:
         return max(1, int(forced))
     total = 0
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     for p in paths:
-        if os.path.isfile(p):
-            total += os.path.getsize(p)
-        else:
-            for root, _dirs, files in os.walk(p):
-                for f in files:
-                    try:
-                        total += os.path.getsize(os.path.join(root, f))
-                    except OSError:
-                        pass
+        p, glob = p if isinstance(p, tuple) else (p, None)
+        try:
+            jpath = jvm.org.apache.hadoop.fs.Path(p)
+            fs = jpath.getFileSystem(hconf)
+            if glob:
+                stats = fs.globStatus(jvm.org.apache.hadoop.fs.Path(jpath, glob))
+                for st in stats if stats is not None else []:
+                    total += fs.getContentSummary(st.getPath()).getLength()
+            elif fs.exists(jpath):
+                total += fs.getContentSummary(jpath).getLength()
+        except Exception:
+            # unresolvable scheme / permissions: treat as unmeasured,
+            # not as empty — the zero-total guard below falls back
+            pass
+    if total <= 0:
+        return None
     par = spark.sparkContext.defaultParallelism
     cap = max(1, per_core_cap * par)
     parts = max(1, min(math.ceil(total / target_bytes), cap))
@@ -103,12 +127,55 @@ def derive_stream_partitions(
     return parts
 
 
+def stream_source_paths(df: DataFrame) -> "list[tuple[str, str | None]]":
+    """``(path, pathGlobFilter-or-None)`` of each file source of a
+    streaming DataFrame, read off the analyzed plan (a
+    FileStreamSource's ``StreamingRelation`` carries ``sourceName =
+    "FileSource[<path>]"`` and its ``DataSource`` the reader options).
+    Used to size the partition derivation by the STREAM'S OWN files
+    instead of the whole mounted directory (r14 — a small stream
+    co-mounted with a large batch warehouse must not inherit the
+    warehouse's partition count and pay its state-store commit
+    fan-out; this repo's own readers point at the shared directory
+    with a ``pathGlobFilter``, so the glob IS the source identity).
+    Non-file sources (kafka, rate) contribute nothing — callers fall
+    back."""
+    out: list[tuple[str, str | None]] = []
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        n = stack.pop()
+        if n.nodeName() == "StreamingRelation":
+            name = n.sourceName()
+            if name.startswith("FileSource[") and name.endswith("]"):
+                glob = None
+                try:
+                    opt = n.dataSource().options().get("pathGlobFilter")
+                    if opt.isDefined():
+                        glob = opt.get()
+                except Exception:
+                    pass
+                out.append((name[len("FileSource[") : -1], glob))
+        for i in range(n.children().size()):
+            stack.append(n.children().apply(i))
+    return out
+
+
+#: Serializes _stream_conf windows: the temporary session-conf value
+#: must not leak into a CONCURRENT stream start (or batch action) on
+#: another thread of the same session — the set/start/restore window
+#: is tiny, so one process-wide lock is the simplest correct guard
+#: (r13 advice).
+_STREAM_CONF_LOCK = __import__("threading").Lock()
+
+
 class _stream_conf:
     """Temporarily set ``spark.sql.shuffle.partitions`` while a
     streaming query STARTS (StreamExecution clones the session at
     start, so restoring immediately after ``.start()`` returns is
     safe and concurrent batch work in the caller's session is
-    untouched).  No-op when ``partitions`` is None."""
+    untouched).  The window is serialized by ``_STREAM_CONF_LOCK`` so
+    two threads' start windows cannot observe each other's temporary
+    value.  No-op (and no lock) when ``partitions`` is None."""
 
     KEY = "spark.sql.shuffle.partitions"
 
@@ -118,13 +185,21 @@ class _stream_conf:
 
     def __enter__(self):
         if self.partitions is not None:
-            self.old = self.spark.conf.get(self.KEY)
-            self.spark.conf.set(self.KEY, str(self.partitions))
+            _STREAM_CONF_LOCK.acquire()
+            try:
+                self.old = self.spark.conf.get(self.KEY)
+                self.spark.conf.set(self.KEY, str(self.partitions))
+            except BaseException:
+                _STREAM_CONF_LOCK.release()
+                raise
         return self
 
     def __exit__(self, *exc):
         if self.partitions is not None:
-            self.spark.conf.set(self.KEY, self.old)
+            try:
+                self.spark.conf.set(self.KEY, self.old)
+            finally:
+                _STREAM_CONF_LOCK.release()
         return False
 
 
@@ -656,15 +731,18 @@ def run_to_memory(
     commit cost."""
     _require_stream(stream_df, "run_to_memory()")
     spark = stream_df.sparkSession
-    parts = (
-        derive_stream_partitions(
+    parts = None
+    if source_dir is not None:
+        # prefer the stream's OWN file sources (analyzed plan) over
+        # the caller's directory hint — the hint is often the whole
+        # mount, and a small stream must not pay a big warehouse's
+        # state-store fan-out (r14)
+        srcs = stream_source_paths(stream_df) or [source_dir]
+        parts = derive_stream_partitions(
             spark,
-            source_dir,
+            *srcs,
             compute_floor=_has_python_stateful(stream_df),
         )
-        if source_dir is not None
-        else None
-    )
     with _stream_conf(spark, parts):
         q = (
             stream_df.writeStream.format("memory")

@@ -2060,6 +2060,27 @@ def test_derive_stream_partitions(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTITIONS", "7")
     assert derive_stream_partitions(spark, str(small)) == 7
     monkeypatch.delenv("SPARK_GRAFT_STREAM_PARTITIONS")
+    # r14: unmeasurable sources fall back to the SESSION DEFAULT
+    # (None), never collapse to 1 — an unreachable scheme or missing
+    # path totalling 0 bytes must not pin 1 shuffle/state partition
+    # into a fresh checkpoint for what may be a 100 TB stream
+    assert (
+        derive_stream_partitions(spark, "s3a://no-such-bucket/stream")
+        is None
+    )
+    assert (
+        derive_stream_partitions(spark, str(tmp_path / "missing")) is None
+    )
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert derive_stream_partitions(spark, str(empty)) is None
+    # ... and the compute floor does not resurrect a failed listing
+    assert (
+        derive_stream_partitions(
+            spark, str(tmp_path / "missing"), compute_floor=True
+        )
+        is None
+    )
     # the conf window is temporary: value set inside, restored after
     key = "spark.sql.shuffle.partitions"
     before = spark.conf.get(key)
@@ -2071,44 +2092,166 @@ def test_derive_stream_partitions(spark, tmp_path, monkeypatch):
     assert spark.conf.get(key) == before
 
 
-def test_stream_partitions_pin_into_checkpoint(spark, tmp_path):
-    """The derived partition count is pinned by Spark's offset-log
-    metadata: a re-drain of the SAME checkpoint under a different
-    session conf keeps the original state partitioning (no state-dir
-    mismatch), and the drained values stay correct."""
+def test_stream_source_paths(spark):
+    """stream_source_paths reads the FileStreamSource path off the
+    analyzed plan — the engine sizes partition derivation by the
+    stream's OWN source, not the whole mounted dir (r14)."""
     import os
 
     from htsql_spark import streaming
+    from htsql_spark.streaming.events import stream_source_paths
 
-    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
     src = streaming.read_events_stream(spark, sf)
-    agg = streaming.tumbling_counts(src)
-    out = str(tmp_path / "out")
+    paths = stream_source_paths(src)
+    # the reader points at the shared dir with a pathGlobFilter: the
+    # (path, glob) pair identifies the stream's OWN files
+    assert len(paths) == 1
+    path, glob = paths[0]
+    assert path.rstrip("/").endswith(sf.rstrip("/").split("/")[-1])
+    assert glob == "events.parquet"
+    # glob-aware sizing counts ONLY the stream's files: events.parquet
+    # is a small fraction of the dir, so the derived count must not
+    # exceed the whole-dir derivation and must reflect just the file
+    from htsql_spark.streaming.events import derive_stream_partitions
+
+    sized = derive_stream_partitions(spark, (sf, "events.parquet"))
+    assert sized == 1  # a few-KB source: one partition, not the dir's
+    # a glob matching nothing -> unmeasured -> session-default fallback
+    assert derive_stream_partitions(spark, (sf, "no-such-*.parquet")) is None
+    # batch plans have no streaming relations
+    assert stream_source_paths(spark.range(3)) == []
+
+
+def test_stream_partitions_pin_into_checkpoint(spark, tmp_path):
+    """The derived partition count is pinned by Spark's offset-log
+    metadata: a re-drain of the SAME checkpoint under a different
+    session conf must REUSE the checkpointed state (r13 advice: the
+    old form of this test drained zero batches the second time —
+    availableNow with no new input runs nothing — so it only proved
+    start() didn't throw).  A second input file arrives between the
+    drains, so the re-drain really executes a batch under the
+    conflicting conf, and its complete-mode output must carry file
+    A's windows UNCHANGED (checkpointed state reused, not rebuilt or
+    lost) plus file B's new windows."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from htsql_spark import streaming
+    from htsql_spark.streaming.events import _events_schema
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
     cp = str(tmp_path / "cp")
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("t_pin_a")
-        .option("checkpointLocation", cp)
-        .trigger(availableNow=True)
-        .start()
+
+    def _write(name, rows):
+        # (event_id, ts, event_type, value) rows in the events schema
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us")
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(
+                    [r[2] for r in rows], pa.string()
+                ),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(landing / name))
+
+    d = dt.datetime
+    _write(
+        "events_a.parquet",
+        [
+            (1, d(2024, 1, 1, 10), "click", 1.0),
+            (2, d(2024, 1, 1, 11), "view", 2.0),
+            (3, d(2024, 1, 2, 9), "click", 3.0),
+            (4, d(2024, 1, 2, 10), "click", 4.0),
+        ],
     )
-    q.awaitTermination()
-    first = spark.table("t_pin_a").count()
-    assert first > 0
-    # re-drain same checkpoint with a wildly different session value:
-    # Spark must reuse the checkpointed shuffle-partition count
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "5")
-        q2 = (
-            agg.writeStream.outputMode("complete")
+
+    glob = "events_*.parquet"
+    schema, ts_unit, ts_tz = _events_schema(str(landing), glob)
+
+    def _src():
+        # mirrors read_events_stream but with a multi-file glob so
+        # the re-drain below can receive NEW input (the engine
+        # reader's literal single-file glob never sees a second file)
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", glob)
+            .parquet(str(landing))
+        )
+        if not ts_tz:
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw
+
+    def _drain(sink):
+        q = (
+            streaming.tumbling_counts(_src())
+            .writeStream.outputMode("complete")
             .format("memory")
-            .queryName("t_pin_b")
+            .queryName(sink)
             .option("checkpointLocation", cp)
             .trigger(availableNow=True)
             .start()
         )
-        q2.awaitTermination()
+        q.awaitTermination()
+        return {
+            (r["w_start"], r["event_type"]): (r["n"], r["total"])
+            for r in spark.table(sink).collect()
+        }
+
+    rows_a = _drain("t_pin_a")
+    expect_a = {
+        (d(2024, 1, 1), "click"): (1, 1.0),
+        (d(2024, 1, 1), "view"): (1, 2.0),
+        (d(2024, 1, 2), "click"): (2, 7.0),
+    }
+    assert rows_a == expect_a
+    # new input lands, then a re-drain of the SAME checkpoint under a
+    # wildly different session value: Spark must reuse the
+    # checkpointed shuffle-partition count and the existing state
+    _write(
+        "events_b.parquet",
+        [
+            (5, d(2024, 1, 5, 8), "click", 5.0),
+            (6, d(2024, 1, 5, 9), "view", 6.0),
+        ],
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        rows_b = _drain("t_pin_b")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+    # file A's windows intact (state REUSED under the conflicting
+    # conf) plus file B's new windows — a fresh rebuild would have
+    # lost A's rows, a 5-partition re-plan would misroute the state
+    assert rows_b == {
+        **expect_a,
+        (d(2024, 1, 5), "click"): (1, 5.0),
+        (d(2024, 1, 5), "view"): (1, 6.0),
+    }
+    # ... and the offset log's pinned shuffle-partition count survived
+    # (Spark writes it into the checkpoint's first offset entry)
+    import json as _json
+    import re as _re
+
+    with open(os.path.join(cp, "offsets", "0")) as fh:
+        meta = [
+            ln for ln in fh.read().splitlines() if "shuffle.partitions" in ln
+        ]
+    assert meta, "offset log carries no shuffle-partition metadata"
+    conf = _json.loads(_re.sub(r"^v\d+", "", meta[0]))
+    pinned = int(
+        (conf.get("conf") or conf)["spark.sql.shuffle.partitions"]
+    )
+    assert pinned == int(old)

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Round-13 optimization helper: re-measure a subset of registry
+"""Optimization-round helper: re-measure a subset of registry
 queries with bench.py's exact methodology (warm + median-of-3 through
 the noop sink, cache cleared between queries) and/or dump
 ``explain("formatted")`` to plans/r13/.
@@ -32,7 +32,7 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from htsql_spark import get_spark
 
-    spark = get_spark("htsql-spark-opt13", cpus=CPUS)
+    spark = get_spark("htsql-spark-opt", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
     unknown = [n for n in args if n not in qs]
@@ -48,7 +48,7 @@ def main() -> None:
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
-            path = os.path.join(HERE, "plans", "r13", f"{name}_{explain_tag}.txt")
+            path = os.path.join(HERE, "plans", os.environ.get("PLANS_ROUND", "r14"), f"{name}_{explain_tag}.txt")
             with open(path, "w") as fh:
                 fh.write(plan)
             print(f"wrote {path}", file=sys.stderr)

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Round-13 optimization safety net: bit-exact result snapshots.
+"""Optimization-round safety net: bit-exact result snapshots.
 
 Captures each named registry query's full result (sorted rows, raw
 float repr — NO rounding) at one or more scale factors to a pickle,
@@ -41,7 +41,7 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from htsql_spark import get_spark
 
-    spark = get_spark("htsql-spark-snap13")
+    spark = get_spark("htsql-spark-snap")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
 

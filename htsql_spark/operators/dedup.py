@@ -227,25 +227,54 @@ def _band_table(
 
 
 def _bucket_pairs(
-    df: DataFrame, bucket_cols: list[str], id_col: str = "doc_id"
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    giant_bucket: int = 1 << 16,
+    pin: bool = False,
 ) -> DataFrame:
     """Distinct (a, b) id pairs (a < b) co-occurring in any bucket —
     the shared candidate generator behind the LSH band tables
     (round 13: grouped posting-list pair generation instead of the
     bucket self-join).  ONE shuffle groups each bucket's sorted id
     list; the pairs then stream out task-locally (posexplode + slice
-    — peak memory is one bucket's id list, never a materialized pair
-    array, so a giant bucket degrades like the old streaming join
-    rather than buffering its quadratic pair set).  The self-join
-    shape evaluated the upstream banding subtree once PER SIDE (no
-    CSE across join inputs) and shuffled the band table twice; this
-    shape computes it once and shuffles it once."""
+    — never a materialized pair array).  The self-join shape
+    evaluated the upstream banding subtree once PER SIDE (no CSE
+    across join inputs) and shuffled the band table twice; this shape
+    computes it once and shuffles it once.
+
+    Giant-bucket guard (round 14, r13 verdict): ``collect_list``
+    holds one bucket's WHOLE id list in a single aggregation-buffer
+    object, which (unlike a sort-merge join's spillable key group)
+    cannot spill — a degenerate bucket (near-constant band
+    signatures) of 100M ids is an 800 MB jvm object and an executor
+    OOM.  Buckets with more than ``giant_bucket`` ids are therefore
+    split off by a count pre-pass and pair-generated through the old
+    streaming self-join, whose per-key group buffer spills to disk;
+    output is IDENTICAL (the same exact pair set, same dedup), only
+    the execution shape differs.  The common case (no giant buckets)
+    pays the count aggregation and two probes of an empty broadcast.
+
+    ``pin``: localCheckpoint ``df`` first — pass True when the input
+    is an unpinned expensive subtree (the guard makes ``df``
+    multi-consumer, and Spark does not CSE across join inputs).
+
+    Input contract: (id, bucket) rows must be duplicate-free (all
+    callers explode each doc's bands once); a duplicated row would
+    have produced an (a, a) self-pair from the sorted list — guarded
+    by the explicit a != b filter below, mirroring the a < b
+    exclusion the old self-join had by construction."""
+    if pin:
+        df = df.localCheckpoint(eager=False)
+    counts = df.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__n"))
+    giant = counts.filter(F.col("__n") > giant_bucket).select(*bucket_cols)
+    rest = df.join(F.broadcast(giant), bucket_cols, "left_anti")
     g = (
-        df.groupBy(*bucket_cols)
+        rest.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
         .filter(F.size("__ids") >= 2)
     )
-    return (
+    grouped = (
         g.select(F.posexplode("__ids").alias("__i", "a"), F.col("__ids"))
         .select(
             "a",
@@ -253,8 +282,17 @@ def _bucket_pairs(
                 F.slice(F.col("__ids"), F.col("__i") + F.lit(2), F.size("__ids"))
             ).alias("b"),
         )
-        .distinct()
+        .filter(F.col("a") != F.col("b"))
     )
+    big = df.join(F.broadcast(giant), bucket_cols, "left_semi")
+    l, r = big.alias("l"), big.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    for c in bucket_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    streamed = l.join(r, cond).select(
+        F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+    )
+    return grouped.union(streamed).distinct()
 
 
 def minhash_candidates(
@@ -267,8 +305,14 @@ def minhash_candidates(
     generation (:func:`_bucket_pairs` — one shuffle, signature pass
     evaluated once; the old bucket self-join paid the minhash pass
     once per join side).  Returns (a, b) with a < b, distinct.
-    """
-    return _bucket_pairs(_band_table(docs, k, num_hashes, bands), ["band", "h"])
+
+    ``pin=True``: the giant-bucket guard makes the band table
+    multi-consumer, and it is an expensive unpinned subtree here
+    (shingle + minhash) — pin it once instead of re-evaluating per
+    consumer."""
+    return _bucket_pairs(
+        _band_table(docs, k, num_hashes, bands), ["band", "h"], pin=True
+    )
 
 
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
@@ -997,6 +1041,67 @@ def semantic_dup_pairs(
     )
 
 
+def _cc_large_star(E: DataFrame) -> DataFrame:
+    """One large-star round of the alternating-star connected
+    components: (v, m) for every neighbor v > u, where
+    m = min(Γ(u) ∪ u).  Output is deduped and always directed
+    large→small (v > u ≥ m), which is exactly the small star's
+    required orientation.
+
+    Shape (round 14): the symmetrized edge table is repartitioned
+    ONCE on the grouping node id; the min-aggregation, the rewiring
+    join and the output dedup all reuse that exchange
+    (HashPartitioning(u) satisfies ClusteredDistribution for any key
+    set containing u).  NOTE the measured caveat: Catalyst pushes the
+    ``v > u`` filter below the repartition on the probe branch, so
+    the two sym exchanges are not canonically equal and AQE does NOT
+    reuse them (plans/r14/cc_round_after*.txt); per-round
+    localCheckpoint pins of sym and/or the large-star output were
+    measured SLOWER at bench scale (the materialization barrier costs
+    more than the duplicated cheap subtree), so the duplication is
+    deliberately left — the measured win is the elided re-direction/
+    dedup work plus the sever change in :func:`dedup_clusters`."""
+    sym = E.union(
+        E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).repartition("u")
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("m"))
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .repartition("u")
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _cc_small_star(E: DataFrame) -> DataFrame:
+    """One small-star round: (v, m) for each small neighbor v plus
+    (u, m), where m = min of u's small neighborhood.  Input must be
+    directed large→small and deduped — :func:`_cc_large_star`'s
+    output contract (u = a former neighbor v' > u' ≥ m' = v, so the
+    r13 greatest/least re-direction is a no-op and is elided).  The
+    input arrives partitioned on u from the large star, so the
+    min-aggregation and the rewiring join replan no new exchange;
+    only the final distinct (keyed on both columns) shuffles."""
+    m = (
+        E.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("m"))
+    )
+    return (
+        E.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     left: str = "a",
@@ -1027,62 +1132,50 @@ def dedup_clusters(
     row-count per round); shuffles are keyed on node ids over a
     monotonically shrinking edge set; skewed star centers are regular
     groupBy keys handled by AQE. Iteration state is severed per round
-    through a parquet round-trip (alternating scratch paths). NOT
-    checkpoint(): Spark 4 preserves the origin logical plan for
-    stats/constraint rewriting (``LogicalRDD.rewriteStatsAndConstraints``),
-    and a self-referential iteration doubles that retained chain every
-    round — planning cost grows exponentially until the driver OOMs in
-    ``SizeInBytesOnlyStatsPlanVisitor`` (measured). A parquet round-trip
-    of the O(|E|) edge table per round is a true sever and the standard
-    shape for iterative graph algorithms on Spark.
+    with a lazy ``localCheckpoint`` (MEMORY_AND_DISK — spills, never
+    OOMs; the same per-iteration discipline as ``analytics.pagerank``
+    and the k-means loop), materialized by the convergence count so a
+    steady-state round is ONE job. NOT ``checkpoint()``: Spark 4
+    preserves the origin logical plan for stats/constraint rewriting
+    (``LogicalRDD.rewriteStatsAndConstraints``), and a self-referential
+    iteration doubles that retained chain every round — planning cost
+    grows exponentially until the driver OOMs in
+    ``SizeInBytesOnlyStatsPlanVisitor`` (measured). ``localCheckpoint``
+    severs the lineage without retaining the origin plan.
 
-    ``scratch_dir``: scratch location for per-round state (default: a
-    local tempdir — pass a DFS path on a real cluster).
+    ``scratch_dir``: pass a (DFS) path to sever each round through a
+    parquet round-trip instead (alternating scratch paths) — the
+    durable choice for very long cluster jobs where re-running the
+    whole iteration on an executor loss is worse than paying a
+    write+read of the O(|E|) edge table per round (localCheckpoint
+    blocks are not fault-tolerant: losing one fails the job).
     """
-    import tempfile
-
     spark = pairs.sparkSession
-    scratch = scratch_dir or tempfile.mkdtemp(prefix="htsql-cc-")
 
-    def _sever(df: DataFrame, rnd: int) -> DataFrame:
-        path = f"{scratch}/edges{rnd % 2}"
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+    if scratch_dir is None:
 
-    def _large_star(E: DataFrame) -> DataFrame:
-        """(v, m) for every neighbor v > u, where m = min(Γ(u) ∪ u)."""
-        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("u", "mv").alias("m"))
-        )
-        return (
-            sym.filter(F.col("v") > F.col("u"))
-            .join(m, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
+        def _sever(df: DataFrame, rnd: int) -> DataFrame:
+            return df.localCheckpoint(eager=False)
 
-    def _small_star(E: DataFrame) -> DataFrame:
-        """Direct edges large→small; (v, m) for each small neighbor v
-        plus (u, m), where m = min of u's small neighborhood."""
-        d = E.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        m = (
-            d.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("u", "mv").alias("m"))
-        )
-        dm = d.join(m, "u")
-        return (
-            dm.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(m.select("u", F.col("m").alias("v")))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
+    else:
+
+        def _sever(df: DataFrame, rnd: int) -> DataFrame:
+            path = f"{scratch_dir}/edges{rnd % 2}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+
+    # Star rounds (round 14): fused large→small orientation — the
+    # large star's output is deduped and directed large→small by
+    # construction, so the small star elides the r13 greatest/least
+    # re-direction, and the large star's explicit repartition("u")
+    # lets its output dedup replan no extra exchange (guide §2.4; see
+    # _cc_large_star's docstring for the measured caveat on exchange
+    # reuse). Measured with the localCheckpoint sever: lang_cluster
+    # 13.4->9.5 s, op_dedup_clusters 9.1->6.2 s at sf0.1.
+    # The stars live at module level (_cc_large_star/_cc_small_star)
+    # so the plan-shape test and plans/r14 dump exercise the LIVE
+    # per-round code, which the terminal query plan hides behind the
+    # sever.
 
     E = _sever(
         pairs.select(
@@ -1105,7 +1198,7 @@ def dedup_clusters(
     # and the anti-join runs at most on count-plateau rounds.
     n_prev = E.count()
     for rnd in range(1, max_iters + 1):
-        new = _sever(_small_star(_large_star(E)), rnd)
+        new = _sever(_cc_small_star(_cc_large_star(E)), rnd)
         n_new = new.count()
         converged = n_new == n_prev and (
             new.join(E, ["u", "v"], "left_anti").limit(1).count() == 0

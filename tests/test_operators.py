@@ -58,6 +58,36 @@ def test_minhash_recall_on_planted_dups(docs, docs_with_clones):
     assert recall > 0.8, f"near-dup recall {recall}"
 
 
+def test_bucket_pairs_giant_bucket_guard(spark):
+    """Degenerate (near-constant signature) buckets: posting lists
+    over ``giant_bucket`` must NOT be collected into one aggregation
+    buffer — they route through the spill-safe streaming self-join —
+    and the pair set must be identical either way (r13 verdict #4).
+    Adversarial corpus: one bucket holding every doc (the constant-
+    signature failure mode) plus small normal buckets."""
+    from htsql_spark.operators.dedup import _bucket_pairs
+
+    rows = [(i, 0, 999) for i in range(60)]  # degenerate bucket
+    rows += [(100 + i, 1, i % 5) for i in range(10)]  # small buckets
+    df = spark.createDataFrame(rows, "doc_id long, band int, h long")
+
+    def pairset(giant_bucket):
+        out = _bucket_pairs(df, ["band", "h"], giant_bucket=giant_bucket)
+        return {(r["a"], r["b"]) for r in out.collect()}
+
+    guarded = _bucket_pairs(df, ["band", "h"], giant_bucket=16)
+    # plan shape: the grouped branch is fenced by the anti join and
+    # the giant branch is a real join — no collect_list of the giant
+    # bucket's 60-id list
+    plan = guarded._jdf.queryExecution().toString()
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    # exact same pairs with the guard engaged (60-id bucket streamed)
+    # vs not engaged (everything grouped)
+    assert pairset(16) == pairset(1 << 16)
+    # all 60*59/2 degenerate pairs + the small buckets' pairs exist
+    assert len(pairset(16)) == 60 * 59 // 2 + 5
+
+
 def test_minhash_jaccard_values(docs_with_clones):
     from htsql_spark.operators import dedup
 
@@ -360,6 +390,66 @@ def test_dedup_clusters_random_chain(spark):
     rows = dedup.dedup_clusters(pairs).collect()
     assert len(rows) == 300
     assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_cc_star_round_equivalence(spark):
+    """The r14 fused star round (_cc_small_star ∘ _cc_large_star —
+    large star emits deduped large→small edges so the small star
+    elides the r13 greatest/least re-direction) produces EXACTLY the
+    r13 round's edge set on a random graph, and its plan carries no
+    greatest() re-direction."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from htsql_spark.operators.dedup import _cc_large_star, _cc_small_star
+
+    random.seed(7)
+    edges = {
+        (random.randrange(200), random.randrange(200)) for _ in range(300)
+    }
+    E = spark.createDataFrame(
+        [(u, v) for u, v in edges if u != v], "u long, v long"
+    )
+
+    fused = _cc_small_star(_cc_large_star(E))
+
+    # the r13 round, inline (large star with terminal distinct, small
+    # star with explicit greatest/least re-direction)
+    sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("m"))
+    )
+    ls13 = (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    d = ls13.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m2 = (
+        d.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("m"))
+    )
+    r13 = (
+        d.join(m2, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m2.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    got = {(r["u"], r["v"]) for r in fused.collect()}
+    want = {(r["u"], r["v"]) for r in r13.collect()}
+    assert got == want
+    # fused shape: no greatest() re-direction anywhere in the round
+    assert "greatest" not in fused._jdf.queryExecution().toString()
 
 
 def test_dedup_pipeline_removes_planted_clones(docs, docs_with_clones):

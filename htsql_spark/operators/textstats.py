@@ -327,6 +327,15 @@ def incremental_winnow_pairs(
         )
         .select("fp")
     )
+    # keep/pi are multi-consumer (4 and 3 consumers: the terminal
+    # plan carries 4 copies of the full-outer count join), but
+    # pinning either measured as NOISE at sf0.1 (r14: none 7.55/7.35
+    # vs keep 7.04/7.96 s) — the duplicates are cheap hash
+    # aggregations over already-pinned inputs, and AQE broadcasts the
+    # batch side of the cross join, so the r13-verdict retry recipe
+    # (grouped pairs + explicit repartition) has nothing left to
+    # remove here; the cost is the archive fingerprint pass itself
+    # (hash-bound, the oracle-replayable md5 price).
     pe = ef.join(keep, "fp", "left_semi")
     pi = inf.join(keep, "fp", "left_semi")
     cross = (

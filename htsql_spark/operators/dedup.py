@@ -226,6 +226,14 @@ def _band_table(
     )
 
 
+#: _bucket_pairs collects at most this many over-cap bucket keys for
+#: the literal plan split; a corpus with MORE giant buckets than this
+#: (mostly-degenerate input) streams everything through the spillable
+#: self-join instead.  Bounds both the driver collect and the literal
+#: predicate's expression size.
+_MAX_LITERAL_GIANTS = 2048
+
+
 def _bucket_pairs(
     df: DataFrame,
     bucket_cols: list[str],
@@ -249,14 +257,29 @@ def _bucket_pairs(
     cannot spill — a degenerate bucket (near-constant band
     signatures) of 100M ids is an 800 MB jvm object and an executor
     OOM.  Buckets with more than ``giant_bucket`` ids are therefore
-    split off by a count pre-pass and pair-generated through the old
-    streaming self-join, whose per-key group buffer spills to disk;
-    output is IDENTICAL (the same exact pair set, same dedup), only
-    the execution shape differs.  The common case (no giant buckets)
-    pays the count aggregation and two probes of an empty broadcast.
+    pair-generated through the old streaming self-join, whose per-key
+    group buffer spills to disk; output is IDENTICAL (the same exact
+    pair set, same dedup), only the execution shape differs.
+
+    The guard decision is made DRIVER-SIDE from one count pre-pass
+    (an AQE-style adaptive plan choice): giant buckets are rare by
+    construction (≤ rows/giant_bucket of them can exist), so the
+    count's over-cap keys collect driver-side and split the plan with
+    a LITERAL predicate.  The first r14 cut kept the split IN the
+    plan (broadcast anti/semi probes + a union whose streamed branch
+    was always built) and regressed every caller 1.5–2.3× at sf0.1 —
+    the guard machinery re-executed under every downstream consumer
+    of the (pinned) candidate table.  Measured A/B is in
+    OPTIMIZATION_r14.md; with the driver-side split the no-giants
+    plan (the universal case) is EXACTLY the round-13 shape and the
+    only added cost is the one count job (~0.2–0.4 s at sf0.1 over a
+    pinned band table; one narrow aggregation of the index at scale).
+    Beyond ``_MAX_LITERAL_GIANTS`` over-cap keys (a corpus that is
+    mostly degenerate buckets) everything streams through the
+    self-join — the always-spillable r12 shape.
 
     ``pin``: localCheckpoint ``df`` first — pass True when the input
-    is an unpinned expensive subtree (the guard makes ``df``
+    is an unpinned expensive subtree (the count pass makes ``df``
     multi-consumer, and Spark does not CSE across join inputs).
 
     Input contract: (id, bucket) rows must be duplicate-free (all
@@ -266,33 +289,59 @@ def _bucket_pairs(
     exclusion the old self-join had by construction."""
     if pin:
         df = df.localCheckpoint(eager=False)
-    counts = df.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__n"))
-    giant = counts.filter(F.col("__n") > giant_bucket).select(*bucket_cols)
-    rest = df.join(F.broadcast(giant), bucket_cols, "left_anti")
-    g = (
-        rest.groupBy(*bucket_cols)
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
-        .filter(F.size("__ids") >= 2)
+    giants = (
+        df.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > giant_bucket)
+        .select(*bucket_cols)
+        .limit(_MAX_LITERAL_GIANTS + 1)
+        .collect()
     )
-    grouped = (
-        g.select(F.posexplode("__ids").alias("__i", "a"), F.col("__ids"))
-        .select(
-            "a",
-            F.explode(
-                F.slice(F.col("__ids"), F.col("__i") + F.lit(2), F.size("__ids"))
-            ).alias("b"),
+
+    def _grouped(src: DataFrame) -> DataFrame:
+        g = (
+            src.groupBy(*bucket_cols)
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+            .filter(F.size("__ids") >= 2)
         )
-        .filter(F.col("a") != F.col("b"))
+        return (
+            g.select(F.posexplode("__ids").alias("__i", "a"), F.col("__ids"))
+            .select(
+                "a",
+                F.explode(
+                    F.slice(
+                        F.col("__ids"), F.col("__i") + F.lit(2), F.size("__ids")
+                    )
+                ).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+        )
+
+    def _streamed(src: DataFrame) -> DataFrame:
+        l, r = src.alias("l"), src.alias("r")
+        cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+        for c in bucket_cols:
+            cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+        return l.join(r, cond).select(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+
+    if not giants:
+        return _grouped(df).distinct()
+    if len(giants) > _MAX_LITERAL_GIANTS:
+        return _streamed(df).distinct()
+    is_giant = None
+    for row in giants:
+        this = None
+        for c in bucket_cols:
+            eq = F.col(c) == F.lit(row[c])
+            this = eq if this is None else (this & eq)
+        is_giant = this if is_giant is None else (is_giant | this)
+    return (
+        _grouped(df.filter(~is_giant))
+        .union(_streamed(df.filter(is_giant)))
+        .distinct()
     )
-    big = df.join(F.broadcast(giant), bucket_cols, "left_semi")
-    l, r = big.alias("l"), big.alias("r")
-    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
-    for c in bucket_cols:
-        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
-    streamed = l.join(r, cond).select(
-        F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
-    )
-    return grouped.union(streamed).distinct()
 
 
 def minhash_candidates(
@@ -306,10 +355,10 @@ def minhash_candidates(
     evaluated once; the old bucket self-join paid the minhash pass
     once per join side).  Returns (a, b) with a < b, distinct.
 
-    ``pin=True``: the giant-bucket guard makes the band table
-    multi-consumer, and it is an expensive unpinned subtree here
-    (shingle + minhash) — pin it once instead of re-evaluating per
-    consumer."""
+    ``pin=True``: the giant-bucket count pre-pass makes the band
+    table multi-consumer, and it is an expensive unpinned subtree
+    here (shingle + minhash) — pin it once instead of re-evaluating
+    per consumer."""
     return _bucket_pairs(
         _band_table(docs, k, num_hashes, bands), ["band", "h"], pin=True
     )

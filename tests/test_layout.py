@@ -431,14 +431,22 @@ def test_concurrent_pq_append_compact_query(spark):
     def read_count_with_retry() -> int:
         for _ in range(80):
             try:
-                return spark.table(table).count()
+                n = spark.table(table).count()
+                # a catalog table whose location is mid-rename (the
+                # replace_dataset two-rename window) LISTS AS EMPTY
+                # rather than raising — same transient as the
+                # exception branch below, never a consistent snapshot
+                # here (bootstrap wrote 125 rows before any reader)
+                if n > 0:
+                    return n
             except Exception:
                 # swap window: table briefly renamed / old files dropped
-                time.sleep(0.05)
-                try:
-                    spark.catalog.refreshTable(table)
-                except Exception:
-                    pass
+                pass
+            time.sleep(0.05)
+            try:
+                spark.catalog.refreshTable(table)
+            except Exception:
+                pass
         raise AssertionError("reader starved: no consistent snapshot in 4s")
 
     def appender():

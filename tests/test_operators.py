@@ -67,6 +67,8 @@ def test_bucket_pairs_giant_bucket_guard(spark):
     signature failure mode) plus small normal buckets."""
     from htsql_spark.operators.dedup import _bucket_pairs
 
+    from htsql_spark.operators import dedup as dedup_mod
+
     rows = [(i, 0, 999) for i in range(60)]  # degenerate bucket
     rows += [(100 + i, 1, i % 5) for i in range(10)]  # small buckets
     df = spark.createDataFrame(rows, "doc_id long, band int, h long")
@@ -76,16 +78,34 @@ def test_bucket_pairs_giant_bucket_guard(spark):
         return {(r["a"], r["b"]) for r in out.collect()}
 
     guarded = _bucket_pairs(df, ["band", "h"], giant_bucket=16)
-    # plan shape: the grouped branch is fenced by the anti join and
-    # the giant branch is a real join — no collect_list of the giant
-    # bucket's 60-id list
+    # plan shape (driver-side adaptive split, second r14 cut): the
+    # giant bucket's key appears as a LITERAL predicate fencing the
+    # grouped branch, and the giant branch is a real self-join — the
+    # degenerate 60-id list is never collect_list'ed
     plan = guarded._jdf.queryExecution().toString()
-    assert "LeftAnti" in plan and "LeftSemi" in plan
+    assert "Union" in plan and "999" in plan and "collect_list" in plan
+    # the no-giants plan is EXACTLY the grouped r13 shape — no union,
+    # no join, no guard residue (this is the universal common case
+    # whose regression the first r14 cut caused)
+    clean = _bucket_pairs(df, ["band", "h"])  # default cap: no giants
+    p2 = clean._jdf.queryExecution().toString()
+    assert "Union" not in p2 and "Join" not in p2
     # exact same pairs with the guard engaged (60-id bucket streamed)
     # vs not engaged (everything grouped)
     assert pairset(16) == pairset(1 << 16)
     # all 60*59/2 degenerate pairs + the small buckets' pairs exist
     assert len(pairset(16)) == 60 * 59 // 2 + 5
+    # mostly-degenerate fallback: more giants than the literal cap →
+    # EVERYTHING streams through the spillable self-join
+    old_cap = dedup_mod._MAX_LITERAL_GIANTS
+    dedup_mod._MAX_LITERAL_GIANTS = 0
+    try:
+        allstream = _bucket_pairs(df, ["band", "h"], giant_bucket=16)
+        p3 = allstream._jdf.queryExecution().toString()
+        assert "collect_list" not in p3
+        assert {(r["a"], r["b"]) for r in allstream.collect()} == pairset(16)
+    finally:
+        dedup_mod._MAX_LITERAL_GIANTS = old_cap
 
 
 def test_minhash_jaccard_values(docs_with_clones):
